@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet (written by graft.Verify) and
+the oracle_sql.json, runs each oracle statement in DuckDB against views
+over <sfDir>/*.parquet, and compares: schema (column names), row count,
+and a hash over the full sorted result (columns sorted by name, rows
+sorted, values canonicalized). Exit 0 iff all queries match.
+"""
+import sys, os, json, hashlib, math, datetime, decimal
+
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_digest(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    canon_rows = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for r in canon_rows:
+        h.update(r.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    failures = []
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        spark_tbl = pq.read_table(qdir)
+        spark_cols = sorted(spark_tbl.column_names)
+        spark_rows = [tuple(r[c] for c in spark_tbl.column_names)
+                      for r in spark_tbl.to_pylist()]
+        if name not in oracles:
+            print(f"  {name}: NO ORACLE (rows={len(spark_rows)})")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols_raw = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"✗ {name}: oracle SQL failed: {e}")
+            continue
+        duck_cols = sorted(duck_cols_raw)
+        ok = True
+        if spark_cols != duck_cols:
+            ok = False
+            print(f"✗ {name}: columns differ spark={spark_cols} duck={duck_cols}")
+        elif len(spark_rows) != len(duck_rows):
+            ok = False
+            print(f"✗ {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
+        else:
+            hs = table_digest(spark_rows, spark_tbl.column_names)
+            hd = table_digest(duck_rows, duck_cols_raw)
+            if hs != hd:
+                ok = False
+                print(f"✗ {name}: hash mismatch ({len(spark_rows)} rows)")
+                # print first differing canonical row for debugging
+                order_s = sorted(range(len(spark_tbl.column_names)),
+                                 key=lambda i: spark_tbl.column_names[i])
+                order_d = sorted(range(len(duck_cols_raw)),
+                                 key=lambda i: duck_cols_raw[i])
+                rs = sorted("\x1f".join(canon(r[i]) for i in order_s) for r in spark_rows)
+                rd = sorted("\x1f".join(canon(r[i]) for i in order_d) for r in duck_rows)
+                for a, b in zip(rs, rd):
+                    if a != b:
+                        print(f"    spark: {a[:250]}")
+                        print(f"    duck : {b[:250]}")
+                        break
+        if ok:
+            print(f"✓ {name} ({len(spark_rows)} rows)")
+        else:
+            failures.append(name)
+
+    missing = [n for n in oracles if not os.path.isdir(os.path.join(out_dir, n))]
+    for n in missing:
+        failures.append(n)
+        print(f"✗ {n}: oracle declared but no spark output")
+    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
