@@ -1,0 +1,165 @@
+package graft.engine
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{InsertRow, Stmt, TableMeta}
+import graft.parse.DumpParser
+import graft.sources.DumpSource
+
+/** One classified sync operation with everything codegen needs.
+  * `ordOff`/`ordRow` reproduce the reference's dict-insertion ordering:
+  * the position of the PK's FIRST occurrence in the relevant dump
+  * (production for INSERT/UPDATE, backup for DELETE) — values still come
+  * from the LAST occurrence (last-wins upsert, sync.py:64-70).
+  */
+final case class DiffOp(
+    table: String,
+    pk: String,
+    op: String,
+    ordOff: Long,
+    ordRow: Int,
+    prodVals: Option[Seq[String]],
+    backupVals: Option[Seq[String]],
+    rawInsert: Option[String])
+
+final case class TableStats(
+    table: String,
+    productionCount: Long,
+    backupCount: Long,
+    missingCount: Long,
+    updatedCount: Long,
+    deletedCount: Long)
+
+/** Driver-side result of a sync comparison. `ops` holds every classified
+  * operation (collected; the script output is ~1000× smaller than the
+  * input dumps — for truly huge diffs use [[SyncJob.opsFrame]] and a
+  * distributed write instead).
+  */
+final case class SyncOutcome(
+    prodCatalog: ListMap[String, TableMeta],
+    backupCatalog: ListMap[String, TableMeta],
+    missingTables: Seq[String],
+    extraTables: Seq[String],
+    commonTables: Seq[String],
+    stats: Map[String, TableStats],
+    ops: Seq[DiffOp])
+
+/** The distributed dump-diff pipeline (reference lifecycle
+  * sync.py:228-302 re-expressed as DataFrame jobs):
+  *
+  *   1. statement scan      — splittable `;\n`-delimited read, byte-offset
+  *                            ordered ([[graft.sources.DumpSource]])
+  *   2. catalog             — CREATE statements are a tiny fraction;
+  *                            parsed on the driver in offset order
+  *   3. record parse        — executor-side flatMap over INSERT
+  *                            statements (quote-aware tokenizer)
+  *   4. last-wins dedup     — window per (table, pk) ordered by position
+  *   5. diff                — ONE full-outer join on (table, pk) for all
+  *                            tables at once (single shuffle), null-safe
+  *                            value-array comparison
+  *   6. codegen             — executor-side statement rendering
+  *
+  * Scale: both record frames shuffle once on (table, pk); the dedup
+  * window and the join reuse the same hash partitioning. No driver state
+  * grows with input size except the final op collect.
+  */
+class SyncJob(spark: SparkSession) {
+  import spark.implicits._
+
+  /** Parse the catalog: collect only CREATE-shaped statements (cheap
+    * distributed prefilter), then parse driver-side in offset order.
+    */
+  def catalog(stmts: Dataset[Stmt]): ListMap[String, TableMeta] = {
+    val creates = stmts
+      .filter(col("text").rlike("(?is)^\\s*CREATE\\s+TABLE"))
+      .orderBy("off")
+      .collect()
+    DumpParser.parseCatalog(creates.iterator.map(_.text))
+  }
+
+  /** Parse + dedup the record frame of one dump:
+    * (table, pk, ord_off, ord_row, vals, raw) — one row per surviving
+    * record, values from the PK's last statement, order key from its
+    * first.
+    */
+  def records(stmts: Dataset[Stmt], cat: ListMap[String, TableMeta]): DataFrame = {
+    val bc = spark.sparkContext.broadcast(cat)
+    val rows: Dataset[InsertRow] = stmts.flatMap { st =>
+      DumpParser.parseInsert(st.text) match {
+        case Some((table, valuesPart)) if bc.value.contains(table) =>
+          val meta = bc.value(table)
+          DumpParser.splitValueSets(valuesPart).iterator.zipWithIndex.map {
+            case (vs, i) =>
+              val vals = DumpParser.splitValues(vs)
+              InsertRow(table, st.off, i, DumpParser.pkString(vals, meta),
+                vals, DumpParser.rawInsert(table, vals))
+          }.toSeq
+        case _ => Nil // unknown table or no column list: ignored (sync.py:55,59)
+      }
+    }
+    val part = Window.partitionBy("table", "pk")
+    val lastFirst = part.orderBy(col("off").desc, col("row").desc)
+    rows.toDF()
+      .withColumn("rn", row_number().over(lastFirst))
+      .withColumn("ord", min(struct(col("off"), col("row"))).over(part))
+      .filter(col("rn") === 1)
+      .select(col("table"), col("pk"),
+        col("ord.off").as("ord_off"), col("ord.row").as("ord_row"),
+        col("vals"), col("raw"))
+  }
+
+  def run(prodPath: String, backupPath: String): SyncOutcome = {
+    val prodCat = catalog(DumpSource.statements(spark, prodPath))
+    val backupCat = catalog(DumpSource.statements(spark, backupPath))
+
+    val missingTables = prodCat.keys.filterNot(backupCat.contains).toSeq
+    val extraTables = backupCat.keys.filterNot(prodCat.contains).toSeq
+    val commonTables = prodCat.keys.filter(backupCat.contains).toSeq
+
+    val prod = records(DumpSource.statements(spark, prodPath), prodCat)
+      .filter(col("table").isInCollection(commonTables))
+      .select(col("table"), col("pk"), lit(true).as("p_present"),
+        col("ord_off").as("p_ord_off"), col("ord_row").as("p_ord_row"),
+        col("vals").as("p_vals"), col("raw").as("p_raw"))
+    val backup = records(DumpSource.statements(spark, backupPath), backupCat)
+      .filter(col("table").isInCollection(commonTables))
+      .select(col("table"), col("pk"), lit(true).as("b_present"),
+        col("ord_off").as("b_ord_off"), col("ord_row").as("b_ord_row"),
+        col("vals").as("b_vals"))
+
+    val joined = prod.join(backup, Seq("table", "pk"), "full_outer")
+      .withColumn("op",
+        when(col("b_present").isNull, Differ.OP_INSERT)
+          .when(col("p_present").isNull, Differ.OP_DELETE)
+          .when(!(col("p_vals") <=> col("b_vals")), Differ.OP_UPDATE))
+      .cache()
+
+    try {
+      val stats = joined.groupBy("table").agg(
+        count(col("p_present")).as("productionCount"),
+        count(col("b_present")).as("backupCount"),
+        count(when(col("op") === Differ.OP_INSERT, 1)).as("missingCount"),
+        count(when(col("op") === Differ.OP_UPDATE, 1)).as("updatedCount"),
+        count(when(col("op") === Differ.OP_DELETE, 1)).as("deletedCount"))
+        .as[TableStats].collect()
+        .map(s => s.table -> s).toMap
+
+      val ops = joined.filter(col("op").isNotNull)
+        .select(col("table"), col("pk"), col("op"),
+          when(col("op") === Differ.OP_DELETE, col("b_ord_off"))
+            .otherwise(col("p_ord_off")).as("ordOff"),
+          when(col("op") === Differ.OP_DELETE, col("b_ord_row"))
+            .otherwise(col("p_ord_row")).as("ordRow"),
+          col("p_vals").as("prodVals"), col("b_vals").as("backupVals"),
+          col("p_raw").as("rawInsert"))
+        .as[DiffOp].collect().toSeq
+
+      SyncOutcome(prodCat, backupCat, missingTables, extraTables,
+        commonTables, stats, ops)
+    } finally joined.unpersist()
+  }
+}

@@ -1,0 +1,34 @@
+package graft.model
+
+/** Catalog entry for one dumped table — the engine's equivalent of the
+  * reference's `TableInfo` (/root/reference/sync.py:16-22) minus the
+  * record map (records live in DataFrames, not driver memory).
+  *
+  * @param name       table name (`\w+` per the reference's grammar)
+  * @param columns    ordered column names; record values match by position
+  * @param pkCols     primary-key columns from the reference's fallback
+  *                   chain (explicit single-col PK → AUTO_INCREMENT → "id")
+  * @param createStmt full CREATE TABLE statement text (with trailing ';')
+  */
+final case class TableMeta(
+    name: String,
+    columns: IndexedSeq[String],
+    pkCols: IndexedSeq[String],
+    createStmt: String)
+
+/** One dump statement: byte offset of the statement start within the dump
+  * file (global order key, stable across partitioned reads) + text.
+  */
+final case class Stmt(off: Long, text: String)
+
+/** One parsed INSERT row before dedup. `row` is the value-set index within
+  * a multi-row VALUES clause; (off, row) is the global statement position
+  * the reference's dict semantics depend on (SURVEY.md §7.4).
+  */
+final case class InsertRow(
+    table: String,
+    off: Long,
+    row: Int,
+    pk: String,
+    vals: Seq[String],
+    raw: String)

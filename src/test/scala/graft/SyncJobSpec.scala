@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.codegen.SyncSqlGenerator
+import graft.engine.{Differ, SyncJob}
+
+/** End-to-end sync-core tests: small synthetic dumps plus a differential
+  * golden test against the unmodified reference's output on the
+  * seed-42 sf0.001 dump pair (SURVEY.md §5.2 items 1, 5).
+  */
+class SyncJobSpec extends SparkSuite {
+
+  private def tmpFile(content: String): Path = {
+    val p = Files.createTempFile("graft-dump", ".sql")
+    Files.write(p, content.getBytes("UTF-8"))
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def ddl(table: String, cols: String*): String =
+    s"CREATE TABLE `$table` (\n" +
+      cols.map(c => s"  `$c` INT,\n").mkString +
+      s"  PRIMARY KEY (`${cols.head}`)\n) ENGINE=InnoDB;\n"
+
+  private def job = new SyncJob(spark)
+
+  test("identical dumps produce zero operations (sync.py:489-490)") {
+    val dump = ddl("t", "id", "v") +
+      "INSERT INTO `t` (`id`, `v`) VALUES\n(1, 10),\n(2, 20);\n"
+    val o = job.run(tmpFile(dump).toString, tmpFile(dump).toString)
+    assert(o.ops.isEmpty && o.missingTables.isEmpty && o.extraTables.isEmpty)
+    val script = SyncSqlGenerator.assemble(o, "T")
+    assert(script.contains("-- Total operations: 0"))
+  }
+
+  test("3-way classification: INSERT, UPDATE, DELETE") {
+    val prod = ddl("t", "id", "v") +
+      "INSERT INTO `t` (`id`, `v`) VALUES\n(1, 10),\n(2, 21),\n(4, 40);\n"
+    val backup = ddl("t", "id", "v") +
+      "INSERT INTO `t` (`id`, `v`) VALUES\n(1, 10),\n(2, 20),\n(3, 30);\n"
+    val o = job.run(tmpFile(prod).toString, tmpFile(backup).toString)
+    val byOp = o.ops.groupBy(_.op).view.mapValues(_.map(_.pk).toSet).toMap
+    assert(byOp(Differ.OP_INSERT) == Set("4"))
+    assert(byOp(Differ.OP_UPDATE) == Set("2"))
+    assert(byOp(Differ.OP_DELETE) == Set("3"))
+    val script = SyncSqlGenerator.assemble(o, "T")
+    assert(script.contains("DELETE FROM `t` WHERE `id` = 3;"))
+    assert(script.contains("UPDATE `t` SET `v` = 21 WHERE `id` = 2;"))
+    assert(script.contains("INSERT INTO `t` VALUES (4, 40);"))
+    // section order: DELETE before UPDATE before INSERT
+    val di = script.indexOf("DELETE FROM `t`")
+    val ui = script.indexOf("UPDATE `t`")
+    val ii = script.indexOf("INSERT INTO `t` VALUES")
+    assert(di < ui && ui < ii)
+  }
+
+  test("missing/extra tables → CREATE (with DROP IF EXISTS) and DROP sections") {
+    val prod = ddl("only_prod", "id") +
+      "INSERT INTO `only_prod` (`id`) VALUES\n(1);\n"
+    val backup = ddl("only_backup", "id")
+    val o = job.run(tmpFile(prod).toString, tmpFile(backup).toString)
+    assert(o.missingTables == Seq("only_prod"))
+    assert(o.extraTables == Seq("only_backup"))
+    // records of a missing table are NOT inserted (reference diffs common
+    // tables only, sync.py:256-257)
+    assert(o.ops.isEmpty)
+    val script = SyncSqlGenerator.assemble(o, "T")
+    assert(script.contains("DROP TABLE IF EXISTS `only_backup`;"))
+    val createIdx = script.indexOf("-- Creating missing table: only_prod")
+    assert(createIdx >= 0)
+    assert(script.indexOf("DROP TABLE IF EXISTS `only_prod`;", createIdx) > 0)
+    assert(script.contains("CREATE TABLE `only_prod`"))
+  }
+
+  test("last-wins dedup: later statement overwrites, order keeps first occurrence (sync.py:64-70)") {
+    val prod = ddl("t", "id", "v") +
+      "INSERT INTO `t` (`id`, `v`) VALUES\n(1, 10),\n(2, 20);\n" +
+      "INSERT INTO `t` (`id`, `v`) VALUES\n(1, 99);\n"
+    val backup = ddl("t", "id", "v")
+    val o = job.run(tmpFile(prod).toString, tmpFile(backup).toString)
+    val ins = o.ops.filter(_.op == Differ.OP_INSERT).sortBy(d => (d.ordOff, d.ordRow))
+    assert(ins.map(_.pk) == Seq("1", "2")) // first-occurrence order
+    assert(ins.head.rawInsert.get == "INSERT INTO `t` VALUES (1, 99);") // last values
+    assert(o.stats("t").productionCount == 2)
+  }
+
+  test("INSERT for a table without CREATE is ignored (sync.py:59)") {
+    val prod = ddl("t", "id") +
+      "INSERT INTO `t` (`id`) VALUES\n(1);\n" +
+      "INSERT INTO `ghost` (`id`) VALUES\n(9);\n"
+    val o = job.run(tmpFile(prod).toString, tmpFile(prod).toString)
+    assert(o.ops.isEmpty)
+    assert(!o.prodCatalog.contains("ghost"))
+  }
+
+  test("string values: quotes retained, exact string comparison, NULL == NULL") {
+    val d = ddl("t", "id", "s")
+    val prod = d + "INSERT INTO `t` (`id`, `s`) VALUES\n(1, 'a'),\n(2, NULL),\n(3, 1.0);\n"
+    val backup = d + "INSERT INTO `t` (`id`, `s`) VALUES\n(1, \"a\"),\n(2, NULL),\n(3, 1);\n"
+    val o = job.run(tmpFile(prod).toString, tmpFile(backup).toString)
+    val upd = o.ops.filter(_.op == Differ.OP_UPDATE).map(_.pk).toSet
+    // 'a' vs "a" differ (different quote chars); NULL == NULL; 1.0 vs 1 differ
+    assert(upd == Set("1", "3"))
+  }
+
+  test("differential golden: byte-identical to the reference on the sf0.001 pair") {
+    def res(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/refdumps/$name")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val prod = tmpFile(res("prod_sf0.001.sql"))
+    val backup = tmpFile(res("backup_sf0.001.sql"))
+    val expected = res("out_sf0.001.sql")
+    val o = job.run(prod.toString, backup.toString)
+    // header timestamp (line 3) is run-dependent on both sides
+    val expLines = expected.split("\n", -1).toSeq
+    val now = expLines(2).stripPrefix("-- Generated on: ")
+    val got = SyncSqlGenerator.assemble(o, now)
+    assert(got.split("\n", -1).toSeq == expLines)
+  }
+}
