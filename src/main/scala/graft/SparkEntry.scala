@@ -18,8 +18,10 @@ object SparkEntry {
     queries("q06_table_diff")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.ExtensionQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracle
+    graft.queries.RelationalQueries.oracle ++
+      graft.queries.ExtensionQueries.oracle
 }

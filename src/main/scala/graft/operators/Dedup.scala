@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is one hash aggregation on the content key;
+  *  - n-gram Jaccard uses the inverted-index candidate join — pairs are
+  *    generated per shared shingle, never all-pairs. At 100 TB, prune hot
+  *    shingles by document frequency (a stopword-shingle appearing in k
+  *    docs contributes k² candidate pairs) before the self-join; AQE's
+  *    skew-join splitting handles residual hot keys;
+  *  - MinHash+LSH replaces the candidate join's shingle key with banded
+  *    signature keys: candidates are pairs agreeing on ≥1 band, so the
+  *    join fan-out is controlled by banding parameters (b bands of r rows
+  *    ⇒ collision prob ≈ 1-(1-s^r)^b), independent of shingle frequency;
+  *  - signatures/simhash are per-row column expressions (codegen, no
+  *    shuffle); only the candidate join and the verify join shuffle.
+  */
+object Dedup {
+
+  /** Exact dedup on a key expression: one representative (min id) per
+    * distinct key + group size.
+    */
+  def exact(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.groupBy(key.as("dedup_key"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .drop("dedup_key")
+
+  /** Distinct (id, shingle) inverted-index table. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(Portable.shingles(Portable.tokens(col(textCol)), n)).as("shingle"))
+      .distinct()
+
+  /** Exact Jaccard pairs ≥ threshold from an inverted-index candidate
+    * join: intersection counts come from a self-join on shingle, union
+    * sizes from per-doc shingle counts.
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double, digits: Int = 4): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), digits))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** MinHash signature column family: sig[i] = min over shingles of
+    * ((2i+1)·h + 12289·i) mod P, h = hash48(shingle) mod P. Documents
+    * shorter than the shingle width hash the whole text instead.
+    */
+  def minhashSig(textCol: Column, shingleN: Int, numHashes: Int): Column = {
+    val sh = Portable.shingles(Portable.tokens(textCol), shingleN)
+    val shOrText = when(size(sh) > 0, sh).otherwise(array(lower(textCol)))
+    val hs = transform(shOrText, s => Portable.hash48p(s))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(hs,
+        h => ((i * 2 + 1) * h + lit(12289L) * i) % Portable.P)))
+  }
+
+  /** (id, band, band_key) frame: the LSH bucketing of a signature. */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rpb = numHashes / bands
+    df.select(col(idCol).as("id"),
+        minhashSig(col(textCol), shingleN, numHashes).as("sig"))
+      .select(col("id"), explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          concat_ws("_", slice(col("sig"), b * rpb + 1, lit(rpb))).as("band_key")))).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: band-collision candidates,
+    * verified with exact shingle Jaccard ≥ threshold.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, digits: Int = 4): DataFrame = {
+    val bandsDf = lshBands(df, idCol, textCol, shingleN, numHashes, bands)
+    val cand = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "band_key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = shingleTable(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), digits))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** SimHash over distinct tokens: bit b of the result is set iff the
+    * majority of token hashes have bit b set. Pure column expression.
+    */
+  def simhash(textCol: Column, bits: Int = 32): Column = {
+    val ht = transform(array_distinct(Portable.tokens(textCol)),
+      t => Portable.hash48(t))
+    val n = size(ht)
+    (0 until bits).map { b =>
+      val cnt = size(filter(ht, h => (shiftright(h, b) % 2) === 1))
+      when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

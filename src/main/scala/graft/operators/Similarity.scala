@@ -1,0 +1,135 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Numeric determinism: vectors are quantized to exact integers (×1000,
+  * rounded) so dot products are exact Long sums — immune to float
+  * summation order across partitions/engines. Cosine is then a scalar
+  * double expression over exact integers.
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts the (small) query set and scans the
+  *    base once — a map-only stage plus a per-query top-k
+  *    (TakeOrdered-style, no global sort);
+  *  - the LSH variant buckets base and queries by random-hyperplane
+  *    signature; the join is then bucket-equi (shuffle on bucket id, or
+  *    broadcast when the query side is small) and each query scores only
+  *    its bucket — the standard recall/cost trade controlled by the
+  *    number of planes. An IVF variant would swap the signature for a
+  *    learned coarse quantizer; the plumbing is identical.
+  */
+object Similarity {
+
+  val Scale = 1000
+
+  /** Quantized vector + its exact squared norm. */
+  def quantized(vec: Column): (Column, Column) = {
+    val q = Portable.quantize(vec, Scale)
+    (q, Portable.dotQ(q, q))
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest base
+    * rows (self excluded) by quantized cosine, deterministic tiebreak on
+    * neighbor id. Output: (query_id, neighbor_id, rank, cos).
+    */
+  def cosineTopK(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, digits: Int = 6): DataFrame = {
+    val (bq, bn) = quantized(col(vecCol))
+    val b = base.select(col(idCol).as("neighbor_id"), bq.as("b_q"), bn.as("b_n"))
+    val q = queries.select(col(idCol).as("query_id"), bq.as("q_q"), bn.as("q_n"))
+    val scored = b.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Portable.cosineQ(
+        Portable.dotQ(col("q_q"), col("b_q")), col("q_n"), col("b_n"), digits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Embedding near-duplicate pairs (cos ≥ minCos). With `blockCol` the
+    * pair generation joins on the blocking key (label, coarse cluster,
+    * LSH bucket, …) — the practical path at scale; without it, brute
+    * all-pairs (small corpora only).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, blockCol: Option[String] = None,
+      digits: Int = 6): DataFrame = {
+    val (qv, qn) = quantized(col(vecCol))
+    val s = df.select(Seq(col(idCol).as("id"), qv.as("q"), qn.as("n")) ++
+      blockCol.map(c => col(c).as("block")): _*)
+    val paired = blockCol match {
+      case Some(_) => s.as("a").join(s.as("b"),
+        col("a.block") === col("b.block"))
+      case None => s.as("a").crossJoin(s.as("b"))
+    }
+    paired
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cos", Portable.cosineQ(
+        Portable.dotQ(col("a.q"), col("b.q")), col("a.n"), col("b.n"), digits))
+      .filter(col("cos") >= minCos)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+
+  /** Deterministic ±1 random-hyperplane matrix (planes × dim), derived
+    * from md5 so any engine/replica regenerates the identical planes.
+    */
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Int]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      val h = MessageDigest.getInstance("MD5")
+        .digest(s"plane_${p}_$d".getBytes(StandardCharsets.UTF_8))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+
+  /** Random-hyperplane LSH bucket id: bit p = sign of ⟨v, plane_p⟩. */
+  def rhpBucket(qvec: Column, planes: Array[Array[Int]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val dot = Portable.dotQ(qvec, typedLit(plane.toSeq))
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k with multi-table random-hyperplane LSH
+    * (OR-amplification): L tables of p planes each; a base row is a
+    * candidate for a query iff their p-bit signatures agree in at least
+    * one table. More tables ⇒ higher recall; more planes per table ⇒
+    * smaller buckets ⇒ cheaper. The join shuffles on (table, bucket) —
+    * or broadcasts the (small) query side — and each query scores only
+    * its candidates, never the full base.
+    */
+  def annTopK(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planesPerTable: Int = 4, tables: Int = 8,
+      digits: Int = 6): DataFrame = {
+    val pm = planeMatrix(planesPerTable * tables, 64)
+    def buckets(v: Column): Column = {
+      val entries = (0 until tables).map { t =>
+        val tablePlanes = pm.slice(t * planesPerTable, (t + 1) * planesPerTable)
+        struct(lit(t).as("tbl"), rhpBucket(v, tablePlanes).as("bucket"))
+      }
+      array(entries: _*)
+    }
+    val (qv, qn) = quantized(col(vecCol))
+    val b = base.select(col(idCol).as("neighbor_id"), qv.as("b_q"), qn.as("b_n"))
+      .withColumn("tb", explode(buckets(col("b_q"))))
+    val q = queries.select(col(idCol).as("query_id"), qv.as("q_q"), qn.as("q_n"))
+      .withColumn("tb", explode(buckets(col("q_q"))))
+    val cand = b.join(broadcast(q), "tb")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand.withColumn("cos", Portable.cosineQ(
+      Portable.dotQ(col("q_q"), col("b_q")), col("q_n"), col("b_n"), digits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (whole-stage codegen; no UDFs), embarrassingly parallel —
+  * a map-only stage at any scale.
+  */
+object TextOps {
+
+  /** Minimal English stopword set for the n-gram language heuristic. */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+  /** Language-ID heuristic: fraction of tokens that are English stopwords
+    * (integer-ratio compare: stop_hits*5 >= n_tokens ⇔ ratio ≥ 0.2).
+    * Emits (n_tokens, stop_hits, lang_pred).
+    */
+  def langId(text: Column): Seq[Column] = {
+    val toks = Portable.tokens(text)
+    val hits = size(filter(toks, t => array_contains(typedLit(EnStopwords), t)))
+    Seq(
+      size(toks).cast("long").as("n_tokens"),
+      hits.cast("long").as("stop_hits"),
+      when(hits * 5 >= size(toks), "en").otherwise("other").as("lang_pred"))
+  }
+
+  /** Quality metrics: char/token counts, mean token length, alpha and
+    * space character counts, and a deterministic integer quality score.
+    */
+  def quality(text: Column): Seq[Column] = {
+    val toks = Portable.tokens(text)
+    val nTokens = size(toks)
+    val charLen = length(text)
+    val alphaLen = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val spaceLen = length(regexp_replace(text, "[^ ]", ""))
+    val tokLenSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    Seq(
+      charLen.cast("long").as("n_chars_m"),
+      nTokens.cast("long").as("n_tokens"),
+      round(tokLenSum.cast("double") / nTokens, 4).as("mean_tok_len"),
+      alphaLen.cast("long").as("n_alpha"),
+      spaceLen.cast("long").as("n_space"),
+      // score: 1 point each for [50,2000] chars, >=10 tokens, alpha-dominant
+      (when(charLen.between(50, 2000), 1).otherwise(0) +
+        when(nTokens >= 10, 1).otherwise(0) +
+        when(alphaLen * 2 >= charLen, 1).otherwise(0)).cast("long").as("quality_score"))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (letter runs / digit runs / single other non-space chars).
+    */
+  def tokenCounts(text: Column): Seq[Column] = Seq(
+    size(Portable.tokens(text)).cast("long").as("ws_tokens"),
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long").as("bpe_tokens"))
+
+  /** Document fingerprint: minimum md5 over distinct word n-gram shingles
+    * (a 1-permutation MinHash — robust to token reordering at the edges;
+    * the full-signature variant lives in [[Dedup]]). Falls back to
+    * md5(text) for documents shorter than n words.
+    */
+  def fingerprint(text: Column, n: Int): Column = {
+    val sh = Portable.shingles(Portable.tokens(text), n)
+    coalesce(
+      array_min(transform(sh, s => md5(s.cast("binary")))),
+      md5(text.cast("binary"))).as("fingerprint")
+  }
+}

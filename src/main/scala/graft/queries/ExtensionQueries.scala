@@ -1,0 +1,330 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing, JSON) as driver-checkable queries.
+  *
+  * Oracle-parity techniques (beyond RelationalQueries' rules):
+  *  - portable 48-bit hash `('0x'||substr(md5(s),1,12))::BIGINT` on both
+  *    engines, so MinHash/SimHash signatures match bit-for-bit;
+  *  - embeddings quantized to exact integers before dot products;
+  *  - near-dup corpora are the real tables augmented with deterministic
+  *    planted duplicates, so dedup queries have non-trivial answers.
+  */
+object ExtensionQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ corpora
+  /** documents + exact copies of every 10th doc (ids shifted +1,000,000). */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+  private val corpusExactSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL SELECT doc_id+1000000 AS id, text FROM documents WHERE doc_id%10=0""".stripMargin
+
+  /** documents + perturbed copies (3 junk tokens appended) — near-dups. */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq zq zq")).as("text")))
+  }
+  private val corpusNearSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL SELECT doc_id+1000000 AS id, text || ' zq zq zq' AS text
+      |FROM documents WHERE doc_id%10=0""".stripMargin
+
+  /** Shared shingle CTEs (3-gram, distinct, no fallback). */
+  private val shingleCtes =
+    """words AS (SELECT id, text, string_split_regex(lower(text), '\s+') AS w FROM corpus),
+      |sh AS (SELECT DISTINCT id, unnest(CASE WHEN len(w) >= 3
+      |  THEN list_distinct(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')))
+      |  ELSE []::VARCHAR[] END) AS shingle FROM words),
+      |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** JSON functions over the events props column. */
+  val q16: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+  val q16Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+      |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Exact dedup: one representative (min id) per distinct text. */
+  val q20: Q = (s, dir) =>
+    Dedup.exact(corpusExact(s, dir), "doc_id", col("text")).orderBy("doc_id")
+  val q20Sql: String =
+    s"""WITH corpus AS ($corpusExactSql)
+       |SELECT min(id) AS doc_id, count(*) AS n_dups FROM corpus
+       |GROUP BY text ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** N-gram Jaccard near-dup pairs via the inverted-index candidate join. */
+  val q21: Q = (s, dir) => {
+    val sh = Dedup.shingleTable(corpusNear(s, dir), "doc_id", "text", 3)
+    Dedup.jaccardPairs(sh, 0.8).orderBy("id_a", "id_b")
+  }
+  val q21Sql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |$shingleCtes,
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jac
+       |  FROM pairs JOIN sz sa ON sa.id = pairs.id_a
+       |             JOIN sz sb ON sb.id = pairs.id_b)
+       |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** MinHash + LSH banding near-dup: band-collision candidates verified
+    * with exact Jaccard.
+    */
+  val q22: Q = (s, dir) =>
+    Dedup.minhashLshPairs(corpusNear(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  val q22Sql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |$shingleCtes,
+       |shl AS (SELECT id, CASE WHEN len(w) >= 3
+       |    THEN list_distinct(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')))
+       |    ELSE [lower(text)] END AS sl FROM words),
+       |hs AS (SELECT id, list_transform(sl,
+       |    s -> ('0x'||substr(md5(s),1,12))::BIGINT % 1000000007) AS hl FROM shl),
+       |sig AS (SELECT id, list_transform(range(16),
+       |    i -> list_min(list_transform(hl, h -> ((i*2+1)*h + 12289*i) % 1000000007))) AS sig FROM hs),
+       |bands AS (SELECT id, band,
+       |    array_to_string(sig[band*4+1:band*4+4], '_') AS band_key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bs),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c JOIN sh a ON a.id = c.id_a
+       |              JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT id_a, id_b,
+       |    round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jac
+       |  FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b)
+       |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** 32-bit SimHash per document (majority vote over token-hash bits). */
+  val q23: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy("doc_id")
+  val q23Sql: String = {
+    val terms = (0 until 32).map { b =>
+      s"(CASE WHEN 2*len(list_filter(ht, h -> ((h >> $b) & 1) = 1)) > len(ht) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ht_t AS (SELECT doc_id,
+       |  list_transform(list_distinct(string_split_regex(lower(text), '\\s+')),
+       |    t -> ('0x'||substr(md5(t),1,12))::BIGINT) AS ht FROM documents)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM ht_t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** Brute-force cosine top-5 for the first 10 query vectors (exact
+    * integer-quantized dot products).
+    */
+  val q24: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+  val q24Sql: String =
+    """WITH qv AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.q, b.q) /
+      |      (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(b.q, b.q))), 6) AS cos
+      |  FROM qv b CROSS JOIN qv q
+      |  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** ANN top-k via random-hyperplane LSH buckets (approximate — no SQL
+    * oracle; recall vs brute force is asserted in AnnSpec).
+    */
+  val q25: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, planesPerTable = 4, tables = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Embedding near-dup pairs (cos ≥ 0.999), label-blocked, on a corpus
+    * with planted exact copies.
+    */
+  val q26: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label")))
+    Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.999, Some("label"))
+      .orderBy("id_a", "id_b")
+  }
+  val q26Sql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id AS id, embedding, label FROM embeddings
+      |  UNION ALL SELECT vec_id+1000000, embedding, label FROM embeddings WHERE vec_id%20=0),
+      |qv AS (SELECT id, label, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM corpus),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    round(list_dot_product(a.q, b.q) /
+      |      (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))), 6) AS cos
+      |  FROM qv a JOIN qv b ON a.label = b.label AND a.id < b.id)
+      |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.999
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Language-ID heuristic (stopword ratio). */
+  val q30: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: TextOps.langId(col("text")): _*)
+      .orderBy("doc_id")
+  val q30Sql: String = {
+    val stop = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> list_contains($stop, t))) AS BIGINT) AS stop_hits,
+       |  CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> list_contains($stop, t))) * 5
+       |      >= len(string_split_regex(lower(text), '\\s+'))
+       |    THEN 'en' ELSE 'other' END AS lang_pred
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** Quality metrics + integer quality score. */
+  val q31: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: TextOps.quality(col("text")): _*)
+      .orderBy("doc_id")
+  val q31Sql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  round(CAST(list_reduce(list_transform(w, t -> length(t)), (a,b) -> a+b) AS DOUBLE)
+      |    / len(w), 4) AS mean_tok_len,
+      |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space,
+      |  CAST((CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN len(w) >= 10 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2
+      |        >= length(text) THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
+      |FROM (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Token counting: whitespace + BPE-ish regex. */
+  val q32: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: TextOps.tokenCounts(lower(col("text"))): _*)
+      .orderBy("doc_id")
+  val q32Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Document fingerprint: min-md5 over word 4-gram shingles. */
+  val q33: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text"), 4))
+      .orderBy("doc_id")
+  val q33Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN len(w) >= 4
+      |    THEN list_min(list_transform(
+      |      list_distinct(list_transform(range(len(w)-3), i -> array_to_string(w[i+1:i+4], ' '))),
+      |      s -> md5(s)))
+      |    ELSE md5(text) END AS fingerprint
+      |FROM (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Multimodal plumbing: binary payloads + partition-batched stub
+    * feature extraction (see operators.Multimodal).
+    */
+  val q40: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    Multimodal.extractFeatures(Multimodal.toMedia(Tables.documents(s, dir)))
+      .toDF().orderBy("id")
+  }
+  val q40Sql: String =
+    """SELECT doc_id AS id,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS payload_md5,
+      |  CAST(list_reduce(list_transform(string_split(text, ''), c -> unicode(c)),
+      |    (a,b) -> a+b) AS BIGINT) AS byte_sum,
+      |  round(CAST(list_reduce(list_transform(string_split(text, ''), c -> unicode(c)),
+      |    (a,b) -> a+b) AS DOUBLE) / length(text), 4) AS mean_byte
+      |FROM documents ORDER BY id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q16_json_funcs" -> q16,
+    "q20_dedup_exact" -> q20,
+    "q21_dedup_ngram_jaccard" -> q21,
+    "q22_dedup_minhash_lsh" -> q22,
+    "q23_simhash" -> q23,
+    "q24_embed_topk" -> q24,
+    "q25_ann_lsh" -> q25,
+    "q26_embed_neardup" -> q26,
+    "q30_lang_id" -> q30,
+    "q31_quality_score" -> q31,
+    "q32_token_count" -> q32,
+    "q33_fingerprint" -> q33,
+    "q40_multimodal_features" -> q40)
+
+  val oracle: Map[String, String] = Map(
+    "q16_json_funcs" -> q16Sql,
+    "q20_dedup_exact" -> q20Sql,
+    "q21_dedup_ngram_jaccard" -> q21Sql,
+    "q22_dedup_minhash_lsh" -> q22Sql,
+    "q23_simhash" -> q23Sql,
+    "q24_embed_topk" -> q24Sql,
+    "q26_embed_neardup" -> q26Sql,
+    "q30_lang_id" -> q30Sql,
+    "q31_quality_score" -> q31Sql,
+    "q32_token_count" -> q32Sql,
+    "q33_fingerprint" -> q33Sql,
+    "q40_multimodal_features" -> q40Sql)
+    // q25_ann_lsh: approximate — rows-only check; recall asserted in AnnSpec
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Extension-operator properties that the SQL oracle can't express:
+  * ANN recall vs brute force, LSH candidate soundness, multimodal
+  * round-trips.
+  */
+class ExtensionOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ann lsh top-k achieves >=40% recall@5 vs brute force (8 tables x 4 planes)") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+    val brute = Similarity.cosineTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(e, q, "vec_id", "embedding", 5,
+        planesPerTable = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // approximate results must still be true neighbors from the base set
+    assert(ann.forall { case (q1, n) => q1 != n })
+  }
+
+  test("minhash lsh pairs are a subset of exact jaccard pairs at the same threshold") {
+    val corpus = Tables.documents(spark, dir).select("doc_id", "text").limit(200)
+    val sh = Dedup.shingleTable(corpus, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairs(sh, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verify step guarantees no false positives
+  }
+
+  test("identical texts always collide in every LSH band") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", 3, 16, 4, 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash of identical texts is identical; hamming distance small for near-identical") {
+    val df = Seq(
+      (1L, "spark merge join filter window sort group agg table scan"),
+      (2L, "spark merge join filter window sort group agg table scan"),
+      (3L, "spark merge join filter window sort group agg table extra"))
+      .toDF("doc_id", "text")
+    val m = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    val hamming = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    assert(hamming <= 12, s"hamming=$hamming")
+  }
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val df = Seq((5L, "x"), (3L, "x"), (7L, "y")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 2L), (7L, 1L)))
+  }
+
+  test("multimodal feature extraction: md5 matches Spark's builtin, plumbing preserves ids") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = Tables.documents(spark, dir).limit(50)
+    val feats = Multimodal.extractFeatures(Multimodal.toMedia(docs)).toDF()
+    val joined = feats.join(docs, feats("id") === docs("doc_id"))
+    assert(joined.count() == 50)
+    val bad = joined.filter(col("payload_md5") =!= md5(col("text").cast("binary")))
+    assert(bad.count() == 0)
+    val badLen = joined.filter(col("n_bytes") =!= length(col("text")))
+    assert(badLen.count() == 0) // ascii corpus: bytes == chars
+  }
+
+  test("quantized cosine of a vector with itself is 1.0") {
+    val e = Tables.embeddings(spark, dir).limit(20)
+    val dup = e.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val pairs = Similarity.nearDupPairs(
+      e.select("vec_id", "embedding").unionByName(dup), "vec_id", "embedding", 0.9999)
+    val cos = pairs.select("cos").as[Double].collect()
+    assert(cos.length >= 20 && cos.forall(_ == 1.0))
+  }
+}
