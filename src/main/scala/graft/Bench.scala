@@ -1,23 +1,66 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+import graft.codegen.SyncSqlGenerator
+import graft.engine.SyncJob
+import graft.tools.DumpGen
+
+/** Benchmark main: times every SparkEntry query plus the end-to-end sync
+  * core (dump pair → diff → script) on SPARK_GRAFT_SF_DIR, printing one
+  * JSON line. The sync timing is directly comparable to BASELINE.md's
+  * reference wall times (same dump shapes, same perturbation rates).
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: JVM/codegen/parquet-reader init so the first timed query
+    // isn't charged for session startup.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, sfDir).limit(1000).count()
+
+    def time[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try time(fn(spark, sfDir).count())
+               catch { case _: Throwable => -1.0 })
+    }
+
+    // Sync core end-to-end (dump generation cached, not timed).
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val cacheDir = s"/tmp/graft_bench_dumps_$sfName"
+    val (prodPath, backupPath) =
+      if (Files.exists(Paths.get(cacheDir, "prod.sql")) &&
+          Files.exists(Paths.get(cacheDir, "backup.sql")))
+        (Paths.get(cacheDir, "prod.sql"), Paths.get(cacheDir, "backup.sql"))
+      else DumpGen.generate(spark, sfDir, cacheDir)
+    val syncTime = try time {
+      val outcome = new SyncJob(spark).run(prodPath.toString, backupPath.toString)
+      val script = SyncSqlGenerator.assemble(outcome, "bench")
+      Files.write(Paths.get(cacheDir, "sync_out.sql"), script.getBytes("UTF-8"))
+    } catch { case _: Throwable => -1.0 }
+
+    val all = queryTimes :+ ("sync_dump_diff" -> syncTime)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -29,6 +29,9 @@ object DumpSource {
   def statements(spark: SparkSession, path: String): Dataset[Stmt] = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", ";\n")
+    // local-FS blocks are large; cap split size so a single dump file
+    // still fans out across all cores
+    conf.set("mapreduce.input.fileinputformat.split.maxsize", "16777216")
     val rdd = spark.sparkContext
       .newAPIHadoopFile(path, classOf[TextInputFormat],
         classOf[LongWritable], classOf[Text], conf)

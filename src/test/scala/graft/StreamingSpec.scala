@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventAnalytics, StreamingSync}
+import graft.streaming.StreamingSync.{CdcRecord, OpEvent}
+
+/** Structured Streaming behavior: memory-sink micro-batch runs driven by
+  * MemoryStream / the parquet file source (SURVEY.md §7.3).
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowedAgg as a real stream matches its own batch execution") {
+    val batchEvents = Tables.events(spark, dir)
+    val expected = EventAnalytics.windowedAgg(batchEvents)
+      .orderBy("window_start", "event_type").collect().toSeq
+
+    // the source parquet stores ns timestamps; declare ts as long (the
+    // nanosAsLong read shape) and convert, mirroring Tables.events
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      batchEvents.schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    // the file stream source requires a directory
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamEvents = spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventAnalytics.windowedAgg(streamEvents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("sessions produces gap-separated per-user sessions") {
+    val sess = EventAnalytics.sessions(Tables.events(spark, dir), gap = "10 minutes")
+    val n = sess.count()
+    assert(n > 0)
+    // session bounds are consistent
+    assert(sess.filter(col("session_end") <= col("session_start")).count() == 0)
+  }
+
+  test("streaming CDC sync emits net INSERT/UPDATE/DELETE ops with state") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val input = MemoryStream[CdcRecord](spark)
+    val q = StreamingSync.incrementalOps(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_out").start()
+    try {
+      // batch 1: two inserts + an unchanged re-send in the same batch
+      input.addData(
+        CdcRecord("t", "1", 10, deleted = false, Seq("1", "'a'")),
+        CdcRecord("t", "1", 11, deleted = false, Seq("1", "'a'")),
+        CdcRecord("t", "2", 12, deleted = false, Seq("2", "'b'")))
+      q.processAllAvailable()
+      // batch 2: update pk 1, delete pk 2, re-send identical pk 1 later
+      input.addData(
+        CdcRecord("t", "1", 20, deleted = false, Seq("1", "'z'")),
+        CdcRecord("t", "2", 21, deleted = true, Nil))
+      q.processAllAvailable()
+      input.addData(
+        CdcRecord("t", "1", 30, deleted = false, Seq("1", "'z'")))
+      q.processAllAvailable()
+
+      val got = spark.table("cdc_out").as[OpEvent].collect().toSeq
+      assert(got.count(_.op == "INSERT") == 2)
+      assert(got.filter(_.op == "UPDATE") == Seq(OpEvent("t", "1", "UPDATE", Seq("1", "'z'"))))
+      assert(got.filter(_.op == "DELETE") == Seq(OpEvent("t", "2", "DELETE", Nil)))
+      assert(got.size == 4) // unchanged re-sends emitted nothing
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val events = input.toDF().toDF("event_id", "ts")
+    val q = EventAnalytics.dedup(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData((1L, t0), (1L, t0), (2L, t0))
+      q.processAllAvailable()
+      input.addData((2L, t0), (3L, t0)) // 2 is a dup within the watermark
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
