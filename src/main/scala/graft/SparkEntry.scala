@@ -19,9 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
+      graft.queries.RelationalQueries2.queries ++
       graft.queries.ExtensionQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
+      graft.queries.RelationalQueries2.oracle ++
       graft.queries.ExtensionQueries.oracle
 }

@@ -26,6 +26,11 @@ final case class DiffOp(
     backupVals: Option[Seq[String]],
     rawInsert: Option[String])
 
+/** One rendered statement with its global sort key (distributed sink). */
+final case class RenderedOp(
+    table: String, pk: String, op: String, section: Int, tbl_idx: Int,
+    ordOff: Long, ordRow: Int, stmt: String)
+
 final case class TableStats(
     table: String,
     productionCount: Long,
@@ -112,12 +117,60 @@ class SyncJob(spark: SparkSession) {
         col("vals"), col("raw"))
   }
 
-  def run(prodPath: String, backupPath: String): SyncOutcome = {
+  /** The classified-op frame WITHOUT collecting: (table, pk, op, ordOff,
+    * ordRow, stmt) with statements rendered executor-side. The at-scale
+    * sink: `opsFrame(...).orderBy("section", "tbl_idx", "ordOff",
+    * "ordRow")` written partitioned (see [[writeScriptDistributed]])
+    * instead of the driver-assembled byte-parity script.
+    */
+  def opsFrame(prodPath: String, backupPath: String): DataFrame = {
+    val (joined, prodCat, backupCat, commonTables) = diffFrame(prodPath, backupPath)
+    val tblIdx = commonTables.zipWithIndex.toMap
+    val bcProd = spark.sparkContext.broadcast(prodCat)
+    val bcBackup = spark.sparkContext.broadcast(backupCat)
+    val bcIdx = spark.sparkContext.broadcast(tblIdx)
+    joined.filter(col("op").isNotNull)
+      .select(col("table"), col("pk"), col("op"),
+        when(col("op") === Differ.OP_DELETE, col("b_ord_off"))
+          .otherwise(col("p_ord_off")).as("ordOff"),
+        when(col("op") === Differ.OP_DELETE, col("b_ord_row"))
+          .otherwise(col("p_ord_row")).as("ordRow"),
+        col("p_vals").as("prodVals"), col("b_vals").as("backupVals"),
+        col("p_raw").as("rawInsert"))
+      .as[DiffOp]
+      .map { op =>
+        val stmt = graft.codegen.SyncSqlGenerator.renderOp(
+          bcProd.value(op.table), bcBackup.value(op.table), op)
+        val section = op.op match {
+          case Differ.OP_DELETE => 3
+          case Differ.OP_UPDATE => 4
+          case _ => 5
+        }
+        RenderedOp(op.table, op.pk, op.op, section, bcIdx.value(op.table),
+          op.ordOff, op.ordRow, stmt)
+      }
+      .toDF()
+  }
+
+  /** Distributed script sink for diffs too large to collect: statements
+    * written as text, range-partitioned by the global sort key so file
+    * NNNNN order concatenates to the reference's section/table/position
+    * order (a manifest-free total order).
+    */
+  def writeScriptDistributed(prodPath: String, backupPath: String,
+      outDir: String): Unit =
+    opsFrame(prodPath, backupPath)
+      .filter(length(col("stmt")) > 0)
+      .orderBy("section", "tbl_idx", "ordOff", "ordRow")
+      .select("stmt")
+      .write.mode("overwrite").text(outDir)
+
+  /** Shared diff pipeline: cached full-outer joined frame + catalogs. */
+  private def diffFrame(prodPath: String, backupPath: String)
+      : (DataFrame, ListMap[String, TableMeta], ListMap[String, TableMeta], Seq[String]) = {
     val prodCat = catalog(DumpSource.statements(spark, prodPath))
     val backupCat = catalog(DumpSource.statements(spark, backupPath))
 
-    val missingTables = prodCat.keys.filterNot(backupCat.contains).toSeq
-    val extraTables = backupCat.keys.filterNot(prodCat.contains).toSeq
     val commonTables = prodCat.keys.filter(backupCat.contains).toSeq
 
     val prod = records(DumpSource.statements(spark, prodPath), prodCat)
@@ -136,7 +189,15 @@ class SyncJob(spark: SparkSession) {
         when(col("b_present").isNull, Differ.OP_INSERT)
           .when(col("p_present").isNull, Differ.OP_DELETE)
           .when(!(col("p_vals") <=> col("b_vals")), Differ.OP_UPDATE))
-      .cache()
+    (joined, prodCat, backupCat, commonTables)
+  }
+
+  def run(prodPath: String, backupPath: String): SyncOutcome = {
+    val (joined0, prodCat, backupCat, commonTables) =
+      diffFrame(prodPath, backupPath)
+    val missingTables = prodCat.keys.filterNot(backupCat.contains).toSeq
+    val extraTables = backupCat.keys.filterNot(prodCat.contains).toSeq
+    val joined = joined0.cache()
 
     try {
       val stats = joined.groupBy("table").agg(

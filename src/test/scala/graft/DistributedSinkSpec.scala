@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.codegen.SyncSqlGenerator
+import graft.engine.SyncJob
+
+/** The distributed script sink must emit exactly the driver-assembled
+  * script's statements, in the same total order.
+  */
+class DistributedSinkSpec extends SparkSuite {
+
+  test("writeScriptDistributed matches the collected script's statement order") {
+    def res(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/refdumps/$name")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val prod = Files.createTempFile("rt-prod", ".sql")
+    Files.write(prod, res("prod_sf0.001.sql").getBytes("UTF-8"))
+    val backup = Files.createTempFile("rt-backup", ".sql")
+    Files.write(backup, res("backup_sf0.001.sql").getBytes("UTF-8"))
+
+    val job = new SyncJob(spark)
+    val outcome = job.run(prod.toString, backup.toString)
+    val collected = SyncSqlGenerator.assemble(outcome, "T")
+      .split("\n").toSeq.filter(l => l.startsWith("INSERT INTO")
+        || l.startsWith("UPDATE ") || l.startsWith("DELETE FROM")) // record ops
+
+    val outDir = Files.createTempDirectory("graft-dist").toString
+    job.writeScriptDistributed(prod.toString, backup.toString, outDir)
+    val parts = Files.list(Paths.get(outDir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    val distributed = parts.flatMap(p =>
+      new String(Files.readAllBytes(p), "UTF-8").split("\n").filter(_.nonEmpty))
+
+    assert(distributed == collected,
+      s"distributed=${distributed.size} collected=${collected.size}")
+  }
+}
