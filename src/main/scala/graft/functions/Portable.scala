@@ -51,9 +51,12 @@ object Portable {
   def quantize(vec: Column, scale: Int): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd expression ([[LongArrayDot]]); the equivalent
+    * `aggregate(zip_with(...))` formulation allocates an intermediate
+    * array and runs interpreted per row.
+    */
+  def dotQ(a: Column, b: Column): Column = LongArrayDot.dot(a, b)
 
   /** Cosine from exact integer dots: dot/(sqrt(na)*sqrt(nb)), rounded to
     * `digits` — IEEE double ops on exact integers, identical everywhere.

@@ -93,7 +93,7 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: bit p = sign of ⟨v, plane_p⟩. */
   def rhpBucket(qvec: Column, planes: Array[Array[Int]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val dot = Portable.dotQ(qvec, typedLit(plane.toSeq))
+      val dot = Portable.dotQ(qvec, typedLit(plane.map(_.toLong).toSeq))
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
