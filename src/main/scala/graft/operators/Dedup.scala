@@ -31,15 +31,22 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .drop("dedup_key")
 
-  /** Distinct (id, shingle) inverted-index table. */
+  /** Distinct (id, shingle) inverted-index table. Rows are unique by
+    * construction — Portable.shingles array_distincts within the doc
+    * before the explode — so no dedup shuffle is needed.
+    */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         explode(Portable.shingles(Portable.tokens(col(textCol)), n)).as("shingle"))
-      .distinct()
 
   /** Exact Jaccard pairs ≥ threshold from an inverted-index candidate
     * join: intersection counts come from a self-join on shingle, union
     * sizes from per-doc shingle counts.
+    *
+    * The shingle table is consumed three times (both join sides + sizes);
+    * persist it (`sh.persist()`) when it fits the cluster's storage
+    * tier — otherwise each consumer re-tokenizes and re-hashes the
+    * corpus.
     */
   def jaccardPairs(sh: DataFrame, threshold: Double, digits: Int = 4): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
