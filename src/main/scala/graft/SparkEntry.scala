@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.RelationalQueries2.queries ++
+      graft.queries.EventQueries.queries ++
       graft.queries.ExtensionQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
       graft.queries.RelationalQueries2.oracle ++
+      graft.queries.EventQueries.oracle ++
       graft.queries.ExtensionQueries.oracle
 }

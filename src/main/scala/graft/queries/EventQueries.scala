@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch-checkable forms of the remaining streaming-window shapes:
+  * gap-based sessionization (Spark `session_window`, oracled by the SQL
+  * islands formulation) and sliding event-time windows (Spark `window`
+  * with slide, oracled by epoch-bucket arithmetic). Both run unchanged
+  * as Structured Streaming plans (streaming/EventAnalytics).
+  */
+object EventQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  // ---------------------------------------------------------------- q41
+  /** Per-user sessions with a 10-minute gap: native session_window;
+    * session end = last event + gap.
+    */
+  val q41: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("v4", round(col("value") * 10000).cast("long"))
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), (sum(col("v4")) / 10000.0).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), TsFmt).as("session_start"),
+        date_format(col("session_window.end"), TsFmt).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+  val q41Sql: String =
+    """WITH e AS (SELECT user_id, ts,
+      |    CAST(round(value*10000) AS BIGINT) AS v4 FROM events),
+      |f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(max(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |  count(*) AS n_events, sum(v4)/10000.0 AS sum_value
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** Sliding windows: 1-hour length, 30-minute slide (each event lands in
+    * two windows).
+    */
+  val q42: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("v4", round(col("value") * 10000).cast("long"))
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(col("v4")) / 10000.0).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+  val q42Sql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value*10000) AS BIGINT) AS v4,
+      |    epoch_us(ts)//1800000000 AS b30 FROM events),
+      |w AS (SELECT event_type, v4, (b30 - k)*1800 AS wstart_s
+      |  FROM e CROSS JOIN (SELECT unnest([0,1]) AS k))
+      |SELECT strftime(TIMESTAMP '1970-01-01' + wstart_s * INTERVAL '1 second',
+      |    '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type, count(*) AS n, sum(v4)/10000.0 AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** User-defined typed aggregation: top-3 orders per status via the
+    * TopKAggregator (bounded-buffer partial aggregation).
+    */
+  val q43: Q = (s, dir) => {
+    val tk = graft.functions.TopKAggregator.topK(3)
+    Tables.orders(s, dir)
+      .withColumn("tp_c", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy("o_orderstatus")
+      .agg(tk(col("o_orderkey"), col("tp_c")).as("top"))
+      .select(col("o_orderstatus"), explode(col("top")).as("t"))
+      .select(col("o_orderstatus"), col("t.id").as("o_orderkey"),
+        (col("t.score") / 100.0).as("o_totalprice"))
+      .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+  val q43Sql: String =
+    """SELECT o_orderstatus, o_orderkey, tp/100.0 AS o_totalprice FROM (
+      |  SELECT o_orderstatus, o_orderkey,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS tp,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q41_sessionize" -> q41,
+    "q42_sliding_window" -> q42,
+    "q43_topk_udaf" -> q43)
+
+  val oracle: Map[String, String] = Map(
+    "q41_sessionize" -> q41Sql,
+    "q42_sliding_window" -> q42Sql,
+    "q43_topk_udaf" -> q43Sql)
+}

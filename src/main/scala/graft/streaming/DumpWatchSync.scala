@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.engine.{Differ, SyncJob}
+import graft.sources.DumpSource
+
+/** Incremental dump-directory sync (SURVEY.md §7.3): watch a directory
+  * for arriving full-dump files; each micro-batch diffs the newest dump
+  * against the current target snapshot and appends the net
+  * INSERT/UPDATE/DELETE ops to an op log, then advances the snapshot —
+  * the reference's two-snapshot batch semantics, repeated per arrival.
+  *
+  * State layout (all parquet under `stateDir`):
+  *   snapshot_v<N>/   records of the last-applied dump (table, pk, vals)
+  *   LATEST           text file naming the current snapshot version
+  *   ops/             append-only op log with batch_id + source file
+  *
+  * Scale: the per-batch work is the same one-shuffle full-outer diff as
+  * the batch engine; snapshots are plain parquet (partitionable by
+  * table), and the stream source only carries file *metadata* — dump
+  * bytes are read by the splittable DumpSource, never through the
+  * stream.
+  */
+object DumpWatchSync {
+
+  private def latestPath(stateDir: String) = Paths.get(stateDir, "LATEST")
+
+  private def readLatest(stateDir: String): Option[String] = {
+    val p = latestPath(stateDir)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  /** Diff one arriving dump against the snapshot; returns op counts. */
+  def processDump(spark: SparkSession, dumpPath: String, stateDir: String,
+      batchId: Long): Unit = {
+    val job = new SyncJob(spark)
+    val stmts = DumpSource.statements(spark, dumpPath)
+    val cat = job.catalog(stmts)
+    val incoming = job.records(DumpSource.statements(spark, dumpPath), cat)
+      .select("table", "pk", "vals")
+
+    val prevSnapshot: Option[DataFrame] = readLatest(stateDir)
+      .map(v => spark.read.parquet(s"$stateDir/$v"))
+
+    val ops = prevSnapshot match {
+      case Some(prev) =>
+        val p = incoming.select(col("table"), col("pk"),
+          lit(true).as("p_present"), col("vals").as("p_vals"))
+        val b = prev.select(col("table"), col("pk"),
+          lit(true).as("b_present"), col("vals").as("b_vals"))
+        p.join(b, Seq("table", "pk"), "full_outer")
+          .withColumn("op",
+            when(col("b_present").isNull, Differ.OP_INSERT)
+              .when(col("p_present").isNull, Differ.OP_DELETE)
+              .when(!(col("p_vals") <=> col("b_vals")), Differ.OP_UPDATE))
+          .filter(col("op").isNotNull)
+          .select(col("table"), col("pk"), col("op"))
+      case None =>
+        incoming.select(col("table"), col("pk"), lit(Differ.OP_INSERT).as("op"))
+    }
+
+    ops
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("source_file", lit(dumpPath))
+      .write.mode(SaveMode.Append).parquet(s"$stateDir/ops")
+
+    val newVersion = s"snapshot_v$batchId"
+    incoming.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$newVersion")
+    Files.write(latestPath(stateDir), newVersion.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Start watching `watchDir` for *.sql dump arrivals. */
+  def start(spark: SparkSession, watchDir: String, stateDir: String): StreamingQuery = {
+    Files.createDirectories(Paths.get(stateDir))
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.sql")
+      .load(watchDir)
+      .select("path", "modificationTime")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val files = batch.select("path", "modificationTime")
+          .collect()
+          .sortBy(r => (r.getTimestamp(1).getTime, r.getString(0)))
+          .map(_.getString(0))
+        files.foreach { f =>
+          processDump(spark, f.stripPrefix("file:"), stateDir, batchId)
+        }
+      }
+      .start()
+  }
+}
