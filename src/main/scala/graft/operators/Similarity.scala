@@ -97,6 +97,46 @@ object Similarity {
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer
+    * (centroids = the `nlist` lowest-id vectors — swap for trained
+    * k-means centroids in production; the plumbing is identical) assigns
+    * every base vector to its nearest centroid; a query scores only the
+    * `nprobe` nearest cells. Assignment and probing are broadcast
+    * map-only stages; the candidate join shuffles on cell id.
+    */
+  def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      digits: Int = 6): DataFrame = {
+    val (qv, qn) = quantized(col(vecCol))
+    val withQ = base.select(col(idCol).as("id"), qv.as("q"), qn.as("n"))
+    val centroids: Array[(Int, Seq[Long])] = withQ
+      .orderBy("id").limit(nlist)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }
+    def cellsFor(v: Column, probes: Int): Column = {
+      // rank cells by dot with each centroid (unit-ish vectors: larger
+      // dot == closer), deterministic tiebreak on cell id
+      val scored = array(centroids.map { case (cid, cvec) =>
+        struct((-Portable.dotQ(v, typedLit(cvec))).as("negDot"),
+          lit(cid).as("cell"))
+      }: _*)
+      transform(slice(array_sort(scored), 1, probes), s => s.getField("cell"))
+    }
+    val b = withQ
+      .withColumn("cell", element_at(cellsFor(col("q"), 1), 1))
+    val q = queries.select(col(idCol).as("query_id"), qv.as("q_q"), qn.as("q_n"))
+      .withColumn("cell", explode(cellsFor(col("q_q"), nprobe)))
+    val scored = b.join(broadcast(q), "cell")
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", Portable.cosineQ(
+        Portable.dotQ(col("q_q"), col("q")), col("q_n"), col("n"), digits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Approximate top-k with multi-table random-hyperplane LSH
     * (OR-amplification): L tables of p planes each; a base row is a
     * candidate for a query iff their p-bit signatures agree in at least

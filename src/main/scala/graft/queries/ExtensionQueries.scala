@@ -183,6 +183,17 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q27
+  /** ANN via IVF coarse quantization (approximate — rows-only check;
+    * recall asserted in SkewAndIvfSpec).
+    */
+  val q27: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------------------------------------------------------------- q26
   /** Embedding near-dup pairs (cos ≥ 0.999), label-blocked, on a corpus
     * with planted exact copies.
@@ -307,6 +318,7 @@ object ExtensionQueries {
     "q24_embed_topk" -> q24,
     "q25_ann_lsh" -> q25,
     "q26_embed_neardup" -> q26,
+    "q27_ann_ivf" -> q27,
     "q30_lang_id" -> q30,
     "q31_quality_score" -> q31,
     "q32_token_count" -> q32,
