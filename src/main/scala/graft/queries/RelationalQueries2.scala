@@ -101,13 +101,96 @@ object RelationalQueries2 {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Statistical aggregates (mean/variance/correlation) computed from
+    * exact integer sums — order-independent, unlike the built-in
+    * float-accumulating stddev/corr — then finished in deterministic
+    * double arithmetic.
+    */
+  val q44: Q = (s, dir) => {
+    // quadratic sums accumulate as DECIMAL (exact; long would overflow
+    // past ~2e18 at bench scale), finished in deterministic double math
+    val li = Tables.lineitem(s, dir)
+      .withColumn("q_c", cents(col("l_quantity")).cast("decimal(18,0)"))
+      .withColumn("p_c", cents(col("l_extendedprice")).cast("decimal(18,0)"))
+    val d = (c: String) => col(c).cast("double")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q_c")).as("sq"), sum(col("p_c")).as("sp"),
+        sum(col("q_c") * col("q_c")).as("sqq"),
+        sum(col("p_c") * col("p_c")).as("spp"),
+        sum(col("q_c") * col("p_c")).as("sqp"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round(d("sq") / (col("n") * 100.0), 4).as("mean_qty"),
+        round(
+          sqrt((d("sqq") - d("sq") * d("sq") / col("n")) / col("n")) / 100.0,
+          4).as("std_qty"),
+        round(
+          (d("sqp") - d("sq") * d("sp") / col("n")) /
+            (sqrt(d("sqq") - d("sq") * d("sq") / col("n")) *
+             sqrt(d("spp") - d("sp") * d("sp") / col("n"))),
+          6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+  val q44Sql: String =
+    """SELECT l_returnflag, n,
+      |  round(CAST(sq AS DOUBLE)/(n*100.0), 4) AS mean_qty,
+      |  round(sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n)/n)/100.0, 4) AS std_qty,
+      |  round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/n) /
+      |    (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n) *
+      |     sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n)), 6) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(q_c) AS sq, sum(p_c) AS sp,
+      |    sum(q_c*q_c) AS sqq, sum(p_c*p_c) AS spp, sum(q_c*p_c) AS sqp
+      |  FROM (SELECT l_returnflag,
+      |      CAST(CAST(round(l_quantity*100) AS BIGINT) AS DECIMAL(18,0)) AS q_c,
+      |      CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DECIMAL(18,0)) AS p_c
+      |    FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  /** Analytic window functions: lag/lead/ntile over a total order. */
+  val q45: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("tp_c", cents(col("o_totalprice")))
+      .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("next_order", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("delta_spend",
+        ((col("tp_c") - lag(col("tp_c"), 1).over(w)) / 100.0))
+      .select("o_custkey", "o_orderkey", "prev_order", "next_order",
+        "quartile", "delta_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+  val q45Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey, 1) OVER w AS prev_order,
+      |  lead(o_orderkey, 1) OVER w AS next_order,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  (tp_c - lag(tp_c, 1) OVER w)/100.0 AS delta_spend
+      |FROM (SELECT *, CAST(round(o_totalprice*100) AS BIGINT) AS tp_c FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q17_pivot" -> q17,
     "q18_math_array" -> q18,
-    "q19_rollup" -> q19)
+    "q19_rollup" -> q19,
+    "q44_exact_stats" -> q44,
+    "q45_analytic_windows" -> q45)
 
   val oracle: Map[String, String] = Map(
     "q17_pivot" -> q17Sql,
     "q18_math_array" -> q18Sql,
-    "q19_rollup" -> q19Sql)
+    "q19_rollup" -> q19Sql,
+    "q44_exact_stats" -> q44Sql,
+    "q45_analytic_windows" -> q45Sql)
 }
