@@ -180,17 +180,41 @@ object RelationalQueries2 {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Distinct aggregation (exact; the reference has none — SURVEY §2.2).
+    * Also demonstrates multiple distinct aggregates in one pass.
+    */
+  val q46: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+  val q46Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q17_pivot" -> q17,
     "q18_math_array" -> q18,
     "q19_rollup" -> q19,
     "q44_exact_stats" -> q44,
-    "q45_analytic_windows" -> q45)
+    "q45_analytic_windows" -> q45,
+    "q46_distinct_agg" -> q46)
 
   val oracle: Map[String, String] = Map(
     "q17_pivot" -> q17Sql,
     "q18_math_array" -> q18Sql,
     "q19_rollup" -> q19Sql,
     "q44_exact_stats" -> q44Sql,
-    "q45_analytic_windows" -> q45Sql)
+    "q45_analytic_windows" -> q45Sql,
+    "q46_distinct_agg" -> q46Sql)
 }
