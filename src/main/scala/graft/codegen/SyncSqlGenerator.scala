@@ -91,7 +91,9 @@ object SyncSqlGenerator {
         o.prodCatalog.get(t).foreach { meta =>
           out += s"-- Creating missing table: $t"
           out += s"DROP TABLE IF EXISTS `$t`;"
-          out += meta.createStmt
+          // whole-file capture quirk (SyncOutcome.createSections);
+          // fallback to the table's own DDL
+          out += o.createSections.getOrElse(t, meta.createStmt)
           out += ""
         }
       }

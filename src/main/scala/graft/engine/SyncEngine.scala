@@ -51,7 +51,15 @@ final case class SyncOutcome(
     extraTables: Seq[String],
     commonTables: Seq[String],
     stats: Map[String, TableStats],
-    ops: Seq[DiffOp])
+    ops: Seq[DiffOp],
+    /** Reference-quirk CREATE text per missing table: sync.py:43-45
+      * re-searches `CREATE TABLE.*?`name`.*?ENGINE[^;]*;` over the WHOLE
+      * dump, so a missing table that is not the dump's first table gets
+      * everything from the first CREATE TABLE through its own DDL —
+      * intermediate statements included. Empty map when no tables are
+      * missing.
+      */
+    createSections: Map[String, String] = Map.empty)
 
 /** The distributed dump-diff pipeline (reference lifecycle
   * sync.py:228-302 re-expressed as DataFrame jobs):
@@ -78,12 +86,49 @@ class SyncJob(spark: SparkSession) {
   /** Parse the catalog: collect only CREATE-shaped statements (cheap
     * distributed prefilter), then parse driver-side in offset order.
     */
-  def catalog(stmts: Dataset[Stmt]): ListMap[String, TableMeta] = {
+  def catalog(stmts: Dataset[Stmt]): ListMap[String, TableMeta] =
+    catalogInfo(stmts).metas
+
+  /** Catalog + the byte positions needed to reproduce the reference's
+    * whole-file CREATE-statement capture (see SyncOutcome.createSections):
+    * the byte position of the first "CREATE TABLE" token in the file and
+    * each table's own statement-end byte (exclusive of the '\n' after
+    * ';').
+    */
+  private[graft] case class CatalogInfo(
+      metas: ListMap[String, TableMeta],
+      firstCreatePos: Option[Long],
+      stmtEnd: Map[String, Long])
+
+  private[graft] def catalogInfo(stmts: Dataset[Stmt]): CatalogInfo = {
     val creates = stmts
       .filter(col("text").rlike("(?is)^\\s*CREATE\\s+TABLE"))
       .orderBy("off")
       .collect()
-    DumpParser.parseCatalog(creates.iterator.map(_.text))
+    val metas = DumpParser.parseCatalog(creates.iterator.map(_.text))
+    val firstCreatePos = creates.headOption.map { st =>
+      val m = "(?i)CREATE TABLE".r.findFirstMatchIn(st.text)
+      val charIdx = m.map(_.start).getOrElse(0)
+      st.off + st.text.substring(0, charIdx).getBytes("UTF-8").length
+    }
+    val ends = creates.flatMap { st =>
+      DumpParser.parseCreate(st.text).map(m =>
+        m.name -> (st.off + st.text.getBytes("UTF-8").length + 1)) // + ';'
+    }.toMap
+    CatalogInfo(metas, firstCreatePos, ends)
+  }
+
+  /** Raw byte slice of a dump file (driver-side; used only to emit the
+    * reference-quirk CREATE sections for missing tables).
+    */
+  private def fileSlice(path: String, start: Long, end: Long): String = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      raf.seek(start)
+      val buf = new Array[Byte]((end - start).toInt)
+      raf.readFully(buf)
+      new String(buf, "UTF-8")
+    } finally raf.close()
   }
 
   /** Parse + dedup the record frame of one dump:
@@ -168,7 +213,14 @@ class SyncJob(spark: SparkSession) {
   /** Shared diff pipeline: cached full-outer joined frame + catalogs. */
   private def diffFrame(prodPath: String, backupPath: String)
       : (DataFrame, ListMap[String, TableMeta], ListMap[String, TableMeta], Seq[String]) = {
-    val prodCat = catalog(DumpSource.statements(spark, prodPath))
+    val (j, pInfo, bCat, common) = diffFrameInfo(prodPath, backupPath)
+    (j, pInfo.metas, bCat, common)
+  }
+
+  private def diffFrameInfo(prodPath: String, backupPath: String)
+      : (DataFrame, CatalogInfo, ListMap[String, TableMeta], Seq[String]) = {
+    val prodInfo = catalogInfo(DumpSource.statements(spark, prodPath))
+    val prodCat = prodInfo.metas
     val backupCat = catalog(DumpSource.statements(spark, backupPath))
 
     val commonTables = prodCat.keys.filter(backupCat.contains).toSeq
@@ -189,14 +241,22 @@ class SyncJob(spark: SparkSession) {
         when(col("b_present").isNull, Differ.OP_INSERT)
           .when(col("p_present").isNull, Differ.OP_DELETE)
           .when(!(col("p_vals") <=> col("b_vals")), Differ.OP_UPDATE))
-    (joined, prodCat, backupCat, commonTables)
+    (joined, prodInfo, backupCat, commonTables)
   }
 
   def run(prodPath: String, backupPath: String): SyncOutcome = {
-    val (joined0, prodCat, backupCat, commonTables) =
-      diffFrame(prodPath, backupPath)
+    val (joined0, prodInfo, backupCat, commonTables) =
+      diffFrameInfo(prodPath, backupPath)
+    val prodCat = prodInfo.metas
     val missingTables = prodCat.keys.filterNot(backupCat.contains).toSeq
     val extraTables = backupCat.keys.filterNot(prodCat.contains).toSeq
+    // reference-quirk CREATE sections (whole-file regex capture)
+    val createSections = (prodInfo.firstCreatePos match {
+      case Some(start) => missingTables.flatMap { t =>
+        prodInfo.stmtEnd.get(t).map(end => t -> fileSlice(prodPath, start, end))
+      }
+      case None => Nil
+    }).toMap
     val joined = joined0.cache()
 
     try {
@@ -220,7 +280,7 @@ class SyncJob(spark: SparkSession) {
         .as[DiffOp].collect().toSeq
 
       SyncOutcome(prodCat, backupCat, missingTables, extraTables,
-        commonTables, stats, ops)
+        commonTables, stats, ops, createSections)
     } finally joined.unpersist()
   }
 }
