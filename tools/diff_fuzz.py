@@ -19,36 +19,59 @@ LITS = ["NULL", "'a'", "'b, c'", "'O''Brien'", '"dq"', "123", "45.6",
 # (sync.py:111-112, regex statement scan) where our grammar is a superset.
 
 
+# DDL shapes exercising the reference's PK fallback chain (sync.py:89-104):
+# explicit single PK; composite PK (falls through to 'id' default);
+# AUTO_INCREMENT; no key info at all ('id' default + first-value fallback,
+# empty WHERE clauses -> skipped UPDATE/DELETE statements).
+KEYLINES = [
+    ",\n  PRIMARY KEY (`id`)",
+    ",\n  PRIMARY KEY (`id`,`v1`)",
+    "",  # plain, has an `id` column -> default pk applies
+]
+
+
 def render(tables):
     parts = []
-    for name, rows in tables:
-        ddl = (f"CREATE TABLE `{name}` (\n  `id` INT,\n  `v1` VARCHAR(50),\n"
-               f"  `v2` VARCHAR(50),\n  PRIMARY KEY (`id`)\n) ENGINE=InnoDB;")
+    for name, rows, shape in tables:
+        if shape == "auto":
+            cols = ["id", "v1", "v2"]
+            collines = "  `id` INT,\n  `v1` INT AUTO_INCREMENT,\n  `v2` VARCHAR(50)"
+        elif shape == "nokey":
+            cols = ["a", "b", "c"]
+            collines = "  `a` INT,\n  `b` VARCHAR(50),\n  `c` VARCHAR(50)"
+        else:
+            cols = ["id", "v1", "v2"]
+            collines = ("  `id` INT,\n  `v1` VARCHAR(50),\n  `v2` VARCHAR(50)"
+                        + shape)
+        ddl = f"CREATE TABLE `{name}` (\n{collines}\n) ENGINE=InnoDB;"
         stmts = [ddl]
+        collist = ", ".join(f"`{c}`" for c in cols)
         for i in range(0, len(rows), 3):
             vals = ",\n".join("(" + ", ".join(r) + ")" for r in rows[i:i + 3])
-            stmts.append(
-                f"INSERT INTO `{name}` (`id`, `v1`, `v2`) VALUES\n{vals};")
+            stmts.append(f"INSERT INTO `{name}` ({collist}) VALUES\n{vals};")
         parts.append("\n".join(stmts))
     return "\n\n".join(parts) + "\n"
 
 
-def gen_tables(rnd):
+def gen_tables(rnd, shapes):
     tables = []
     names = rnd.sample(["t1", "t2", "alpha", "zz"], rnd.randint(1, 3))
     for name in names:
         n = rnd.randint(0, 14)
         rows = [[str(rnd.randint(0, 18)), rnd.choice(LITS), rnd.choice(LITS)]
                 for _ in range(n)]
-        tables.append((name, rows))
+        tables.append((name, rows, shapes[name]))
     return tables
 
 
 rnd = random.Random(SEED)
 fails = 0
 for case in range(N):
-    prod = render(gen_tables(rnd))
-    backup = render(gen_tables(rnd))
+    # same DDL shape per table name on both sides (prod/backup of one db)
+    shapes = {n: rnd.choice(KEYLINES + ["auto", "nokey"])
+              for n in ["t1", "t2", "alpha", "zz"]}
+    prod = render(gen_tables(rnd, shapes))
+    backup = render(gen_tables(rnd, shapes))
     pp, bp = f"{OUT}/prod_{case}.sql", f"{OUT}/backup_{case}.sql"
     open(pp, "w").write(prod)
     open(bp, "w").write(backup)
