@@ -46,7 +46,7 @@ object Bench {
 
     // Sync core end-to-end (dump generation cached, not timed).
     val sfName = Paths.get(sfDir).getFileName.toString
-    val cacheDir = s"/tmp/graft_bench_dumps_$sfName"
+    val cacheDir = s"/tmp/graft_bench_dumps_${sfName}_v${DumpGen.FormatVersion}"
     val (prodPath, backupPath) =
       if (Files.exists(Paths.get(cacheDir, "prod.sql")) &&
           Files.exists(Paths.get(cacheDir, "backup.sql")))

@@ -21,6 +21,11 @@ import graft.Tables
   */
 object DumpGen {
 
+  /** Bump when the generated dump format/perturbation changes so cached
+    * bench dump pairs regenerate instead of silently drifting.
+    */
+  val FormatVersion = 1
+
   val TablePks: Seq[(String, String)] = Seq(
     "customer" -> "c_custkey", "orders" -> "o_orderkey",
     "lineitem" -> "l_orderkey", "nation" -> "n_nationkey",
