@@ -39,8 +39,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Full materialization (all output columns through the noop sink), so
+    // expensive final projections aren't pruned the way .count() allows.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (try time(fn(spark, sfDir).count())
+      name -> (try time(materialize(fn(spark, sfDir)))
                catch { case _: Throwable => -1.0 })
     }
 
@@ -61,7 +66,12 @@ object Bench {
     val all = queryTimes :+ ("sync_dump_diff" -> syncTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also write to a plain file so the driver doesn't have to fish the
+    // JSON line out of sbt's [info] prefixes (BENCH_r01 had parsed:null).
+    Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()
   }
 }

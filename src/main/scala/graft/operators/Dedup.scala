@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Portable
 
@@ -44,16 +45,43 @@ object Dedup {
     * sizes from per-doc shingle counts.
     *
     * The shingle table is consumed three times (both join sides + sizes);
-    * persist it (`sh.persist()`) when it fits the cluster's storage
-    * tier — otherwise each consumer re-tokenizes and re-hashes the
-    * corpus.
+    * `persist=true` (default) caches it MEMORY_AND_DISK so the corpus is
+    * tokenized/hashed once instead of once per consumer.
+    *
+    * `maxDocFreq`: when set, shingles appearing in more than that many
+    * documents are dropped from the *candidate-generation* self-join (a
+    * stopword shingle in k docs contributes k² candidate pairs — the
+    * 100 TB scale-killer). Verification stays exact over the full shingle
+    * sets, so a qualifying pair is missed only if *every* shared shingle
+    * is hot. This is the documented pruned semantics; the driver oracle
+    * replays the identical rule.
     */
-  def jaccardPairs(sh: DataFrame, threshold: Double, digits: Int = 4): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"), Seq("shingle"))
-      .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+  def jaccardPairs(sh: DataFrame, threshold: Double, digits: Int = 4,
+      maxDocFreq: Option[Long] = None, persist: Boolean = true): DataFrame = {
+    val s = if (persist) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
+    val sizes = s.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = maxDocFreq match {
+      case None =>
+        s.as("a").join(s.as("b"), Seq("shingle"))
+          .filter(col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+      case Some(cap) =>
+        // candidate pairs from the pruned index; exact intersection from
+        // the full table (same verify shape as minhashLshPairs)
+        val hot = s.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        val pruned = s.join(hot, Seq("shingle"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cand = pruned.as("a").join(pruned.as("b"), Seq("shingle"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        cand
+          .join(s.select(col("id").as("id_a"), col("shingle")), "id_a")
+          .join(s.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -102,16 +130,25 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: band-collision candidates,
     * verified with exact shingle Jaccard ≥ threshold.
+    *
+    * `persist=true` (default) caches the band table (consumed by both
+    * sides of the candidate join) and the shingle table (both verify
+    * sides + sizes) MEMORY_AND_DISK, so the tokenize→shingle→md5
+    * pipeline runs once per frame instead of once per consumer.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, digits: Int = 4): DataFrame = {
-    val bandsDf = lshBands(df, idCol, textCol, shingleN, numHashes, bands)
+      threshold: Double = 0.5, digits: Int = 4,
+      persist: Boolean = true): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val bands0 = lshBands(df, idCol, textCol, shingleN, numHashes, bands)
+    val bandsDf = if (persist) bands0.persist(lvl) else bands0
     val cand = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sh = shingleTable(df, idCol, textCol, shingleN)
+    val sh0 = shingleTable(df, idCol, textCol, shingleN)
+    val sh = if (persist) sh0.persist(lvl) else sh0
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     cand
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")

@@ -63,7 +63,7 @@ object ExtensionQueries {
   }
   val q16Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+      |  CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
       |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
       |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -78,17 +78,26 @@ object ExtensionQueries {
        |GROUP BY text ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q21
-  /** N-gram Jaccard near-dup pairs via the inverted-index candidate join. */
+  /** N-gram Jaccard near-dup pairs via the inverted-index candidate join,
+    * with document-frequency pruning of hot shingles (df > 64) in the
+    * candidate join; verification stays exact over the full shingle sets.
+    */
   val q21: Q = (s, dir) => {
     val sh = Dedup.shingleTable(corpusNear(s, dir), "doc_id", "text", 3)
-    Dedup.jaccardPairs(sh, 0.8).orderBy("id_a", "id_b")
+    Dedup.jaccardPairs(sh, 0.8, maxDocFreq = Some(64L)).orderBy("id_a", "id_b")
   }
   val q21Sql: String =
     s"""WITH corpus AS ($corpusNearSql),
        |$shingleCtes,
+       |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64),
+       |shp AS (SELECT id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.id < b.id),
        |pairs AS (
-       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c JOIN sh a ON a.id = c.id_a
+       |              JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
        |  GROUP BY 1, 2),
        |jac AS (
        |  SELECT id_a, id_b,
