@@ -32,12 +32,25 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .drop("dedup_key")
 
+  /** Ensure the per-document heavy compute (tokenize→shingle→hash) has at
+    * least `defaultParallelism` partitions: small parquet inputs arrive as
+    * 1-2 read splits, which would serialize the whole pipeline on one
+    * core. The doc frame is small relative to the exploded output, so the
+    * extra shuffle is proportionally cheap; inputs that are already wide
+    * (the 100 TB case) pass through untouched.
+    */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, col(idCol))
+    else df
+  }
+
   /** Distinct (id, shingle) inverted-index table. Rows are unique by
     * construction — Portable.shingles array_distincts within the doc
     * before the explode — so no dedup shuffle is needed.
     */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    spread(df, idCol).select(col(idCol).as("id"),
         explode(Portable.shingles(Portable.tokens(col(textCol)), n)).as("shingle"))
 
   /** Exact Jaccard pairs ≥ threshold from an inverted-index candidate
@@ -49,39 +62,30 @@ object Dedup {
     * tokenized/hashed once instead of once per consumer.
     *
     * `maxDocFreq`: when set, shingles appearing in more than that many
-    * documents are dropped from the *candidate-generation* self-join (a
-    * stopword shingle in k docs contributes k² candidate pairs — the
-    * 100 TB scale-killer). Verification stays exact over the full shingle
-    * sets, so a qualifying pair is missed only if *every* shared shingle
-    * is hot. This is the documented pruned semantics; the driver oracle
-    * replays the identical rule.
+    * documents are dropped from the inverted index before the self-join
+    * (a stopword shingle in k docs contributes k² candidate pairs — the
+    * 100 TB scale-killer). Intersections are then counted over the
+    * *pruned* shingle sets while union sizes stay exact, so a pair's
+    * score can only shrink — by at most (hot shingles shared)/(union).
+    * Pick the cap well above the corpus' p99 document frequency and the
+    * distortion is negligible; the driver oracle replays the identical
+    * rule, so the spec is deterministic and exactly checkable.
     */
   def jaccardPairs(sh: DataFrame, threshold: Double, digits: Int = 4,
       maxDocFreq: Option[Long] = None, persist: Boolean = true): DataFrame = {
     val s = if (persist) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
     val sizes = s.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = maxDocFreq match {
-      case None =>
-        s.as("a").join(s.as("b"), Seq("shingle"))
-          .filter(col("a.id") < col("b.id"))
-          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
+    val index = maxDocFreq match {
+      case None => s
       case Some(cap) =>
-        // candidate pairs from the pruned index; exact intersection from
-        // the full table (same verify shape as minhashLshPairs)
         val hot = s.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("shingle")
-        val pruned = s.join(hot, Seq("shingle"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val cand = pruned.as("a").join(pruned.as("b"), Seq("shingle"))
-          .filter(col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .distinct()
-        cand
-          .join(s.select(col("id").as("id_a"), col("shingle")), "id_a")
-          .join(s.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        s.join(hot, Seq("shingle"), "left_anti")
     }
+    val inter = index.as("a").join(index.as("b"), Seq("shingle"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
@@ -103,22 +107,41 @@ object Dedup {
     * measured ~20× slower at bench scale.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = {
-    val sh = Portable.shingles(Portable.tokens(col(textCol)), shingleN)
-    val shOrText = when(size(sh) > 0, sh).otherwise(array(lower(col(textCol))))
-    val hashed = df.select(col(idCol).as("id"), explode(shOrText).as("shingle"))
-      .select(col("id"), Portable.hash48p(col("shingle")).as("h"))
-    val minCols = (0 until numHashes).map { i =>
-      min((col("h") * (i * 2 + 1) + lit(12289L) * i) % Portable.P).as(s"s_$i")
+      shingleN: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFrom(
+      shingleTable(df, idCol, textCol, shingleN), df, idCol, textCol, numHashes)
+
+  /** MinHash signatures derived from a prebuilt (id, shingle) table, so
+    * one persisted shingle frame feeds both signature and verify paths
+    * (one corpus scan, not two). Documents absent from `sh` (shorter than
+    * the shingle width) fall back to hashing the whole lowercased text —
+    * the same single-element semantics as hashing a one-shingle set.
+    */
+  def minhashSignaturesFrom(sh: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int): DataFrame = {
+    def minCols(h: Column) = (0 until numHashes).map { i =>
+      (h * (i * 2 + 1) + lit(12289L) * i) % Portable.P
     }
-    hashed.groupBy("id").agg(minCols.head, minCols.tail: _*)
+    val aggCols = minCols(col("h")).zipWithIndex.map { case (c, i) => min(c).as(s"s_$i") }
+    val sigs = sh.select(col("id"), Portable.hash48p(col("shingle")).as("h"))
+      .groupBy("id").agg(aggCols.head, aggCols.tail: _*)
+    val fallback = docs
+      .select(col(idCol).as("id"), Portable.hash48p(lower(col(textCol))).as("h"))
+      .join(sh.select("id").distinct(), Seq("id"), "left_anti")
+    val fallbackSigs = fallback.select(
+      col("id") +: minCols(col("h")).zipWithIndex.map { case (c, i) => c.as(s"s_$i") }: _*)
+    sigs.unionByName(fallbackSigs)
   }
 
   /** (id, band, band_key) frame: the LSH bucketing of a signature. */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame =
+    lshBandsFrom(
+      minhashSignatures(df, idCol, textCol, shingleN, numHashes), numHashes, bands)
+
+  /** LSH band bucketing of a prebuilt signature frame. */
+  def lshBandsFrom(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rpb = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
     val bandEntries = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (b * rpb until (b + 1) * rpb).map(i => col(s"s_$i")): _*)
@@ -131,24 +154,25 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: band-collision candidates,
     * verified with exact shingle Jaccard ≥ threshold.
     *
-    * `persist=true` (default) caches the band table (consumed by both
-    * sides of the candidate join) and the shingle table (both verify
-    * sides + sizes) MEMORY_AND_DISK, so the tokenize→shingle→md5
-    * pipeline runs once per frame instead of once per consumer.
+    * `persist=true` (default) caches the shingle table MEMORY_AND_DISK —
+    * it feeds the signature aggregation, both verify sides, and the size
+    * counts, so the corpus is tokenized/hashed once — plus the small band
+    * table (both sides of the candidate join).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, digits: Int = 4,
       persist: Boolean = true): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK
-    val bands0 = lshBands(df, idCol, textCol, shingleN, numHashes, bands)
+    val sh0 = shingleTable(df, idCol, textCol, shingleN)
+    val sh = if (persist) sh0.persist(lvl) else sh0
+    val sigs = minhashSignaturesFrom(sh, df, idCol, textCol, numHashes)
+    val bands0 = lshBandsFrom(sigs, numHashes, bands)
     val bandsDf = if (persist) bands0.persist(lvl) else bands0
     val cand = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sh0 = shingleTable(df, idCol, textCol, shingleN)
-    val sh = if (persist) sh0.persist(lvl) else sh0
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     cand
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")

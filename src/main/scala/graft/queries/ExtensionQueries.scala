@@ -79,8 +79,9 @@ object ExtensionQueries {
 
   // ---------------------------------------------------------------- q21
   /** N-gram Jaccard near-dup pairs via the inverted-index candidate join,
-    * with document-frequency pruning of hot shingles (df > 64) in the
-    * candidate join; verification stays exact over the full shingle sets.
+    * with document-frequency pruning (df > 64) of hot shingles from the
+    * index: intersections count pruned shingles only, union sizes stay
+    * exact (see Dedup.jaccardPairs scaladoc for the distortion bound).
     */
   val q21: Q = (s, dir) => {
     val sh = Dedup.shingleTable(corpusNear(s, dir), "doc_id", "text", 3)
@@ -91,13 +92,9 @@ object ExtensionQueries {
        |$shingleCtes,
        |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64),
        |shp AS (SELECT id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-       |cand AS (
-       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.id < b.id),
        |pairs AS (
-       |  SELECT c.id_a, c.id_b, count(*) AS inter
-       |  FROM cand c JOIN sh a ON a.id = c.id_a
-       |              JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.id < b.id
        |  GROUP BY 1, 2),
        |jac AS (
        |  SELECT id_a, id_b,
