@@ -97,22 +97,67 @@ object Similarity {
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF-style approximate top-k: a deterministic coarse quantizer
-    * (centroids = the `nlist` lowest-id vectors — swap for trained
-    * k-means centroids in production; the plumbing is identical) assigns
-    * every base vector to its nearest centroid; a query scores only the
-    * `nprobe` nearest cells. Assignment and probing are broadcast
-    * map-only stages; the candidate join shuffles on cell id.
+  /** Deterministic Lloyd k-means over integer-quantized vectors: init =
+    * the `nlist` lowest-id training vectors, assignment = max exact-Long
+    * dot (tiebreak lowest cell id), update = element-wise
+    * floor(sum/count) back to integers, empty cells keep their previous
+    * centroid, fixed `iters` iterations. Every step is exact integer or
+    * IEEE-double arithmetic, so any engine (the DuckDB oracle included)
+    * replays the identical centroids.
+    *
+    * Training runs on the `trainLimit` lowest-id vectors collected to the
+    * driver — the standard coarse-quantizer pattern at scale (FAISS-style
+    * IVF trains on a bounded sample too); assignment of the full base
+    * stays distributed.
+    */
+  def kmeansCentroids(train: Array[Array[Long]], nlist: Int,
+      iters: Int): Array[Array[Long]] = {
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var cents = train.take(nlist).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Long](train.headOption.map(_.length).getOrElse(0)))
+      val counts = new Array[Long](cents.length)
+      train.foreach { v =>
+        var best = 0; var bestDot = Long.MinValue
+        var c = 0
+        while (c < cents.length) {
+          val d = dot(v, cents(c))
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(s => math.floor(s.toDouble / counts(c)).toLong)
+      }
+    }
+    cents
+  }
+
+  /** IVF approximate top-k: a deterministic k-means coarse quantizer
+    * ([[kmeansCentroids]]) assigns every base vector to its max-dot
+    * centroid; a query scores only the `nprobe` nearest cells.
+    * Assignment and probing are broadcast map-only stages; the candidate
+    * join shuffles on cell id.
     */
   def ivfTopK(base: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      digits: Int = 6): DataFrame = {
+      digits: Int = 6, kmeansIters: Int = 3, trainLimit: Int = 4096): DataFrame = {
     val (qv, qn) = quantized(col(vecCol))
     val withQ = base.select(col(idCol).as("id"), qv.as("q"), qn.as("n"))
-    val centroids: Array[(Int, Seq[Long])] = withQ
-      .orderBy("id").limit(nlist)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Long](1)) }
+    val train: Array[Array[Long]] = withQ
+      .orderBy("id").limit(trainLimit)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    val centroids: Array[(Int, Seq[Long])] =
+      kmeansCentroids(train, nlist, kmeansIters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     def cellsFor(v: Column, probes: Int): Column = {
       // rank cells by dot with each centroid (unit-ish vectors: larger
       // dot == closer), deterministic tiebreak on cell id

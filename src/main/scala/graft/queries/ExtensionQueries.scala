@@ -179,8 +179,10 @@ object ExtensionQueries {
       |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q25
-  /** ANN top-k via random-hyperplane LSH buckets (approximate — no SQL
-    * oracle; recall vs brute force is asserted in AnnSpec).
+  /** ANN top-k via random-hyperplane LSH buckets. Approximate relative to
+    * brute force, but the md5-derived planes make the candidate sets
+    * fully deterministic, so the DuckDB oracle replays the identical
+    * bucketing and checks the output exactly.
     */
   val q25: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
@@ -188,16 +190,102 @@ object ExtensionQueries {
       k = 5, planesPerTable = 4, tables = 8)
       .orderBy("query_id", "rank")
   }
+  val q25Sql: String =
+    """WITH planes AS (
+      |  SELECT p, list(CASE WHEN ('0x'||substr(md5('plane_'||p||'_'||d),1,2))::BIGINT % 2 = 0
+      |                      THEN 1 ELSE -1 END ORDER BY d) AS pw
+      |  FROM range(32) t(p) CROSS JOIN range(64) dd(d) GROUP BY p),
+      |vec AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |norms AS (SELECT id, list_dot_product(q, q) AS n FROM vec),
+      |dots AS (
+      |  SELECT v.id, pl.p, list_dot_product(v.q, pl.pw) AS dot
+      |  FROM vec v CROSS JOIN planes pl),
+      |sigs AS (
+      |  SELECT id, p // 4 AS tbl,
+      |    sum(CASE WHEN dot > 0 THEN 1 << (p % 4) ELSE 0 END) AS bucket
+      |  FROM dots GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT q.id AS query_id, b.id AS neighbor_id
+      |  FROM sigs q JOIN sigs b ON q.tbl = b.tbl AND q.bucket = b.bucket
+      |  WHERE q.id < 10 AND b.id <> q.id),
+      |scored AS (
+      |  SELECT c.query_id, c.neighbor_id,
+      |    round(list_dot_product(vq.q, vb.q) / (sqrt(nq.n) * sqrt(nb.n)), 6) AS cos
+      |  FROM cand c
+      |  JOIN vec vq ON vq.id = c.query_id JOIN vec vb ON vb.id = c.neighbor_id
+      |  JOIN norms nq ON nq.id = c.query_id JOIN norms nb ON nb.id = c.neighbor_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q27
-  /** ANN via IVF coarse quantization (approximate — rows-only check;
-    * recall asserted in SkewAndIvfSpec).
+  /** ANN via IVF with the deterministic k-means coarse quantizer
+    * (Similarity.kmeansCentroids): exact-integer assignment + floor-mean
+    * updates mean the DuckDB oracle replays the identical training loop
+    * (unrolled below) and checks the output exactly.
     */
   val q27: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, nlist = 16, nprobe = 4)
       .orderBy("query_id", "rank")
+  }
+  val q27Sql: String = {
+    val (nlist, nprobe, k, iters, trainLimit, dim) = (16, 4, 5, 3, 4096, 64)
+    val iterCtes = (1 to iters).map { i =>
+      s"""asg$i AS (
+         |  SELECT id, cell FROM (
+         |    SELECT t.id, c.cell,
+         |      row_number() OVER (PARTITION BY t.id ORDER BY list_dot_product(t.q, c.v) DESC, c.cell) AS rn
+         |    FROM train t CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+         |cent$i AS (
+         |  SELECT cell, list(s ORDER BY d) AS v FROM (
+         |    SELECT a.cell, dd.d,
+         |      CAST(floor(CAST(sum(t.q[dd.d+1]) AS DOUBLE)/count(*)) AS BIGINT) AS s
+         |    FROM asg$i a JOIN train t USING (id) CROSS JOIN range($dim) dd(d)
+         |    GROUP BY 1, 2) GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, v FROM cent${i - 1} WHERE cell NOT IN (SELECT cell FROM asg$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vec AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |norms AS (SELECT id, list_dot_product(q, q) AS n FROM vec),
+       |train AS (SELECT id, q FROM vec ORDER BY id LIMIT $trainLimit),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, q AS v
+       |  FROM (SELECT id, q FROM train ORDER BY id LIMIT $nlist)),
+       |$iterCtes,
+       |basg AS (
+       |  SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY list_dot_product(v.q, c.v) DESC, c.cell) AS rn
+       |    FROM vec v CROSS JOIN cent$iters c) WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT v.id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY list_dot_product(v.q, c.v) DESC, c.cell) AS rn
+       |    FROM vec v CROSS JOIN cent$iters c WHERE v.id < 10) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, b.id AS neighbor_id
+       |  FROM probe p JOIN basg b USING (cell) WHERE b.id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(list_dot_product(vq.q, vb.q) / (sqrt(nq.n) * sqrt(nb.n)), 6) AS cos
+       |  FROM cand c
+       |  JOIN vec vq ON vq.id = c.query_id JOIN vec vb ON vb.id = c.neighbor_id
+       |  JOIN norms nq ON nq.id = c.query_id JOIN norms nb ON nb.id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q26
@@ -338,11 +426,12 @@ object ExtensionQueries {
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q23_simhash" -> q23Sql,
     "q24_embed_topk" -> q24Sql,
+    "q25_ann_lsh" -> q25Sql,
     "q26_embed_neardup" -> q26Sql,
+    "q27_ann_ivf" -> q27Sql,
     "q30_lang_id" -> q30Sql,
     "q31_quality_score" -> q31Sql,
     "q32_token_count" -> q32Sql,
     "q33_fingerprint" -> q33Sql,
     "q40_multimodal_features" -> q40Sql)
-    // q25_ann_lsh: approximate — rows-only check; recall asserted in AnnSpec
 }

@@ -29,7 +29,7 @@ class SkewAndIvfSpec extends SparkSuite {
     assert(Skew.saltedJoin(fact, dim, "k").count() == plain)
   }
 
-  test("ivf top-k achieves >=30% recall@5 and returns only true base rows") {
+  test("ivf top-k achieves >=80% recall@5 and returns only true base rows") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 20)
     val brute = Similarity.cosineTopK(e, q, "vec_id", "embedding", 5)
@@ -38,6 +38,6 @@ class SkewAndIvfSpec extends SparkSuite {
       nlist = 16, nprobe = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (ivf & brute).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall=$recall")
+    assert(recall >= 0.8, s"recall=$recall")
   }
 }
