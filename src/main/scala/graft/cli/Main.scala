@@ -15,10 +15,22 @@ import graft.report.SummaryReporter
   *   graft.cli.Main [production.sql] [backup.sql] [output.sql]
   *
   * defaulting to prod.sql / backup.sql / database_sync_crud.sql.
+  *
+  * `--distributed-out <dir>` routes the script through the distributed
+  * full-script sink (SyncJob.syncDistributed) instead of collecting ops
+  * to the driver — the at-scale path; concatenated sorted part files are
+  * byte-identical to the single-file script.
   */
 object Main {
 
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    val distIdx = rawArgs.indexOf("--distributed-out")
+    val distributedOut =
+      if (distIdx >= 0 && distIdx + 1 < rawArgs.length) Some(rawArgs(distIdx + 1))
+      else None
+    val args = if (distIdx >= 0)
+      rawArgs.patch(distIdx, Nil, 2) else rawArgs
+
     val prodFile = if (args.length >= 2) args(0) else "prod.sql"
     val backupFile = if (args.length >= 2) args(1) else "backup.sql"
     val outputFile = if (args.length >= 3) args(2) else "database_sync_crud.sql"
@@ -42,13 +54,21 @@ object Main {
 
     try {
       println(s"Comparing SQL dumps:\n  Production: $prodFile\n  Backup: $backupFile")
-      val outcome = new SyncJob(spark).run(prodFile, backupFile)
-      SummaryReporter.print(outcome)
       val now = LocalDateTime.now.format(
         DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-      val script = SyncSqlGenerator.assemble(outcome, now)
-      Files.write(Paths.get(outputFile), script.getBytes("UTF-8"))
-      println(s"\n💾 Sync script written to: $outputFile")
+      distributedOut match {
+        case Some(dir) =>
+          val outcome = new SyncJob(spark).syncDistributed(
+            prodFile, backupFile, dir, now)
+          SummaryReporter.print(outcome)
+          println(s"\n💾 Sync script parts written to: $dir")
+        case None =>
+          val outcome = new SyncJob(spark).run(prodFile, backupFile)
+          SummaryReporter.print(outcome)
+          val script = SyncSqlGenerator.assemble(outcome, now)
+          Files.write(Paths.get(outputFile), script.getBytes("UTF-8"))
+          println(s"\n💾 Sync script written to: $outputFile")
+      }
     } finally spark.stop()
   }
 }

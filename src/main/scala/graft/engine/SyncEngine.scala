@@ -31,6 +31,13 @@ final case class RenderedOp(
     table: String, pk: String, op: String, section: Int, tbl_idx: Int,
     ordOff: Long, ordRow: Int, stmt: String)
 
+/** One line of the full sync script with its global sort key — the
+  * distributed full-script sink unions banner/comment lines (driver-built,
+  * O(tables)) with rendered statements (executor-built) and range-sorts.
+  */
+final case class ScriptLine(
+    sec: Int, tbl: Int, off: Long, row: Int, sub: Int, line: String)
+
 final case class TableStats(
     table: String,
     productionCount: Long,
@@ -170,6 +177,13 @@ class SyncJob(spark: SparkSession) {
     */
   def opsFrame(prodPath: String, backupPath: String): DataFrame = {
     val (joined, prodCat, backupCat, commonTables) = diffFrame(prodPath, backupPath)
+    renderedOps(joined, prodCat, backupCat, commonTables)
+  }
+
+  /** Executor-side statement rendering of an already-joined diff frame. */
+  private def renderedOps(joined: DataFrame,
+      prodCat: ListMap[String, TableMeta], backupCat: ListMap[String, TableMeta],
+      commonTables: Seq[String]): DataFrame = {
     val tblIdx = commonTables.zipWithIndex.toMap
     val bcProd = spark.sparkContext.broadcast(prodCat)
     val bcBackup = spark.sparkContext.broadcast(backupCat)
@@ -210,6 +224,151 @@ class SyncJob(spark: SparkSession) {
       .select("stmt")
       .write.mode("overwrite").text(outDir)
 
+  /** Distributed FULL-script sink: emits the complete sync script —
+    * header, DROP/CREATE sections, per-table banners, statements, stats
+    * summary — byte-identical to [[graft.codegen.SyncSqlGenerator.assemble]]
+    * when the sorted part files are concatenated (modulo the text sink's
+    * trailing newline). Statements are rendered executor-side and never
+    * collected; banner/comment lines are O(tables) driver rows unioned in
+    * with the same global sort key. This is the 100 TB path: no driver
+    * state grows with the diff size.
+    */
+  def syncDistributed(prodPath: String, backupPath: String, outDir: String,
+      now: String): SyncOutcome = {
+    val (joined0, prodInfo, backupCat, commonTables) =
+      diffFrameInfo(prodPath, backupPath)
+    val joined = joined0.cache()
+    try {
+      val outcome = summarize(joined, prodInfo, backupCat, commonTables, prodPath)
+      val stmts = renderedOps(joined, prodInfo.metas, backupCat, commonTables)
+        // DELETE/UPDATE that render empty are skipped (assemble does the
+        // same); empty INSERT lines are kept (assemble emits them bare)
+        .filter(col("op") === Differ.OP_INSERT || length(col("stmt")) > 0)
+        .select(col("section").as("sec"), col("tbl_idx").as("tbl"),
+          col("ordOff").as("off"), col("ordRow").as("row"),
+          lit(0).as("sub"), col("stmt").as("line"))
+      val banners = spark.createDataFrame(driverLines(outcome, now))
+        .select("sec", "tbl", "off", "row", "sub", "line")
+      banners.unionByName(stmts)
+        .orderBy("sec", "tbl", "off", "row", "sub")
+        .select("line")
+        .write.mode("overwrite").text(outDir)
+      outcome
+    } finally joined.unpersist()
+  }
+
+  /** The non-statement lines of the full script (header, section banners,
+    * per-table comments, stats tail) with their global sort keys —
+    * line-for-line the same emission logic as SyncSqlGenerator.assemble.
+    */
+  private def driverLines(o: SyncOutcome, now: String): Seq[ScriptLine] = {
+    val out = Seq.newBuilder[ScriptLine]
+    var sub = 0
+    def emit(sec: Int, tbl: Int, off: Long, row: Int, line: String): Unit = {
+      out += ScriptLine(sec, tbl, off, row, sub, line); sub += 1
+    }
+    def banner(sec: Int, lines: String*): Unit =
+      lines.foreach(emit(sec, -1, Long.MinValue, 0, _))
+
+    banner(0,
+      "-- SQL Sync Script - Full CRUD Support",
+      "-- Generated to sync backup database with production",
+      s"-- Generated on: $now",
+      "",
+      "-- WARNING: This script contains DELETE operations!",
+      "-- Please review carefully before execution.",
+      "-- Consider backing up your backup database before running this script.",
+      "")
+
+    if (o.extraTables.nonEmpty) {
+      banner(1, "-- DROP Extra Tables", "-- ==================",
+        "-- These tables exist in backup but not in production", "")
+      o.extraTables.zipWithIndex.foreach { case (t, i) =>
+        emit(1, i, 0, 0, s"-- Dropping extra table: $t")
+        emit(1, i, 0, 1, s"DROP TABLE IF EXISTS `$t`;")
+        emit(1, i, 0, 2, "")
+      }
+    }
+
+    if (o.missingTables.nonEmpty) {
+      banner(2, "-- CREATE Missing Tables", "-- =====================", "")
+      o.missingTables.zipWithIndex.foreach { case (t, i) =>
+        o.prodCatalog.get(t).foreach { meta =>
+          emit(2, i, 0, 0, s"-- Creating missing table: $t")
+          emit(2, i, 0, 1, s"DROP TABLE IF EXISTS `$t`;")
+          emit(2, i, 0, 2, o.createSections.getOrElse(t, meta.createStmt))
+          emit(2, i, 0, 3, "")
+        }
+      }
+    }
+
+    // op sections: banner if any table has ops, then per-table comment
+    // before its statements and a blank line after them
+    case class Sec(sec: Int, count: TableStats => Long, head: Seq[String],
+        comment: (Long, String) => String)
+    val secs = Seq(
+      Sec(3, _.deletedCount,
+        Seq("-- DELETE Records", "-- ===============",
+          "-- Records that exist in backup but not in production", ""),
+        (n, t) => s"-- Deleting $n records from $t"),
+      Sec(4, _.updatedCount,
+        Seq("-- UPDATE Records", "-- ===============",
+          "-- Records with different values between production and backup", ""),
+        (n, t) => s"-- Updating $n records in $t"),
+      Sec(5, _.missingCount,
+        Seq("-- INSERT Missing Records", "-- ======================",
+          "-- Records that exist in production but not in backup", ""),
+        (n, t) => s"-- Inserting $n missing records into $t"))
+    secs.foreach { s =>
+      val tables = o.commonTables.zipWithIndex
+        .map { case (t, i) => (t, i, o.stats.get(t).map(s.count).getOrElse(0L)) }
+        .filter(_._3 > 0)
+      if (tables.nonEmpty) {
+        banner(s.sec, s.head: _*)
+        tables.foreach { case (t, i, n) =>
+          emit(s.sec, i, Long.MinValue, 0, s.comment(n, t))
+          emit(s.sec, i, Long.MaxValue, Int.MaxValue, "")
+        }
+      }
+    }
+
+    banner(6, "-- CRUD Statistics Summary", "-- =======================", "")
+    var totalOperations = 0L
+    if (o.missingTables.nonEmpty) {
+      totalOperations += o.missingTables.size
+      banner(6, s"-- Tables to CREATE: ${o.missingTables.size}")
+    }
+    if (o.extraTables.nonEmpty) {
+      totalOperations += o.extraTables.size
+      banner(6, s"-- Tables to DROP: ${o.extraTables.size}")
+    }
+    def total(f: TableStats => Long): Long =
+      o.commonTables.flatMap(o.stats.get).map(f).sum
+    val (ti, tu, td) =
+      (total(_.missingCount), total(_.updatedCount), total(_.deletedCount))
+    totalOperations += ti + tu + td
+    banner(6,
+      s"-- Records to INSERT: $ti",
+      s"-- Records to UPDATE: $tu",
+      s"-- Records to DELETE: $td",
+      s"-- Total operations: $totalOperations",
+      "",
+      "-- Per-Table Statistics:")
+    o.commonTables.foreach { t =>
+      o.stats.get(t).foreach { s =>
+        if (s.missingCount > 0 || s.updatedCount > 0 || s.deletedCount > 0)
+          banner(6,
+            s"-- $t:",
+            s"--   Production: ${s.productionCount} records",
+            s"--   Backup: ${s.backupCount} records",
+            s"--   To INSERT: ${s.missingCount} records",
+            s"--   To UPDATE: ${s.updatedCount} records",
+            s"--   To DELETE: ${s.deletedCount} records")
+      }
+    }
+    out.result()
+  }
+
   /** Shared diff pipeline: cached full-outer joined frame + catalogs. */
   private def diffFrame(prodPath: String, backupPath: String)
       : (DataFrame, ListMap[String, TableMeta], ListMap[String, TableMeta], Seq[String]) = {
@@ -244,9 +403,13 @@ class SyncJob(spark: SparkSession) {
     (joined, prodInfo, backupCat, commonTables)
   }
 
-  def run(prodPath: String, backupPath: String): SyncOutcome = {
-    val (joined0, prodInfo, backupCat, commonTables) =
-      diffFrameInfo(prodPath, backupPath)
+  /** Everything in a SyncOutcome except the collected ops: table-set
+    * diffs, reference-quirk CREATE sections, and the per-table stats
+    * aggregation over the (cached) joined frame.
+    */
+  private def summarize(joined: DataFrame, prodInfo: CatalogInfo,
+      backupCat: ListMap[String, TableMeta], commonTables: Seq[String],
+      prodPath: String): SyncOutcome = {
     val prodCat = prodInfo.metas
     val missingTables = prodCat.keys.filterNot(backupCat.contains).toSeq
     val extraTables = backupCat.keys.filterNot(prodCat.contains).toSeq
@@ -257,17 +420,25 @@ class SyncJob(spark: SparkSession) {
       }
       case None => Nil
     }).toMap
+    val stats = joined.groupBy("table").agg(
+      count(col("p_present")).as("productionCount"),
+      count(col("b_present")).as("backupCount"),
+      count(when(col("op") === Differ.OP_INSERT, 1)).as("missingCount"),
+      count(when(col("op") === Differ.OP_UPDATE, 1)).as("updatedCount"),
+      count(when(col("op") === Differ.OP_DELETE, 1)).as("deletedCount"))
+      .as[TableStats].collect()
+      .map(s => s.table -> s).toMap
+    SyncOutcome(prodCat, backupCat, missingTables, extraTables,
+      commonTables, stats, Nil, createSections)
+  }
+
+  def run(prodPath: String, backupPath: String): SyncOutcome = {
+    val (joined0, prodInfo, backupCat, commonTables) =
+      diffFrameInfo(prodPath, backupPath)
     val joined = joined0.cache()
 
     try {
-      val stats = joined.groupBy("table").agg(
-        count(col("p_present")).as("productionCount"),
-        count(col("b_present")).as("backupCount"),
-        count(when(col("op") === Differ.OP_INSERT, 1)).as("missingCount"),
-        count(when(col("op") === Differ.OP_UPDATE, 1)).as("updatedCount"),
-        count(when(col("op") === Differ.OP_DELETE, 1)).as("deletedCount"))
-        .as[TableStats].collect()
-        .map(s => s.table -> s).toMap
+      val outcome = summarize(joined, prodInfo, backupCat, commonTables, prodPath)
 
       val ops = joined.filter(col("op").isNotNull)
         .select(col("table"), col("pk"), col("op"),
@@ -279,8 +450,7 @@ class SyncJob(spark: SparkSession) {
           col("p_raw").as("rawInsert"))
         .as[DiffOp].collect().toSeq
 
-      SyncOutcome(prodCat, backupCat, missingTables, extraTables,
-        commonTables, stats, ops, createSections)
+      outcome.copy(ops = ops)
     } finally joined.unpersist()
   }
 }

@@ -37,4 +37,28 @@ class DistributedSinkSpec extends SparkSuite {
     assert(distributed == collected,
       s"distributed=${distributed.size} collected=${collected.size}")
   }
+
+  test("syncDistributed full-script parts concatenate byte-identically to assemble") {
+    def res(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/refdumps/$name")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val prod = Files.createTempFile("fs-prod", ".sql")
+    Files.write(prod, res("prod_sf0.001.sql").getBytes("UTF-8"))
+    val backup = Files.createTempFile("fs-backup", ".sql")
+    Files.write(backup, res("backup_sf0.001.sql").getBytes("UTF-8"))
+
+    val job = new SyncJob(spark)
+    val collected = SyncSqlGenerator.assemble(job.run(prod.toString, backup.toString), "T")
+
+    val outDir = Files.createTempDirectory("graft-fullscript").toString
+    job.syncDistributed(prod.toString, backup.toString, outDir, "T")
+    val parts = Files.list(Paths.get(outDir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    val concatenated = parts.map(p => new String(Files.readAllBytes(p), "UTF-8")).mkString
+
+    // the text sink terminates the final line with '\n'; assemble does not
+    assert(concatenated == collected + "\n",
+      s"distributed=${concatenated.length}B collected=${collected.length + 1}B")
+  }
 }
