@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC source/sink for the sync engine (SURVEY §2.2 scans row) — the
+  * path that applies a generated sync script to a live database, which is
+  * the reference's implied deployment (sync.py:587-595 writes a script
+  * *for* MySQL).
+  *
+  * Driver plumbing is pluggable through the standard `java.sql.Driver`
+  * ServiceLoader: any driver jar dropped on the classpath (e.g.
+  * `mysql-connector-j.jar` next to the Spark jars, or `--jars` on
+  * spark-submit) is picked up by `DriverManager`/Spark from the URL alone;
+  * pass `driver` in `props` to force a specific class. Tested offline
+  * against embedded Derby (on Spark's own classpath).
+  */
+object JdbcSync {
+
+  /** Distributed JDBC table read. `partition` = (column, lower, upper,
+    * numPartitions) splits the scan into range-parallel queries — without
+    * it the read is a single executor task, which is wrong for any table
+    * that matters at scale.
+    */
+  def load(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty,
+      partition: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val p = new Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    partition match {
+      case Some((colName, lower, upper, n)) =>
+        spark.read.jdbc(url, table, colName, lower, upper, n, p)
+      case None =>
+        spark.read.jdbc(url, table, p)
+    }
+  }
+
+  /** Distributed JDBC table write (one connection per partition,
+    * batched inserts handled by Spark's JDBC sink).
+    */
+  def save(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.ErrorIfExists,
+      props: Map[String, String] = Map.empty): Unit = {
+    val p = new Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    df.write.mode(mode).jdbc(url, table, p)
+  }
+
+  /** Split a sync script into executable statements: comment-only lines
+    * (`-- …`) and blank lines between statements are dropped; anything
+    * else accumulates until a line ends with `;`.
+    */
+  def statements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    script.split("\n", -1).foreach { line =>
+      val t = line.trim
+      if (cur.isEmpty && (t.isEmpty || t.startsWith("--"))) ()
+      else {
+        if (cur.nonEmpty) cur.append('\n')
+        cur.append(line)
+        if (t.endsWith(";")) { out += cur.result(); cur.clear() }
+      }
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
+  }
+
+  /** Re-quote MySQL backtick identifiers for an ANSI target: backticks
+    * *outside* single-quoted string literals become `quote`. Values in
+    * the script are raw SQL literals and may legitimately contain
+    * backticks, so the scan is quote-aware (`''` escapes stay inside the
+    * literal).
+    */
+  def requoteIdentifiers(stmt: String, quote: String): String = {
+    if (quote == "`") stmt
+    else {
+      val sb = new StringBuilder(stmt.length)
+      var inString = false
+      var i = 0
+      while (i < stmt.length) {
+        val c = stmt.charAt(i)
+        if (inString) {
+          sb.append(c)
+          if (c == '\'')
+            // '' escape: consume the second quote and stay in-string
+            if (i + 1 < stmt.length && stmt.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 1
+            } else inString = false
+        } else c match {
+          case '\'' => inString = true; sb.append(c)
+          case '`' => sb.append(quote)
+          case _ => sb.append(c)
+        }
+        i += 1
+      }
+      sb.result()
+    }
+  }
+
+  /** Apply a generated sync script over one JDBC connection in script
+    * order (order is correctness-relevant: DROP → CREATE → DELETE →
+    * UPDATE → INSERT), executeBatch-ed in chunks. `identifierQuote`
+    * rewrites backtick identifiers for non-MySQL targets. Returns the
+    * number of statements executed.
+    *
+    * This is intentionally a single-connection driver-side apply: a sync
+    * script is a serializable change-set whose statement order must be
+    * preserved, not a bulk load — for bulk data movement use [[save]].
+    */
+  def applyScript(url: String, script: String,
+      props: Map[String, String] = Map.empty,
+      identifierQuote: String = "`", batchSize: Int = 1000): Int = {
+    val p = new Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, p)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        var n = 0
+        var inBatch = 0
+        statements(script).foreach { raw =>
+          st.addBatch(requoteIdentifiers(raw.trim.stripSuffix(";"), identifierQuote))
+          n += 1; inBatch += 1
+          if (inBatch >= batchSize) { st.executeBatch(); inBatch = 0 }
+        }
+        if (inBatch > 0) st.executeBatch()
+        conn.commit()
+        n
+      } finally st.close()
+    } finally conn.close()
+  }
+}
