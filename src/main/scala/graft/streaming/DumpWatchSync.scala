@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.codegen.SyncSqlGenerator
 import graft.engine.{Differ, SyncJob}
 import graft.sources.DumpSource
 
@@ -18,7 +19,10 @@ import graft.sources.DumpSource
   * State layout (all parquet under `stateDir`):
   *   snapshot_v<N>/   records of the last-applied dump (table, pk, vals)
   *   LATEST           text file naming the current snapshot version
+  *   LATEST_DUMP      text file naming the last-applied dump file
   *   ops/             append-only op log with batch_id + source file
+  *   scripts/         per-arrival full sync scripts, byte-identical to
+  *                    the batch CLI run on (arrival, previous arrival)
   *
   * Scale: the per-batch work is the same one-shuffle full-outer diff as
   * the batch engine; snapshots are plain parquet (partitionable by
@@ -29,16 +33,24 @@ import graft.sources.DumpSource
 object DumpWatchSync {
 
   private def latestPath(stateDir: String) = Paths.get(stateDir, "LATEST")
+  private def latestDumpPath(stateDir: String) = Paths.get(stateDir, "LATEST_DUMP")
 
-  private def readLatest(stateDir: String): Option[String] = {
-    val p = latestPath(stateDir)
+  private def readState(p: java.nio.file.Path): Option[String] =
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
     else None
-  }
 
-  /** Diff one arriving dump against the snapshot; returns op counts. */
+  private def readLatest(stateDir: String): Option[String] =
+    readState(latestPath(stateDir))
+
+  /** Diff one arriving dump against the snapshot; append the net ops to
+    * the op log and advance the snapshot. With `emitScripts`, also write
+    * the full sync script of (arriving dump, previous dump) to
+    * `stateDir/scripts/` — byte-identical to the batch CLI's output on
+    * the same pair (DumpWatchSyncSpec asserts it).
+    */
   def processDump(spark: SparkSession, dumpPath: String, stateDir: String,
-      batchId: Long): Unit = {
+      batchId: Long, emitScripts: Boolean = true,
+      scriptTs: String = "STREAM"): Unit = {
     val job = new SyncJob(spark)
     val stmts = DumpSource.statements(spark, dumpPath)
     val cat = job.catalog(stmts)
@@ -70,6 +82,22 @@ object DumpWatchSync {
       .withColumn("source_file", lit(dumpPath))
       .write.mode(SaveMode.Append).parquet(s"$stateDir/ops")
 
+    // full-script emission vs the previous dump file: the reference's
+    // two-snapshot semantics, so the batch engine runs as-is and the
+    // script bytes match the CLI run on the same pair by construction
+    if (emitScripts) {
+      readState(latestDumpPath(stateDir)).foreach { prevDump =>
+        val outcome = job.run(dumpPath, prevDump)
+        val script = SyncSqlGenerator.assemble(outcome, scriptTs)
+        val scriptsDir = Paths.get(stateDir, "scripts")
+        Files.createDirectories(scriptsDir)
+        val name = f"sync_b$batchId%05d_${Paths.get(dumpPath).getFileName}.sql"
+        Files.write(scriptsDir.resolve(name), script.getBytes("UTF-8"))
+      }
+      Files.write(latestDumpPath(stateDir), dumpPath.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+
     val newVersion = s"snapshot_v$batchId"
     incoming.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$newVersion")
     Files.write(latestPath(stateDir), newVersion.getBytes("UTF-8"),
@@ -77,7 +105,8 @@ object DumpWatchSync {
   }
 
   /** Start watching `watchDir` for *.sql dump arrivals. */
-  def start(spark: SparkSession, watchDir: String, stateDir: String): StreamingQuery = {
+  def start(spark: SparkSession, watchDir: String, stateDir: String,
+      emitScripts: Boolean = true, scriptTs: String = "STREAM"): StreamingQuery = {
     Files.createDirectories(Paths.get(stateDir))
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
@@ -101,7 +130,8 @@ object DumpWatchSync {
           .sortBy(r => (r.getTimestamp(1).getTime, r.getString(0)))
           .map(_.getString(0))
         files.foreach { f =>
-          processDump(spark, f.stripPrefix("file:"), stateDir, batchId)
+          processDump(spark, f.stripPrefix("file:"), stateDir, batchId,
+            emitScripts, scriptTs)
         }
       }
       .start()

@@ -1,7 +1,10 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
+import graft.codegen.SyncSqlGenerator
+import graft.engine.SyncJob
 import graft.streaming.DumpWatchSync
 
 /** Dump-directory watcher: arriving dumps produce net ops vs the
@@ -49,6 +52,47 @@ class DumpWatchSyncSpec extends SparkSuite {
       val snap = spark.read.parquet(s"$stateDir/$latest")
         .collect().map(_.getAs[String]("pk")).toSet
       assert(snap == Set("1", "2", "4"))
+    } finally q.stop()
+  }
+
+  test("watched seed-42 dump sequence emits scripts byte-identical to the batch CLI") {
+    def res(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/refdumps/$name")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val backupDump = res("backup_sf0.001.sql")
+    val prodDump = res("prod_sf0.001.sql")
+
+    val watchDir = Files.createTempDirectory("graft-watch-parity")
+    val stateDir = Files.createTempDirectory("graft-state-parity").toString
+    val q = DumpWatchSync.start(spark, watchDir.toString, stateDir, scriptTs = "T")
+    try {
+      // sequence: backup → prod → backup (a sync and its exact reverse)
+      Files.write(watchDir.resolve("d1.sql"), backupDump.getBytes("UTF-8"))
+      q.processAllAvailable()
+      Files.write(watchDir.resolve("d2.sql"), prodDump.getBytes("UTF-8"))
+      q.processAllAvailable()
+      Files.write(watchDir.resolve("d3.sql"), backupDump.getBytes("UTF-8"))
+      q.processAllAvailable()
+
+      val scripts = Files.list(Paths.get(stateDir, "scripts")).iterator().asScala
+        .toSeq.sortBy(_.getFileName.toString)
+        .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+      assert(scripts.size == 2) // first arrival has no previous dump
+
+      // batch equivalents on the same pairs
+      val job = new SyncJob(spark)
+      def batchScript(prod: String, backup: String): String = {
+        val p = Files.createTempFile("wp-p", ".sql")
+        Files.write(p, prod.getBytes("UTF-8"))
+        val b = Files.createTempFile("wp-b", ".sql")
+        Files.write(b, backup.getBytes("UTF-8"))
+        SyncSqlGenerator.assemble(job.run(p.toString, b.toString), "T")
+      }
+      assert(scripts(0) == batchScript(prodDump, backupDump),
+        "step 2 (prod vs backup) script differs from batch")
+      assert(scripts(1) == batchScript(backupDump, prodDump),
+        "step 3 (backup vs prod) script differs from batch")
     } finally q.stop()
   }
 }
