@@ -235,7 +235,7 @@ class SyncJob(spark: SparkSession) {
     */
   def syncDistributed(prodPath: String, backupPath: String, outDir: String,
       now: String): SyncOutcome = {
-    val (joined0, prodInfo, backupCat, commonTables) =
+    val (joined0, prodInfo, backupCat, commonTables, cleanup) =
       diffFrameInfo(prodPath, backupPath)
     val joined = joined0.cache()
     try {
@@ -254,7 +254,7 @@ class SyncJob(spark: SparkSession) {
         .select("line")
         .write.mode("overwrite").text(outDir)
       outcome
-    } finally joined.unpersist()
+    } finally { joined.unpersist(); cleanup() }
   }
 
   /** The non-statement lines of the full script (header, section banners,
@@ -372,24 +372,42 @@ class SyncJob(spark: SparkSession) {
   /** Shared diff pipeline: cached full-outer joined frame + catalogs. */
   private def diffFrame(prodPath: String, backupPath: String)
       : (DataFrame, ListMap[String, TableMeta], ListMap[String, TableMeta], Seq[String]) = {
-    val (j, pInfo, bCat, common) = diffFrameInfo(prodPath, backupPath)
+    val (j, pInfo, bCat, common, _) = diffFrameInfo(prodPath, backupPath,
+      persistStmts = false)
     (j, pInfo.metas, bCat, common)
   }
 
-  private def diffFrameInfo(prodPath: String, backupPath: String)
-      : (DataFrame, CatalogInfo, ListMap[String, TableMeta], Seq[String]) = {
-    val prodInfo = catalogInfo(DumpSource.statements(spark, prodPath))
+  /** With `persistStmts` each dump's statement scan is cached
+    * MEMORY_AND_DISK so the catalog pass and the record pass share one
+    * text scan per dump instead of two; the returned thunk unpersists
+    * them — call it once the joined frame has been fully consumed.
+    */
+  private def diffFrameInfo(prodPath: String, backupPath: String,
+      persistStmts: Boolean = true)
+      : (DataFrame, CatalogInfo, ListMap[String, TableMeta], Seq[String], () => Unit) = {
+    def stmtsOf(path: String) = {
+      val s = DumpSource.statements(spark, path)
+      if (persistStmts)
+        s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s
+    }
+    val prodStmts = stmtsOf(prodPath)
+    val backupStmts = stmtsOf(backupPath)
+    val cleanup = () => if (persistStmts) {
+      prodStmts.unpersist(); backupStmts.unpersist(); ()
+    }
+    val prodInfo = catalogInfo(prodStmts)
     val prodCat = prodInfo.metas
-    val backupCat = catalog(DumpSource.statements(spark, backupPath))
+    val backupCat = catalog(backupStmts)
 
     val commonTables = prodCat.keys.filter(backupCat.contains).toSeq
 
-    val prod = records(DumpSource.statements(spark, prodPath), prodCat)
+    val prod = records(prodStmts, prodCat)
       .filter(col("table").isInCollection(commonTables))
       .select(col("table"), col("pk"), lit(true).as("p_present"),
         col("ord_off").as("p_ord_off"), col("ord_row").as("p_ord_row"),
         col("vals").as("p_vals"), col("raw").as("p_raw"))
-    val backup = records(DumpSource.statements(spark, backupPath), backupCat)
+    val backup = records(backupStmts, backupCat)
       .filter(col("table").isInCollection(commonTables))
       .select(col("table"), col("pk"), lit(true).as("b_present"),
         col("ord_off").as("b_ord_off"), col("ord_row").as("b_ord_row"),
@@ -400,7 +418,7 @@ class SyncJob(spark: SparkSession) {
         when(col("b_present").isNull, Differ.OP_INSERT)
           .when(col("p_present").isNull, Differ.OP_DELETE)
           .when(!(col("p_vals") <=> col("b_vals")), Differ.OP_UPDATE))
-    (joined, prodInfo, backupCat, commonTables)
+    (joined, prodInfo, backupCat, commonTables, cleanup)
   }
 
   /** Everything in a SyncOutcome except the collected ops: table-set
@@ -433,7 +451,7 @@ class SyncJob(spark: SparkSession) {
   }
 
   def run(prodPath: String, backupPath: String): SyncOutcome = {
-    val (joined0, prodInfo, backupCat, commonTables) =
+    val (joined0, prodInfo, backupCat, commonTables, cleanup) =
       diffFrameInfo(prodPath, backupPath)
     val joined = joined0.cache()
 
@@ -451,6 +469,6 @@ class SyncJob(spark: SparkSession) {
         .as[DiffOp].collect().toSeq
 
       outcome.copy(ops = ops)
-    } finally joined.unpersist()
+    } finally { joined.unpersist(); cleanup() }
   }
 }
