@@ -187,7 +187,10 @@ object Dedup {
   }
 
   /** SimHash over distinct tokens: bit b of the result is set iff the
-    * majority of token hashes have bit b set. Pure column expression.
+    * majority of token hashes have bit b set. Pure column expression —
+    * fine for a handful of rows, but the `bits` filter lambdas re-inline
+    * the token-hash pipeline per bit (interpreted, ~bits× recompute); for
+    * table-scale use [[simhashTable]].
     */
   def simhash(textCol: Column, bits: Int = 32): Column = {
     val ht = transform(array_distinct(Portable.tokens(textCol)),
@@ -197,5 +200,25 @@ object Dedup {
       val cnt = size(filter(ht, h => (shiftright(h, b) % 2) === 1))
       when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** SimHash as explode → ONE grouped aggregation: each distinct token is
+    * hashed once, the per-bit majority counts are codegen'd sum
+    * aggregates sharing a single shuffle on id. Same results as
+    * [[simhash]]; the scalable formulation (cf. minhashSignatures).
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32): DataFrame = {
+    val hashed = spread(df, idCol)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(Portable.tokens(col(textCol)))).as("t"))
+      .select(col("id"), Portable.hash48(col("t")).as("h"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until bits).map(b => sum(shiftright(col("h"), b) % 2).as(s"c_$b"))
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until bits).map { b =>
+          when(col(s"c_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
   }
 }

@@ -70,4 +70,21 @@ object TextOps {
       array_min(transform(sh, s => md5(s.cast("binary")))),
       md5(text.cast("binary"))).as("fingerprint")
   }
+
+  /** [[fingerprint]] as explode → groupBy min: one md5 per (doc, shingle)
+    * in codegen, one shuffle on id, instead of the per-row interpreted
+    * transform+array_min lambda pipeline. Short documents (no shingles →
+    * no exploded rows) fall back to md5(text) through the left join.
+    * Output: (idCol, fingerprint).
+    */
+  def fingerprintTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val mins = Dedup.shingleTable(df, idCol, textCol, n)
+      .groupBy("id")
+      .agg(min(md5(col("shingle").cast("binary"))).as("fp"))
+    df.select(col(idCol), col(textCol).as("_text"))
+      .join(mins.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("fp"), md5(col("_text").cast("binary"))).as("fingerprint"))
+  }
 }

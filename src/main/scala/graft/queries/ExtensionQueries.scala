@@ -139,10 +139,13 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- q23
-  /** 32-bit SimHash per document (majority vote over token-hash bits). */
+  /** 32-bit SimHash per document (majority vote over token-hash bits),
+    * via the explode → single-grouped-agg formulation (one token-hash
+    * pass; the scalar column version recomputes the pipeline per bit).
+    */
   val q23: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    Dedup.simhashTable(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   val q23Sql: String = {
     val terms = (0 until 32).map { b =>
@@ -368,10 +371,12 @@ object ExtensionQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q33
-  /** Document fingerprint: min-md5 over word 4-gram shingles. */
+  /** Document fingerprint: min-md5 over word 4-gram shingles, via the
+    * explode → groupBy-min formulation (codegen'd md5 per shingle row
+    * instead of a per-row interpreted lambda chain).
+    */
   val q33: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .select(col("doc_id"), TextOps.fingerprint(col("text"), 4))
+    TextOps.fingerprintTable(Tables.documents(s, dir), "doc_id", "text", 4)
       .orderBy("doc_id")
   val q33Sql: String =
     """SELECT doc_id,
