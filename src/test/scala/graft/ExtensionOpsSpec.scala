@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.sources.JdbcSync
 
 /** Extension-operator properties that the SQL oracle can't express:
   * ANN recall vs brute force, LSH candidate soundness, multimodal
@@ -75,6 +76,49 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(bad.count() == 0)
     val badLen = joined.filter(col("n_bytes") =!= length(col("text")))
     assert(badLen.count() == 0) // ascii corpus: bytes == chars
+  }
+
+  test("simhashTable matches the scalar simhash column on every doc") {
+    val docs = Tables.documents(spark, dir).limit(50)
+    val scalar = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val table = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(table == scalar)
+  }
+
+  test("fingerprintTable matches the scalar fingerprint column, incl. short docs") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").limit(50)
+      .unionByName(Seq((999000L, "one two"), (999001L, "")).toDF("doc_id", "text"))
+    val scalar = docs.select(col("doc_id"), TextOps.fingerprint(col("text"), 4))
+      .as[(Long, String)].collect().toMap
+    val table = TextOps.fingerprintTable(docs, "doc_id", "text", 4)
+      .as[(Long, String)].collect().toMap
+    assert(table == scalar)
+  }
+
+  test("kmeansCentroids is deterministic and recovers directional clusters") {
+    // 5 clusters along distinct axes (assignment is max-dot, so clusters
+    // must differ in direction, not magnitude)
+    val train = Array.tabulate(40) { i =>
+      val k = i % 5
+      Array.tabulate(5)(d => if (d == k) 1000L + (i / 5) else (i / 5).toLong)
+    }
+    val a = Similarity.kmeansCentroids(train, 5, 3)
+    val b = Similarity.kmeansCentroids(train.map(_.clone()), 5, 3)
+    assert(a.length == 5)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // deterministic
+    // each centroid points along a distinct axis
+    assert(a.map(_.zipWithIndex.maxBy(_._1)._2).toSet == Set(0, 1, 2, 3, 4))
+  }
+
+  test("jdbc script helpers: statement split and quote-aware requoting") {
+    val script = "-- header\n\nINSERT INTO `t` (`a`) VALUES\n(1),\n(2);\n\n-- c\nDELETE FROM `t` WHERE `a` = 'x`;''y';"
+    val stmts = JdbcSync.statements(script)
+    assert(stmts.size == 2)
+    assert(stmts.head.startsWith("INSERT INTO") && stmts.head.endsWith("(2);"))
+    val requoted = JdbcSync.requoteIdentifiers(stmts(1), "\"")
+    assert(requoted == "DELETE FROM \"t\" WHERE \"a\" = 'x`;''y';")
   }
 
   test("quantized cosine of a vector with itself is 1.0") {
