@@ -80,6 +80,20 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
+  /** Embedding near-dup pairs blocked by random-hyperplane LSH bucket —
+    * the no-label scale path: vectors with cos ≥ minCos almost surely
+    * agree on every plane sign, so true near-dups land in the same
+    * bucket and the pair join is bucket-equi instead of all-pairs.
+    * Deterministic planes ⇒ exactly replayable by the SQL oracle.
+    */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, planes: Int = 8, dim: Int = 64,
+      digits: Int = 6): DataFrame = {
+    val withBlock = df.withColumn("_rhp_block",
+      rhpBucket(Portable.quantize(col(vecCol), Scale), planeMatrix(planes, dim)))
+    nearDupPairs(withBlock, idCol, vecCol, minCos, Some("_rhp_block"), digits)
+  }
+
   /** Deterministic ±1 random-hyperplane matrix (planes × dim), derived
     * from md5 so any engine/replica regenerates the identical planes.
     */

@@ -317,6 +317,59 @@ object ExtensionQueries {
       |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.999
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q28
+  /** Embedding near-dup pairs blocked by RHP-LSH bucket — the no-label
+    * scale path of q26. Deterministic planes ⇒ exact oracle.
+    */
+  val q28: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    Similarity.nearDupPairsLsh(corpus, "vec_id", "embedding", 0.999, planes = 8)
+      .orderBy("id_a", "id_b")
+  }
+  val q28Sql: String =
+    """WITH planes AS (
+      |  SELECT p, list(CASE WHEN ('0x'||substr(md5('plane_'||p||'_'||d),1,2))::BIGINT % 2 = 0
+      |                      THEN 1 ELSE -1 END ORDER BY d) AS pw
+      |  FROM range(8) t(p) CROSS JOIN range(64) dd(d) GROUP BY p),
+      |corpus AS (
+      |  SELECT vec_id AS id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id+1000000, embedding FROM embeddings WHERE vec_id%20=0),
+      |vec AS (
+      |  SELECT id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM corpus),
+      |blocks AS (
+      |  SELECT v.id,
+      |    sum(CASE WHEN list_dot_product(v.q, pl.pw) > 0 THEN 1 << pl.p ELSE 0 END) AS block
+      |  FROM vec v CROSS JOIN planes pl GROUP BY v.id),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    round(list_dot_product(va.q, vb.q) /
+      |      (sqrt(list_dot_product(va.q, va.q)) * sqrt(list_dot_product(vb.q, vb.q))), 6) AS cos
+      |  FROM blocks a JOIN blocks b ON a.block = b.block AND a.id < b.id
+      |  JOIN vec va ON va.id = a.id JOIN vec vb ON vb.id = b.id)
+      |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.999
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Skew-mitigated aggregation: two-phase salted count/sum over a
+    * deterministic row-hash salt — identical results to the plain
+    * aggregation (the oracle IS the plain aggregation).
+    */
+  val q29: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
+    graft.operators.Skew.saltedCountSum(li, Seq("l_returnflag"), Some("qty_c"))
+      .orderBy("l_returnflag")
+  }
+  val q29Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS s
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q30
   /** Language-ID heuristic (stopword ratio). */
   val q30: Q = (s, dir) =>
@@ -418,6 +471,8 @@ object ExtensionQueries {
     "q25_ann_lsh" -> q25,
     "q26_embed_neardup" -> q26,
     "q27_ann_ivf" -> q27,
+    "q28_embed_neardup_lsh" -> q28,
+    "q29_skew_salted_agg" -> q29,
     "q30_lang_id" -> q30,
     "q31_quality_score" -> q31,
     "q32_token_count" -> q32,
@@ -434,6 +489,8 @@ object ExtensionQueries {
     "q25_ann_lsh" -> q25Sql,
     "q26_embed_neardup" -> q26Sql,
     "q27_ann_ivf" -> q27Sql,
+    "q28_embed_neardup_lsh" -> q28Sql,
+    "q29_skew_salted_agg" -> q29Sql,
     "q30_lang_id" -> q30Sql,
     "q31_quality_score" -> q31Sql,
     "q32_token_count" -> q32Sql,

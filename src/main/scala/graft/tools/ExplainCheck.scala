@@ -8,7 +8,8 @@ object ExplainCheck {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q01_scan_filter","q02_agg_pricing","q03_join_agg","q06_table_diff")) {
+    val qs = if (args.nonEmpty) args.toSeq else Seq("q01_scan_filter","q02_agg_pricing","q03_join_agg","q06_table_diff")
+    for (q <- qs) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).split("\n").take(40).mkString("\n"))
