@@ -43,13 +43,17 @@ object ExtensionQueries {
       |UNION ALL SELECT doc_id+1000000 AS id, text || ' zq zq zq' AS text
       |FROM documents WHERE doc_id%10=0""".stripMargin
 
-  /** Shared shingle CTEs (3-gram, distinct, no fallback). */
+  /** Shared shingle CTEs (3-gram, distinct, no fallback): `sh` = string
+    * shingles, `shh` = the 48-bit portable hash the Spark side joins on
+    * (Dedup.hashedShingleTable), `sz` = per-doc set sizes over hashes.
+    */
   private val shingleCtes =
     """words AS (SELECT id, text, string_split_regex(lower(text), '\s+') AS w FROM corpus),
       |sh AS (SELECT DISTINCT id, unnest(CASE WHEN len(w) >= 3
       |  THEN list_distinct(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')))
       |  ELSE []::VARCHAR[] END) AS shingle FROM words),
-      |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id)""".stripMargin
+      |shh AS (SELECT id, ('0x'||substr(md5(shingle),1,12))::BIGINT AS shingle FROM sh),
+      |sz AS (SELECT id, count(*) AS sz FROM shh GROUP BY id)""".stripMargin
 
   // ---------------------------------------------------------------- q16
   /** JSON functions over the events props column. */
@@ -84,14 +88,14 @@ object ExtensionQueries {
     * exact (see Dedup.jaccardPairs scaladoc for the distortion bound).
     */
   val q21: Q = (s, dir) => {
-    val sh = Dedup.shingleTable(corpusNear(s, dir), "doc_id", "text", 3)
+    val sh = Dedup.hashedShingleTable(corpusNear(s, dir), "doc_id", "text", 3)
     Dedup.jaccardPairs(sh, 0.8, maxDocFreq = Some(64L)).orderBy("id_a", "id_b")
   }
   val q21Sql: String =
     s"""WITH corpus AS ($corpusNearSql),
        |$shingleCtes,
-       |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 64),
-       |shp AS (SELECT id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |hot AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) > 64),
+       |shp AS (SELECT id, shingle FROM shh WHERE shingle NOT IN (SELECT shingle FROM hot)),
        |pairs AS (
        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
        |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.id < b.id
@@ -115,11 +119,10 @@ object ExtensionQueries {
   val q22Sql: String =
     s"""WITH corpus AS ($corpusNearSql),
        |$shingleCtes,
-       |shl AS (SELECT id, CASE WHEN len(w) >= 3
-       |    THEN list_distinct(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')))
-       |    ELSE [lower(text)] END AS sl FROM words),
-       |hs AS (SELECT id, list_transform(sl,
-       |    s -> ('0x'||substr(md5(s),1,12))::BIGINT % 1000000007) AS hl FROM shl),
+       |hl_t AS (SELECT id, list(shingle % 1000000007) AS hl FROM shh GROUP BY id),
+       |fb AS (SELECT id, [('0x'||substr(md5(lower(text)),1,12))::BIGINT % 1000000007] AS hl
+       |  FROM corpus WHERE id NOT IN (SELECT id FROM shh)),
+       |hs AS (SELECT * FROM hl_t UNION ALL SELECT * FROM fb),
        |sig AS (SELECT id, list_transform(range(16),
        |    i -> list_min(list_transform(hl, h -> ((i*2+1)*h + 12289*i) % 1000000007))) AS sig FROM hs),
        |bands AS (SELECT id, band,
@@ -129,8 +132,8 @@ object ExtensionQueries {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
        |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
-       |  FROM cand c JOIN sh a ON a.id = c.id_a
-       |              JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+       |  FROM cand c JOIN shh a ON a.id = c.id_a
+       |              JOIN shh b ON b.id = c.id_b AND b.shingle = a.shingle
        |  GROUP BY 1, 2),
        |jac AS (SELECT id_a, id_b,
        |    round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jac
