@@ -71,6 +71,18 @@ object TextOps {
       md5(text.cast("binary"))).as("fingerprint")
   }
 
+  /** Polynomial (Rabin–Karp-style) rolling hash of the whole document:
+    * h = fold over character codes of (h·B + c) mod M — the classic
+    * content-defined-chunking/fingerprint primitive. Exact modular
+    * integer arithmetic left-to-right, so any engine reproduces it
+    * bit-for-bit (DuckDB: list_reduce over unicode codes with the same
+    * fold). B·M < 2⁶³ keeps the fold overflow-free in Long.
+    */
+  def rollingHash(text: Column, base: Long = 131L,
+      mod: Long = 1000000007L): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => (acc * base + ascii(c)) % mod)
+
   /** [[fingerprint]] as explode → groupBy min: one md5 per (doc, shingle)
     * in codegen, one shuffle on id, instead of the per-row interpreted
     * transform+array_min lambda pipeline. Short documents (no shingles →

@@ -445,6 +445,21 @@ object ExtensionQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** Whole-document polynomial rolling hash (Rabin–Karp primitive):
+    * order-sensitive fold over character codes, exact mod arithmetic.
+    */
+  val q34: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.rollingHash(col("text")).as("rolling_hash"))
+      .orderBy("doc_id")
+  val q34Sql: String =
+    """SELECT doc_id,
+      |  list_reduce([CAST(0 AS BIGINT)] ||
+      |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)),
+      |    (a, b) -> (a * 131 + b) % 1000000007) AS rolling_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q40
   /** Multimodal plumbing: binary payloads + partition-batched stub
     * feature extraction (see operators.Multimodal).
@@ -480,6 +495,7 @@ object ExtensionQueries {
     "q31_quality_score" -> q31,
     "q32_token_count" -> q32,
     "q33_fingerprint" -> q33,
+    "q34_rolling_hash" -> q34,
     "q40_multimodal_features" -> q40)
 
   val oracle: Map[String, String] = Map(
@@ -498,5 +514,6 @@ object ExtensionQueries {
     "q31_quality_score" -> q31Sql,
     "q32_token_count" -> q32Sql,
     "q33_fingerprint" -> q33Sql,
+    "q34_rolling_hash" -> q34Sql,
     "q40_multimodal_features" -> q40Sql)
 }
