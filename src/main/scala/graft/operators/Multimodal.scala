@@ -79,4 +79,32 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it => it.map(FeatureExtractor.decodeStub) }
   }
+
+  /** One sampled "frame" of a media payload. */
+  final case class MediaFrame(
+      id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)
+
+  /** Frame sampling: split each payload into `n` contiguous byte ranges
+    * ("frames" — a real video sampler would seek keyframes; the slicing,
+    * row fan-out, and per-partition decoder context are the production
+    * shape). Output size is n× the row count — the schema/partitioning
+    * consequence a 100 TB video pipeline actually has to plan for.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], n: Int)(
+      implicit spark: SparkSession): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5") // per-partition context
+      it.flatMap { m =>
+        val len = m.payload.length
+        (0 until n).iterator.map { i =>
+          val from = (i.toLong * len / n).toInt
+          val until = ((i + 1).toLong * len / n).toInt
+          val hex = md.digest(java.util.Arrays.copyOfRange(m.payload, from, until))
+            .map("%02x".format(_)).mkString
+          MediaFrame(m.id, i.toLong, (until - from).toLong, hex)
+        }
+      }
+    }
+  }
 }

@@ -479,6 +479,27 @@ object ExtensionQueries {
       |    (a,b) -> a+b) AS DOUBLE) / length(text), 4) AS mean_byte
       |FROM documents ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** Multimodal frame sampling: 4 byte-range "frames" per payload,
+    * partition-batched (see Multimodal.sampleFrames). ASCII payloads make
+    * DuckDB's substr/md5 replay the byte slicing exactly.
+    */
+  val q35: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    Multimodal.sampleFrames(Multimodal.toMedia(Tables.documents(s, dir)), 4)
+      .toDF().orderBy("id", "frame_idx")
+  }
+  val q35Sql: String =
+    """WITH f AS (SELECT doc_id AS id, text, length(text) AS len FROM documents),
+      |fr AS (SELECT id, i.i AS frame_idx,
+      |    ((i.i+1)*len)//4 - (i.i*len)//4 AS n_bytes,
+      |    md5(substr(text, CAST((i.i*len)//4 + 1 AS INT),
+      |      CAST(((i.i+1)*len)//4 - (i.i*len)//4 AS INT))) AS frame_md5
+      |  FROM f CROSS JOIN range(4) i(i))
+      |SELECT id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(n_bytes AS BIGINT) AS n_bytes, frame_md5
+      |FROM fr ORDER BY id, frame_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q16_json_funcs" -> q16,
     "q20_dedup_exact" -> q20,
@@ -496,6 +517,7 @@ object ExtensionQueries {
     "q32_token_count" -> q32,
     "q33_fingerprint" -> q33,
     "q34_rolling_hash" -> q34,
+    "q35_frame_sample" -> q35,
     "q40_multimodal_features" -> q40)
 
   val oracle: Map[String, String] = Map(
@@ -515,5 +537,6 @@ object ExtensionQueries {
     "q32_token_count" -> q32Sql,
     "q33_fingerprint" -> q33Sql,
     "q34_rolling_hash" -> q34Sql,
+    "q35_frame_sample" -> q35Sql,
     "q40_multimodal_features" -> q40Sql)
 }
