@@ -12,4 +12,25 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a sibling SparkSession over an existing SparkContext with the
+    * given extensions applied. `builder().withExtensions` is ignored when
+    * a session already exists (getOrCreate returns it), so tests — and
+    * hosts embedding the engine next to a live session — need the
+    * `private[sql]` constructor this bridges to.
+    */
+  def sessionWithExtensions(sc: org.apache.spark.SparkContext,
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit)
+      : org.apache.spark.sql.SparkSession = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    configure(ext)
+    // The 6-arg constructor is Scala-restricted beyond private[sql] but
+    // public in bytecode (the Builder calls it); reflection keeps this
+    // bridge source-compatible.
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getDeclaredConstructors.find(_.getParameterCount == 6).get
+    ctor.newInstance(sc, None, None, ext,
+      Map.empty[String, String], Map.empty[String, String])
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
+  }
 }

@@ -29,6 +29,15 @@ class LongArrayDotSpec extends SparkSuite {
     assert(got(1).isNullAt(0))
   }
 
+  test("GraftExtensions exposes long_array_dot to plain SQL") {
+    val s2 = org.apache.spark.sql.graft.Bridge.sessionWithExtensions(
+      spark.sparkContext, new GraftExtensions()(_))
+    val r = s2.sql(
+      "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect().head.getLong(0)
+    assert(r == 32L)
+  }
+
   test("participates in whole-stage codegen (generated loop present)") {
     // over plain array<bigint> attributes (the shape after a join/shuffle
     // boundary in the similarity operators); note a `transform` lambda in
