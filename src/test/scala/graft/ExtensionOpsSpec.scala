@@ -121,6 +121,27 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(requoted == "DELETE FROM \"t\" WHERE \"a\" = 'x`;''y';")
   }
 
+  test("docFreq-pruned jaccard pairs are a subset of unpruned pairs") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val sh = Dedup.hashedShingleTable(docs, "doc_id", "text", 3)
+    def pairs(cap: Option[Long]) =
+      Dedup.jaccardPairs(sh, 0.5, maxDocFreq = cap, persist = false)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unpruned = pairs(None)
+    val pruned = pairs(Some(8L))
+    assert(pruned.subsetOf(unpruned))
+  }
+
+  test("hashed shingle index yields the same jaccard pairs as string shingles") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").limit(100)
+    def run(sh: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardPairs(sh, 0.3, persist = false)
+        .as[(Long, Long, Double)].collect().toSet
+    val str = run(Dedup.shingleTable(docs, "doc_id", "text", 3))
+    val hashed = run(Dedup.hashedShingleTable(docs, "doc_id", "text", 3))
+    assert(hashed == str)
+  }
+
   test("quantized cosine of a vector with itself is 1.0") {
     val e = Tables.embeddings(spark, dir).limit(20)
     val dup = e.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
