@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Co-located joins via bucketing: write both sides bucketed (and
+  * sorted) on the join key, and every subsequent equi-join on that key
+  * is planned WITHOUT a shuffle exchange — the bucket files are the
+  * partitioning. This is the standard repeated-join amortization at
+  * 100 TB: pay one write-time shuffle, then every downstream join of the
+  * fact/dim pair is exchange-free.
+  */
+object Colocate {
+
+  /** Persist `df` as a bucketed+sorted table in the session catalog. */
+  def bucketize(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two tables previously bucketized on the same key with the same
+    * bucket count — plans as a shuffle-free (zipped-bucket) join.
+    */
+  def colocatedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}
