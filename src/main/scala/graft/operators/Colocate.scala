@@ -11,14 +11,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Colocate {
 
-  /** Persist `df` as a bucketed+sorted table in the session catalog. */
+  /** Persist `df` as a bucketed+sorted table in the session catalog.
+    * Drops any previous table AND its on-disk location first — a
+    * location orphaned by an earlier session (catalog entry gone, files
+    * present) would otherwise fail the CTAS with LOCATION_ALREADY_EXISTS.
+    */
   def bucketize(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two tables previously bucketized on the same key with the same
     * bucket count — plans as a shuffle-free (zipped-bucket) join.
