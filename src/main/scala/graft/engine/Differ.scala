@@ -62,6 +62,24 @@ object Differ {
   def stats(diffDf: DataFrame): DataFrame =
     diffDf.groupBy("op").agg(count(lit(1)).as("n"))
 
+  /** MERGE-style distributed apply: transform `backup` into the
+    * production state using a [[diff]] frame — the set-wise alternative
+    * to generating and replaying a SQL script (what `MERGE INTO` does on
+    * engines that have it). DELETE keys are anti-joined out, UPDATE and
+    * INSERT rows come in with their production values. One shuffle on the
+    * PK; no driver state.
+    */
+  def mergeApply(backup: DataFrame, diffDf: DataFrame,
+      pkCols: Seq[String]): DataFrame = {
+    val valueCols = backup.columns.filterNot(pkCols.contains).toSeq
+    val touched = diffDf.select(pkCols.map(col): _*)
+    val kept = backup.join(touched, pkCols, "left_anti")
+    val upserts = diffDf.filter(col("op") =!= OP_DELETE)
+      .select(pkCols.map(col) ++
+        valueCols.map(c => col(ProdPrefix + c).as(c)): _*)
+    kept.unionByName(upserts)
+  }
+
   /** Catalog diff on table-name sets — CREATE/DROP planning
     * (sync.py:245-253). Inputs are single-column `table` frames.
     */
