@@ -500,6 +500,29 @@ object ExtensionQueries {
       |  CAST(n_bytes AS BIGINT) AS n_bytes, frame_md5
       |FROM fr ORDER BY id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** KMV distinct-cardinality sketch (k=64) of parts per return flag —
+    * the portable, exactly-checkable alternative to HLL.
+    */
+  val q37: Q = (s, dir) =>
+    graft.operators.Sketches.kmvDistinct(
+      Tables.lineitem(s, dir), Seq("l_returnflag"), col("l_partkey"), 64)
+      .orderBy("l_returnflag")
+  val q37Sql: String = {
+    val const = (64 - 1) * graft.operators.Sketches.HashSpace
+    s"""WITH h AS (SELECT DISTINCT l_returnflag,
+       |    ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,12))::BIGINT AS h
+       |  FROM lineitem),
+       |r AS (SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+       |t AS (SELECT l_returnflag, count(*) AS n_kept, max(h) AS kth
+       |  FROM r WHERE rn <= 64 GROUP BY 1)
+       |SELECT l_returnflag,
+       |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+       |       ELSE round($const / kth, 2) END AS est_distinct
+       |FROM t ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q16_json_funcs" -> q16,
     "q20_dedup_exact" -> q20,
@@ -518,6 +541,7 @@ object ExtensionQueries {
     "q33_fingerprint" -> q33,
     "q34_rolling_hash" -> q34,
     "q35_frame_sample" -> q35,
+    "q37_kmv_distinct" -> q37,
     "q40_multimodal_features" -> q40)
 
   val oracle: Map[String, String] = Map(
@@ -538,5 +562,6 @@ object ExtensionQueries {
     "q33_fingerprint" -> q33Sql,
     "q34_rolling_hash" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
+    "q37_kmv_distinct" -> q37Sql,
     "q40_multimodal_features" -> q40Sql)
 }

@@ -202,8 +202,40 @@ object RelationalQueries2 {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Exact percentiles (linear interpolation over sorted integer cents —
+    * Spark `percentile` and DuckDB `quantile_cont` share the definition,
+    * and exact-integer inputs make the interpolation IEEE-identical).
+    */
+  val q36: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .withColumn("qty_c", cents(col("l_quantity")))
+      .withColumn("p_c", cents(col("l_extendedprice")))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(qty_c, 0.25)").as("qty_p25"),
+        expr("percentile(qty_c, 0.5)").as("qty_p50"),
+        expr("percentile(qty_c, 0.75)").as("qty_p75"),
+        expr("percentile(p_c, 0.5)").as("price_p50"),
+        expr("percentile(p_c, 0.99)").as("price_p99"))
+      .orderBy("l_returnflag")
+  }
+  val q36Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(qty_c, 0.25) AS qty_p25,
+      |  quantile_cont(qty_c, 0.5) AS qty_p50,
+      |  quantile_cont(qty_c, 0.75) AS qty_p75,
+      |  quantile_cont(p_c, 0.5) AS price_p50,
+      |  quantile_cont(p_c, 0.99) AS price_p99
+      |FROM (SELECT l_returnflag,
+      |    CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS p_c
+      |  FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q17_pivot" -> q17,
+    "q36_percentiles" -> q36,
     "q18_math_array" -> q18,
     "q19_rollup" -> q19,
     "q44_exact_stats" -> q44,
@@ -212,6 +244,7 @@ object RelationalQueries2 {
 
   val oracle: Map[String, String] = Map(
     "q17_pivot" -> q17Sql,
+    "q36_percentiles" -> q36Sql,
     "q18_math_array" -> q18Sql,
     "q19_rollup" -> q19Sql,
     "q44_exact_stats" -> q44Sql,
