@@ -142,6 +142,20 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(hashed == str)
   }
 
+  test("kmv sketch estimate is within 25% of the exact distinct count") {
+    val li = Tables.lineitem(spark, dir)
+    val est = graft.operators.Sketches
+      .kmvDistinct(li, Seq("l_returnflag"), col("l_partkey"), 64)
+      .as[(String, Double)].collect().toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).cast("double").as("n"))
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (flag, n) =>
+      val e = est(flag)
+      assert(math.abs(e - n) / n <= 0.25, s"$flag: est=$e exact=$n")
+    }
+  }
+
   test("quantized cosine of a vector with itself is 1.0") {
     val e = Tables.embeddings(spark, dir).limit(20)
     val dup = e.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
