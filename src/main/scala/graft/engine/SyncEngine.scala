@@ -217,12 +217,16 @@ class SyncJob(spark: SparkSession) {
     * order (a manifest-free total order).
     */
   def writeScriptDistributed(prodPath: String, backupPath: String,
-      outDir: String): Unit =
-    opsFrame(prodPath, backupPath)
+      outDir: String): Unit = {
+    val (joined, prodInfo, backupCat, commonTables, cleanup) =
+      diffFrameInfo(prodPath, backupPath)
+    try renderedOps(joined, prodInfo.metas, backupCat, commonTables)
       .filter(length(col("stmt")) > 0)
       .orderBy("section", "tbl_idx", "ordOff", "ordRow")
       .select("stmt")
       .write.mode("overwrite").text(outDir)
+    finally cleanup()
+  }
 
   /** Distributed FULL-script sink: emits the complete sync script —
     * header, DROP/CREATE sections, per-table banners, statements, stats
