@@ -101,6 +101,30 @@ object RelationalQueries2 {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY r_name, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** CUBE: all four grouping combinations of (status, priority) in one
+    * pass — the sibling of q19's ROLLUP, exercising full grouping sets.
+    */
+  val q38: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders_cube")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM v_orders_cube
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)
+  }
+  val q38Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   // ---------------------------------------------------------------- q44
   /** Statistical aggregates (mean/variance/correlation) computed from
     * exact integer sums — order-independent, unlike the built-in
@@ -236,6 +260,7 @@ object RelationalQueries2 {
   val queries: Map[String, Q] = Map(
     "q17_pivot" -> q17,
     "q36_percentiles" -> q36,
+    "q38_cube" -> q38,
     "q18_math_array" -> q18,
     "q19_rollup" -> q19,
     "q44_exact_stats" -> q44,
@@ -245,6 +270,7 @@ object RelationalQueries2 {
   val oracle: Map[String, String] = Map(
     "q17_pivot" -> q17Sql,
     "q36_percentiles" -> q36Sql,
+    "q38_cube" -> q38Sql,
     "q18_math_array" -> q18Sql,
     "q19_rollup" -> q19Sql,
     "q44_exact_stats" -> q44Sql,
