@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helpers called from both interpreted eval and generated Java
+  * (standalone objects get a mirror class with static forwarders, so
+  * `graft.functions.NativeHashUtil.hash48(...)` resolves from codegen).
+  */
+object NativeHashUtil {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 48 bits (6 bytes, big-endian) of md5 over the string's UTF-8
+    * bytes — numerically identical to parsing the first 12 hex digits of
+    * the md5 hex string, without materializing the hex string.
+    */
+  def hash48(s: UTF8String): Long = {
+    val m = md5.get()
+    m.reset()
+    val d = m.digest(s.getBytes)
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+  }
+
+  /** Left-to-right polynomial fold over the string's code points:
+    * h = (h·base + cp) mod m. Matches the portable
+    * `aggregate(split(text, ""), 0, (acc, c) -> (acc·base + ascii(c)) % m)`
+    * formulation (Java regex split("") yields per-code-point strings;
+    * ascii() is codePointAt(0)) in one fused loop with no allocation.
+    */
+  def rollingHash(s: UTF8String, base: Long, m: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * base + cp) % m
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Native codegen'd 48-bit md5 hash of a string column. The portable
+  * chain `conv(substring(md5(cast(c as binary)), 1, 12), 16, 10)` is
+  * semantically identical but allocates a 32-char hex string, a substring
+  * copy, and a decimal-string parse per row — this expression is one
+  * digest + a 6-byte combine. It is the hot inner hash of every shingle /
+  * MinHash / SimHash / KMV operator (millions of calls per partition at
+  * scale), and the DuckDB oracle form
+  * `('0x'||substr(md5(s),1,12))::BIGINT` is unchanged.
+  */
+case class Hash48(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    NativeHashUtil.hash48(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeHashUtil.hash48($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash48 =
+    copy(child = newChild)
+}
+
+object Hash48 {
+  def apply(c: Column): Column = Bridge.column(Hash48(Bridge.expression(c)))
+}
+
+/** Native codegen'd Rabin–Karp rolling hash of a whole string column
+  * (see [[NativeHashUtil.rollingHash]]). Replaces the
+  * `aggregate(split(text, ""), ...)` higher-order-function form, which
+  * materializes a one-char-per-element array and folds it with an
+  * interpreted lambda — per-character allocation on every row.
+  */
+case class RollingHash(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    NativeHashUtil.rollingHash(input.asInstanceOf[UTF8String], base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeHashUtil.rollingHash($c, ${base}L, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  def apply(c: Column, base: Long, mod: Long): Column =
+    Bridge.column(RollingHash(Bridge.expression(c), base, mod))
+}

@@ -20,10 +20,18 @@ object Portable {
   val P: Long = 1000000007L
 
   /** 48-bit md5-derived hash of a string column — portable, deterministic,
-    * order-free. Stays inside whole-stage codegen (conv/substring/md5 are
-    * all built-in expressions).
+    * order-free. Implemented as the native codegen'd [[Hash48]] expression
+    * (one digest + 6-byte combine per row); [[hash48Chain]] is the
+    * built-in-expression formulation it is bit-identical to.
     */
-  def hash48(c: Column): Column =
+  def hash48(c: Column): Column = Hash48(c.cast("string"))
+
+  /** The composed built-in form of [[hash48]] (md5 hex → substring →
+    * conv) — kept as the executable spec the native expression is checked
+    * against, and as the portable fallback for hosts that strip custom
+    * expressions.
+    */
+  def hash48Chain(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
 
   /** hash48 reduced mod P (safe operand for the a*h+b MinHash family). */

@@ -16,15 +16,19 @@ import graft.functions.Portable
   * deterministic and any engine replays the identical estimate
   * (exactly checkable by the DuckDB oracle).
   *
-  * Scale: the distinct() is one map-side-combining shuffle on
-  * (group, hash); the per-group min-k runs on the already-distinct
-  * hashes, partitioned by group. For very hot groups, pre-filter
-  * `h < t` with a generous threshold t before the window — KMV only
-  * ever looks at the smallest hashes.
+  * Scale: one hash aggregation on the group keys — the bounded
+  * [[graft.functions.MinKDistinctAggregator]] buffer dedups and keeps
+  * the k smallest hashes inside the aggregate, so partial (map-side)
+  * combining ships ≤ k longs per group per partition and there is no
+  * pre-distinct shuffle and no per-group global sort.
   */
 object Sketches {
 
   val HashSpace: Double = 281474976710656.0 // 2^48
+
+  private def estCol(k: Int): Column =
+    when(col("s.n_kept") < k, col("s.n_kept").cast("double"))
+      .otherwise(round(lit((k - 1) * HashSpace) / col("s.kth"), 2))
 
   /** Per-group KMV distinct-count estimate of `valueCol` (hashed via its
     * canonical string form so any engine reproduces it). Groups with
@@ -32,6 +36,21 @@ object Sketches {
     */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column,
       k: Int): DataFrame = {
+    val minK = graft.functions.MinKDistinctAggregator.minK(k)
+    df.select(groupCols.map(col) :+
+        Portable.hash48(valueCol.cast("string")).as("h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(minK(col("h")).as("s"))
+      .select(groupCols.map(col) :+ estCol(k).as("est_distinct"): _*)
+  }
+
+  /** The window-based formulation [[kmvDistinct]] is checked against in
+    * the spec: distinct → per-group row_number ≤ k → (count, max).
+    * Identical estimates, but the window sorts every distinct hash of a
+    * group in a single task — not for hot groups at scale.
+    */
+  def kmvDistinctViaWindow(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, k: Int): DataFrame = {
     val hashed = df
       .select(groupCols.map(col) :+
         Portable.hash48(valueCol.cast("string")).as("h"): _*)

@@ -80,6 +80,15 @@ object TextOps {
     */
   def rollingHash(text: Column, base: Long = 131L,
       mod: Long = 1000000007L): Column =
+    graft.functions.RollingHash(text, base, mod)
+
+  /** The higher-order-function form of [[rollingHash]] — kept as the
+    * executable spec the native expression is checked against. Not for
+    * hot paths: `split(text, "")` materializes a one-char-per-element
+    * array and the fold lambda runs interpreted on every row.
+    */
+  def rollingHashHof(text: Column, base: Long = 131L,
+      mod: Long = 1000000007L): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * base + ascii(c)) % mod)
 

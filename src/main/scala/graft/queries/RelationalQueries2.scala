@@ -132,19 +132,31 @@ object RelationalQueries2 {
     * double arithmetic.
     */
   val q44: Q = (s, dir) => {
-    // quadratic sums accumulate as DECIMAL (exact; long would overflow
-    // past ~2e18 at bench scale), finished in deterministic double math
+    // Exact split-Long quadratic sums. Per-row products always fit Long
+    // (p_c ≤ ~1e7 cents ⇒ p_c² ≤ ~1e14); only the group SUMS can
+    // overflow, so each product is split hi = x div 1e9 / lo = x mod 1e9
+    // and the halves are summed as plain Longs — the whole aggregate
+    // stays in cheap codegen'd 64-bit arithmetic (no 128-bit decimal
+    // math per row) and is recombined hi·1e9 + lo in the final
+    // projection with the identical IEEE double ops on both engines.
+    // q_c-only sums (sq, sqq) fit Long directly.
     val li = Tables.lineitem(s, dir)
-      .withColumn("q_c", cents(col("l_quantity")).cast("decimal(18,0)"))
-      .withColumn("p_c", cents(col("l_extendedprice")).cast("decimal(18,0)"))
+      .withColumn("q_c", cents(col("l_quantity")))
+      .withColumn("p_c", cents(col("l_extendedprice")))
+      .withColumn("pp", col("p_c") * col("p_c"))
+      .withColumn("qp", col("q_c") * col("p_c"))
     val d = (c: String) => col(c).cast("double")
+    val rec = (hi: String, lo: String) =>
+      col(hi).cast("double") * lit(1.0e9) + col(lo).cast("double")
     li.groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
         sum(col("q_c")).as("sq"), sum(col("p_c")).as("sp"),
         sum(col("q_c") * col("q_c")).as("sqq"),
-        sum(col("p_c") * col("p_c")).as("spp"),
-        sum(col("q_c") * col("p_c")).as("sqp"))
+        sum(expr("pp div 1000000000")).as("spphi"),
+        sum(col("pp") % 1000000000L).as("spplo"),
+        sum(expr("qp div 1000000000")).as("sqphi"),
+        sum(col("qp") % 1000000000L).as("sqplo"))
       .select(
         col("l_returnflag"),
         col("n"),
@@ -153,9 +165,9 @@ object RelationalQueries2 {
           sqrt((d("sqq") - d("sq") * d("sq") / col("n")) / col("n")) / 100.0,
           4).as("std_qty"),
         round(
-          (d("sqp") - d("sq") * d("sp") / col("n")) /
+          (rec("sqphi", "sqplo") - d("sq") * d("sp") / col("n")) /
             (sqrt(d("sqq") - d("sq") * d("sq") / col("n")) *
-             sqrt(d("spp") - d("sp") * d("sp") / col("n"))),
+             sqrt(rec("spphi", "spplo") - d("sp") * d("sp") / col("n"))),
           6).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
@@ -163,17 +175,22 @@ object RelationalQueries2 {
     """SELECT l_returnflag, n,
       |  round(CAST(sq AS DOUBLE)/(n*100.0), 4) AS mean_qty,
       |  round(sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n)/n)/100.0, 4) AS std_qty,
-      |  round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/n) /
+      |  round(((CAST(sqphi AS DOUBLE)*1e9 + CAST(sqplo AS DOUBLE)) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE)/n) /
       |    (sqrt(CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n) *
-      |     sqrt(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n)), 6) AS corr_qty_price
+      |     sqrt((CAST(spphi AS DOUBLE)*1e9 + CAST(spplo AS DOUBLE)) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n)), 6) AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag, count(*) AS n,
-      |    sum(q_c) AS sq, sum(p_c) AS sp,
-      |    sum(q_c*q_c) AS sqq, sum(p_c*p_c) AS spp, sum(q_c*p_c) AS sqp
-      |  FROM (SELECT l_returnflag,
-      |      CAST(CAST(round(l_quantity*100) AS BIGINT) AS DECIMAL(18,0)) AS q_c,
-      |      CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS DECIMAL(18,0)) AS p_c
-      |    FROM lineitem)
+      |    CAST(sum(q_c) AS BIGINT) AS sq, CAST(sum(p_c) AS BIGINT) AS sp,
+      |    CAST(sum(q_c*q_c) AS BIGINT) AS sqq,
+      |    CAST(sum(pp // 1000000000) AS BIGINT) AS spphi,
+      |    CAST(sum(pp % 1000000000) AS BIGINT) AS spplo,
+      |    CAST(sum(qp // 1000000000) AS BIGINT) AS sqphi,
+      |    CAST(sum(qp % 1000000000) AS BIGINT) AS sqplo
+      |  FROM (SELECT l_returnflag, q_c, p_c, p_c*p_c AS pp, q_c*p_c AS qp
+      |    FROM (SELECT l_returnflag,
+      |        CAST(round(l_quantity*100) AS BIGINT) AS q_c,
+      |        CAST(round(l_extendedprice*100) AS BIGINT) AS p_c
+      |      FROM lineitem))
       |  GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
@@ -232,16 +249,50 @@ object RelationalQueries2 {
     * and exact-integer inputs make the interpolation IEEE-identical).
     */
   val q36: Q = (s, dir) => {
-    Tables.lineitem(s, dir)
+    // Distributed exact percentiles via integer histograms. Spark's
+    // built-in `percentile` is a TypedImperativeAggregate buffering a
+    // value→count map per group on a single reducer — O(distinct) state
+    // in one task, which grows with data volume. Integer cents have a
+    // bounded domain, so instead: groupBy(flag, value).count() (fully
+    // distributed, map-side combining), a window cumulative sum over the
+    // *histogram* (domain-bounded, not data-bounded), and linear
+    // interpolation at rank p·(n-1) — the exact definition both Spark's
+    // percentile and DuckDB's quantile_cont implement, reproduced here
+    // value-for-value (lower + (upper-lower)·frac on exact ints).
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
       .withColumn("qty_c", cents(col("l_quantity")))
       .withColumn("p_c", cents(col("l_extendedprice")))
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(qty_c, 0.25)").as("qty_p25"),
-        expr("percentile(qty_c, 0.5)").as("qty_p50"),
-        expr("percentile(qty_c, 0.75)").as("qty_p75"),
-        expr("percentile(p_c, 0.5)").as("price_p50"),
-        expr("percentile(p_c, 0.99)").as("price_p99"))
+    def pcts(vcol: String, ps: Seq[(String, Double)]): DataFrame = {
+      val hist = li.groupBy(col("l_returnflag"), col(vcol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("l_returnflag").orderBy("v")))
+      val tot = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val j = cum.join(tot, "l_returnflag")
+      // value at 0-based sorted index i = first histogram row with cum > i
+      val lookups = ps.flatMap { case (nm, p) =>
+        val r = lit(p) * (col("n") - 1).cast("double")
+        Seq(
+          min(when(col("cum") > floor(r), col("v"))).as(s"${nm}_lo"),
+          min(when(col("cum") > ceil(r), col("v"))).as(s"${nm}_hi"))
+      }
+      val agg = j.groupBy("l_returnflag")
+        .agg(max(col("n")).as("n"), lookups: _*)
+      agg.select(col("l_returnflag") +: ps.map { case (nm, p) =>
+        val r = lit(p) * (col("n") - 1).cast("double")
+        val lo = col(s"${nm}_lo").cast("double")
+        val hi = col(s"${nm}_hi").cast("double")
+        // the symmetric interpolation both engines implement:
+        // (ceil-pos)·lo + (pos-floor)·hi, exact-position early-out
+        when(ceil(r) === floor(r), lo)
+          .otherwise((ceil(r).cast("double") - r) * lo +
+            (r - floor(r).cast("double")) * hi).as(nm)
+      }: _*)
+    }
+    pcts("qty_c", Seq(("qty_p25", 0.25), ("qty_p50", 0.5), ("qty_p75", 0.75)))
+      .join(pcts("p_c", Seq(("price_p50", 0.5), ("price_p99", 0.99))),
+        "l_returnflag")
       .orderBy("l_returnflag")
   }
   val q36Sql: String =

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.operators.{Sketches, TextOps}
+
+/** The native codegen'd hash expressions must agree exactly with the
+  * composed built-in formulations they replace — on real corpus data and
+  * on edge inputs (empty strings, unicode, nulls).
+  */
+class NativeHashesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("Hash48 matches the md5/substring/conv chain on document tokens") {
+    val toks = Tables.documents(spark, sf)
+      .select(explode(Portable.tokens(col("text"))).as("t"))
+    val diff = toks.select(
+        Portable.hash48(col("t")).as("fast"),
+        Portable.hash48Chain(col("t")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
+  test("Hash48 edge inputs: empty, unicode, null") {
+    val df = Seq(Some(""), Some("héllo wörld ✓"), Some("a"), None)
+      .toDF("s")
+    val rows = df.select(
+      Portable.hash48(col("s")).as("fast"),
+      Portable.hash48Chain(col("s")).as("ref")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0))
+      else assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("RollingHash matches the aggregate(split(...)) fold on documents") {
+    val diff = Tables.documents(spark, sf)
+      .select(
+        TextOps.rollingHash(col("text")).as("fast"),
+        TextOps.rollingHashHof(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
+  test("RollingHash edge inputs match the HOF form") {
+    val df = Seq(Some(""), Some("a"), Some("ab"), Some("héllo ✓ wörld"), None)
+      .toDF("s")
+    val rows = df.select(
+      TextOps.rollingHash(col("s")).as("fast"),
+      TextOps.rollingHashHof(col("s")).as("ref")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0))
+      else assert(r.getLong(0) == r.getLong(1), s"row $r")
+    }
+  }
+
+  test("bounded min-k KMV estimates identical to the window formulation") {
+    val li = Tables.lineitem(spark, sf)
+    val fast = Sketches.kmvDistinct(li, Seq("l_returnflag"), col("l_partkey"), 64)
+    val ref = Sketches.kmvDistinctViaWindow(
+      li, Seq("l_returnflag"), col("l_partkey"), 64)
+    val j = fast.withColumnRenamed("est_distinct", "a")
+      .join(ref.withColumnRenamed("est_distinct", "b"), "l_returnflag")
+    assert(j.count() == 3)
+    assert(j.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("min-k KMV exact-count branch for small groups (n_distinct < k)") {
+    val small = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("h", 9L)).toDF("g", "v")
+    val got = Sketches.kmvDistinct(small, Seq("g"), col("v"), 64)
+      .orderBy("g").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("g", 2.0), ("h", 1.0)))
+  }
+}
