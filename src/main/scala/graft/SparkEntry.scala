@@ -21,11 +21,13 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.RelationalQueries2.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.ExtensionQueries.queries
+      graft.queries.ExtensionQueries.queries ++
+      graft.queries.TypedQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
       graft.queries.RelationalQueries2.oracle ++
       graft.queries.EventQueries.oracle ++
-      graft.queries.ExtensionQueries.oracle
+      graft.queries.ExtensionQueries.oracle ++
+      graft.queries.TypedQueries.oracle
 }

@@ -9,12 +9,18 @@ package graft.model
   * @param pkCols     primary-key columns from the reference's fallback
   *                   chain (explicit single-col PK → AUTO_INCREMENT → "id")
   * @param createStmt full CREATE TABLE statement text (with trailing ';')
+  * @param colTypes   raw SQL type token per column (e.g. "INT(11)",
+  *                   "VARCHAR(255)", "DATETIME") in declaration order —
+  *                   the tokens the reference discards (sync.py:74-87
+  *                   keeps names only); typed native mode
+  *                   ([[graft.engine.TypedMode]]) maps them to Spark types
   */
 final case class TableMeta(
     name: String,
     columns: IndexedSeq[String],
     pkCols: IndexedSeq[String],
-    createStmt: String)
+    createStmt: String,
+    colTypes: IndexedSeq[String] = IndexedSeq.empty)
 
 /** One dump statement: byte offset of the statement start within the dump
   * file (global order key, stable across partitioned reads) + text.

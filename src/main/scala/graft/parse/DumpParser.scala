@@ -32,6 +32,7 @@ object DumpParser {
   private val CreateHead = "(?is)CREATE TABLE.*?`(\\w+)`\\s*\\((.*?)\\)\\s*ENGINE.*".r
   private val InsertHead = "(?is)\\s*INSERT INTO\\s+`(\\w+)`\\s*\\([^)]+\\)\\s*VALUES\\s*(.*)".r
   private val ColumnLine = "`(\\w+)`.*".r
+  private val ColumnTypeLine = "`(\\w+)`\\s+([A-Za-z]+(?:\\s*\\([^)]*\\))?).*".r
   private val PkLine = "(?is).*?PRIMARY KEY\\s*\\(\\s*`([^`]+)`\\s*\\).*".r
   private val AutoIncCol = "(?i)`(\\w+)`[^,\\n]*AUTO_INCREMENT".r
 
@@ -42,7 +43,8 @@ object DumpParser {
         name = name,
         columns = extractColumns(body),
         pkCols = extractPrimaryKey(body),
-        createStmt = stmtText.trim + ";"))
+        createStmt = stmtText.trim + ";",
+        colTypes = extractColumnTypes(body)))
     case _ => None
   }
 
@@ -54,6 +56,22 @@ object DumpParser {
       .map(_.trim)
       .filter(l => l.startsWith("`"))
       .collect { case ColumnLine(name) => name }
+      .toIndexedSeq
+
+  /** Raw SQL type token per column line, aligned with [[extractColumns]]
+    * (empty token for a column line whose type does not parse). The
+    * reference keeps only names (sync.py:74-87); typed native mode uses
+    * these to emit Long/Double/Timestamp/Decimal columns instead of
+    * all-string compat frames.
+    */
+  def extractColumnTypes(tableDef: String): IndexedSeq[String] =
+    tableDef.split('\n').iterator
+      .map(_.trim)
+      .filter(l => l.startsWith("`"))
+      .collect {
+        case ColumnTypeLine(_, tpe) => tpe.replaceAll("\\s+", "")
+        case ColumnLine(_) => ""
+      }
       .toIndexedSeq
 
   /** PK fallback chain: explicit single-column PRIMARY KEY →

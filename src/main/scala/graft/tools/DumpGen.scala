@@ -24,7 +24,7 @@ object DumpGen {
   /** Bump when the generated dump format/perturbation changes so cached
     * bench dump pairs regenerate instead of silently drifting.
     */
-  val FormatVersion = 1
+  val FormatVersion = 2
 
   val TablePks: Seq[(String, String)] = Seq(
     "customer" -> "c_custkey", "orders" -> "o_orderkey",
@@ -35,10 +35,15 @@ object DumpGen {
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
     .withZone(ZoneOffset.UTC)
 
+  private val LdtFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
   def sqlLit(v: Any): String = v match {
     case null => "NULL"
     case s: String => "'" + s.replace("'", "''") + "'"
     case t: java.sql.Timestamp => "'" + TsFmt.format(t.toInstant) + "'"
+    case t: java.time.LocalDateTime => "'" + LdtFmt.format(t) + "'" // NTZ columns
+    case d: java.sql.Date => "'" + d.toString + "'"
+    case d: java.time.LocalDate => "'" + d.toString + "'"
     case d: Double => d.toString
     case x => x.toString
   }
@@ -49,6 +54,7 @@ object DumpGen {
       val t = f.dataType.typeName match {
         case "string" => "VARCHAR(255)"
         case s if s.startsWith("timestamp") => "DATETIME"
+        case "double" | "float" => "DOUBLE"
         case _ => "BIGINT"
       }
       s"  `${f.name}` $t,"
@@ -63,6 +69,46 @@ object DumpGen {
       val vals = batch.map(r => "(" + r.map(sqlLit).mkString(", ") + ")")
       s"INSERT INTO `$name` ($collist) VALUES\n" + vals.mkString(",\n") + ";"
     }.toSeq
+  }
+
+  /** Single-table dump pair whose backup perturbation is keyed on the PK
+    * VALUE (pk%20) instead of the row index, so the expected typed diff
+    * is expressible in plain SQL over the source parquet (the driver's
+    * DuckDB oracle replays it):
+    *  - pk ≡ 0 (mod 20) dropped from backup        → INSERT ops
+    *  - pk ≡ 1 (mod 20) first string col MODIFIED  → UPDATE ops
+    *  - pk ≡ 2 (mod 20) re-keyed past max PK       → DELETE ops
+    *    (new pk = maxPk + rank(pk ascending), deterministic)
+    * Cached: returns existing files if both are already present.
+    */
+  def generatePkKeyed(spark: SparkSession, sfDir: String, outDir: String,
+      table: String, pk: String): (Path, Path) = {
+    val prodPath = Paths.get(outDir, s"${table}_prod.sql")
+    val backupPath = Paths.get(outDir, s"${table}_backup.sql")
+    if (Files.exists(prodPath) && Files.exists(backupPath))
+      return (prodPath, backupPath)
+    Files.createDirectories(Paths.get(outDir))
+    val df = Tables.load(spark, sfDir, table)
+    val cols = df.columns.toSeq
+    val pkIdx = cols.indexOf(pk)
+    val rows: Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
+    def pkOf(r: Seq[Any]): Long = r(pkIdx).toString.toLong
+    val strIdx = df.schema.fields.indexWhere(f =>
+      f.dataType.typeName == "string" && f.name != pk)
+    val kept = rows.collect {
+      case r if pkOf(r) % 20 != 0 =>
+        if (pkOf(r) % 20 == 1 && strIdx >= 0) r.updated(strIdx, "MODIFIED")
+        else r
+    }
+    val maxPk = rows.map(pkOf).max
+    val extras = rows.filter(r => pkOf(r) % 20 == 2).sortBy(pkOf)
+      .zipWithIndex.map { case (r, j) => r.updated(pkIdx, maxPk + 1 + j) }
+    val d = ddl(table, df.schema, pk)
+    Files.write(prodPath,
+      (d +: inserts(table, cols, rows)).mkString("\n").getBytes("UTF-8"))
+    Files.write(backupPath,
+      (d +: inserts(table, cols, kept ++ extras)).mkString("\n").getBytes("UTF-8"))
+    (prodPath, backupPath)
   }
 
   /** Write prod/backup dump files for a scale-factor dir; returns the
