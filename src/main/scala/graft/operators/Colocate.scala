@@ -15,13 +15,19 @@ object Colocate {
     * Drops any previous table AND its on-disk location first — a
     * location orphaned by an earlier session (catalog entry gone, files
     * present) would otherwise fail the CTAS with LOCATION_ALREADY_EXISTS.
+    * The location is resolved through the session catalog
+    * ([[org.apache.spark.sql.graft.Bridge.tableLocation]]: the existing
+    * table's metadata location, else `defaultTablePath`), never derived
+    * by convention — a convention path misses non-default databases and
+    * could delete an unrelated same-named directory under the warehouse
+    * root.
     */
   def bucketize(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/" + table.toLowerCase)
+      org.apache.spark.sql.graft.Bridge.tableLocation(spark, table))
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)

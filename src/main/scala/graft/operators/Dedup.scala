@@ -41,7 +41,10 @@ object Dedup {
     */
   private def spread(df: DataFrame, idCol: String): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, col(idCol))
+    // toRdd reuses the already-planned queryExecution (no job, no extra
+    // InternalRow→Row conversion layer the .rdd accessor would add)
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target, col(idCol))
     else df
   }
 
@@ -84,8 +87,20 @@ object Dedup {
     * rule, so the spec is deterministic and exactly checkable.
     */
   def jaccardPairs(sh: DataFrame, threshold: Double, digits: Int = 4,
-      maxDocFreq: Option[Long] = None, persist: Boolean = true): DataFrame = {
+      maxDocFreq: Option[Long] = None, persist: Boolean = true): DataFrame =
+    jaccardPairsManaged(sh, threshold, digits, maxDocFreq, persist)._1
+
+  /** [[jaccardPairs]] plus a cleanup thunk that unpersists the internal
+    * shingle cache — call it after the consuming action. The thunk-less
+    * overload leaves the cache to the session (fine for one-shot jobs;
+    * long-running hosts should use this one, cf. SyncJob's diffFrameInfo
+    * cleanup).
+    */
+  def jaccardPairsManaged(sh: DataFrame, threshold: Double, digits: Int = 4,
+      maxDocFreq: Option[Long] = None, persist: Boolean = true)
+      : (DataFrame, () => Unit) = {
     val s = if (persist) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
+    val cleanup = () => if (persist) { s.unpersist(); () }
     val sizes = s.groupBy("id").agg(count(lit(1)).as("sz"))
     val index = maxDocFreq match {
       case None => s
@@ -98,13 +113,14 @@ object Dedup {
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jac", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")), digits))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+    (pairs, cleanup)
   }
 
   /** MinHash signatures via grouped aggregation: sig[i] = min over
@@ -180,7 +196,18 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, digits: Int = 4,
-      persist: Boolean = true): DataFrame = {
+      persist: Boolean = true): DataFrame =
+    minhashLshPairsManaged(df, idCol, textCol, shingleN, numHashes, bands,
+      threshold, digits, persist)._1
+
+  /** [[minhashLshPairs]] plus a cleanup thunk unpersisting the internal
+    * shingle + band caches — call after the consuming action (see
+    * [[jaccardPairsManaged]]).
+    */
+  def minhashLshPairsManaged(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, digits: Int = 4,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
     val lvl = StorageLevel.MEMORY_AND_DISK
     val sh0 = hashedShingleTable(df, idCol, textCol, shingleN)
     val sh = if (persist) sh0.persist(lvl) else sh0
@@ -188,12 +215,13 @@ object Dedup {
       alreadyHashed = true)
     val bands0 = lshBandsFrom(sigs, numHashes, bands)
     val bandsDf = if (persist) bands0.persist(lvl) else bands0
+    val cleanup = () => if (persist) { sh.unpersist(); bandsDf.unpersist(); () }
     val cand = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    cand
+    val pairs = cand
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
@@ -203,6 +231,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")), digits))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+    (pairs, cleanup)
   }
 
   /** SimHash over distinct tokens: bit b of the result is set iff the

@@ -80,6 +80,53 @@ object Multimodal {
     media.mapPartitions { it => it.map(FeatureExtractor.decodeStub) }
   }
 
+  /** Real-decode features for image payloads (see [[decodeImage]]). */
+  final case class ImageFeatures(
+      id: Long, width: Long, height: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL image decode via javax.imageio (pure-JVM readers: PNG, BMP,
+    * GIF, JPEG — no native codec libraries needed): mean per-channel
+    * intensity over all pixels. Returns None for payloads ImageIO cannot
+    * decode, so mixed corpora degrade gracefully to the stub path.
+    * Exact means: integer channel sums, HALF_UP rounding at 4 digits —
+    * deterministic across partitionings.
+    */
+  def decodeImage(m: MediaRecord): Option[ImageFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = im.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      def mean(s: Long): Double =
+        java.math.BigDecimal.valueOf(s.toDouble / n)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      ImageFeatures(m.id, w.toLong, h.toLong, mean(r), mean(g), mean(b))
+    }
+  }
+
+  /** Partition-batched REAL image feature extraction — the same
+    * mapPartitions shape as [[extractFeatures]], with undecodable
+    * payloads dropped (flatMap over [[decodeImage]]).
+    */
+  def extractImageFeatures(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(decodeImage))
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class MediaFrame(
       id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)

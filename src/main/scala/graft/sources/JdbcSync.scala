@@ -50,18 +50,35 @@ object JdbcSync {
 
   /** Split a sync script into executable statements: comment-only lines
     * (`-- …`) and blank lines between statements are dropped; anything
-    * else accumulates until a line ends with `;`.
+    * else accumulates until a line ends with `;` OUTSIDE a single-quoted
+    * literal — the quote state (with `''` escapes) is tracked across
+    * lines, so a literal containing raw newlines and a `;`-terminated
+    * line does not split the statement mid-string. (A `''` escape split
+    * exactly across a line boundary is not representable in SQL text and
+    * is not handled.)
     */
   def statements(script: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
+    var inString = false
     script.split("\n", -1).foreach { line =>
       val t = line.trim
-      if (cur.isEmpty && (t.isEmpty || t.startsWith("--"))) ()
+      if (cur.isEmpty && !inString && (t.isEmpty || t.startsWith("--"))) ()
       else {
         if (cur.nonEmpty) cur.append('\n')
         cur.append(line)
-        if (t.endsWith(";")) { out += cur.result(); cur.clear() }
+        var i = 0
+        while (i < line.length) {
+          val c = line.charAt(i)
+          if (inString) {
+            if (c == '\'') {
+              if (i + 1 < line.length && line.charAt(i + 1) == '\'') i += 1
+              else inString = false
+            }
+          } else if (c == '\'') inString = true
+          i += 1
+        }
+        if (!inString && t.endsWith(";")) { out += cur.result(); cur.clear() }
       }
     }
     if (cur.nonEmpty) out += cur.result()
@@ -105,6 +122,18 @@ object JdbcSync {
     * UPDATE → INSERT), executeBatch-ed in chunks. `identifierQuote`
     * rewrites backtick identifiers for non-MySQL targets. Returns the
     * number of statements executed.
+    *
+    * Atomicity caveat: the single transaction holds only on engines
+    * without implicit DDL commits. On MySQL — the reference's stated
+    * target — every DROP/CREATE TABLE implicitly commits, so a mid-script
+    * failure of a script WITH table-structure sections leaves the
+    * committed DDL plus any DML batches executed before it. DML-only
+    * scripts (no missing/extra tables) roll back as one unit everywhere.
+    * For a restartable DDL-bearing apply, split the script at section
+    * banners and re-run from the failed section: DROP IF EXISTS and the
+    * PK-keyed DELETE/UPDATE statements re-run cleanly; the INSERT section
+    * is plain INSERTs and must resume from the failing statement (or use
+    * [[graft.engine.Differ.mergeApply]] for a set-wise idempotent apply).
     *
     * This is intentionally a single-connection driver-side apply: a sync
     * script is a serializable change-set whose statement order must be

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -83,16 +85,21 @@ object DumpWatchSync {
       .write.mode(SaveMode.Append).parquet(s"$stateDir/ops")
 
     // full-script emission vs the previous dump file: the reference's
-    // two-snapshot semantics, so the batch engine runs as-is and the
-    // script bytes match the CLI run on the same pair by construction
+    // two-snapshot semantics. Rendered through the DISTRIBUTED full-script
+    // sink (executor-side statement rendering, O(tables) driver rows) —
+    // job.run would collect every op (with both value arrays) to the
+    // driver per arrival, reintroducing exactly the driver-sized
+    // collection the distributed sink exists to avoid. The sorted part
+    // files concatenate to the batch CLI's script + trailing '\n'
+    // (DistributedSinkSpec), so the emitted .sql stays byte-identical.
     if (emitScripts) {
       readState(latestDumpPath(stateDir)).foreach { prevDump =>
-        val outcome = job.run(dumpPath, prevDump)
-        val script = SyncSqlGenerator.assemble(outcome, scriptTs)
+        val partsDir = Files.createTempDirectory("graft_watch_script")
+        job.syncDistributed(dumpPath, prevDump, partsDir.toString, scriptTs)
         val scriptsDir = Paths.get(stateDir, "scripts")
         Files.createDirectories(scriptsDir)
         val name = f"sync_b$batchId%05d_${Paths.get(dumpPath).getFileName}.sql"
-        Files.write(scriptsDir.resolve(name), script.getBytes("UTF-8"))
+        writeConcatenated(partsDir, scriptsDir.resolve(name))
       }
       Files.write(latestDumpPath(stateDir), dumpPath.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -102,6 +109,28 @@ object DumpWatchSync {
     incoming.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$newVersion")
     Files.write(latestPath(stateDir), newVersion.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Concatenate a text sink's sorted part files into one script file,
+    * dropping the sink's trailing newline so the bytes equal
+    * SyncSqlGenerator.assemble's output; the parts dir is removed.
+    * Streams file-to-file — never holds the script in driver memory.
+    */
+  private def writeConcatenated(partsDir: java.nio.file.Path,
+      target: java.nio.file.Path): Unit = {
+    val parts = Files.list(partsDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+    val out = Files.newOutputStream(target,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try parts.foreach(p => Files.copy(p, out))
+    finally out.close()
+    // drop the text sink's final '\n' for byte parity with assemble()
+    val ch = java.nio.channels.FileChannel.open(target,
+      StandardOpenOption.WRITE)
+    try if (ch.size() > 0) ch.truncate(ch.size() - 1)
+    finally ch.close()
+    Files.walk(partsDir).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
   }
 
   /** Start watching `watchDir` for *.sql dump arrivals. */

@@ -33,4 +33,20 @@ object Bridge {
       Map.empty[String, String], Map.empty[String, String])
       .asInstanceOf[org.apache.spark.sql.SparkSession]
   }
+
+  /** Catalog-resolved on-disk location of `table`: the table's actual
+    * metadata location when it exists, else the path the catalog WOULD
+    * assign (`defaultTablePath` — honors the current database's
+    * `<db>.db/` directory and custom warehouse roots). Convention-derived
+    * `warehouse.dir + "/" + name` paths are wrong outside the default
+    * database and can point at unrelated directories.
+    */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession,
+      table: String): java.net.URI = {
+    val catalog = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (catalog.tableExists(id)) catalog.getTableMetadata(id).location
+    else catalog.defaultTablePath(id)
+  }
 }

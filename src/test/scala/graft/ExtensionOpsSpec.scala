@@ -121,6 +121,18 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(requoted == "DELETE FROM \"t\" WHERE \"a\" = 'x`;''y';")
   }
 
+  test("jdbc statement split: ';'-terminated line inside a literal does not split") {
+    val script =
+      "INSERT INTO `t` (`a`) VALUES ('line one;\nline two');\nDELETE FROM `t` WHERE `a` = 1;"
+    val stmts = JdbcSync.statements(script)
+    assert(stmts.size == 2)
+    assert(stmts.head == "INSERT INTO `t` (`a`) VALUES ('line one;\nline two');")
+    assert(stmts(1) == "DELETE FROM `t` WHERE `a` = 1;")
+    // comment-looking line inside an open literal is content, not comment
+    val s2 = JdbcSync.statements("UPDATE `t` SET `a` = 'x;\n-- not a comment\ny';")
+    assert(s2 == Seq("UPDATE `t` SET `a` = 'x;\n-- not a comment\ny';"))
+  }
+
   test("docFreq-pruned jaccard pairs are a subset of unpruned pairs") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val sh = Dedup.hashedShingleTable(docs, "doc_id", "text", 3)

@@ -1,0 +1,67 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRecord
+
+/** The real javax.imageio decode path: generated PNG/BMP fixtures flow
+  * through the same partition-batched extractor as the stub, and the
+  * pixel statistics must match values computed directly from the
+  * generator formula.
+  */
+class MultimodalImageSpec extends SparkSuite {
+  import spark.implicits._
+  private implicit val sp: org.apache.spark.sql.SparkSession = spark
+
+  /** Deterministic w×h test image: rgb(x,y) = ((x*7+y) , (y*5) , (x+y*3))
+    * mod 256.
+    */
+  private def fixture(w: Int, h: Int, format: String): Array[Byte] = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ((x * 7 + y) % 256, (y * 5) % 256, (x + y * 3) % 256)
+      im.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(im, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  private def expectedMeans(w: Int, h: Int): (Double, Double, Double) = {
+    var r = 0L; var g = 0L; var b = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      r += (x * 7 + y) % 256; g += (y * 5) % 256; b += (x + y * 3) % 256
+    }
+    val n = (w * h).toDouble
+    def m(s: Long) = java.math.BigDecimal.valueOf(s / n)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    (m(r), m(g), m(b))
+  }
+
+  test("PNG and BMP fixtures decode to exact pixel means") {
+    for (fmt <- Seq("png", "bmp")) {
+      val (w, h) = (32, 17)
+      val media = Seq(MediaRecord(1L, fixture(w, h, fmt), s"image/$fmt", w))
+        .toDS().repartition(4)
+      val got = Multimodal.extractImageFeatures(media).collect()
+      assert(got.length == 1, fmt)
+      val f = got.head
+      val (er, eg, eb) = expectedMeans(w, h)
+      assert((f.width, f.height) == (w.toLong, h.toLong), fmt)
+      assert((f.mean_r, f.mean_g, f.mean_b) == (er, eg, eb), fmt)
+    }
+  }
+
+  test("undecodable payloads are dropped, decodable ones kept") {
+    val media = Seq(
+      MediaRecord(1L, fixture(8, 8, "png"), "image/png", 8),
+      MediaRecord(2L, "not an image at all".getBytes("UTF-8"), "text/plain", 0))
+      .toDS()
+    val got = Multimodal.extractImageFeatures(media).collect()
+    assert(got.map(_.id).toSeq == Seq(1L))
+  }
+}
