@@ -1,0 +1,61 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Colocate
+import graft.sources.DumpSource
+
+/** Bucketed sync fast-path: persist a dump's parsed+deduped record frame
+  * as a catalog table bucketed AND sorted on (table, pk). The write pays
+  * the record shuffle ONCE; every later diff between two such snapshots
+  * plans as a zipped-bucket sort-merge join with ZERO shuffle exchanges —
+  * the repeated-sync amortization (nightly dumps against the same backup
+  * snapshot, N×M dump-pair comparisons) at 100 TB, where the record
+  * shuffle dominates the diff cost.
+  *
+  * The diff classification is identical to the streaming-parse path
+  * (SyncJob.diffFrameInfo): BucketedSyncSpec asserts op-for-op equality
+  * with SyncJob.run and an exchange-free physical plan.
+  */
+object BucketedSync {
+
+  /** Columns of a persisted snapshot (SyncJob.records output order). */
+  private val RecordCols =
+    Seq("table", "pk", "ord_off", "ord_row", "vals", "raw")
+
+  /** Parse + dedup a dump and persist its record frame bucketed+sorted on
+    * (table, pk). One-time cost ≈ one sync's parse half; `buckets` must
+    * match between snapshots that will be diffed.
+    */
+  def snapshot(spark: SparkSession, dumpPath: String, tableName: String,
+      buckets: Int = 32): Unit = {
+    val job = new SyncJob(spark)
+    val stmts = DumpSource.statements(spark, dumpPath)
+    val cat = job.catalog(stmts)
+    val recs = job.records(stmts, cat).select(RecordCols.map(col): _*)
+    Colocate.bucketizeKeys(recs, tableName, Seq("table", "pk"), buckets)
+  }
+
+  /** Diff two bucketed snapshots: the sync core's full-outer join +
+    * 3-way classification, planned without any Exchange (bucket files ARE
+    * the (table, pk) partitioning on both sides).
+    */
+  def diff(spark: SparkSession, prodTable: String,
+      backupTable: String): DataFrame = {
+    val p = spark.table(prodTable).select(col("table"), col("pk"),
+      lit(true).as("p_present"),
+      col("ord_off").as("p_ord_off"), col("ord_row").as("p_ord_row"),
+      col("vals").as("p_vals"), col("raw").as("p_raw"))
+    val b = spark.table(backupTable).select(col("table"), col("pk"),
+      lit(true).as("b_present"),
+      col("ord_off").as("b_ord_off"), col("ord_row").as("b_ord_row"),
+      col("vals").as("b_vals"))
+    p.join(b, Seq("table", "pk"), "full_outer")
+      .withColumn("op",
+        when(col("b_present").isNull, Differ.OP_INSERT)
+          .when(col("p_present").isNull, Differ.OP_DELETE)
+          .when(!(col("p_vals") <=> col("b_vals")), Differ.OP_UPDATE))
+      .filter(col("op").isNotNull)
+  }
+}

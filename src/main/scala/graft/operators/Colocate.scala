@@ -23,6 +23,13 @@ object Colocate {
     * root.
     */
   def bucketize(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    bucketizeKeys(df, table, Seq(key), buckets)
+
+  /** [[bucketize]] on a composite key (e.g. the sync engine's
+    * (table, pk)): joins on exactly this column set plan exchange-free.
+    */
+  def bucketizeKeys(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int): Unit = {
     val spark = df.sparkSession
     val loc = new org.apache.hadoop.fs.Path(
@@ -32,8 +39,8 @@ object Colocate {
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
 

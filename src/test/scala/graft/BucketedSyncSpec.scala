@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.engine.{BucketedSync, SyncJob}
+
+/** The bucketed fast-path must classify identically to the streaming
+  * sync core AND plan its diff join without a single shuffle exchange.
+  */
+class BucketedSyncSpec extends SparkSuite {
+
+  private def tmpFile(text: String): String = {
+    val p = Files.createTempFile("bsync", ".sql")
+    Files.write(p, text.getBytes("UTF-8"))
+    p.toString
+  }
+
+  private val ddl =
+    """CREATE TABLE `t` (
+      |  `id` INT(11),
+      |  `s` VARCHAR(255),
+      |  PRIMARY KEY (`id`)
+      |) ENGINE=InnoDB;
+      |CREATE TABLE `u` (
+      |  `id` INT(11),
+      |  `v` BIGINT,
+      |  PRIMARY KEY (`id`)
+      |) ENGINE=InnoDB;
+      |""".stripMargin
+
+  private val prod = ddl +
+    "INSERT INTO `t` (`id`, `s`) VALUES\n(1, 'a'),\n(2, 'b'),\n(4, 'new');\n" +
+    "INSERT INTO `u` (`id`, `v`) VALUES\n(1, 10),\n(2, 20);\n"
+  private val backup = ddl +
+    "INSERT INTO `t` (`id`, `s`) VALUES\n(1, 'a'),\n(2, 'CHANGED'),\n(3, 'gone');\n" +
+    "INSERT INTO `u` (`id`, `v`) VALUES\n(1, 10),\n(2, 99);\n"
+
+  test("bucketed diff matches SyncJob.run op-for-op and plans exchange-free") {
+    val (pf, bf) = (tmpFile(prod), tmpFile(backup))
+    BucketedSync.snapshot(spark, pf, "bsync_prod", buckets = 4)
+    BucketedSync.snapshot(spark, bf, "bsync_backup", buckets = 4)
+    val diff = BucketedSync.diff(spark, "bsync_prod", "bsync_backup")
+
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"diff plan has a shuffle:\n$plan")
+
+    val got = diff.select("table", "pk", "op").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val ref = new SyncJob(spark).run(pf, bf).ops
+      .map(o => (o.table, o.pk, o.op)).toSet
+    assert(got == ref)
+    assert(got == Set(
+      ("t", "2", "UPDATE"), ("t", "3", "DELETE"), ("t", "4", "INSERT"),
+      ("u", "2", "UPDATE")))
+  }
+}
