@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.LongArrayDot
+import graft.functions.{Hash48, LongArrayDot, RollingHash}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users (and JDBC/Thrift
@@ -27,6 +27,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"long_array_dot expects 2 arguments, got ${children.size}")
         LongArrayDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hash48"),
+      new ExpressionInfo(classOf[Hash48].getName, "hash48"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"hash48 expects 1 argument, got ${children.size}")
+        Hash48(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        // rolling_hash(text[, base, mod]) — base/mod must be literal longs
+        require(children.size == 1 || children.size == 3,
+          s"rolling_hash expects 1 or 3 arguments, got ${children.size}")
+        def litLong(e: Expression, name: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toLong
+          case _ => throw new IllegalArgumentException(
+            s"rolling_hash: $name must be a literal integer")
+        }
+        if (children.size == 1) RollingHash(children.head, 131L, 1000000007L)
+        else RollingHash(children.head,
+          litLong(children(1), "base"), litLong(children(2), "mod"))
       }))
   }
 }

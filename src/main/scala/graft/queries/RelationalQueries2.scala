@@ -263,12 +263,12 @@ object RelationalQueries2 {
     val li = Tables.lineitem(s, dir)
       .withColumn("qty_c", cents(col("l_quantity")))
       .withColumn("p_c", cents(col("l_extendedprice")))
+    val tot = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     def pcts(vcol: String, ps: Seq[(String, Double)]): DataFrame = {
       val hist = li.groupBy(col("l_returnflag"), col(vcol).as("v"))
         .agg(count(lit(1)).as("c"))
       val cum = hist.withColumn("cum",
         sum(col("c")).over(Window.partitionBy("l_returnflag").orderBy("v")))
-      val tot = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       val j = cum.join(tot, "l_returnflag")
       // value at 0-based sorted index i = first histogram row with cum > i
       val lookups = ps.flatMap { case (nm, p) =>

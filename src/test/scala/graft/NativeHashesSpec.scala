@@ -57,6 +57,21 @@ class NativeHashesSpec extends SparkSuite {
     }
   }
 
+  test("GraftExtensions exposes hash48 and rolling_hash to plain SQL") {
+    val s2 = org.apache.spark.sql.graft.Bridge.sessionWithExtensions(
+      spark.sparkContext, new GraftExtensions()(_))
+    val r = s2.sql(
+      """SELECT hash48('abc') AS h, rolling_hash('abc') AS rh,
+        |  rolling_hash('abc', 131, 1000000007) AS rh2""".stripMargin)
+      .collect().head
+    val exp = spark.sql("SELECT 'abc' AS s")
+      .select(Portable.hash48(col("s")), TextOps.rollingHash(col("s")))
+      .collect().head
+    assert(r.getLong(0) == exp.getLong(0))
+    assert(r.getLong(1) == exp.getLong(1))
+    assert(r.getLong(2) == exp.getLong(1))
+  }
+
   test("bounded min-k KMV estimates identical to the window formulation") {
     val li = Tables.lineitem(spark, sf)
     val fast = Sketches.kmvDistinct(li, Seq("l_returnflag"), col("l_partkey"), 64)
