@@ -22,12 +22,14 @@ object SparkEntry {
       graft.queries.RelationalQueries2.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.ExtensionQueries.queries ++
-      graft.queries.TypedQueries.queries
+      graft.queries.TypedQueries.queries ++
+      graft.queries.CurateQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
       graft.queries.RelationalQueries2.oracle ++
       graft.queries.EventQueries.oracle ++
       graft.queries.ExtensionQueries.oracle ++
-      graft.queries.TypedQueries.oracle
+      graft.queries.TypedQueries.oracle ++
+      graft.queries.CurateQueries.oracle
 }

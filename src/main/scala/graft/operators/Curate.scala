@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * sampling, split assignment, and sequence packing. All decisions derive
+  * from the portable 48-bit content hash — NEVER from `rand()` — so any
+  * run, any engine, and any partitioning produces the identical dataset
+  * (reproducible data recipes; the DuckDB oracle replays each rule
+  * exactly).
+  *
+  * Scale: sampling and splitting are pure map-side column expressions
+  * (no shuffle at all). Packing windows over hash shards — each shard's
+  * cumulative sum runs in one task, so `shards` bounds both parallelism
+  * and per-task state; size it ≈ cluster cores × a small factor.
+  */
+object Curate {
+
+  /** `hash48(key) mod denom` — the deterministic sampling coordinate. */
+  def hashBucket(key: Column, denom: Int): Column =
+    pmod(Portable.hash48(key.cast("string")), lit(denom.toLong))
+
+  /** Stratified downsampling: keep a row iff its hash bucket falls below
+    * the per-row rate (per-mille-style: `rateCol` out of `denom`). The
+    * caller expresses strata as a rate expression, e.g.
+    * `when(col("lang") === "en", 50).otherwise(10)` — any stratum logic,
+    * no fixed stratum column needed. Map-only; no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: Column, rateCol: Column,
+      denom: Int = 100): DataFrame =
+    df.filter(hashBucket(keyCol, denom) < rateCol)
+
+  /** Deterministic train/val/test (or N-way) split assignment: hash
+    * buckets partition `[0, denom)` into contiguous ranges sized by the
+    * given weights (must sum to `denom`). Adds a `split` column; the same
+    * key always lands in the same split — across runs, engines, and
+    * joins of derived tables. Map-only; no shuffle.
+    */
+  def hashSplit(df: DataFrame, keyCol: Column, splits: Seq[(String, Int)],
+      denom: Int = 100): DataFrame = {
+    require(splits.map(_._2).sum == denom,
+      s"split weights must sum to $denom")
+    val h = hashBucket(keyCol, denom)
+    val uppers = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(uppers).reverse
+      .foldLeft(lit(null).cast("string")) {
+        case (acc, ((name, _), ub)) => when(h < ub, name).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** Sequence packing: assign documents to fixed-capacity token bins —
+    * the context-window packing step of an LLM training pipeline. Within
+    * each hash shard, documents are laid out in id order and a document
+    * starts at its shard's running token offset; its bin is that offset
+    * `div` capacity (documents may straddle bins, the standard
+    * concat-then-chunk packing). Output: (id, shard, bin, bin_offset,
+    * n_tok). Deterministic: shard = hash48(id) mod shards, order = id.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+      capacity: Long, shards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    df.select(col(idCol), tokensCol.cast("long").as("n_tok"),
+        hashBucket(col(idCol), shards).as("shard"))
+      .withColumn("cum_before",
+        sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col(idCol), col("shard"),
+        (col("shard") * 1000000L +
+          expr(s"cum_before div ${capacity}L")).as("bin"),
+        (col("cum_before") % capacity).as("bin_offset"),
+        col("n_tok"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Curate
+
+/** Dataset-curation operators as driver-checkable queries. Every
+  * decision is a function of the portable 48-bit hash, so the DuckDB
+  * oracle replays the identical sampling / split / packing rule — the
+  * reproducible-data-recipe property these operators exist for.
+  */
+object CurateQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val H48 =
+    "('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,12))::BIGINT"
+
+  // ---------------------------------------------------------------- q47
+  /** Stratified downsampling: 50% of English documents, 10% of every
+    * other language, keyed on doc_id's hash — map-only, rerun-stable.
+    */
+  val q47: Q = (s, dir) =>
+    Curate.stratifiedSample(
+        Tables.documents(s, dir),
+        col("doc_id"),
+        when(col("lang") === "en", 50).otherwise(10))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  val q47Sql: String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE $H48 % 100 < CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Deterministic 80/10/10 train/val/test assignment by key hash. */
+  val q48: Q = (s, dir) =>
+    Curate.hashSplit(Tables.documents(s, dir), col("doc_id"),
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+  val q48Sql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN $H48 % 100 < 80 THEN 'train'
+       |       WHEN $H48 % 100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  /** Sequence packing into 2048-token bins over 8 hash shards (the
+    * concat-then-chunk context-window layout; see Curate.packSequences).
+    */
+  val q49: Q = (s, dir) =>
+    Curate.packSequences(
+        Tables.documents(s, dir), "doc_id",
+        size(graft.functions.Portable.tokens(col("text"))),
+        capacity = 2048L, shards = 8)
+      .orderBy("doc_id")
+  val q49Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok,
+       |    $H48 % 8 AS shard
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok
+       |      AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, shard,
+       |  CAST(shard * 1000000 + cum_before // 2048 AS BIGINT) AS bin,
+       |  CAST(cum_before % 2048 AS BIGINT) AS bin_offset, n_tok
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q47_stratified_sample" -> q47,
+    "q48_hash_split" -> q48,
+    "q49_pack_sequences" -> q49)
+
+  val oracle: Map[String, String] = Map(
+    "q47_stratified_sample" -> q47Sql,
+    "q48_hash_split" -> q48Sql,
+    "q49_pack_sequences" -> q49Sql)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curate
+
+/** Curation operators must be deterministic functions of content — the
+  * same dataset comes out for any partitioning, twice.
+  */
+class CurateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("hashSplit assigns every row, and assignment is partition-invariant") {
+    val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+    val a = Curate.hashSplit(docs.repartition(7), col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Curate.hashSplit(docs.repartition(3), col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    assert(a.size == docs.count())
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // 80/10/10 within loose tolerance on 500 docs
+    val train = a.values.count(_ == "train").toDouble / a.size
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+  }
+
+  test("stratifiedSample is a deterministic subset honoring per-stratum rates") {
+    val rate = when(col("lang") === "en", 50).otherwise(10)
+    val s1 = Curate.stratifiedSample(docs, col("doc_id"), rate)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Curate.stratifiedSample(docs.repartition(5), col("doc_id"), rate)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(s1.nonEmpty && s1.size < docs.count())
+    // en sampled more aggressively than the rest
+    val byLang = docs.filter(col("doc_id").isin(s1.toSeq: _*))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    val deRate = byLang.getOrElse("de", 0L).toDouble / totals("de")
+    assert(enRate > deRate)
+  }
+
+  test("packSequences invariants: offsets bounded, shard layout contiguous") {
+    val packed = Curate.packSequences(docs, "doc_id",
+      size(graft.functions.Portable.tokens(col("text"))), 2048L, 4).cache()
+    assert(packed.filter(col("bin_offset") >= 2048L || col("bin_offset") < 0).count() == 0)
+    assert(packed.count() == docs.count())
+    // within a shard, walking ids in order, offsets advance by n_tok mod capacity
+    val rows = packed.orderBy("shard", "doc_id")
+      .select("shard", "bin", "bin_offset", "n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      var cum = 0L
+      rs.foreach { case (_, bin, off, n) =>
+        assert(off == cum % 2048L, s"shard $shard")
+        assert(bin == shard * 1000000L + cum / 2048L, s"shard $shard")
+        cum += n
+      }
+    }
+    packed.unpersist()
+  }
+}
