@@ -68,8 +68,8 @@ object Bench {
         (Paths.get(cacheDir, "prod.sql"), Paths.get(cacheDir, "backup.sql"))
       else DumpGen.generate(spark, sfDir, cacheDir)
     def runSync(): Double = try time {
-      val outcome = new SyncJob(spark).run(prodPath.toString, backupPath.toString)
-      val script = SyncSqlGenerator.assemble(outcome, "bench")
+      val (_, script) = new SyncJob(spark)
+        .syncCollected(prodPath.toString, backupPath.toString, "bench")
       Files.write(Paths.get(cacheDir, "sync_out.sql"), script.getBytes("UTF-8"))
     } catch { case _: Throwable => -1.0 }
     spark.catalog.clearCache()

@@ -63,9 +63,11 @@ object Main {
           SummaryReporter.print(outcome)
           println(s"\n💾 Sync script parts written to: $dir")
         case None =>
-          val outcome = new SyncJob(spark).run(prodFile, backupFile)
+          // executor-rendered single-file path: collects only the final
+          // script lines, byte-identical to assemble(run(...), now)
+          val (outcome, script) =
+            new SyncJob(spark).syncCollected(prodFile, backupFile, now)
           SummaryReporter.print(outcome)
-          val script = SyncSqlGenerator.assemble(outcome, now)
           Files.write(Paths.get(outputFile), script.getBytes("UTF-8"))
           println(s"\n💾 Sync script written to: $outputFile")
       }

@@ -261,6 +261,35 @@ class SyncJob(spark: SparkSession) {
     } finally { joined.unpersist(); cleanup() }
   }
 
+  /** Single-file sibling of [[syncDistributed]]: same executor-side
+    * statement rendering and global sort, but the ordered lines are
+    * collected and joined into one script string (byte-identical to
+    * `SyncSqlGenerator.assemble(run(...), now)` — the golden spec pins
+    * it). This is the fast default CLI path: the driver receives only
+    * the final script bytes (~1000× smaller than the input dumps), never
+    * the per-op value arrays, and does no per-op rendering loop.
+    */
+  def syncCollected(prodPath: String, backupPath: String,
+      now: String): (SyncOutcome, String) = {
+    val (joined0, prodInfo, backupCat, commonTables, cleanup) =
+      diffFrameInfo(prodPath, backupPath)
+    val joined = joined0.cache()
+    try {
+      val outcome = summarize(joined, prodInfo, backupCat, commonTables, prodPath)
+      val stmts = renderedOps(joined, prodInfo.metas, backupCat, commonTables)
+        .filter(col("op") === Differ.OP_INSERT || length(col("stmt")) > 0)
+        .select(col("section").as("sec"), col("tbl_idx").as("tbl"),
+          col("ordOff").as("off"), col("ordRow").as("row"),
+          lit(0).as("sub"), col("stmt").as("line"))
+      val banners = spark.createDataFrame(driverLines(outcome, now))
+        .select("sec", "tbl", "off", "row", "sub", "line")
+      val lines = banners.unionByName(stmts)
+        .orderBy("sec", "tbl", "off", "row", "sub")
+        .select("line").as[String].collect()
+      (outcome, lines.mkString("\n"))
+    } finally { joined.unpersist(); cleanup() }
+  }
+
   /** The non-statement lines of the full script (header, section banners,
     * per-table comments, stats tail) with their global sort keys —
     * line-for-line the same emission logic as SyncSqlGenerator.assemble.

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan assertions for the flagship query shapes: these are the
+  * properties that make the plans survive a 100× scale-up, pinned as
+  * tests so a refactor that silently loses pushdown, broadcast, or
+  * codegen fails CI — not just the bench.
+  */
+class PlanAssertSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01 scan pushes filters and prunes columns at the parquet reader") {
+    val p = planOf("q01_scan_filter")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.contains("PushedFilters: []"), "no filters pushed:\n" + p.take(2000))
+    // projection is 2 output columns + filter columns — never the full row
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_comment"), s"unpruned scan: $readSchema")
+  }
+
+  test("q03 multi-way dim join broadcasts the small sides") {
+    val p = executed("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to SMJ:\n" + p.take(3000))
+  }
+
+  test("q06 diff is ONE shuffle per side (join reuses the dedup partitioning)") {
+    val p = executed("q06_table_diff")
+    // full-outer SMJ on (table, pk): each side shuffles once for the
+    // dedup window and the join consumes that same partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n" + p.take(4000))
+  }
+
+  test("hot scalar queries stay inside whole-stage codegen") {
+    // an unexecuted adaptive plan reports zero codegen subtrees — plan
+    // these without AQE to see the static codegen structure
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (q <- Seq("q30_lang_id", "q32_token_count", "q34_rolling_hash")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+      assert(p.contains("WholeStageCodegen"), s"$q lost codegen:\n" + p.take(1000))
+      assert(!p.startsWith("Found 0"), s"$q: zero codegen subtrees")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q24 embedding top-k broadcasts the query side") {
+    val p = executed("q24_embed_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+  }
+
+  test("curation sampling/splitting plan with zero exchanges") {
+    for (q <- Seq("q47_stratified_sample", "q48_hash_split")) {
+      // the final orderBy adds a range exchange for output ordering; the
+      // operators themselves must add no hash shuffle
+      val p = executed(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q shuffles:\n" + p.take(3000))
+    }
+  }
+}

@@ -118,5 +118,8 @@ class SyncJobSpec extends SparkSuite {
     val now = expLines(2).stripPrefix("-- Generated on: ")
     val got = SyncSqlGenerator.assemble(o, now)
     assert(got.split("\n", -1).toSeq == expLines)
+    // the executor-rendered collected path must emit the same bytes
+    val (_, collected) = job.syncCollected(prod.toString, backup.toString, now)
+    assert(collected == got)
   }
 }
