@@ -98,13 +98,36 @@ object EventQueries {
       |WHERE rn <= 3
       |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Interval join (click attribution): each click joined to the same
+    * user's views in the preceding hour — the batch execution of the
+    * stream-stream join `EventAnalytics.clickAttribution` (StreamingSpec
+    * proves stream==batch on the same plan). Timestamps compare at
+    * microsecond granularity on both engines (the parquet carries
+    * sub-microsecond noise that Spark's µs timestamps truncate).
+    */
+  val q50: Q = (s, dir) =>
+    graft.streaming.EventAnalytics.clickAttribution(Tables.events(s, dir))
+      .orderBy("click_id", "view_id")
+  val q50Sql: String =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id,
+      |  c.user_id, epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      |FROM events c JOIN events v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND v.user_id = c.user_id
+      | AND epoch_us(v.ts) <= epoch_us(c.ts)
+      | AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
+      |ORDER BY click_id, view_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> q41,
     "q42_sliding_window" -> q42,
-    "q43_topk_udaf" -> q43)
+    "q43_topk_udaf" -> q43,
+    "q50_interval_join" -> q50)
 
   val oracle: Map[String, String] = Map(
     "q41_sessionize" -> q41Sql,
     "q42_sliding_window" -> q42Sql,
-    "q43_topk_udaf" -> q43Sql)
+    "q43_topk_udaf" -> q43Sql,
+    "q50_interval_join" -> q50Sql)
 }

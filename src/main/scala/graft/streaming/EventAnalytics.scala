@@ -45,4 +45,31 @@ object EventAnalytics {
   def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join (click attribution): each `click` event
+    * joined to the same user's `view` events in the preceding hour. The
+    * equi-key (user) plus the event-time range condition is what lets
+    * Structured Streaming expire join state as the watermarks advance —
+    * the canonical bounded-state stream-stream join. The same plan runs
+    * batch (q50's DuckDB-checked execution). Output gap is exact integer
+    * microseconds, so results are engine- and partitioning-independent.
+    */
+  def clickAttribution(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+        col("user_id") === col("view_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("gap_us"))
+  }
 }

@@ -45,6 +45,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("clickAttribution as a real stream-stream join matches its batch execution") {
+    val batchEvents = Tables.events(spark, dir)
+    val expected = EventAnalytics.clickAttribution(batchEvents)
+      .orderBy("click_id", "view_id").collect().toSeq
+    assert(expected.nonEmpty)
+
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      batchEvents.schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-join-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamEvents = spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventAnalytics.clickAttribution(streamEvents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .orderBy("click_id", "view_id").collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("sessions produces gap-separated per-user sessions") {
     val sess = EventAnalytics.sessions(Tables.events(spark, dir), gap = "10 minutes")
     val n = sess.count()
