@@ -74,13 +74,53 @@ object CurateQueries {
        |  CAST(cum_before % 2048 AS BIGINT) AS bin_offset, n_tok
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Train/eval decontamination: on a corpus with planted duplicates
+    * (every 10th doc copied under a new id), split 80/20 by key hash,
+    * then surface every eval document whose exact content fingerprint
+    * also appears in the train split — the leakage check an LLM data
+    * pipeline runs before training. One fingerprint hash-join; no
+    * all-pairs anything.
+    */
+  val q51: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val fp = Curate.hashSplit(corpus, col("doc_id"),
+        Seq(("train", 80), ("eval", 20)))
+      .select(col("doc_id"), col("split"),
+        md5(col("text").cast("binary")).as("fp"))
+    val train = fp.filter(col("split") === "train")
+      .select(col("fp"), col("doc_id").as("train_id"))
+    fp.filter(col("split") === "eval")
+      .select(col("fp"), col("doc_id").as("eval_id"))
+      .join(train, "fp")
+      .groupBy("eval_id")
+      .agg(min(col("train_id")).as("matched_train_id"),
+        count(lit(1)).as("n_matches"))
+      .orderBy("eval_id")
+  }
+  val q51Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id+1000000, text FROM documents WHERE doc_id%10=0),
+       |f AS (SELECT doc_id, md5(text) AS fp,
+       |    CASE WHEN $H48 % 100 < 80 THEN 'train' ELSE 'eval' END AS split
+       |  FROM corpus)
+       |SELECT e.doc_id AS eval_id,
+       |  min(t.doc_id) AS matched_train_id, count(*) AS n_matches
+       |FROM f e JOIN f t ON e.fp = t.fp AND e.split = 'eval' AND t.split = 'train'
+       |GROUP BY 1 ORDER BY eval_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q47_stratified_sample" -> q47,
     "q48_hash_split" -> q48,
-    "q49_pack_sequences" -> q49)
+    "q49_pack_sequences" -> q49,
+    "q51_decontaminate" -> q51)
 
   val oracle: Map[String, String] = Map(
     "q47_stratified_sample" -> q47Sql,
     "q48_hash_split" -> q48Sql,
-    "q49_pack_sequences" -> q49Sql)
+    "q49_pack_sequences" -> q49Sql,
+    "q51_decontaminate" -> q51Sql)
 }
