@@ -263,37 +263,41 @@ object RelationalQueries2 {
     val li = Tables.lineitem(s, dir)
       .withColumn("qty_c", cents(col("l_quantity")))
       .withColumn("p_c", cents(col("l_extendedprice")))
+    // (output name, which column, percentile)
+    val ps: Seq[(String, String, Double)] = Seq(
+      ("qty_p25", "q", 0.25), ("qty_p50", "q", 0.5), ("qty_p75", "q", 0.75),
+      ("price_p50", "p", 0.5), ("price_p99", "p", 0.99))
+    // both value columns share ONE histogram/window/lookup pipeline via a
+    // 2-way explode — half the stages of building them separately
+    val ex = li.select(col("l_returnflag"), explode(array(
+        struct(lit("q").as("w"), col("qty_c").as("v")),
+        struct(lit("p").as("w"), col("p_c").as("v")))).as("e"))
+      .select(col("l_returnflag"), col("e.w").as("w"), col("e.v").as("v"))
+    val hist = ex.groupBy("l_returnflag", "w", "v").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c"))
+      .over(Window.partitionBy("l_returnflag", "w").orderBy("v")))
     val tot = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-    def pcts(vcol: String, ps: Seq[(String, Double)]): DataFrame = {
-      val hist = li.groupBy(col("l_returnflag"), col(vcol).as("v"))
-        .agg(count(lit(1)).as("c"))
-      val cum = hist.withColumn("cum",
-        sum(col("c")).over(Window.partitionBy("l_returnflag").orderBy("v")))
-      val j = cum.join(tot, "l_returnflag")
-      // value at 0-based sorted index i = first histogram row with cum > i
-      val lookups = ps.flatMap { case (nm, p) =>
-        val r = lit(p) * (col("n") - 1).cast("double")
-        Seq(
-          min(when(col("cum") > floor(r), col("v"))).as(s"${nm}_lo"),
-          min(when(col("cum") > ceil(r), col("v"))).as(s"${nm}_hi"))
-      }
-      val agg = j.groupBy("l_returnflag")
-        .agg(max(col("n")).as("n"), lookups: _*)
-      agg.select(col("l_returnflag") +: ps.map { case (nm, p) =>
-        val r = lit(p) * (col("n") - 1).cast("double")
-        val lo = col(s"${nm}_lo").cast("double")
-        val hi = col(s"${nm}_hi").cast("double")
-        // the symmetric interpolation both engines implement:
-        // (ceil-pos)·lo + (pos-floor)·hi, exact-position early-out
-        when(ceil(r) === floor(r), lo)
-          .otherwise((ceil(r).cast("double") - r) * lo +
-            (r - floor(r).cast("double")) * hi).as(nm)
-      }: _*)
+    val j = cum.join(tot, "l_returnflag")
+    // value at 0-based sorted index i = first histogram row with cum > i
+    val lookups = ps.flatMap { case (nm, wv, p) =>
+      val r = lit(p) * (col("n") - 1).cast("double")
+      Seq(
+        min(when(col("w") === wv && col("cum") > floor(r), col("v")))
+          .as(s"${nm}_lo"),
+        min(when(col("w") === wv && col("cum") > ceil(r), col("v")))
+          .as(s"${nm}_hi"))
     }
-    pcts("qty_c", Seq(("qty_p25", 0.25), ("qty_p50", 0.5), ("qty_p75", 0.75)))
-      .join(pcts("p_c", Seq(("price_p50", 0.5), ("price_p99", 0.99))),
-        "l_returnflag")
-      .orderBy("l_returnflag")
+    val agg = j.groupBy("l_returnflag").agg(max(col("n")).as("n"), lookups: _*)
+    agg.select(col("l_returnflag") +: ps.map { case (nm, _, p) =>
+      val r = lit(p) * (col("n") - 1).cast("double")
+      val lo = col(s"${nm}_lo").cast("double")
+      val hi = col(s"${nm}_hi").cast("double")
+      // the symmetric interpolation both engines implement:
+      // (ceil-pos)·lo + (pos-floor)·hi, exact-position early-out
+      when(ceil(r) === floor(r), lo)
+        .otherwise((ceil(r).cast("double") - r) * lo +
+          (r - floor(r).cast("double")) * hi).as(nm)
+    }: _*).orderBy("l_returnflag")
   }
   val q36Sql: String =
     """SELECT l_returnflag,
