@@ -234,6 +234,43 @@ object Dedup {
     (pairs, cleanup)
   }
 
+  /** Connected components over a near-dup pair list — the dedup endgame:
+    * pairs say "these two are duplicates", components say "keep ONE
+    * representative per duplicate CLUSTER" (transitively: a~b, b~c ⇒
+    * {a,b,c} even if a~c was never emitted). Iterative min-label
+    * propagation: every vertex repeatedly takes the minimum label among
+    * itself and its neighbors until a fixpoint — each round is one
+    * hash-join + aggregation (fully distributed), and the round count is
+    * the cluster diameter, which for dup clusters is small. Each round's
+    * labels are localCheckpoint-ed — iterative self-referencing plans
+    * otherwise grow a lineage the optimizer re-analyzes exponentially —
+    * and the per-round convergence check is one count, the only
+    * driver-side step. Output: (id, comp) with comp = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nb_comp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nb_comp")).as("nb_min"))
+      val next = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash over distinct tokens: bit b of the result is set iff the
     * majority of token hashes have bit b set. Pure column expression —
     * fine for a handful of rows, but the `bits` filter lambdas re-inline

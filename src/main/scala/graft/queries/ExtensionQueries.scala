@@ -523,9 +523,50 @@ object ExtensionQueries {
        |FROM t ORDER BY l_returnflag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Dedup clusters: exact-dup pairs (shared content fingerprint) on a
+    * corpus with TWO planted copies of every 20th doc, closed into
+    * connected components (Dedup.connectedComponents — min-label
+    * propagation). The oracle computes the same transitive closure with
+    * a recursive CTE. Output: every clustered doc with its component
+    * representative (min id reachable).
+    */
+  val q52: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val fp = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val pairs = fp.as("a").join(fp.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  val q52Sql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id+1000000, text FROM documents WHERE doc_id%20=0
+      |  UNION ALL SELECT doc_id+2000000, text FROM documents WHERE doc_id%20=0),
+      |fp AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, least(src, min(dst)) AS comp
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q16_json_funcs" -> q16,
     "q20_dedup_exact" -> q20,
+    "q52_dedup_components" -> q52,
     "q21_dedup_ngram_jaccard" -> q21,
     "q22_dedup_minhash_lsh" -> q22,
     "q23_simhash" -> q23,
@@ -547,6 +588,7 @@ object ExtensionQueries {
   val oracle: Map[String, String] = Map(
     "q16_json_funcs" -> q16Sql,
     "q20_dedup_exact" -> q20Sql,
+    "q52_dedup_components" -> q52Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q23_simhash" -> q23Sql,

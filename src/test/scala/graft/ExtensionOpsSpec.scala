@@ -133,6 +133,20 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(s2 == Seq("UPDATE `t` SET `a` = 'x;\n-- not a comment\ny';"))
   }
 
+  test("connectedComponents closes multi-hop chains transitively") {
+    // chain 1-2, 2-3 (no 1-3 edge) plus isolated pair 7-9: components
+    // must close the chain to min-id 1 even though 1~3 was never emitted
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)))
+    // longer chain: diameter forces several propagation rounds
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain)
+      .select("comp").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(1L))
+  }
+
   test("docFreq-pruned jaccard pairs are a subset of unpruned pairs") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val sh = Dedup.hashedShingleTable(docs, "doc_id", "text", 3)
