@@ -4,7 +4,6 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.codegen.SyncSqlGenerator
 import graft.engine.SyncJob
 import graft.tools.DumpGen
 

@@ -6,7 +6,6 @@ import java.time.format.DateTimeFormatter
 
 import org.apache.spark.sql.SparkSession
 
-import graft.codegen.SyncSqlGenerator
 import graft.engine.SyncJob
 import graft.report.SummaryReporter
 

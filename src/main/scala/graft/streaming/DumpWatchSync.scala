@@ -8,7 +8,6 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.codegen.SyncSqlGenerator
 import graft.engine.{Differ, SyncJob}
 import graft.sources.DumpSource
 
