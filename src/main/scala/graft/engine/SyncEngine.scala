@@ -429,9 +429,17 @@ class SyncJob(spark: SparkSession) {
     val cleanup = () => if (persistStmts) {
       prodStmts.unpersist(); backupStmts.unpersist(); ()
     }
-    val prodInfo = catalogInfo(prodStmts)
+    // the two catalog passes are independent driver-blocking collects —
+    // run them as concurrent Spark jobs so both dumps' statement scans
+    // (and their caches) fill the executor in parallel
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val prodInfoF = Future(catalogInfo(prodStmts))
+    val backupCatF = Future(catalog(backupStmts))
+    val prodInfo = Await.result(prodInfoF, Duration.Inf)
     val prodCat = prodInfo.metas
-    val backupCat = catalog(backupStmts)
+    val backupCat = Await.result(backupCatF, Duration.Inf)
 
     val commonTables = prodCat.keys.filter(backupCat.contains).toSeq
 

@@ -37,6 +37,24 @@ class TypedModeSpec extends SparkSuite {
       "DATE", "datetime", "text"))
   }
 
+  test("real-world DDL shapes: unsigned, ENUM, DEFAULT clauses") {
+    val ddl2 =
+      """CREATE TABLE `z` (
+        |  `a` int(10) unsigned NOT NULL,
+        |  `b` ENUM('x','y z') DEFAULT 'x',
+        |  `c` bigint unsigned zerofill,
+        |  `d` timestamp DEFAULT CURRENT_TIMESTAMP,
+        |  `e` varchar(10) CHARACTER SET utf8 COLLATE utf8_bin,
+        |  PRIMARY KEY (`a`)
+        |) ENGINE=InnoDB;""".stripMargin
+    val meta = DumpParser.parseCreate(ddl2).get
+    assert(meta.colTypes == IndexedSeq(
+      "int(10)", "ENUM('x','yz')", "bigint", "timestamp", "varchar(10)"))
+    val types = TypedMode.schemaOf(meta).fields.map(_.dataType).toSeq
+    assert(types == Seq(LongType, StringType, LongType, TimestampType,
+      StringType))
+  }
+
   test("sparkType maps the MySQL type zoo") {
     assert(TypedMode.sparkType("int(11)") == LongType)
     assert(TypedMode.sparkType("BIGINT") == LongType)
