@@ -64,4 +64,29 @@ object MinKDistinctAggregator {
   def minK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(
       new MinKDistinctAggregator(k), Encoders.scalaLong)
+
+  /** Sketch-emitting form: returns the kept sorted min-k hash array
+    * itself instead of the (n_kept, kth) summary — the mergeable
+    * representation (store per-shard/per-day, merge later by re-running
+    * min-k over the union of arrays; KMV min-k is associative).
+    */
+  def minKArray(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new MinKArrayAggregator(k), Encoders.scalaLong)
+}
+
+/** [[MinKDistinctAggregator]] with the raw buffer as output. */
+class MinKArrayAggregator(k: Int)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val inner = new MinKDistinctAggregator(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(buf: Array[Long], h: Long): Array[Long] =
+    inner.reduce(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    inner.merge(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -44,6 +44,33 @@ object Sketches {
       .select(groupCols.map(col) :+ estCol(k).as("est_distinct"): _*)
   }
 
+  /** Per-group KMV SKETCH (the sorted min-k hash array) — the mergeable
+    * form: persist per-shard/per-day, then [[kmvMerge]] unions sketches
+    * into the same estimate a full rescan would give (exactly — KMV
+    * min-k is associative), without touching the raw data again.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      k: Int): DataFrame = {
+    val minKArr = graft.functions.MinKDistinctAggregator.minKArray(k)
+    df.select(groupCols.map(col) :+
+        Portable.hash48(valueCol.cast("string")).as("h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(minKArr(col("h")).as("sketch"))
+  }
+
+  /** Merge sketch frames (same k) into per-group estimates: explode the
+    * arrays and re-run the bounded min-k aggregation — one shuffle over
+    * ≤ k longs per input sketch, never the raw data.
+    */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val minK = graft.functions.MinKDistinctAggregator.minK(k)
+    sketches
+      .select(groupCols.map(col) :+ explode(col("sketch")).as("h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(minK(col("h")).as("s"))
+      .select(groupCols.map(col) :+ estCol(k).as("est_distinct"): _*)
+  }
+
   /** The window-based formulation [[kmvDistinct]] is checked against in
     * the spec: distinct → per-group row_number ≤ k → (count, max).
     * Identical estimates, but the window sorts every distinct hash of a

@@ -83,6 +83,23 @@ class NativeHashesSpec extends SparkSuite {
     assert(j.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("KMV sketches merge to EXACTLY the full-scan estimate") {
+    val li = Tables.lineitem(spark, sf)
+    val whole = Sketches.kmvDistinct(li, Seq("l_returnflag"), col("l_partkey"), 64)
+    // shard the data arbitrarily, sketch each shard, merge the sketches
+    val shardA = li.filter(col("l_orderkey") % 2 === 0)
+    val shardB = li.filter(col("l_orderkey") % 2 =!= 0)
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(shardA, Seq("l_returnflag"), col("l_partkey"), 64)
+        .unionByName(
+          Sketches.kmvSketch(shardB, Seq("l_returnflag"), col("l_partkey"), 64)),
+      Seq("l_returnflag"), 64)
+    val j = whole.withColumnRenamed("est_distinct", "a")
+      .join(merged.withColumnRenamed("est_distinct", "b"), "l_returnflag")
+    assert(j.count() == 3)
+    assert(j.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("min-k KMV exact-count branch for small groups (n_distinct < k)") {
     val small = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("h", 9L)).toDF("g", "v")
     val got = Sketches.kmvDistinct(small, Seq("g"), col("v"), 64)
