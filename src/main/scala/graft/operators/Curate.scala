@@ -53,6 +53,27 @@ object Curate {
     df.withColumn("split", assign)
   }
 
+  /** Exact per-stratum quota sampling: keep exactly `quota` rows per
+    * stratum (fewer if the stratum is smaller), chosen as the quota
+    * smallest `hash48(key)` values — deterministic, and rerun-stable
+    * under data GROWTH too (a new row only enters the sample by evicting
+    * the current largest kept hash). Implemented with the bounded top-k
+    * aggregator (score = -hash), so partial aggregation ships ≤ quota
+    * rows per stratum per partition — no full per-stratum window sort.
+    * Output: strata columns + id.
+    */
+  def quotaSample(df: DataFrame, strataCols: Seq[String], idCol: Column,
+      quota: Int): DataFrame = {
+    val tk = graft.functions.TopKAggregator.topK(quota)
+    // smallest hash == largest negated hash; hash48 < 2^48 so negation
+    // is safe in Long
+    df.select(strataCols.map(col) :+ idCol.as("id") :+
+        (-Portable.hash48(idCol.cast("string"))).as("score"): _*)
+      .groupBy(strataCols.map(col): _*)
+      .agg(tk(col("id"), col("score")).as("top"))
+      .select(strataCols.map(col) :+ explode(col("top.id")).as("id"): _*)
+  }
+
   /** Sequence packing: assign documents to fixed-capacity token bins —
     * the context-window packing step of an LLM training pipeline. Within
     * each hash shard, documents are laid out in id order and a document

@@ -112,15 +112,34 @@ object CurateQueries {
        |FROM f e JOIN f t ON e.fp = t.fp AND e.split = 'eval' AND t.split = 'train'
        |GROUP BY 1 ORDER BY eval_id""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Exact per-language quota sample (25 docs per lang, smallest key
+    * hashes win) via the bounded top-k aggregator — no per-stratum
+    * window sort; partial aggregation ships ≤ quota rows per partition.
+    */
+  val q53: Q = (s, dir) =>
+    Curate.quotaSample(Tables.documents(s, dir), Seq("lang"),
+        col("doc_id"), 25)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("lang", "doc_id")
+  val q53Sql: String =
+    s"""SELECT lang, doc_id FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $H48, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 25 ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q47_stratified_sample" -> q47,
     "q48_hash_split" -> q48,
     "q49_pack_sequences" -> q49,
-    "q51_decontaminate" -> q51)
+    "q51_decontaminate" -> q51,
+    "q53_quota_sample" -> q53)
 
   val oracle: Map[String, String] = Map(
     "q47_stratified_sample" -> q47Sql,
     "q48_hash_split" -> q48Sql,
     "q49_pack_sequences" -> q49Sql,
-    "q51_decontaminate" -> q51Sql)
+    "q51_decontaminate" -> q51Sql,
+    "q53_quota_sample" -> q53Sql)
 }

@@ -43,6 +43,23 @@ class CurateSpec extends SparkSuite {
     assert(enRate > deRate)
   }
 
+  test("quotaSample: exact quotas, partition-invariant, stable under growth") {
+    val a = Curate.quotaSample(docs.repartition(7), Seq("lang"), col("doc_id"), 10)
+      .as[(String, Long)].collect().toSet
+    val b = Curate.quotaSample(docs.repartition(3), Seq("lang"), col("doc_id"), 10)
+      .as[(String, Long)].collect().toSet
+    assert(a == b)
+    val perLang = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perLang.values.forall(_ == 10), perLang.toString)
+    // growth stability: sampling a SUBSET can only differ by rows the
+    // removed data had claimed — every kept id of the full sample that
+    // survives the filter is still kept in the subset's sample
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val sub = Curate.quotaSample(half, Seq("lang"), col("doc_id"), 10)
+      .as[(String, Long)].collect().toSet
+    assert(a.filter(_._2 % 2 == 0).subsetOf(sub))
+  }
+
   test("packSequences invariants: offsets bounded, shard layout contiguous") {
     val packed = Curate.packSequences(docs, "doc_id",
       size(graft.functions.Portable.tokens(col("text"))), 2048L, 4).cache()
