@@ -234,6 +234,37 @@ object Dedup {
     (pairs, cleanup)
   }
 
+  /** SimHash near-dup pairs at scale: split each 32-bit simhash into 4
+    * bytes and generate candidates from pairs agreeing on ≥1 byte — by
+    * pigeonhole, every pair within Hamming distance 3 shares at least
+    * one intact byte, so the candidate set is COMPLETE for
+    * `maxHamming ≤ 3` (the useful simhash near-dup radius) while the
+    * join fans out per byte bucket, never all-pairs. Verification is the
+    * exact popcount of the XOR — one codegen'd expression. Output:
+    * (id_a, id_b, hamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = simhashTable(df, idCol, textCol, 32)
+    val bandArr = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), b * 8) % 256).as("key"))
+    }: _*)
+    val bands = sims.select(col("id"), col("simhash"), explode(bandArr).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Connected components over a near-dup pair list — the dedup endgame:
     * pairs say "these two are duplicates", components say "keep ONE
     * representative per duplicate CLUSTER" (transitively: a~b, b~c ⇒

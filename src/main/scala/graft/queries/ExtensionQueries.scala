@@ -563,10 +563,42 @@ object ExtensionQueries {
       |SELECT src AS doc_id, least(src, min(dst)) AS comp
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** SimHash near-dup pairs (byte-band candidates + exact Hamming
+    * verify — complete by pigeonhole for radius ≤ 3) over the near-dup
+    * corpus. Radius 1 here: the synthetic docs share template token
+    * stats, so 32-bit simhashes cluster tightly and radius 3 would call
+    * ~2% of ALL pairs near-dups — radius is a corpus-tuned knob.
+    */
+  val q54: Q = (s, dir) =>
+    Dedup.simhashPairs(corpusNear(s, dir), "doc_id", "text", maxHamming = 1)
+      .orderBy("id_a", "id_b")
+  val q54Sql: String = {
+    val terms = (0 until 32).map { b =>
+      s"(CASE WHEN 2*len(list_filter(ht, h -> ((h >> $b) & 1) = 1)) > len(ht) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH corpus AS ($corpusNearSql),
+       |ht_t AS (SELECT id,
+       |  list_transform(list_distinct(string_split_regex(lower(text), '\\s+')),
+       |    t -> ('0x'||substr(md5(t),1,12))::BIGINT) AS ht FROM corpus),
+       |sh AS (SELECT id, CAST($terms AS BIGINT) AS simhash FROM ht_t),
+       |bands AS (SELECT id, simhash, b.band,
+       |    (simhash >> (CAST(b.band AS INT)*8)) % 256 AS key
+       |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q16_json_funcs" -> q16,
     "q20_dedup_exact" -> q20,
     "q52_dedup_components" -> q52,
+    "q54_simhash_neardup" -> q54,
     "q21_dedup_ngram_jaccard" -> q21,
     "q22_dedup_minhash_lsh" -> q22,
     "q23_simhash" -> q23,
@@ -589,6 +621,7 @@ object ExtensionQueries {
     "q16_json_funcs" -> q16Sql,
     "q20_dedup_exact" -> q20Sql,
     "q52_dedup_components" -> q52Sql,
+    "q54_simhash_neardup" -> q54Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q23_simhash" -> q23Sql,
