@@ -196,6 +196,116 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** [[kmeansCentroids]] with proper L2 (minimum reconstruction error)
+    * assignment: argmin ‖v−c‖² = argmax (2·v·c − c·c) — still exact Long
+    * arithmetic, deterministic tiebreak on lowest cell. The max-dot
+    * variant ranks by direction×norm and collapses PQ codebooks; L2 is
+    * what product quantization requires.
+    */
+  def kmeansCentroidsL2(train: Array[Array[Long]], nlist: Int,
+      iters: Int): Array[Array[Long]] = {
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var cents = train.take(nlist).map(_.clone())
+    for (_ <- 0 until iters) {
+      val dim = train.headOption.map(_.length).getOrElse(0)
+      val sums = Array.fill(cents.length)(new Array[Long](dim))
+      val counts = new Array[Long](cents.length)
+      val cc = cents.map(c => dot(c, c))
+      train.foreach { v =>
+        var best = 0; var bestScore = Long.MinValue
+        var c = 0
+        while (c < cents.length) {
+          val s = 2 * dot(v, cents(c)) - cc(c)
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else sums(c).map(s => math.floor(s.toDouble / counts(c)).toLong)
+      }
+    }
+    cents
+  }
+
+  /** Product-quantization (PQ) approximate top-k — the memory-compression
+    * half of the FAISS IVF+PQ architecture: each vector is split into `m`
+    * subvectors, each subvector encoded as the id of its nearest codebook
+    * centroid ([[kmeansCentroids]] per subspace, deterministic), so a
+    * 64-float embedding is stored as m small codes. Queries score
+    * candidates by ADC (asymmetric distance computation): per subspace, a
+    * 16-entry table of exact integer dots query·centroid, and a
+    * candidate's score is m table lookups summed — no full-vector math
+    * per pair. All arithmetic is exact Long, so the SQL oracle replays
+    * the identical codebooks, codes, tables, and ranking.
+    *
+    * Scale: codebooks train on a bounded driver sample (the IVF pattern);
+    * encoding and ADC are broadcast map-only column expressions; ranking
+    * is a per-query bounded window. At 100 TB the win is the stored
+    * footprint (codes, not vectors) and the per-pair cost (m lookups,
+    * not a dim-length dot).
+    */
+  def pqTopK(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      kmeansIters: Int = 3, trainLimit: Int = 4096): DataFrame = {
+    val (qv, _) = quantized(col(vecCol))
+    val withQ = base.select(col(idCol).as("id"), qv.as("q"))
+    val train: Array[Array[Long]] = withQ
+      .orderBy("id").limit(trainLimit)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    val dim = train.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    import base.sparkSession.implicits._
+    val books: Array[Array[(Int, Seq[Long])]] = Array.tabulate(m) { mi =>
+      val sub = train.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
+      kmeansCentroidsL2(sub, ksub, kmeansIters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    }
+    // codebook as a broadcast frame (m·ksub rows) — encoding and ADC are
+    // then explode + broadcast-join + aggregate, NOT m·ksub inline
+    // expressions per row (which drowns codegen at ksub ≥ 64)
+    val bookDf = (for {
+      mi <- 0 until m; (cid, cvec) <- books(mi)
+    } yield (mi, cid, cvec, cvec.map(x => x * x).sum))
+      .toDF("mi", "cell", "cvec", "cc")
+    def subArr(v: Column): Column =
+      array((0 until m).map(mi => slice(v, mi * dsub + 1, dsub)): _*)
+    // min-L2 encode: argmin (c·c − 2·v·c), tiebreak lowest cell, as a
+    // lexicographic min-struct aggregate
+    val enc = withQ
+      .select(col("id"), posexplode(subArr(col("q"))).as(Seq("mi", "sub")))
+      .join(broadcast(bookDf), "mi")
+      .select(col("id"), col("mi"), struct(
+        (col("cc") - Portable.dotQ(col("sub"), col("cvec")) * 2).as("ns"),
+        col("cell").as("cell")).as("sc"))
+      .groupBy("id", "mi").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("mi"), col("best.cell").as("code"))
+    // per-query ADC lookup tables: dot(query subvector, centroid)
+    val qt = queries.select(col(idCol).as("query_id"), qv.as("qq"))
+      .select(col("query_id"), posexplode(subArr(col("qq"))).as(Seq("mi", "sub")))
+      .join(broadcast(bookDf), "mi")
+      .select(col("query_id"), col("mi"), col("cell"),
+        Portable.dotQ(col("sub"), col("cvec")).as("dt"))
+    val adc = enc
+      .join(broadcast(qt), enc("mi") === qt("mi") && enc("code") === qt("cell"))
+      .groupBy(enc("id"), qt("query_id")).agg(sum(col("dt")).as("adc"))
+      .filter(col("id") =!= col("query_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc").desc, col("id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("adc"))
+  }
+
   /** Approximate top-k with multi-table random-hyperplane LSH
     * (OR-amplification): L tables of p planes each; a base row is a
     * candidate for a query iff their p-bit signatures agree in at least

@@ -294,6 +294,83 @@ object ExtensionQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q55
+  /** ANN via product quantization (Similarity.pqTopK): per-subspace
+    * deterministic k-means codebooks, m-code encoding, exact-integer ADC
+    * lookup scoring. The oracle unrolls all 8 subspace training loops
+    * (the q27 pattern, per subvector) and replays codes, tables, and
+    * ranking identically.
+    */
+  val q55: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, m = 16, ksub = 64)
+      .orderBy("query_id", "rank")
+  }
+  val q55Sql: String = {
+    val (m, ksub, iters, trainLimit, dsub, k) = (16, 64, 3, 4096, 4, 5)
+    def sliceOf(v: String, mi: Int) = s"$v[${mi * dsub + 1}:${(mi + 1) * dsub}]"
+    val perSub = (0 until m).map { mi =>
+      val iterCtes = (1 to iters).map { i =>
+        s"""m${mi}asg$i AS MATERIALIZED (
+           |  SELECT id, cell FROM (
+           |    SELECT t.id, c.cell,
+           |      row_number() OVER (PARTITION BY t.id ORDER BY 2*list_dot_product(t.s, c.v) - list_dot_product(c.v, c.v) DESC, c.cell) AS rn
+           |    FROM sub$mi t CROSS JOIN m${mi}cent${i - 1} c) WHERE rn = 1),
+           |m${mi}cent$i AS MATERIALIZED (
+           |  SELECT cell, list(s ORDER BY d) AS v FROM (
+           |    SELECT a.cell, dd.d,
+           |      CAST(floor(CAST(sum(t.s[dd.d+1]) AS DOUBLE)/count(*)) AS BIGINT) AS s
+           |    FROM m${mi}asg$i a JOIN sub$mi t USING (id) CROSS JOIN range($dsub) dd(d)
+           |    GROUP BY 1, 2) GROUP BY cell
+           |  UNION ALL
+           |  SELECT cell, v FROM m${mi}cent${i - 1} WHERE cell NOT IN (SELECT cell FROM m${mi}asg$i))""".stripMargin
+      }.mkString(",\n")
+      s"""sub$mi AS MATERIALIZED (SELECT id, ${sliceOf("q", mi)} AS s FROM train),
+         |m${mi}cent0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, s AS v
+         |  FROM (SELECT id, s FROM sub$mi ORDER BY id LIMIT $ksub)),
+         |$iterCtes,
+         |m${mi}code AS MATERIALIZED (
+         |  SELECT id, cell AS code FROM (
+         |    SELECT v.id, c.cell,
+         |      row_number() OVER (PARTITION BY v.id ORDER BY 2*list_dot_product(${sliceOf("v.q", mi)}, c.v) - list_dot_product(c.v, c.v) DESC, c.cell) AS rn
+         |    FROM vec v CROSS JOIN m${mi}cent$iters c) WHERE rn = 1),
+         |m${mi}qt AS MATERIALIZED (
+         |  SELECT v.id AS query_id, c.cell,
+         |    list_dot_product(${sliceOf("v.q", mi)}, c.v) AS dt
+         |  FROM vec v CROSS JOIN m${mi}cent$iters c WHERE v.id < 10)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until m)
+      .map(mi => s"JOIN m${mi}code x$mi USING (id)").mkString(" ")
+    val codeCols = (0 until m)
+      .map(mi => (if (mi == 0) "x0.code" else s"x$mi.code") + s" AS c$mi")
+      .mkString(", ")
+    val qtJoins = (1 until m).map(mi =>
+      s"JOIN m${mi}qt t$mi ON t$mi.cell = b.c$mi AND t$mi.query_id = t0.query_id")
+      .mkString("\n ")
+    val adcSum = (0 until m).map(mi => s"t$mi.dt").mkString(" + ")
+    s"""WITH vec AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |train AS MATERIALIZED (SELECT id, q FROM vec ORDER BY id LIMIT $trainLimit),
+       |$perSub,
+       |codes AS MATERIALIZED (SELECT id, $codeCols FROM m0code x0 $codeJoin),
+       |adc AS (
+       |  SELECT t0.query_id, b.id AS neighbor_id, $adcSum AS adc
+       |  FROM codes b
+       |  JOIN m0qt t0 ON t0.cell = b.c0
+       | $qtJoins
+       |  WHERE b.id <> t0.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, CAST(adc AS BIGINT) AS adc
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q26
   /** Embedding near-dup pairs (cos ≥ 0.999), label-blocked, on a corpus
     * with planted exact copies.
@@ -599,6 +676,7 @@ object ExtensionQueries {
     "q20_dedup_exact" -> q20,
     "q52_dedup_components" -> q52,
     "q54_simhash_neardup" -> q54,
+    "q55_ann_pq" -> q55,
     "q21_dedup_ngram_jaccard" -> q21,
     "q22_dedup_minhash_lsh" -> q22,
     "q23_simhash" -> q23,
@@ -622,6 +700,7 @@ object ExtensionQueries {
     "q20_dedup_exact" -> q20Sql,
     "q52_dedup_components" -> q52Sql,
     "q54_simhash_neardup" -> q54Sql,
+    "q55_ann_pq" -> q55Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q23_simhash" -> q23Sql,

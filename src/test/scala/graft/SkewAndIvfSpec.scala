@@ -40,4 +40,37 @@ class SkewAndIvfSpec extends SparkSuite {
     val recall = (ivf & brute).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall=$recall")
   }
+
+  test("pq top-k ADC recall@5 vs exact inner product, deterministic") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+    // ADC approximates the INNER PRODUCT (normalize embeddings upstream
+    // for cosine semantics) — so the recall baseline is exact max-dot
+    val qv = graft.functions.Portable.quantize(col("embedding"), 1000)
+    val b = e.select(col("vec_id").as("neighbor_id"), qv.as("bq"))
+    val qs = q.select(col("vec_id").as("query_id"), qv.as("qq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    val brute = b.crossJoin(broadcast(qs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", graft.functions.Portable.dotQ(col("qq"), col("bq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", 5,
+      m = 16, ksub = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (pq & brute).size.toDouble / brute.size
+    // 16×64-cell codebooks compress 64 dims to 16 codes (~16× storage);
+    // these synthetic embeddings are near-random (tiny top-k margins), so
+    // the floor is a degenerate-codebook guard, not a quality bar —
+    // measured 0.52 at sf0.001
+    assert(recall >= 0.4, s"recall=$recall")
+    // determinism under a different partitioning
+    val pq2 = Similarity.pqTopK(e.repartition(7), q, "vec_id", "embedding", 5,
+      m = 16, ksub = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq == pq2)
+  }
 }
