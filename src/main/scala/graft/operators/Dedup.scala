@@ -242,6 +242,13 @@ object Dedup {
     * join fans out per byte bucket, never all-pairs. Verification is the
     * exact popcount of the XOR — one codegen'd expression. Output:
     * (id_a, id_b, hamming).
+    *
+    * Scale note: 4 bands × 256 keys is only 1024 buckets — corpora whose
+    * token statistics cluster (templated text) produce hot byte values
+    * and the bucket join degrades toward k² on those buckets. At 100 TB
+    * use a wider simhash (64-bit, 8 bands — same pigeonhole bound at
+    * radius 7) so buckets stay selective, and let AQE's skew-join
+    * splitting absorb residual hot keys.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
