@@ -155,6 +155,19 @@ object Similarity {
     cents
   }
 
+  /** The `probes` nearest coarse cells for a vector, ranked by dot with
+    * each centroid (unit-ish vectors: larger dot == closer),
+    * deterministic tiebreak on cell id.
+    */
+  private def rankedCells(centroids: Array[(Int, Seq[Long])], v: Column,
+      probes: Int): Column = {
+    val scored = array(centroids.map { case (cid, cvec) =>
+      struct((-Portable.dotQ(v, typedLit(cvec))).as("negDot"),
+        lit(cid).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, probes), s => s.getField("cell"))
+  }
+
   /** IVF approximate top-k: a deterministic k-means coarse quantizer
     * ([[kmeansCentroids]]) assigns every base vector to its max-dot
     * centroid; a query scores only the `nprobe` nearest cells.
@@ -172,15 +185,8 @@ object Similarity {
     val centroids: Array[(Int, Seq[Long])] =
       kmeansCentroids(train, nlist, kmeansIters)
         .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    def cellsFor(v: Column, probes: Int): Column = {
-      // rank cells by dot with each centroid (unit-ish vectors: larger
-      // dot == closer), deterministic tiebreak on cell id
-      val scored = array(centroids.map { case (cid, cvec) =>
-        struct((-Portable.dotQ(v, typedLit(cvec))).as("negDot"),
-          lit(cid).as("cell"))
-      }: _*)
-      transform(slice(array_sort(scored), 1, probes), s => s.getField("cell"))
-    }
+    def cellsFor(v: Column, probes: Int): Column =
+      rankedCells(centroids, v, probes)
     val b = withQ
       .withColumn("cell", element_at(cellsFor(col("q"), 1), 1))
     val q = queries.select(col(idCol).as("query_id"), qv.as("q_q"), qn.as("q_n"))
@@ -298,6 +304,78 @@ object Similarity {
       .join(broadcast(qt), enc("mi") === qt("mi") && enc("code") === qt("cell"))
       .groupBy(enc("id"), qt("query_id")).agg(sum(col("dt")).as("adc"))
       .filter(col("id") =!= col("query_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc").desc, col("id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("adc"))
+  }
+
+  /** IVF + PQ combined — the full FAISS-style ANN pipeline: the coarse
+    * quantizer ([[kmeansCentroids]], max-dot cells — identical to
+    * [[ivfTopK]]) prunes the candidate set to the query's `nprobe`
+    * cells, and product-quantization ADC ([[pqTopK]] mechanics: L2
+    * subspace codebooks, integer lookup tables) scores only those
+    * candidates from their m-code representation. At 100 TB this is the
+    * shape that works: IVF bounds how much is scored, PQ bounds what a
+    * stored vector costs (m codes, not dim floats). Fully deterministic;
+    * the oracle replays coarse chain + all subspace chains.
+    */
+  def ivfPqTopK(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 16, ksub: Int = 64, kmeansIters: Int = 3,
+      trainLimit: Int = 4096): DataFrame = {
+    import base.sparkSession.implicits._
+    val (qv, _) = quantized(col(vecCol))
+    val withQ = base.select(col(idCol).as("id"), qv.as("q"))
+    val train: Array[Array[Long]] = withQ
+      .orderBy("id").limit(trainLimit)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    val dim = train.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // coarse quantizer (q27-identical chain)
+    val coarse: Array[(Int, Seq[Long])] =
+      kmeansCentroids(train, nlist, kmeansIters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    // PQ codebooks (q55-identical chains)
+    val books: Array[Array[(Int, Seq[Long])]] = Array.tabulate(m) { mi =>
+      val sub = train.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
+      kmeansCentroidsL2(sub, ksub, kmeansIters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    }
+    val bookDf = (for {
+      mi <- 0 until m; (cid, cvec) <- books(mi)
+    } yield (mi, cid, cvec, cvec.map(x => x * x).sum))
+      .toDF("mi", "cell", "cvec", "cc")
+    def subArr(v: Column): Column =
+      array((0 until m).map(mi => slice(v, mi * dsub + 1, dsub)): _*)
+    val b = withQ.withColumn("cell", element_at(rankedCells(coarse, col("q"), 1), 1))
+    val qprobe = queries.select(col(idCol).as("query_id"), qv.as("qq"))
+      .withColumn("cell", explode(rankedCells(coarse, col("qq"), nprobe)))
+    val cand = b.select("id", "cell")
+      .join(broadcast(qprobe.select("query_id", "cell")), "cell")
+      .filter(col("id") =!= col("query_id"))
+      .select("query_id", "id").distinct()
+    val enc = withQ
+      .select(col("id"), posexplode(subArr(col("q"))).as(Seq("mi", "sub")))
+      .join(broadcast(bookDf), "mi")
+      .select(col("id"), col("mi"), struct(
+        (col("cc") - Portable.dotQ(col("sub"), col("cvec")) * 2).as("ns"),
+        col("cell").as("cell")).as("sc"))
+      .groupBy("id", "mi").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("mi"), col("best.cell").as("code"))
+    val qt = queries.select(col(idCol).as("query_id"), qv.as("qq"))
+      .select(col("query_id"), posexplode(subArr(col("qq"))).as(Seq("mi", "sub")))
+      .join(broadcast(bookDf), "mi")
+      .select(col("query_id"), col("mi"), col("cell"),
+        Portable.dotQ(col("sub"), col("cvec")).as("dt"))
+    val adc = cand.join(enc, "id")
+      .join(broadcast(qt.withColumnRenamed("cell", "qcell")),
+        Seq("query_id", "mi"))
+      .filter(col("code") === col("qcell")) // pushed into the join condition
+      .groupBy("query_id", "id").agg(sum(col("dt")).as("adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc").desc, col("id"))
     adc.withColumn("rank", row_number().over(w).cast("long"))

@@ -371,6 +371,113 @@ object ExtensionQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q56
+  /** The full IVF+PQ ANN pipeline (Similarity.ivfPqTopK): coarse k-means
+    * cells prune candidates, PQ ADC scores only the probed candidates
+    * from their 16-code representation. The oracle composes q27's coarse
+    * chain with q55's 16 subspace chains (all MATERIALIZED) and replays
+    * probing, encoding, and ADC ranking exactly.
+    */
+  val q56: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 4, m = 16, ksub = 64)
+      .orderBy("query_id", "rank")
+  }
+  val q56Sql: String = {
+    val (nlist, nprobe, k, iters, trainLimit, dim) = (16, 4, 5, 3, 4096, 64)
+    val (m, ksub, dsub) = (16, 64, 4)
+    val coarseCtes = (1 to iters).map { i =>
+      s"""asg$i AS MATERIALIZED (
+         |  SELECT id, cell FROM (
+         |    SELECT t.id, c.cell,
+         |      row_number() OVER (PARTITION BY t.id ORDER BY list_dot_product(t.q, c.v) DESC, c.cell) AS rn
+         |    FROM train t CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+         |cent$i AS MATERIALIZED (
+         |  SELECT cell, list(s ORDER BY d) AS v FROM (
+         |    SELECT a.cell, dd.d,
+         |      CAST(floor(CAST(sum(t.q[dd.d+1]) AS DOUBLE)/count(*)) AS BIGINT) AS s
+         |    FROM asg$i a JOIN train t USING (id) CROSS JOIN range($dim) dd(d)
+         |    GROUP BY 1, 2) GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, v FROM cent${i - 1} WHERE cell NOT IN (SELECT cell FROM asg$i))""".stripMargin
+    }.mkString(",\n")
+    def sliceOf(v: String, mi: Int) = s"$v[${mi * dsub + 1}:${(mi + 1) * dsub}]"
+    val perSub = (0 until m).map { mi =>
+      val iterCtes = (1 to iters).map { i =>
+        s"""m${mi}asg$i AS MATERIALIZED (
+           |  SELECT id, cell FROM (
+           |    SELECT t.id, c.cell,
+           |      row_number() OVER (PARTITION BY t.id ORDER BY 2*list_dot_product(t.s, c.v) - list_dot_product(c.v, c.v) DESC, c.cell) AS rn
+           |    FROM sub$mi t CROSS JOIN m${mi}cent${i - 1} c) WHERE rn = 1),
+           |m${mi}cent$i AS MATERIALIZED (
+           |  SELECT cell, list(s ORDER BY d) AS v FROM (
+           |    SELECT a.cell, dd.d,
+           |      CAST(floor(CAST(sum(t.s[dd.d+1]) AS DOUBLE)/count(*)) AS BIGINT) AS s
+           |    FROM m${mi}asg$i a JOIN sub$mi t USING (id) CROSS JOIN range($dsub) dd(d)
+           |    GROUP BY 1, 2) GROUP BY cell
+           |  UNION ALL
+           |  SELECT cell, v FROM m${mi}cent${i - 1} WHERE cell NOT IN (SELECT cell FROM m${mi}asg$i))""".stripMargin
+      }.mkString(",\n")
+      s"""sub$mi AS MATERIALIZED (SELECT id, ${sliceOf("q", mi)} AS s FROM train),
+         |m${mi}cent0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, s AS v
+         |  FROM (SELECT id, s FROM sub$mi ORDER BY id LIMIT $ksub)),
+         |$iterCtes,
+         |m${mi}code AS MATERIALIZED (
+         |  SELECT id, cell AS code FROM (
+         |    SELECT v.id, c.cell,
+         |      row_number() OVER (PARTITION BY v.id ORDER BY 2*list_dot_product(${sliceOf("v.q", mi)}, c.v) - list_dot_product(c.v, c.v) DESC, c.cell) AS rn
+         |    FROM vec v CROSS JOIN m${mi}cent$iters c) WHERE rn = 1),
+         |m${mi}qt AS MATERIALIZED (
+         |  SELECT v.id AS query_id, c.cell,
+         |    list_dot_product(${sliceOf("v.q", mi)}, c.v) AS dt
+         |  FROM vec v CROSS JOIN m${mi}cent$iters c WHERE v.id < 10)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until m)
+      .map(mi => s"JOIN m${mi}code x$mi USING (id)").mkString(" ")
+    val codeCols = (0 until m)
+      .map(mi => s"x$mi.code AS c$mi").mkString(", ")
+    val qtJoins = (0 until m).map(mi =>
+      s"JOIN m${mi}qt t$mi ON t$mi.query_id = c.query_id AND t$mi.cell = b.c$mi")
+      .mkString("\n ")
+    val adcSum = (0 until m).map(mi => s"t$mi.dt").mkString(" + ")
+    s"""WITH vec AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |train AS MATERIALIZED (SELECT id, q FROM vec ORDER BY id LIMIT $trainLimit),
+       |cent0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, q AS v
+       |  FROM (SELECT id, q FROM train ORDER BY id LIMIT $nlist)),
+       |$coarseCtes,
+       |basg AS MATERIALIZED (
+       |  SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY list_dot_product(v.q, c.v) DESC, c.cell) AS rn
+       |    FROM vec v CROSS JOIN cent$iters c) WHERE rn = 1),
+       |probe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT v.id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY list_dot_product(v.q, c.v) DESC, c.cell) AS rn
+       |    FROM vec v CROSS JOIN cent$iters c WHERE v.id < 10) WHERE rn <= $nprobe),
+       |$perSub,
+       |codes AS MATERIALIZED (SELECT id, $codeCols FROM m0code x0 $codeJoin),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, b.id
+       |  FROM probe p JOIN basg b USING (cell) WHERE b.id <> p.query_id),
+       |adc AS (
+       |  SELECT c.query_id, c.id AS neighbor_id, $adcSum AS adc
+       |  FROM cand c JOIN codes b ON b.id = c.id
+       | $qtJoins),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, CAST(adc AS BIGINT) AS adc
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q26
   /** Embedding near-dup pairs (cos ≥ 0.999), label-blocked, on a corpus
     * with planted exact copies.
@@ -677,6 +784,7 @@ object ExtensionQueries {
     "q52_dedup_components" -> q52,
     "q54_simhash_neardup" -> q54,
     "q55_ann_pq" -> q55,
+    "q56_ann_ivfpq" -> q56,
     "q21_dedup_ngram_jaccard" -> q21,
     "q22_dedup_minhash_lsh" -> q22,
     "q23_simhash" -> q23,
@@ -701,6 +809,7 @@ object ExtensionQueries {
     "q52_dedup_components" -> q52Sql,
     "q54_simhash_neardup" -> q54Sql,
     "q55_ann_pq" -> q55Sql,
+    "q56_ann_ivfpq" -> q56Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q23_simhash" -> q23Sql,

@@ -73,4 +73,24 @@ class SkewAndIvfSpec extends SparkSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(pq == pq2)
   }
+
+  test("ivf+pq returns k ADC-ranked neighbors from probed cells only") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val got = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 8, m = 16, ksub = 64).cache()
+    // every query gets k rows with dense ranks
+    val perQuery = got.groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perQuery.size == 10 && perQuery.values.forall(_ == 5))
+    // determinism under a different partitioning
+    val a = got.select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Similarity.ivfPqTopK(e.repartition(5), q, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 8, m = 16, ksub = 64)
+      .select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+    got.unpersist()
+  }
 }
