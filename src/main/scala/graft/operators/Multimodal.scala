@@ -127,6 +127,46 @@ object Multimodal {
     media.mapPartitions(_.flatMap(decodeImage))
   }
 
+  /** Deterministic PNG fixture for an id: a (16+id%8)×(9+id%5) gradient
+    * with rgb(x,y) = ((x·7+y)%256, (y·5)%256, (x+y·3)%256), PNG-encoded
+    * in the executor. PNG is lossless, so decoding recovers the exact
+    * pixels — which makes the ENTIRE encode → javax.imageio decode →
+    * pixel-stats path checkable by an oracle that computes the expected
+    * channel means from the gradient formula in closed form (no image
+    * library needed on the oracle side).
+    */
+  def fixturePng(id: Long): Array[Byte] = {
+    val w = (16 + id % 8).toInt
+    val h = (9 + id % 5).toInt
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = ((x * 7 + y) % 256, (y * 5) % 256, (x + y * 3) % 256)
+        im.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  /** Media corpus of [[fixturePng]] images for a set of ids — built
+    * inside mapPartitions (the per-partition codec-context shape), so
+    * the encode happens on executors, never the driver.
+    */
+  def fixtureImageCorpus(ids: Dataset[java.lang.Long])(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.mapPartitions(_.map { id =>
+      MediaRecord(id, fixturePng(id), "image/png", (16 + id % 8))
+    })
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class MediaFrame(
       id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)

@@ -684,6 +684,35 @@ object ExtensionQueries {
       |  CAST(n_bytes AS BIGINT) AS n_bytes, frame_md5
       |FROM fr ORDER BY id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** REAL image decode through the driver gate: executors PNG-encode a
+    * deterministic gradient per doc id, javax.imageio decodes it back,
+    * and per-channel pixel means are emitted. The oracle computes the
+    * expected means from the gradient formula in closed form — so a
+    * codec bug, a channel swap, or a row/column transposition anywhere
+    * in the encode→decode→stats path fails the hash compare.
+    */
+  val q57: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ids = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200).select("doc_id").as[java.lang.Long]
+    Multimodal.extractImageFeatures(Multimodal.fixtureImageCorpus(ids))
+      .toDF().orderBy("id")
+  }
+  val q57Sql: String =
+    """WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS w, 9 + doc_id % 5 AS h
+      |    FROM documents WHERE doc_id < 200),
+      |px AS (SELECT doc_id, w, h, x.x AS x, y.y AS y
+      |  FROM d CROSS JOIN range(24) x(x) CROSS JOIN range(14) y(y)
+      |  WHERE x.x < w AND y.y < h)
+      |SELECT doc_id AS id, CAST(max(w) AS BIGINT) AS width,
+      |  CAST(max(h) AS BIGINT) AS height,
+      |  round(CAST(sum((x*7 + y) % 256) AS DOUBLE) / (max(w)*max(h)), 4) AS mean_r,
+      |  round(CAST(sum((y*5) % 256) AS DOUBLE) / (max(w)*max(h)), 4) AS mean_g,
+      |  round(CAST(sum((x + y*3) % 256) AS DOUBLE) / (max(w)*max(h)), 4) AS mean_b
+      |FROM px GROUP BY doc_id ORDER BY id""".stripMargin
+
   // ---------------------------------------------------------------- q37
   /** KMV distinct-cardinality sketch (k=64) of parts per return flag —
     * the portable, exactly-checkable alternative to HLL.
@@ -785,6 +814,7 @@ object ExtensionQueries {
     "q54_simhash_neardup" -> q54,
     "q55_ann_pq" -> q55,
     "q56_ann_ivfpq" -> q56,
+    "q57_image_decode" -> q57,
     "q21_dedup_ngram_jaccard" -> q21,
     "q22_dedup_minhash_lsh" -> q22,
     "q23_simhash" -> q23,
@@ -810,6 +840,7 @@ object ExtensionQueries {
     "q54_simhash_neardup" -> q54Sql,
     "q55_ann_pq" -> q55Sql,
     "q56_ann_ivfpq" -> q56Sql,
+    "q57_image_decode" -> q57Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q23_simhash" -> q23Sql,
