@@ -79,10 +79,12 @@ object Bench {
     // (paid per dump); rediff is the per-comparison cost every repeated
     // sync actually pays — exchange-free by construction.
     spark.catalog.clearCache()
-    val snapCold = try time {
+    def runSnap(): Double = try time {
       graft.engine.BucketedSync.snapshot(spark, prodPath.toString, "bench_bk_prod")
       graft.engine.BucketedSync.snapshot(spark, backupPath.toString, "bench_bk_backup")
     } catch { case _: Throwable => -1.0 }
+    val snapCold = runSnap()
+    val snapWarm = runSnap() // steady-state cost of snapshotting a NEW dump
     def runRediff(): Double = try time(materialize(
       graft.engine.BucketedSync.diff(spark, "bench_bk_prod", "bench_bk_backup")))
       catch { case _: Throwable => -1.0 }
@@ -91,7 +93,7 @@ object Bench {
 
     val all = queryTimes :+
       (("sync_dump_diff", syncCold, syncWarm)) :+
-      (("sync_bucketed_snapshot", snapCold, snapCold)) :+
+      (("sync_bucketed_snapshot", snapCold, snapWarm)) :+
       (("sync_bucketed_rediff", rediffCold, rediffWarm))
     def jmap(f: ((String, Double, Double)) => Double): String =
       all.map { case t @ (k, _, _) => "\"" + k + "\":" + f(t) }

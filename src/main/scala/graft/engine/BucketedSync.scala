@@ -25,29 +25,48 @@ object BucketedSync {
     Seq("table", "pk", "ord_off", "ord_row", "vals", "raw")
 
   /** Parse + dedup a dump and persist its record frame bucketed+sorted on
-    * (table, pk). One-time cost ≈ one sync's parse half; `buckets` must
-    * match between snapshots that will be diffed.
+    * (table, pk), plus a `<name>_cat` sidecar with the dump's table SET —
+    * a record frame alone cannot distinguish a missing table from an
+    * empty one, and [[diff]] must restrict row ops to tables present in
+    * BOTH snapshots (missing/extra tables are DDL concerns, exactly as
+    * SyncJob classifies them). One-time cost ≈ one sync's parse half;
+    * `buckets` must match between snapshots that will be diffed.
     */
   def snapshot(spark: SparkSession, dumpPath: String, tableName: String,
       buckets: Int = 32): Unit = {
+    import spark.implicits._
     val job = new SyncJob(spark)
     val stmts = DumpSource.statements(spark, dumpPath)
     val cat = job.catalog(stmts)
     val recs = job.records(stmts, cat).select(RecordCols.map(col): _*)
     Colocate.bucketizeKeys(recs, tableName, Seq("table", "pk"), buckets)
+    Colocate.bucketizeKeys(cat.keys.toSeq.toDF("table"),
+      tableName + "_cat", Seq("table"), 1)
   }
 
   /** Diff two bucketed snapshots: the sync core's full-outer join +
-    * 3-way classification, planned without any Exchange (bucket files ARE
-    * the (table, pk) partitioning on both sides).
+    * 3-way classification over the tables present in BOTH snapshots
+    * (matching SyncJob's commonTables rule — tables in only one dump are
+    * CREATE/DROP DDL, never row ops), planned without any Exchange
+    * (bucket files ARE the (table, pk) partitioning on both sides; the
+    * common-table restriction is a literal IN filter from the tiny
+    * catalog sidecars, not a join).
     */
   def diff(spark: SparkSession, prodTable: String,
       backupTable: String): DataFrame = {
-    val p = spark.table(prodTable).select(col("table"), col("pk"),
+    import spark.implicits._
+    def tablesOf(t: String): Set[String] =
+      spark.table(t + "_cat").select("table").as[String].collect().toSet
+    val common = tablesOf(prodTable).intersect(tablesOf(backupTable)).toSeq
+    val p = spark.table(prodTable)
+      .filter(col("table").isInCollection(common))
+      .select(col("table"), col("pk"),
       lit(true).as("p_present"),
       col("ord_off").as("p_ord_off"), col("ord_row").as("p_ord_row"),
       col("vals").as("p_vals"), col("raw").as("p_raw"))
-    val b = spark.table(backupTable).select(col("table"), col("pk"),
+    val b = spark.table(backupTable)
+      .filter(col("table").isInCollection(common))
+      .select(col("table"), col("pk"),
       lit(true).as("b_present"),
       col("ord_off").as("b_ord_off"), col("ord_row").as("b_ord_row"),
       col("vals").as("b_vals"))

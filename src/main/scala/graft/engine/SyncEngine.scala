@@ -244,21 +244,34 @@ class SyncJob(spark: SparkSession) {
     val joined = joined0.cache()
     try {
       val outcome = summarize(joined, prodInfo, backupCat, commonTables, prodPath)
-      val stmts = renderedOps(joined, prodInfo.metas, backupCat, commonTables)
-        // DELETE/UPDATE that render empty are skipped (assemble does the
-        // same); empty INSERT lines are kept (assemble emits them bare)
-        .filter(col("op") === Differ.OP_INSERT || length(col("stmt")) > 0)
-        .select(col("section").as("sec"), col("tbl_idx").as("tbl"),
-          col("ordOff").as("off"), col("ordRow").as("row"),
-          lit(0).as("sub"), col("stmt").as("line"))
-      val banners = spark.createDataFrame(driverLines(outcome, now))
-        .select("sec", "tbl", "off", "row", "sub", "line")
-      banners.unionByName(stmts)
-        .orderBy("sec", "tbl", "off", "row", "sub")
-        .select("line")
+      scriptLineFrame(joined, prodInfo.metas, backupCat, commonTables,
+        outcome, now)
         .write.mode("overwrite").text(outDir)
       outcome
     } finally { joined.unpersist(); cleanup() }
+  }
+
+  /** The complete script as one globally-ordered single-column frame —
+    * executor-rendered statements unioned with the O(tables) driver
+    * banner rows under the (sec, tbl, off, row, sub) sort key. Shared by
+    * the distributed text sink and the collected single-file path so the
+    * byte-parity rules (notably: DELETE/UPDATE that render empty are
+    * skipped, exactly as assemble does, while empty INSERT lines are
+    * kept — assemble emits them bare) live in ONE place.
+    */
+  private def scriptLineFrame(joined: DataFrame,
+      prodCat: ListMap[String, TableMeta], backupCat: ListMap[String, TableMeta],
+      commonTables: Seq[String], outcome: SyncOutcome, now: String): DataFrame = {
+    val stmts = renderedOps(joined, prodCat, backupCat, commonTables)
+      .filter(col("op") === Differ.OP_INSERT || length(col("stmt")) > 0)
+      .select(col("section").as("sec"), col("tbl_idx").as("tbl"),
+        col("ordOff").as("off"), col("ordRow").as("row"),
+        lit(0).as("sub"), col("stmt").as("line"))
+    val banners = spark.createDataFrame(driverLines(outcome, now))
+      .select("sec", "tbl", "off", "row", "sub", "line")
+    banners.unionByName(stmts)
+      .orderBy("sec", "tbl", "off", "row", "sub")
+      .select("line")
   }
 
   /** Single-file sibling of [[syncDistributed]]: same executor-side
@@ -276,16 +289,8 @@ class SyncJob(spark: SparkSession) {
     val joined = joined0.cache()
     try {
       val outcome = summarize(joined, prodInfo, backupCat, commonTables, prodPath)
-      val stmts = renderedOps(joined, prodInfo.metas, backupCat, commonTables)
-        .filter(col("op") === Differ.OP_INSERT || length(col("stmt")) > 0)
-        .select(col("section").as("sec"), col("tbl_idx").as("tbl"),
-          col("ordOff").as("off"), col("ordRow").as("row"),
-          lit(0).as("sub"), col("stmt").as("line"))
-      val banners = spark.createDataFrame(driverLines(outcome, now))
-        .select("sec", "tbl", "off", "row", "sub", "line")
-      val lines = banners.unionByName(stmts)
-        .orderBy("sec", "tbl", "off", "row", "sub")
-        .select("line").as[String].collect()
+      val lines = scriptLineFrame(joined, prodInfo.metas, backupCat,
+        commonTables, outcome, now).as[String].collect()
       (outcome, lines.mkString("\n"))
     } finally { joined.unpersist(); cleanup() }
   }

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers called from both interpreted eval and generated Java
@@ -59,9 +59,13 @@ object NativeHashUtil {
   * scale), and the DuckDB oracle form
   * `('0x'||substr(md5(s),1,12))::BIGINT` is unchanged.
   */
-case class Hash48(child: Expression) extends UnaryExpression {
+case class Hash48(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
+  // SQL callers (GraftExtensions) pass arbitrary columns — implicit-cast
+  // to string at analysis time instead of a runtime ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     NativeHashUtil.hash48(input.asInstanceOf[UTF8String])
@@ -84,9 +88,10 @@ object Hash48 {
   * interpreted lambda — per-character allocation on every row.
   */
 case class RollingHash(child: Expression, base: Long, mod: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(input: Any): Any =
     NativeHashUtil.rollingHash(input.asInstanceOf[UTF8String], base, mod)

@@ -252,6 +252,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4-byte banding is only candidate-complete " +
+        "for Hamming distance <= 3 (pigeonhole); larger radii would return " +
+        "a silently incomplete pair set")
     val sims = simhashTable(df, idCol, textCol, 32)
     val bandArr = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -306,6 +310,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — the pair graph has a " +
+          "cluster with diameter > maxIter; rerun with a larger maxIter " +
+          "rather than consuming non-converged (wrong) labels")
     labels
   }
 

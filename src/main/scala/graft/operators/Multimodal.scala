@@ -93,9 +93,11 @@ object Multimodal {
     * deterministic across partitionings.
     */
   def decodeImage(m: MediaRecord): Option[ImageFeatures] = {
+    // ImageIO readers throw RuntimeExceptions (not just IOException) on
+    // corrupt-but-recognized payloads; any decode failure means "drop"
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       var r = 0L; var g = 0L; var b = 0L

@@ -263,46 +263,9 @@ object Similarity {
       kmeansIters: Int = 3, trainLimit: Int = 4096): DataFrame = {
     val (qv, _) = quantized(col(vecCol))
     val withQ = base.select(col(idCol).as("id"), qv.as("q"))
-    val train: Array[Array[Long]] = withQ
-      .orderBy("id").limit(trainLimit)
-      .select("q").collect().map(_.getSeq[Long](0).toArray)
-    val dim = train.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val dsub = dim / m
-    import base.sparkSession.implicits._
-    val books: Array[Array[(Int, Seq[Long])]] = Array.tabulate(m) { mi =>
-      val sub = train.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
-      kmeansCentroidsL2(sub, ksub, kmeansIters)
-        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    }
-    // codebook as a broadcast frame (m·ksub rows) — encoding and ADC are
-    // then explode + broadcast-join + aggregate, NOT m·ksub inline
-    // expressions per row (which drowns codegen at ksub ≥ 64)
-    val bookDf = (for {
-      mi <- 0 until m; (cid, cvec) <- books(mi)
-    } yield (mi, cid, cvec, cvec.map(x => x * x).sum))
-      .toDF("mi", "cell", "cvec", "cc")
-    def subArr(v: Column): Column =
-      array((0 until m).map(mi => slice(v, mi * dsub + 1, dsub)): _*)
-    // min-L2 encode: argmin (c·c − 2·v·c), tiebreak lowest cell, as a
-    // lexicographic min-struct aggregate
-    val enc = withQ
-      .select(col("id"), posexplode(subArr(col("q"))).as(Seq("mi", "sub")))
-      .join(broadcast(bookDf), "mi")
-      .select(col("id"), col("mi"), struct(
-        (col("cc") - Portable.dotQ(col("sub"), col("cvec")) * 2).as("ns"),
-        col("cell").as("cell")).as("sc"))
-      .groupBy("id", "mi").agg(min(col("sc")).as("best"))
-      .select(col("id"), col("mi"), col("best.cell").as("code"))
-    // per-query ADC lookup tables: dot(query subvector, centroid)
-    val qt = queries.select(col(idCol).as("query_id"), qv.as("qq"))
-      .select(col("query_id"), posexplode(subArr(col("qq"))).as(Seq("mi", "sub")))
-      .join(broadcast(bookDf), "mi")
-      .select(col("query_id"), col("mi"), col("cell"),
-        Portable.dotQ(col("sub"), col("cvec")).as("dt"))
-    val adc = enc
-      .join(broadcast(qt), enc("mi") === qt("mi") && enc("code") === qt("cell"))
-      .groupBy(enc("id"), qt("query_id")).agg(sum(col("dt")).as("adc"))
+    val pq = PqModel.fit(withQ, m, ksub, kmeansIters, trainLimit)
+    val adc = pq.adcScores(pq.encode(withQ),
+      queries.select(col(idCol).as("query_id"), qv.as("qq")))
       .filter(col("id") =!= col("query_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc").desc, col("id"))
@@ -310,6 +273,78 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
         col("adc"))
+  }
+
+  /** Trained PQ codebooks + the encode / ADC builders shared by
+    * [[pqTopK]] and [[ivfPqTopK]]. The codebook travels as a broadcast
+    * frame (m·ksub rows) — encoding and ADC are then explode +
+    * broadcast-join + aggregate, NOT m·ksub inline expressions per row
+    * (which drowns codegen at ksub ≥ 64).
+    */
+  private final case class PqModel(bookDf: DataFrame, m: Int, dsub: Int) {
+
+    private def subArr(v: Column): Column =
+      array((0 until m).map(mi => slice(v, mi * dsub + 1, dsub)): _*)
+
+    /** (id, mi, code): min-L2 encode — argmin (c·c − 2·v·c), tiebreak
+      * lowest cell, as a lexicographic min-struct aggregate over a frame
+      * with (id, q).
+      */
+    def encode(withQ: DataFrame): DataFrame = withQ
+      .select(col("id"), posexplode(subArr(col("q"))).as(Seq("mi", "sub")))
+      .join(broadcast(bookDf), "mi")
+      .select(col("id"), col("mi"), struct(
+        (col("cc") - Portable.dotQ(col("sub"), col("cvec")) * 2).as("ns"),
+        col("cell").as("cell")).as("sc"))
+      .groupBy("id", "mi").agg(min(col("sc")).as("best"))
+      .select(col("id"), col("mi"), col("best.cell").as("code"))
+
+    /** (query_id, mi, cell, dt): per-query ADC lookup tables over a frame
+      * with (query_id, qq).
+      */
+    def queryTables(q: DataFrame): DataFrame = q
+      .select(col("query_id"), posexplode(subArr(col("qq"))).as(Seq("mi", "sub")))
+      .join(broadcast(bookDf), "mi")
+      .select(col("query_id"), col("mi"), col("cell"),
+        Portable.dotQ(col("sub"), col("cvec")).as("dt"))
+
+    /** (query_id, id, adc): ADC = the m table lookups summed per pair. */
+    def adcScores(enc: DataFrame, q: DataFrame): DataFrame = {
+      val qt = queryTables(q)
+      enc
+        .join(broadcast(qt), enc("mi") === qt("mi") && enc("code") === qt("cell"))
+        .groupBy(enc("id"), qt("query_id")).agg(sum(col("dt")).as("adc"))
+    }
+  }
+
+  private object PqModel {
+    /** Train per-subspace L2 codebooks on the `trainLimit` lowest-id
+      * vectors of a (id, q) frame.
+      */
+    def fit(withQ: DataFrame, m: Int, ksub: Int, iters: Int,
+        trainLimit: Int): PqModel =
+      fromTrain(withQ.sparkSession,
+        withQ.orderBy("id").limit(trainLimit)
+          .select("q").collect().map(_.getSeq[Long](0).toArray),
+        m, ksub, iters)
+
+    def fromTrain(spark: org.apache.spark.sql.SparkSession,
+        train: Array[Array[Long]], m: Int, ksub: Int, iters: Int): PqModel = {
+      import spark.implicits._
+      val dim = train.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      val books = Array.tabulate(m) { mi =>
+        val sub = train.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
+        kmeansCentroidsL2(sub, ksub, iters)
+          .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      }
+      val bookDf = (for {
+        mi <- 0 until m; (cid, cvec) <- books(mi)
+      } yield (mi, cid, cvec, cvec.map(x => x * x).sum))
+        .toDF("mi", "cell", "cvec", "cc")
+      PqModel(bookDf, m, dsub)
+    }
   }
 
   /** IVF + PQ combined — the full FAISS-style ANN pipeline: the coarse
@@ -326,53 +361,26 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 16, ksub: Int = 64, kmeansIters: Int = 3,
       trainLimit: Int = 4096): DataFrame = {
-    import base.sparkSession.implicits._
     val (qv, _) = quantized(col(vecCol))
     val withQ = base.select(col(idCol).as("id"), qv.as("q"))
     val train: Array[Array[Long]] = withQ
       .orderBy("id").limit(trainLimit)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
-    val dim = train.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val dsub = dim / m
-    // coarse quantizer (q27-identical chain)
+    // coarse quantizer (q27-identical chain) + PQ codebooks (q55-identical)
     val coarse: Array[(Int, Seq[Long])] =
       kmeansCentroids(train, nlist, kmeansIters)
         .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    // PQ codebooks (q55-identical chains)
-    val books: Array[Array[(Int, Seq[Long])]] = Array.tabulate(m) { mi =>
-      val sub = train.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
-      kmeansCentroidsL2(sub, ksub, kmeansIters)
-        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-    }
-    val bookDf = (for {
-      mi <- 0 until m; (cid, cvec) <- books(mi)
-    } yield (mi, cid, cvec, cvec.map(x => x * x).sum))
-      .toDF("mi", "cell", "cvec", "cc")
-    def subArr(v: Column): Column =
-      array((0 until m).map(mi => slice(v, mi * dsub + 1, dsub)): _*)
+    val pq = PqModel.fromTrain(base.sparkSession, train, m, ksub, kmeansIters)
     val b = withQ.withColumn("cell", element_at(rankedCells(coarse, col("q"), 1), 1))
-    val qprobe = queries.select(col(idCol).as("query_id"), qv.as("qq"))
+    val qWithQ = queries.select(col(idCol).as("query_id"), qv.as("qq"))
+    val qprobe = qWithQ
       .withColumn("cell", explode(rankedCells(coarse, col("qq"), nprobe)))
     val cand = b.select("id", "cell")
       .join(broadcast(qprobe.select("query_id", "cell")), "cell")
       .filter(col("id") =!= col("query_id"))
       .select("query_id", "id").distinct()
-    val enc = withQ
-      .select(col("id"), posexplode(subArr(col("q"))).as(Seq("mi", "sub")))
-      .join(broadcast(bookDf), "mi")
-      .select(col("id"), col("mi"), struct(
-        (col("cc") - Portable.dotQ(col("sub"), col("cvec")) * 2).as("ns"),
-        col("cell").as("cell")).as("sc"))
-      .groupBy("id", "mi").agg(min(col("sc")).as("best"))
-      .select(col("id"), col("mi"), col("best.cell").as("code"))
-    val qt = queries.select(col(idCol).as("query_id"), qv.as("qq"))
-      .select(col("query_id"), posexplode(subArr(col("qq"))).as(Seq("mi", "sub")))
-      .join(broadcast(bookDf), "mi")
-      .select(col("query_id"), col("mi"), col("cell"),
-        Portable.dotQ(col("sub"), col("cvec")).as("dt"))
-    val adc = cand.join(enc, "id")
-      .join(broadcast(qt.withColumnRenamed("cell", "qcell")),
+    val adc = cand.join(pq.encode(withQ), "id")
+      .join(broadcast(pq.queryTables(qWithQ).withColumnRenamed("cell", "qcell")),
         Seq("query_id", "mi"))
       .filter(col("code") === col("qcell")) // pushed into the join condition
       .groupBy("query_id", "id").agg(sum(col("dt")).as("adc"))

@@ -294,23 +294,27 @@ object ExtensionQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  // ---------------------------------------------------------------- q55
-  /** ANN via product quantization (Similarity.pqTopK): per-subspace
-    * deterministic k-means codebooks, m-code encoding, exact-integer ADC
-    * lookup scoring. The oracle unrolls all 8 subspace training loops
-    * (the q27 pattern, per subvector) and replays codes, tables, and
-    * ranking identically.
+  // ---------------------------------------------------- PQ oracle pieces
+  /** Shared DuckDB CTE text for vec/train (integer-quantized embeddings,
+    * lowest-id training sample). MATERIALIZED throughout the PQ chains:
+    * DuckDB re-inlines multiply-referenced CTEs, which turns the k-means
+    * recurrence exponential without it.
     */
-  val q55: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
-    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, m = 16, ksub = 64)
-      .orderBy("query_id", "rank")
-  }
-  val q55Sql: String = {
-    val (m, ksub, iters, trainLimit, dsub, k) = (16, 64, 3, 4096, 4, 5)
+  private def pqVecTrainSql(trainLimit: Int): String =
+    s"""vec AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |train AS MATERIALIZED (SELECT id, q FROM vec ORDER BY id LIMIT $trainLimit)""".stripMargin
+
+  /** One unrolled L2 k-means chain + base-encode + query-table per PQ
+    * subspace — the SQL replay of PqModel (Similarity.scala); shared by
+    * the q55 and q56 oracles.
+    */
+  private def pqSubspaceCtesSql(m: Int, ksub: Int, iters: Int,
+      dsub: Int): String = {
     def sliceOf(v: String, mi: Int) = s"$v[${mi * dsub + 1}:${(mi + 1) * dsub}]"
-    val perSub = (0 until m).map { mi =>
+    (0 until m).map { mi =>
       val iterCtes = (1 to iters).map { i =>
         s"""m${mi}asg$i AS MATERIALIZED (
            |  SELECT id, cell FROM (
@@ -341,28 +345,52 @@ object ExtensionQueries {
          |    list_dot_product(${sliceOf("v.q", mi)}, c.v) AS dt
          |  FROM vec v CROSS JOIN m${mi}cent$iters c WHERE v.id < 10)""".stripMargin
     }.mkString(",\n")
+  }
+
+  /** The per-base-vector code tuple CTE (joins every subspace's code). */
+  private def pqCodesCteSql(m: Int): String = {
     val codeJoin = (1 until m)
       .map(mi => s"JOIN m${mi}code x$mi USING (id)").mkString(" ")
-    val codeCols = (0 until m)
-      .map(mi => (if (mi == 0) "x0.code" else s"x$mi.code") + s" AS c$mi")
-      .mkString(", ")
-    val qtJoins = (1 until m).map(mi =>
-      s"JOIN m${mi}qt t$mi ON t$mi.cell = b.c$mi AND t$mi.query_id = t0.query_id")
-      .mkString("\n ")
-    val adcSum = (0 until m).map(mi => s"t$mi.dt").mkString(" + ")
-    s"""WITH vec AS MATERIALIZED (
-       |  SELECT vec_id AS id,
-       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |train AS MATERIALIZED (SELECT id, q FROM vec ORDER BY id LIMIT $trainLimit),
-       |$perSub,
-       |codes AS MATERIALIZED (SELECT id, $codeCols FROM m0code x0 $codeJoin),
+    val codeCols = (0 until m).map(mi => s"x$mi.code AS c$mi").mkString(", ")
+    s"codes AS MATERIALIZED (SELECT id, $codeCols FROM m0code x0 $codeJoin)"
+  }
+
+  /** The m ADC lookup-table joins, anchored on a frame aliased `c` with
+    * (query_id) and `b` with code columns c0..c{m-1}.
+    */
+  private def pqQtJoinsSql(m: Int): String = (0 until m).map(mi =>
+    s"JOIN m${mi}qt t$mi ON t$mi.query_id = c.query_id AND t$mi.cell = b.c$mi")
+    .mkString("\n ")
+
+  private def pqAdcSumSql(m: Int): String =
+    (0 until m).map(mi => s"t$mi.dt").mkString(" + ")
+
+  // ---------------------------------------------------------------- q55
+  /** ANN via product quantization (Similarity.pqTopK): per-subspace
+    * deterministic k-means codebooks, m-code encoding, exact-integer ADC
+    * lookup scoring. The oracle unrolls all 8 subspace training loops
+    * (the q27 pattern, per subvector) and replays codes, tables, and
+    * ranking identically.
+    */
+  val q55: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, m = 16, ksub = 64)
+      .orderBy("query_id", "rank")
+  }
+  val q55Sql: String = {
+    val (m, ksub, iters, trainLimit, dsub, k) = (16, 64, 3, 4096, 4, 5)
+    s"""WITH ${pqVecTrainSql(trainLimit)},
+       |${pqSubspaceCtesSql(m, ksub, iters, dsub)},
+       |${pqCodesCteSql(m)},
+       |cand AS MATERIALIZED (
+       |  SELECT q.query_id, b.id
+       |  FROM (SELECT DISTINCT query_id FROM m0qt) q CROSS JOIN codes b
+       |  WHERE b.id <> q.query_id),
        |adc AS (
-       |  SELECT t0.query_id, b.id AS neighbor_id, $adcSum AS adc
-       |  FROM codes b
-       |  JOIN m0qt t0 ON t0.cell = b.c0
-       | $qtJoins
-       |  WHERE b.id <> t0.query_id),
+       |  SELECT c.query_id, c.id AS neighbor_id, ${pqAdcSumSql(m)} AS adc
+       |  FROM cand c JOIN codes b ON b.id = c.id
+       | ${pqQtJoinsSql(m)}),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
        |  FROM adc)
@@ -402,51 +430,7 @@ object ExtensionQueries {
          |  UNION ALL
          |  SELECT cell, v FROM cent${i - 1} WHERE cell NOT IN (SELECT cell FROM asg$i))""".stripMargin
     }.mkString(",\n")
-    def sliceOf(v: String, mi: Int) = s"$v[${mi * dsub + 1}:${(mi + 1) * dsub}]"
-    val perSub = (0 until m).map { mi =>
-      val iterCtes = (1 to iters).map { i =>
-        s"""m${mi}asg$i AS MATERIALIZED (
-           |  SELECT id, cell FROM (
-           |    SELECT t.id, c.cell,
-           |      row_number() OVER (PARTITION BY t.id ORDER BY 2*list_dot_product(t.s, c.v) - list_dot_product(c.v, c.v) DESC, c.cell) AS rn
-           |    FROM sub$mi t CROSS JOIN m${mi}cent${i - 1} c) WHERE rn = 1),
-           |m${mi}cent$i AS MATERIALIZED (
-           |  SELECT cell, list(s ORDER BY d) AS v FROM (
-           |    SELECT a.cell, dd.d,
-           |      CAST(floor(CAST(sum(t.s[dd.d+1]) AS DOUBLE)/count(*)) AS BIGINT) AS s
-           |    FROM m${mi}asg$i a JOIN sub$mi t USING (id) CROSS JOIN range($dsub) dd(d)
-           |    GROUP BY 1, 2) GROUP BY cell
-           |  UNION ALL
-           |  SELECT cell, v FROM m${mi}cent${i - 1} WHERE cell NOT IN (SELECT cell FROM m${mi}asg$i))""".stripMargin
-      }.mkString(",\n")
-      s"""sub$mi AS MATERIALIZED (SELECT id, ${sliceOf("q", mi)} AS s FROM train),
-         |m${mi}cent0 AS MATERIALIZED (
-         |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, s AS v
-         |  FROM (SELECT id, s FROM sub$mi ORDER BY id LIMIT $ksub)),
-         |$iterCtes,
-         |m${mi}code AS MATERIALIZED (
-         |  SELECT id, cell AS code FROM (
-         |    SELECT v.id, c.cell,
-         |      row_number() OVER (PARTITION BY v.id ORDER BY 2*list_dot_product(${sliceOf("v.q", mi)}, c.v) - list_dot_product(c.v, c.v) DESC, c.cell) AS rn
-         |    FROM vec v CROSS JOIN m${mi}cent$iters c) WHERE rn = 1),
-         |m${mi}qt AS MATERIALIZED (
-         |  SELECT v.id AS query_id, c.cell,
-         |    list_dot_product(${sliceOf("v.q", mi)}, c.v) AS dt
-         |  FROM vec v CROSS JOIN m${mi}cent$iters c WHERE v.id < 10)""".stripMargin
-    }.mkString(",\n")
-    val codeJoin = (1 until m)
-      .map(mi => s"JOIN m${mi}code x$mi USING (id)").mkString(" ")
-    val codeCols = (0 until m)
-      .map(mi => s"x$mi.code AS c$mi").mkString(", ")
-    val qtJoins = (0 until m).map(mi =>
-      s"JOIN m${mi}qt t$mi ON t$mi.query_id = c.query_id AND t$mi.cell = b.c$mi")
-      .mkString("\n ")
-    val adcSum = (0 until m).map(mi => s"t$mi.dt").mkString(" + ")
-    s"""WITH vec AS MATERIALIZED (
-       |  SELECT vec_id AS id,
-       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |train AS MATERIALIZED (SELECT id, q FROM vec ORDER BY id LIMIT $trainLimit),
+    s"""WITH ${pqVecTrainSql(trainLimit)},
        |cent0 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, q AS v
        |  FROM (SELECT id, q FROM train ORDER BY id LIMIT $nlist)),
@@ -461,15 +445,15 @@ object ExtensionQueries {
        |    SELECT v.id AS query_id, c.cell,
        |      row_number() OVER (PARTITION BY v.id ORDER BY list_dot_product(v.q, c.v) DESC, c.cell) AS rn
        |    FROM vec v CROSS JOIN cent$iters c WHERE v.id < 10) WHERE rn <= $nprobe),
-       |$perSub,
-       |codes AS MATERIALIZED (SELECT id, $codeCols FROM m0code x0 $codeJoin),
+       |${pqSubspaceCtesSql(m, ksub, iters, dsub)},
+       |${pqCodesCteSql(m)},
        |cand AS MATERIALIZED (
        |  SELECT p.query_id, b.id
        |  FROM probe p JOIN basg b USING (cell) WHERE b.id <> p.query_id),
        |adc AS (
-       |  SELECT c.query_id, c.id AS neighbor_id, $adcSum AS adc
+       |  SELECT c.query_id, c.id AS neighbor_id, ${pqAdcSumSql(m)} AS adc
        |  FROM cand c JOIN codes b ON b.id = c.id
-       | $qtJoins),
+       | ${pqQtJoinsSql(m)}),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rank
        |  FROM adc)

@@ -117,8 +117,13 @@ object DumpWatchSync {
     */
   private def writeConcatenated(partsDir: java.nio.file.Path,
       target: java.nio.file.Path): Unit = {
-    val parts = Files.list(partsDir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+    // Files.list/walk hold a directory fd until closed — a leak per dump
+    // arrival in a long-running watcher without the try/finally
+    val listStream = Files.list(partsDir)
+    val parts =
+      try listStream.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+      finally listStream.close()
     val out = Files.newOutputStream(target,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     try parts.foreach(p => Files.copy(p, out))
@@ -128,8 +133,11 @@ object DumpWatchSync {
       StandardOpenOption.WRITE)
     try if (ch.size() > 0) ch.truncate(ch.size() - 1)
     finally ch.close()
-    Files.walk(partsDir).iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
+    val walkStream = Files.walk(partsDir)
+    val toDelete =
+      try walkStream.iterator().asScala.toSeq.reverse
+      finally walkStream.close()
+    toDelete.foreach(Files.deleteIfExists(_))
   }
 
   /** Start watching `watchDir` for *.sql dump arrivals. */

@@ -55,6 +55,7 @@ object DumpGen {
         case "string" => "VARCHAR(255)"
         case s if s.startsWith("timestamp") => "DATETIME"
         case "double" | "float" => "DOUBLE"
+        case "date" => "DATE" // sqlLit quotes dates; BIGINT would null them in typed mode
         case _ => "BIGINT"
       }
       s"  `${f.name}` $t,"

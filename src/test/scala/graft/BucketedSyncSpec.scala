@@ -53,4 +53,28 @@ class BucketedSyncSpec extends SparkSuite {
       ("t", "2", "UPDATE"), ("t", "3", "DELETE"), ("t", "4", "INSERT"),
       ("u", "2", "UPDATE")))
   }
+
+  test("tables present in only one snapshot yield NO row ops (DDL concern)") {
+    val extraDdl =
+      """CREATE TABLE `w` (
+        |  `id` INT(11),
+        |  `x` BIGINT,
+        |  PRIMARY KEY (`id`)
+        |) ENGINE=InnoDB;
+        |""".stripMargin
+    val prod2 = prod + extraDdl +
+      "INSERT INTO `w` (`id`, `x`) VALUES\n(1, 7),\n(2, 8);\n"
+    val (pf, bf) = (tmpFile(prod2), tmpFile(backup))
+    BucketedSync.snapshot(spark, pf, "bsync_prod2", buckets = 4)
+    BucketedSync.snapshot(spark, bf, "bsync_backup2", buckets = 4)
+    val got = BucketedSync.diff(spark, "bsync_prod2", "bsync_backup2")
+      .select("table", "pk", "op").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // `w` exists only in prod: CREATE-section territory, zero row ops —
+    // exactly how SyncJob classifies it
+    assert(!got.exists(_._1 == "w"))
+    val ref = new SyncJob(spark).run(pf, bf).ops
+      .map(o => (o.table, o.pk, o.op)).toSet
+    assert(got == ref)
+  }
 }
