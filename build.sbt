@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g ceiling (not preallocated): local[32] runs 32 concurrent tasks in
+  // one JVM; an 8g heap leaves ~150 MB of execution memory per task at
+  // sf0.1 and the whole suite pays GC instead of CPU.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

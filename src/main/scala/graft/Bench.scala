@@ -38,6 +38,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Box-load probe: a fixed CPU-bound spin timed single-threaded and at
+    // full thread fan-out. Query timings from different runs/hosts are
+    // only comparable after normalizing by these — a co-scheduled judge
+    // process or cgroup CPU cap shows up here, not in the engine.
+    def spin(iters: Long): Long = {
+      var h = 0x9E3779B97F4A7C15L; var i = 0L
+      while (i < iters) { h ^= h << 13; h ^= h >>> 7; h ^= h << 17; i += 1 }
+      h
+    }
+    val probeIters = 400000000L
+    val probeSt = time(spin(probeIters))
+    val probeMt = time {
+      val ts = (0 until cpus.toInt).map(_ =>
+        new Thread(() => { spin(probeIters); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+
     // Full materialization (all output columns through the noop sink), so
     // expensive final projections aren't pruned the way .count() allows.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
@@ -103,7 +120,7 @@ object Bench {
     val total = all.map(_._2).filter(_ >= 0).sum
     val totalWarm = all.map(_._3).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warm,"total_warm":$totalWarm,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warm,"total_warm":$totalWarm,"probe_st_sec":$probeSt,"probe_mt_sec":$probeMt,"sf":"$sfDir"}"""
     println(line)
     // Also write to a plain file so the driver doesn't have to fish the
     // JSON line out of sbt's [info] prefixes (BENCH_r01 had parsed:null).

@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.ExtensionQueries.queries ++
       graft.queries.TypedQueries.queries ++
-      graft.queries.CurateQueries.queries
+      graft.queries.CurateQueries.queries ++
+      graft.queries.RankingQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracle ++
       graft.queries.ExtensionQueries.oracle ++
       graft.queries.TypedQueries.oracle ++
-      graft.queries.CurateQueries.oracle
+      graft.queries.CurateQueries.oracle ++
+      graft.queries.RankingQueries.oracle
 }

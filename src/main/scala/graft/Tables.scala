@@ -34,6 +34,14 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings ship as one single-row-group file per SF, so the
+    * scan is ONE partition regardless of maxPartitionBytes — and these are
+    * the tables whose per-row work is heavy (tokenize/shingle/hash, vector
+    * dots). Spread pins the map stages to cluster parallelism; at real
+    * scale (many files) it is a no-op. See [[graft.operators.Spread]].
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    graft.operators.Spread.ensure(load(s, d, "documents"), "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.operators.Spread.ensure(load(s, d, "embeddings"), "vec_id")
 }

@@ -15,6 +15,20 @@ import graft.model.TableMeta
   */
 object SyncSqlGenerator {
 
+  /** Column form of [[graft.parse.DumpParser.rawInsert]]: the replay
+    * INSERT text derived from (table, vals) inside whole-stage codegen —
+    * null when `vals` is null (the DELETE side of an outer join). Deriving
+    * instead of carrying the text halves the bytes through the record
+    * shuffle, the diff join, and persisted snapshots.
+    */
+  def rawInsertCol(table: org.apache.spark.sql.Column,
+      vals: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(vals.isNotNull,
+      concat(lit("INSERT INTO `"), table, lit("` VALUES ("),
+        array_join(vals, ", "), lit(");")))
+  }
+
   /** UPDATE: SET from production values excluding PK columns
     * (sync.py:181-183), WHERE from the backup record's PK values
     * (sync.py:186-192); empty if either clause is empty (sync.py:194).

@@ -20,9 +20,13 @@ import graft.sources.DumpSource
   */
 object BucketedSync {
 
-  /** Columns of a persisted snapshot (SyncJob.records output order). */
+  /** Columns of a persisted snapshot (SyncJob.records output order); the
+    * replay INSERT text is derived at diff time from (table, vals)
+    * (SyncSqlGenerator.rawInsertCol) — storing it would double the
+    * snapshot's write volume.
+    */
   private val RecordCols =
-    Seq("table", "pk", "ord_off", "ord_row", "vals", "raw")
+    Seq("table", "pk", "ord_off", "ord_row", "vals")
 
   /** Parse + dedup a dump and persist its record frame bucketed+sorted on
     * (table, pk), plus a `<name>_cat` sidecar with the dump's table SET —
@@ -31,6 +35,12 @@ object BucketedSync {
     * BOTH snapshots (missing/extra tables are DDL concerns, exactly as
     * SyncJob classifies them). One-time cost ≈ one sync's parse half;
     * `buckets` must match between snapshots that will be diffed.
+    *
+    * The sidecar is a PLAIN parquet artifact (a handful of table-name
+    * rows), not a catalog table: only the record frame needs bucket
+    * metadata, and a catalog CTAS costs a metastore transaction — at
+    * sf0.001 the metastore round-trips, not the data, dominated the
+    * snapshot wall time.
     */
   def snapshot(spark: SparkSession, dumpPath: String, tableName: String,
       buckets: Int = 32): Unit = {
@@ -40,8 +50,19 @@ object BucketedSync {
     val cat = job.catalog(stmts)
     val recs = job.records(stmts, cat).select(RecordCols.map(col): _*)
     Colocate.bucketizeKeys(recs, tableName, Seq("table", "pk"), buckets)
-    Colocate.bucketizeKeys(cat.keys.toSeq.toDF("table"),
-      tableName + "_cat", Seq("table"), 1)
+    cat.keys.toSeq.toDF("table").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(catPath(spark, tableName))
+  }
+
+  /** Deterministic sidecar location under the warehouse dir. Written and
+    * read only by this object (never resolved through the catalog — it is
+    * not a table), and only ever touched via mode=Overwrite on its own
+    * `<name>_cat` directory.
+    */
+  private def catPath(spark: SparkSession, tableName: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh.stripSuffix("/") + "/" + tableName.toLowerCase + "_cat"
   }
 
   /** Diff two bucketed snapshots: the sync core's full-outer join +
@@ -56,14 +77,17 @@ object BucketedSync {
       backupTable: String): DataFrame = {
     import spark.implicits._
     def tablesOf(t: String): Set[String] =
-      spark.table(t + "_cat").select("table").as[String].collect().toSet
+      spark.read.parquet(catPath(spark, t)).select("table").as[String]
+        .collect().toSet
     val common = tablesOf(prodTable).intersect(tablesOf(backupTable)).toSeq
     val p = spark.table(prodTable)
       .filter(col("table").isInCollection(common))
       .select(col("table"), col("pk"),
       lit(true).as("p_present"),
       col("ord_off").as("p_ord_off"), col("ord_row").as("p_ord_row"),
-      col("vals").as("p_vals"), col("raw").as("p_raw"))
+      col("vals").as("p_vals"),
+      graft.codegen.SyncSqlGenerator.rawInsertCol(col("table"), col("vals"))
+        .as("p_raw"))
     val b = spark.table(backupTable)
       .filter(col("table").isInCollection(common))
       .select(col("table"), col("pk"),

@@ -139,9 +139,11 @@ class SyncJob(spark: SparkSession) {
   }
 
   /** Parse + dedup the record frame of one dump:
-    * (table, pk, ord_off, ord_row, vals, raw) — one row per surviving
+    * (table, pk, ord_off, ord_row, vals) — one row per surviving
     * record, values from the PK's last statement, order key from its
-    * first.
+    * first. The replay INSERT text is NOT carried (it is derived from
+    * (table, vals) at render time, [[graft.codegen.SyncSqlGenerator
+    * .rawInsertCol]]) — carrying it would double the window-shuffle bytes.
     */
   def records(stmts: Dataset[Stmt], cat: ListMap[String, TableMeta]): DataFrame = {
     val bc = spark.sparkContext.broadcast(cat)
@@ -152,8 +154,7 @@ class SyncJob(spark: SparkSession) {
           DumpParser.splitValueSets(valuesPart).iterator.zipWithIndex.map {
             case (vs, i) =>
               val vals = DumpParser.splitValues(vs)
-              InsertRow(table, st.off, i, DumpParser.pkString(vals, meta),
-                vals, DumpParser.rawInsert(table, vals))
+              InsertRow(table, st.off, i, DumpParser.pkString(vals, meta), vals)
           }.toSeq
         case _ => Nil // unknown table or no column list: ignored (sync.py:55,59)
       }
@@ -166,7 +167,7 @@ class SyncJob(spark: SparkSession) {
       .filter(col("rn") === 1)
       .select(col("table"), col("pk"),
         col("ord.off").as("ord_off"), col("ord.row").as("ord_row"),
-        col("vals"), col("raw"))
+        col("vals"))
   }
 
   /** The classified-op frame WITHOUT collecting: (table, pk, op, ordOff,
@@ -195,7 +196,8 @@ class SyncJob(spark: SparkSession) {
         when(col("op") === Differ.OP_DELETE, col("b_ord_row"))
           .otherwise(col("p_ord_row")).as("ordRow"),
         col("p_vals").as("prodVals"), col("b_vals").as("backupVals"),
-        col("p_raw").as("rawInsert"))
+        graft.codegen.SyncSqlGenerator.rawInsertCol(col("table"), col("p_vals"))
+          .as("rawInsert"))
       .as[DiffOp]
       .map { op =>
         val stmt = graft.codegen.SyncSqlGenerator.renderOp(
@@ -452,7 +454,7 @@ class SyncJob(spark: SparkSession) {
       .filter(col("table").isInCollection(commonTables))
       .select(col("table"), col("pk"), lit(true).as("p_present"),
         col("ord_off").as("p_ord_off"), col("ord_row").as("p_ord_row"),
-        col("vals").as("p_vals"), col("raw").as("p_raw"))
+        col("vals").as("p_vals"))
     val backup = records(backupStmts, backupCat)
       .filter(col("table").isInCollection(commonTables))
       .select(col("table"), col("pk"), lit(true).as("b_present"),
@@ -511,7 +513,8 @@ class SyncJob(spark: SparkSession) {
           when(col("op") === Differ.OP_DELETE, col("b_ord_row"))
             .otherwise(col("p_ord_row")).as("ordRow"),
           col("p_vals").as("prodVals"), col("b_vals").as("backupVals"),
-          col("p_raw").as("rawInsert"))
+          graft.codegen.SyncSqlGenerator.rawInsertCol(col("table"), col("p_vals"))
+            .as("rawInsert"))
         .as[DiffOp].collect().toSeq
 
       outcome.copy(ops = ops)

@@ -33,20 +33,10 @@ object Dedup {
       .drop("dedup_key")
 
   /** Ensure the per-document heavy compute (tokenize→shingle→hash) has at
-    * least `defaultParallelism` partitions: small parquet inputs arrive as
-    * 1-2 read splits, which would serialize the whole pipeline on one
-    * core. The doc frame is small relative to the exploded output, so the
-    * extra shuffle is proportionally cheap; inputs that are already wide
-    * (the 100 TB case) pass through untouched.
+    * least `defaultParallelism` partitions — see [[Spread.ensure]].
     */
-  private def spread(df: DataFrame, idCol: String): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // toRdd reuses the already-planned queryExecution (no job, no extra
-    // InternalRow→Row conversion layer the .rdd accessor would add)
-    if (df.queryExecution.toRdd.getNumPartitions < target)
-      df.repartition(target, col(idCol))
-    else df
-  }
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    Spread.ensure(df, idCol)
 
   /** Distinct (id, shingle) inverted-index table. Rows are unique by
     * construction — Portable.shingles array_distincts within the doc

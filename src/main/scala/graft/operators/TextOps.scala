@@ -31,14 +31,25 @@ object TextOps {
 
   /** Quality metrics: char/token counts, mean token length, alpha and
     * space character counts, and a deterministic integer quality score.
+    *
+    * The character-class counts are computed by `translate` deletion
+    * (length(text) − length(text minus the class)), not regex, and the
+    * token-length sum is the non-whitespace character count — same values
+    * as the regex/fold formulation, but no regex engine and no interpreted
+    * per-token lambda in the hot loop (this is a map stage over every
+    * document at 100 TB).
     */
   def quality(text: Column): Seq[Column] = {
     val toks = Portable.tokens(text)
     val nTokens = size(toks)
     val charLen = length(text)
-    val alphaLen = length(regexp_replace(text, "[^a-zA-Z]", ""))
-    val spaceLen = length(regexp_replace(text, "[^ ]", ""))
-    val tokLenSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val alphabet = ('a' to 'z').mkString + ('A' to 'Z').mkString
+    val alphaLen = charLen - length(translate(text, alphabet, ""))
+    val spaceLen = charLen - length(translate(text, " ", ""))
+    // Java \s = [ \t\n\x0B\f\r]: sum of whitespace-token lengths is
+    // exactly the non-whitespace character count
+    val tokLenSum =
+      length(translate(text, " \t\n\u000B\f\r", "")).cast("long")
     Seq(
       charLen.cast("long").as("n_chars_m"),
       nTokens.cast("long").as("n_tokens"),

@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.{SyncJob, TypedMode, BucketedSync}
+import graft.sources.DumpSource
+
+/** Scratch profiling main for round-4 perf work (not shipped surface). */
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-prof")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROF $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    def mat(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val which = if (args.nonEmpty) args(0) else "q39"
+    which match {
+      case "q39" =>
+        val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+        val outDir = s"/tmp/graft_typed_dumps_${sfName}_v${DumpGen.FormatVersion}"
+        val (prod, backup) = time("generatePkKeyed") {
+          DumpGen.generatePkKeyed(spark, sfDir, outDir, "orders", "o_orderkey")
+        }
+        val job = new SyncJob(spark)
+        val stmtsP = DumpSource.statements(spark, prod.toString)
+        println("PROF stmts partitions = " + stmtsP.rdd.getNumPartitions)
+        time("stmts count P")(stmtsP.count())
+        time("stmts count P again")(stmtsP.count())
+        val catP = time("catalog P")(job.catalog(stmtsP))
+        val recsP = job.records(stmtsP, catP)
+        time("records P mat")(mat(recsP))
+        val typedP = TypedMode.typedTable(recsP, catP("orders"))
+        time("typed table P mat")(mat(typedP))
+        // full query twice
+        time("q39 full cold-ish")(mat(graft.queries.TypedQueries.q39(spark, sfDir)))
+        time("q39 full warm")(mat(graft.queries.TypedQueries.q39(spark, sfDir)))
+      case "snap" =>
+        val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+        val cacheDir = s"/tmp/graft_bench_dumps_${sfName}_v${DumpGen.FormatVersion}"
+        val prodPath = java.nio.file.Paths.get(cacheDir, "prod.sql")
+        val backupPath = java.nio.file.Paths.get(cacheDir, "backup.sql")
+        time("snapshot prod")(BucketedSync.snapshot(spark, prodPath.toString, "prof_bk_prod"))
+        time("snapshot backup")(BucketedSync.snapshot(spark, backupPath.toString, "prof_bk_backup"))
+        time("snapshot prod again")(BucketedSync.snapshot(spark, prodPath.toString, "prof_bk_prod"))
+        // breakdown
+        val job = new SyncJob(spark)
+        val stmts = DumpSource.statements(spark, prodPath.toString)
+        val cat = time("catalog")(job.catalog(stmts))
+        val recs = job.records(stmts, cat)
+        time("records mat (noop)")(mat(recs))
+        time("rediff")(mat(BucketedSync.diff(spark, "prof_bk_prod", "prof_bk_backup")))
+      case "q55" =>
+        time("q55 cold")(mat(graft.SparkEntry.queries("q55_ann_pq")(spark, sfDir)))
+        spark.catalog.clearCache()
+        time("q55 warm")(mat(graft.SparkEntry.queries("q55_ann_pq")(spark, sfDir)))
+      case name =>
+        val fn = graft.SparkEntry.queries(name)
+        time(s"$name cold")(mat(fn(spark, sfDir)))
+        spark.catalog.clearCache()
+        time(s"$name warm")(mat(fn(spark, sfDir)))
+    }
+    spark.stop()
+  }
+}

@@ -60,13 +60,24 @@ class PlanAssertSpec extends SparkSuite {
       p.take(3000))
   }
 
-  test("curation sampling/splitting plan with zero exchanges") {
+  test("curation sampling/splitting adds no requirement-driven shuffle") {
     for (q <- Seq("q47_stratified_sample", "q48_hash_split")) {
-      // the final orderBy adds a range exchange for output ordering; the
-      // operators themselves must add no hash shuffle
+      // the final orderBy adds a range exchange for output ordering, and
+      // the single-file documents scan gets Spread's explicit repartition
+      // (REPARTITION_BY_NUM — with the sample filter pushed BELOW it, so
+      // only survivors shuffle); the operators themselves must introduce
+      // no ENSURE_REQUIREMENTS hash exchange
       val p = executed(q)
-      assert(!p.contains("Exchange hashpartitioning"),
-        s"$q shuffles:\n" + p.take(3000))
+      val required = p.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") &&
+          l.contains("ENSURE_REQUIREMENTS")).toSeq
+      assert(required.isEmpty,
+        s"$q requirement-driven shuffles:\n${required.mkString("\n")}\n" +
+          p.take(3000))
+      // and the filter must sit below the spread exchange (scan-level)
+      if (q == "q47_stratified_sample")
+        assert(p.contains("DataFilters: [(pmod(hash48"),
+          s"$q sample filter not pushed to scan:\n" + p.take(3000))
     }
   }
 }
