@@ -129,17 +129,57 @@ object CurateQueries {
        |  FROM documents)
        |WHERE rn <= 25 ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  /** Bloom-filter decontamination ([[graft.operators.Bloom]]): the eval
+    * set (doc_id ≡ 0 mod 53) builds a 2¹⁸-bit filter over content md5s;
+    * the rest of the corpus is screened map-only against the broadcast
+    * bits. Complements q51's exact fingerprint join: the join moves the
+    * corpus fingerprints through a shuffle, the filter moves 32 KB of
+    * bits to the corpus — the 100 TB screening shape. The oracle replays
+    * membership as position-set containment (bool_and over the same
+    * hash48-derived positions), which is bit-for-bit the same predicate —
+    * false positives included.
+    */
+  val q60: Q = (s, dir) => {
+    val k = 5; val bits = 262144
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("v"))
+    val eval = docs.filter(col("doc_id") % 53 === 0)
+    val corpus = docs.filter(col("doc_id") % 53 =!= 0)
+    val bloom = graft.operators.Bloom.build(eval, col("v"), k, bits)
+    corpus.crossJoin(broadcast(bloom))
+      .select(col("doc_id"),
+        graft.operators.Bloom.mightContain(col("bloom"), col("v"), k, bits)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+  val q60Sql: String = {
+    val pos = (v: String) =>
+      s"('0x'||substr(md5($v || '#' || CAST(i AS VARCHAR)),1,12))::BIGINT % 262144"
+    s"""WITH ks AS (SELECT unnest([0,1,2,3,4]) AS i),
+       |ev AS (SELECT md5(text) AS v FROM documents WHERE doc_id % 53 = 0),
+       |evpos AS (SELECT DISTINCT ${pos("v")} AS pos FROM ev CROSS JOIN ks),
+       |corpus AS (SELECT doc_id, md5(text) AS v FROM documents
+       |           WHERE doc_id % 53 <> 0),
+       |cp AS (SELECT doc_id, ${pos("v")} AS pos FROM corpus CROSS JOIN ks)
+       |SELECT doc_id,
+       |  bool_and(pos IN (SELECT pos FROM evpos)) AS contaminated
+       |FROM cp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_stratified_sample" -> q47,
     "q48_hash_split" -> q48,
     "q49_pack_sequences" -> q49,
     "q51_decontaminate" -> q51,
-    "q53_quota_sample" -> q53)
+    "q53_quota_sample" -> q53,
+    "q60_bloom_decontaminate" -> q60)
 
   val oracle: Map[String, String] = Map(
     "q47_stratified_sample" -> q47Sql,
     "q48_hash_split" -> q48Sql,
     "q49_pack_sequences" -> q49Sql,
     "q51_decontaminate" -> q51Sql,
-    "q53_quota_sample" -> q53Sql)
+    "q53_quota_sample" -> q53Sql,
+    "q60_bloom_decontaminate" -> q60Sql)
 }

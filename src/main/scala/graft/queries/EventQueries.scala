@@ -119,15 +119,53 @@ object EventQueries {
       | AND epoch_us(v.ts) >= epoch_us(c.ts) - 3600000000
       |ORDER BY click_id, view_id""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** As-of join: each purchase matched to the same user's most recent
+    * click at-or-before it ([[graft.operators.AsOf.joinAsOf]] — single
+    * shuffle, no range fan-out). The oracle is DuckDB's NATIVE ASOF LEFT
+    * JOIN — an independent algorithm for the same semantics, so agreement
+    * checks the operator, not a shared formulation. Timestamps compare as
+    * epoch microseconds (both engines truncate the parquet's
+    * sub-microsecond noise identically); no (user, µs) ties exist in the
+    * testdata at any SF, so the match is unique on both sides.
+    */
+  val q59: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us")
+    graft.operators.AsOf.joinAsOf(purchases, clicks,
+        Seq("user_id"), "ts_us")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("asof.event_id").as("click_id"),
+        (col("ts_us") - col("asof.ts_us")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+  val q59Sql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  epoch_us(p.ts) AS purchase_ts_us,
+      |  c.event_id AS click_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> q41,
     "q42_sliding_window" -> q42,
     "q43_topk_udaf" -> q43,
-    "q50_interval_join" -> q50)
+    "q50_interval_join" -> q50,
+    "q59_asof_join" -> q59)
 
   val oracle: Map[String, String] = Map(
     "q41_sessionize" -> q41Sql,
     "q42_sliding_window" -> q42Sql,
     "q43_topk_udaf" -> q43Sql,
-    "q50_interval_join" -> q50Sql)
+    "q50_interval_join" -> q50Sql,
+    "q59_asof_join" -> q59Sql)
 }
