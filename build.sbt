@@ -26,8 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g ceiling (not preallocated): local[32] runs 32 concurrent tasks in
-  // one JVM; an 8g heap leaves ~150 MB of execution memory per task at
-  // sf0.1 and the whole suite pays GC instead of CPU.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 8g, deliberately NOT larger: an A/B of the full sf0.1 bench measured
+  // total warm 52.3s at 8g vs 72.6s at 48g — with a huge ceiling the JVM
+  // defers collection, the heap balloons across the 60-query run, and the
+  // tail entries absorb multi-second GC cycles (sync_dump_diff 2.3s→17.6s
+  // warm). A bounded heap keeps collections small and frequent.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

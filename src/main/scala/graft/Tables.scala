@@ -35,13 +35,15 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   /** documents/embeddings ship as one single-row-group file per SF, so the
-    * scan is ONE partition regardless of maxPartitionBytes — and these are
-    * the tables whose per-row work is heavy (tokenize/shingle/hash, vector
-    * dots). Spread pins the map stages to cluster parallelism; at real
-    * scale (many files) it is a no-op. See [[graft.operators.Spread]].
+    * scan is ONE partition regardless of maxPartitionBytes. The loaders
+    * deliberately do NOT repartition: [[graft.operators.Spread.ensure]]
+    * belongs INSIDE each operator, after any union/re-keying and on the
+    * key its downstream aggregation groups by, so the one exchange it adds
+    * is the exchange the agg would need anyway. A loader-level spread was
+    * measured to HURT union-building consumers (q54: the union destroys
+    * the partitioning, so the heavy text flowed through the spread
+    * exchange AND a second agg exchange — 1.6s→4.0s warm).
     */
-  def documents(s: SparkSession, d: String): DataFrame =
-    graft.operators.Spread.ensure(load(s, d, "documents"), "doc_id")
-  def embeddings(s: SparkSession, d: String): DataFrame =
-    graft.operators.Spread.ensure(load(s, d, "embeddings"), "vec_id")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

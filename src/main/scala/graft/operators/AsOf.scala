@@ -35,10 +35,9 @@ object AsOf {
     val rStruct = StructType(right.schema.fields)
     def side(df: DataFrame, isLeft: Boolean): DataFrame = {
       val tag = if (isLeft) lit(1) else lit(0)
-      val lPay = if (isLeft) struct(df.columns.map(col): _*)
-                 else lit(null).cast(lStruct)
-      val rPay = if (isLeft) lit(null).cast(rStruct)
-                 else struct(df.columns.map(col): _*)
+      val allCols = df.columns.toIndexedSeq.map(col)
+      val lPay = if (isLeft) struct(allCols: _*) else lit(null).cast(lStruct)
+      val rPay = if (isLeft) lit(null).cast(rStruct) else struct(allCols: _*)
       df.select(keys.map(col) ++ Seq(col(ordCol).as("_ord"),
         tag.as("_side"), lPay.as("_l"), rPay.as("_r")): _*)
     }

@@ -40,7 +40,8 @@ object Multimodal {
     */
   def toMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
-    docs.select(
+    // per-payload decode work must not serialize on a single scan split
+    Spread.ensure(docs, "doc_id").select(
         col("doc_id").as("id"),
         col("text").cast("binary").as("payload"),
         lit("text/fake-image").as("format"),

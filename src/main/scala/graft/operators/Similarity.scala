@@ -28,6 +28,11 @@ import graft.functions.Portable
   */
 object Similarity {
 
+  // Base frames pass through Spread.ensure(_, idCol): a single-row-group
+  // parquet base would otherwise run every quantize/dot map stage on one
+  // core, and the id-hash partitioning is exactly what the downstream
+  // per-id aggregations reuse. No-op on already-wide inputs.
+
   val Scale = 1000
 
   /** Quantized vector + its exact squared norm. */
@@ -43,7 +48,8 @@ object Similarity {
   def cosineTopK(base: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, digits: Int = 6): DataFrame = {
     val (bq, bn) = quantized(col(vecCol))
-    val b = base.select(col(idCol).as("neighbor_id"), bq.as("b_q"), bn.as("b_n"))
+    val b = Spread.ensure(base, idCol)
+      .select(col(idCol).as("neighbor_id"), bq.as("b_q"), bn.as("b_n"))
     val q = queries.select(col(idCol).as("query_id"), bq.as("q_q"), bn.as("q_n"))
     val scored = b.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -65,7 +71,8 @@ object Similarity {
       minCos: Double, blockCol: Option[String] = None,
       digits: Int = 6): DataFrame = {
     val (qv, qn) = quantized(col(vecCol))
-    val s = df.select(Seq(col(idCol).as("id"), qv.as("q"), qn.as("n")) ++
+    val s = Spread.ensure(df, idCol)
+      .select(Seq(col(idCol).as("id"), qv.as("q"), qn.as("n")) ++
       blockCol.map(c => col(c).as("block")): _*)
     val paired = blockCol match {
       case Some(_) => s.as("a").join(s.as("b"),
@@ -161,7 +168,7 @@ object Similarity {
     */
   private def rankedCells(centroids: Array[(Int, Seq[Long])], v: Column,
       probes: Int): Column = {
-    val scored = array(centroids.map { case (cid, cvec) =>
+    val scored = array(centroids.toIndexedSeq.map { case (cid, cvec) =>
       struct((-Portable.dotQ(v, typedLit(cvec))).as("negDot"),
         lit(cid).as("cell"))
     }: _*)
@@ -178,7 +185,8 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
       digits: Int = 6, kmeansIters: Int = 3, trainLimit: Int = 4096): DataFrame = {
     val (qv, qn) = quantized(col(vecCol))
-    val withQ = base.select(col(idCol).as("id"), qv.as("q"), qn.as("n"))
+    val withQ = Spread.ensure(base, idCol)
+      .select(col(idCol).as("id"), qv.as("q"), qn.as("n"))
     val train: Array[Array[Long]] = withQ
       .orderBy("id").limit(trainLimit)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
@@ -262,7 +270,8 @@ object Similarity {
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
       kmeansIters: Int = 3, trainLimit: Int = 4096): DataFrame = {
     val (qv, _) = quantized(col(vecCol))
-    val withQ = base.select(col(idCol).as("id"), qv.as("q"))
+    val withQ = Spread.ensure(base, idCol)
+      .select(col(idCol).as("id"), qv.as("q"))
     val pq = PqModel.fit(withQ, m, ksub, kmeansIters, trainLimit)
     val adc = pq.adcScores(pq.encode(withQ),
       queries.select(col(idCol).as("query_id"), qv.as("qq")))
@@ -362,7 +371,8 @@ object Similarity {
       m: Int = 16, ksub: Int = 64, kmeansIters: Int = 3,
       trainLimit: Int = 4096): DataFrame = {
     val (qv, _) = quantized(col(vecCol))
-    val withQ = base.select(col(idCol).as("id"), qv.as("q"))
+    val withQ = Spread.ensure(base, idCol)
+      .select(col(idCol).as("id"), qv.as("q"))
     val train: Array[Array[Long]] = withQ
       .orderBy("id").limit(trainLimit)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
@@ -412,7 +422,8 @@ object Similarity {
       array(entries: _*)
     }
     val (qv, qn) = quantized(col(vecCol))
-    val b = base.select(col(idCol).as("neighbor_id"), qv.as("b_q"), qn.as("b_n"))
+    val b = Spread.ensure(base, idCol)
+      .select(col(idCol).as("neighbor_id"), qv.as("b_q"), qn.as("b_n"))
       .withColumn("tb", explode(buckets(col("b_q"))))
     val q = queries.select(col(idCol).as("query_id"), qv.as("q_q"), qn.as("q_n"))
       .withColumn("tb", explode(buckets(col("q_q"))))

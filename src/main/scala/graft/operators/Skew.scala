@@ -22,7 +22,7 @@ object Skew {
   def saltedCountSum(df: DataFrame, keyCols: Seq[String], sumCol: Option[String],
       fanout: Int = 16): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(hash(df.columns.map(col): _*), lit(fanout)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(fanout)))
     val partial = salted
       .groupBy((keyCols :+ "_salt").map(col): _*)
       .agg(count(lit(1)).as("_n"),
@@ -42,7 +42,7 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       fanout: Int = 16): DataFrame = {
     val saltedFact = fact.withColumn("_salt",
-      pmod(hash(fact.columns.map(col): _*), lit(fanout)))
+      pmod(hash(fact.columns.toIndexedSeq.map(col): _*), lit(fanout)))
     val replicatedDim = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(fanout - 1))))
     saltedFact.join(broadcast(replicatedDim), Seq(key, "_salt"))

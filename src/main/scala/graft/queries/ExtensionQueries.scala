@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity, Spread, TextOps}
 
 /** LLM-training-data pipeline operators (dedup, similarity search, text
   * analysis, multimodal plumbing, JSON) as driver-checkable queries.
@@ -544,7 +544,7 @@ object ExtensionQueries {
   // ---------------------------------------------------------------- q30
   /** Language-ID heuristic (stopword ratio). */
   val q30: Q = (s, dir) =>
-    Tables.documents(s, dir)
+    Spread.ensure(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id") +: TextOps.langId(col("text")): _*)
       .orderBy("doc_id")
   val q30Sql: String = {
@@ -563,7 +563,7 @@ object ExtensionQueries {
   // ---------------------------------------------------------------- q31
   /** Quality metrics + integer quality score. */
   val q31: Q = (s, dir) =>
-    Tables.documents(s, dir)
+    Spread.ensure(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id") +: TextOps.quality(col("text")): _*)
       .orderBy("doc_id")
   val q31Sql: String =
@@ -585,7 +585,7 @@ object ExtensionQueries {
   // ---------------------------------------------------------------- q32
   /** Token counting: whitespace + BPE-ish regex. */
   val q32: Q = (s, dir) =>
-    Tables.documents(s, dir)
+    Spread.ensure(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id") +: TextOps.tokenCounts(lower(col("text"))): _*)
       .orderBy("doc_id")
   val q32Sql: String =
@@ -618,7 +618,7 @@ object ExtensionQueries {
     * order-sensitive fold over character codes, exact mod arithmetic.
     */
   val q34: Q = (s, dir) =>
-    Tables.documents(s, dir)
+    Spread.ensure(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"), TextOps.rollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
   val q34Sql: String =

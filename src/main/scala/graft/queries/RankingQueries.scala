@@ -42,7 +42,7 @@ object RankingQueries {
 
   // ---------------------------------------------------------------- q58
   val q58: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    val docs = graft.operators.Spread.ensure(Tables.documents(s, dir), "doc_id")
     val toks = docs.select(col("doc_id"),
       explode(Portable.tokens(col("text"))).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -66,6 +66,52 @@ object Prof {
         val recs = job.records(stmts, cat)
         time("records mat (noop)")(mat(recs))
         time("rediff")(mat(BucketedSync.diff(spark, "prof_bk_prod", "prof_bk_backup")))
+      case "sync" =>
+        val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+        val cacheDir = s"/tmp/graft_bench_dumps_${sfName}_v${DumpGen.FormatVersion}"
+        val prodPath = java.nio.file.Paths.get(cacheDir, "prod.sql").toString
+        val backupPath = java.nio.file.Paths.get(cacheDir, "backup.sql").toString
+        val job = new SyncJob(spark)
+        val stmts = DumpSource.statements(spark, prodPath)
+        println("PROF stmt partitions = " + stmts.rdd.getNumPartitions)
+        time("stmts count")(stmts.count())
+        val cat = time("catalog")(job.catalog(stmts))
+        time("records mat")(mat(job.records(stmts, cat)))
+        time("records mat again")(mat(job.records(stmts, cat)))
+        time("syncCollected 1") {
+          job.syncCollected(prodPath, backupPath, "prof")
+        }
+        time("syncCollected 2") {
+          job.syncCollected(prodPath, backupPath, "prof")
+        }
+      case "q54ab" =>
+        import org.apache.spark.sql.functions._
+        def corpus(base: org.apache.spark.sql.DataFrame) = {
+          val d = base.select(col("doc_id"), col("text"))
+          d.unionByName(d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" zq zq zq")).as("text")))
+        }
+        val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+        val pre = corpus(raw) // internal Dedup.spread repartitions post-union
+        val post = corpus(graft.operators.Spread.ensure(raw, "doc_id"))
+        def pairs(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.Dedup.simhashPairs(df, "doc_id", "text", 1)
+            .orderBy("id_a", "id_b")
+        time("q54 pre-style (spread after union) cold")(mat(pairs(pre)))
+        time("q54 pre-style warm")(mat(pairs(pre)))
+        time("q54 post-style (spread in loader) cold")(mat(pairs(post)))
+        time("q54 post-style warm")(mat(pairs(post)))
+      case "q54raw" =>
+        val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+        def pairs(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.Dedup.simhashPairs(df, "doc_id", "text", 1)
+            .orderBy("id_a", "id_b")
+        time("q54 raw (no spread) cold")(mat(pairs(raw)))
+        time("q54 raw (no spread) warm")(mat(pairs(raw)))
+        val spreaded = graft.operators.Spread.ensure(raw, "doc_id")
+        time("q54 spread cold")(mat(pairs(spreaded)))
+        time("q54 spread warm")(mat(pairs(spreaded)))
       case "q55" =>
         time("q55 cold")(mat(graft.SparkEntry.queries("q55_ann_pq")(spark, sfDir)))
         spark.catalog.clearCache()
