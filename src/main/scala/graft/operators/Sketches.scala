@@ -71,6 +71,54 @@ object Sketches {
       .select(groupCols.map(col) :+ estCol(k).as("est_distinct"): _*)
   }
 
+  /** Count-min sketch — frequency estimation for heavy-hitter queries
+    * over a token/key stream, the counting sibling of KMV: `depth`
+    * counter rows of `width` cells, cell (r, c) counting every item whose
+    * r-th hash position is c; an item's estimate is the MIN over its
+    * depth cells (always ≥ the true count — collisions only inflate).
+    * Positions come from the deterministic hash48 family
+    * (hash48(key || "#r") mod width), so any engine — the DuckDB oracle
+    * included — builds the identical counters and identical estimates,
+    * collisions and all.
+    *
+    * Scale: building is explode(depth) → ONE hash agg to depth·width
+    * bounded rows (map-side combining does the heavy lifting); the sketch
+    * is mergeable by cell-wise addition, and probing is a broadcast join
+    * against the tiny counter frame.
+    */
+  def countMin(df: DataFrame, keyCol: Column, depth: Int,
+      width: Int): DataFrame = {
+    val rows = array((0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        (Portable.hash48(concat(keyCol.cast("string"), lit("#" + r)))
+          % width).cast("int").as("pos"))
+    }: _*)
+    df.select(explode(rows).as("rp"))
+      .groupBy(col("rp.r").as("r"), col("rp.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Probe a count-min sketch for a literal key set: (key, est) with
+    * est = min over the key's depth cells. Positions are computed
+    * driver-side with the same native hash48, so the probe frame is
+    * depth rows per key — a broadcast join, no scan of anything.
+    */
+  def countMinEstimate(sketch: DataFrame, keys: Seq[String], depth: Int,
+      width: Int): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val probes: Seq[(String, Int, Int)] =
+      for { k <- keys; r <- 0 until depth } yield
+        (k, r, (graft.functions.NativeHashUtil.hash48(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"$k#$r"))
+          % width).toInt)
+    val p = probes.toDF("key", "r", "pos")
+    broadcast(p).join(sketch, Seq("r", "pos"), "left")
+      .groupBy("key")
+      // a key hitting an empty cell has true count 0 in that row
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** The window-based formulation [[kmvDistinct]] is checked against in
     * the spec: distinct → per-group row_number ≤ k → (count, max).
     * Identical estimates, but the window sorts every distinct hash of a

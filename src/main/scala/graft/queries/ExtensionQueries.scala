@@ -720,6 +720,58 @@ object ExtensionQueries {
        |FROM t ORDER BY l_returnflag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q61
+  /** Count-min sketch (depth 4 × width 1024) over the full token stream
+    * of the corpus, probed for the stopword set plus a known-absent
+    * term — frequency estimation / heavy-hitter counting from bounded
+    * state ([[graft.operators.Sketches.countMin]]). The true counts ride
+    * along: the CMS property est ≥ true is visible in the output, and
+    * the oracle rebuilds the identical counters (same hash48 positions,
+    * same collisions), so even the overestimates hash-match exactly.
+    */
+  val q61: Q = (s, dir) => {
+    val depth = 4; val width = 1024
+    val docs = Spread.ensure(Tables.documents(s, dir), "doc_id")
+    val toks = docs.select(explode(graft.functions.Portable.tokens(col("text"))).as("term"))
+    val probeTerms = TextOps.EnStopwords :+ "zzzznotaword"
+    val sketch = graft.operators.Sketches.countMin(toks, col("term"), depth, width)
+    val est = graft.operators.Sketches.countMinEstimate(
+      sketch, probeTerms, depth, width)
+    val exact = toks.filter(col("term").isInCollection(probeTerms))
+      .groupBy(col("term").as("key")).agg(count(lit(1)).as("true_count"))
+    est.join(exact, Seq("key"), "left")
+      .select(col("key").as("term"), col("est").as("cms_est"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"))
+      .orderBy("term")
+  }
+  val q61Sql: String = {
+    val pos = (v: String) =>
+      s"('0x'||substr(md5($v || '#' || CAST(r AS VARCHAR)),1,12))::BIGINT % 1024"
+    val probeVals = (TextOps.EnStopwords :+ "zzzznotaword")
+      .map(t => s"('$t')").mkString(", ")
+    val inList = (TextOps.EnStopwords :+ "zzzznotaword")
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |  FROM documents),
+       |rs AS (SELECT unnest(range(4)) AS r),
+       |counters AS (
+       |  SELECT r, ${pos("term")} AS pos, count(*) AS cnt
+       |  FROM toks CROSS JOIN rs GROUP BY r, pos),
+       |probes(term) AS (VALUES $probeVals),
+       |pp AS (SELECT term, r, ${pos("term")} AS pos FROM probes CROSS JOIN rs),
+       |est AS (
+       |  SELECT pp.term, min(coalesce(c.cnt, 0)) AS cms_est
+       |  FROM pp LEFT JOIN counters c ON pp.r = c.r AND pp.pos = c.pos
+       |  GROUP BY pp.term),
+       |ex AS (SELECT term, count(*) AS true_count FROM toks
+       |       WHERE term IN ($inList) GROUP BY term)
+       |SELECT est.term, est.cms_est,
+       |  coalesce(ex.true_count, 0) AS true_count
+       |FROM est LEFT JOIN ex ON est.term = ex.term
+       |ORDER BY est.term""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q52
   /** Dedup clusters: exact-dup pairs (shared content fingerprint) on a
     * corpus with TWO planted copies of every 20th doc, closed into
@@ -815,6 +867,7 @@ object ExtensionQueries {
     "q34_rolling_hash" -> q34,
     "q35_frame_sample" -> q35,
     "q37_kmv_distinct" -> q37,
+    "q61_countmin" -> q61,
     "q40_multimodal_features" -> q40)
 
   val oracle: Map[String, String] = Map(
@@ -841,5 +894,6 @@ object ExtensionQueries {
     "q34_rolling_hash" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
     "q37_kmv_distinct" -> q37Sql,
+    "q61_countmin" -> q61Sql,
     "q40_multimodal_features" -> q40Sql)
 }

@@ -72,6 +72,23 @@ class AsOfBloomSpec extends SparkSuite {
     assert(fp <= 2L, s"false-positive count $fp out of 5000 is way off design")
   }
 
+  test("count-min estimates dominate true counts; absent keys estimate >= 0") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val depth = 4; val width = 256
+    val stream = (Seq.fill(50)("apple") ++ Seq.fill(20)("pear") ++
+      (0 until 300).map(i => s"noise_$i")).toDF("k")
+    val sketch = Sketches.countMin(stream, col("k"), depth, width)
+    val est = Sketches.countMinEstimate(sketch,
+        Seq("apple", "pear", "absent"), depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("apple") >= 50L) // CMS never underestimates
+    assert(est("pear") >= 20L)
+    assert(est("absent") >= 0L)
+    // with 370 items in 4x256 cells, overestimates stay small
+    assert(est("apple") <= 60L && est("pear") <= 30L && est("absent") <= 10L)
+  }
+
   test("bloom word array is deterministic and position-set equivalent") {
     import spark.implicits._
     val k = 3; val bits = 256
