@@ -241,12 +241,24 @@ object Dedup {
     * splitting absorb residual hot keys.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, persist: Boolean = true): DataFrame =
+    simhashPairsManaged(df, idCol, textCol, maxHamming, persist)._1
+
+  /** [[simhashPairs]] plus a cleanup thunk unpersisting the internal
+    * simhash table — which feeds BOTH sides of the band self-join, so
+    * without the cache the tokenize→hash→32-majority-agg pipeline (the
+    * expensive part) executes twice.
+    */
+  def simhashPairsManaged(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, persist: Boolean = true)
+      : (DataFrame, () => Unit) = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: 4-byte banding is only candidate-complete " +
         "for Hamming distance <= 3 (pigeonhole); larger radii would return " +
         "a silently incomplete pair set")
-    val sims = simhashTable(df, idCol, textCol, 32)
+    val sims0 = simhashTable(df, idCol, textCol, 32)
+    val sims = if (persist) sims0.persist(StorageLevel.MEMORY_AND_DISK) else sims0
+    val cleanup = () => if (persist) { sims.unpersist(); () }
     val bandArr = array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("simhash"), b * 8) % 256).as("key"))
@@ -259,11 +271,12 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
       .distinct()
-    cand
+    val pairs = cand
       .withColumn("hamming",
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    (pairs, cleanup)
   }
 
   /** Connected components over a near-dup pair list — the dedup endgame:
