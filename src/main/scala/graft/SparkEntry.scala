@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.ExtensionQueries.queries ++
       graft.queries.TypedQueries.queries ++
       graft.queries.CurateQueries.queries ++
-      graft.queries.RankingQueries.queries
+      graft.queries.RankingQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.ExtensionQueries.oracle ++
       graft.queries.TypedQueries.oracle ++
       graft.queries.CurateQueries.oracle ++
-      graft.queries.RankingQueries.oracle
+      graft.queries.RankingQueries.oracle ++
+      graft.queries.PipelineQueries.oracle
 }

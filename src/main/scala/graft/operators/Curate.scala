@@ -74,6 +74,38 @@ object Curate {
       .select(strataCols.map(col) :+ explode(col("top.id")).as("id"): _*)
   }
 
+  /** Systematic probability-proportional-to-size sampling: within each
+    * stratum, lay rows out in id order, take the running weight sum, and
+    * keep a row iff its weight interval ((cum−w)·k/W, cum·k/W] crosses an
+    * integer — i.e. iff `floor(cum·k/W) > floor((cum−w)·k/W)`. Up to k
+    * rows per stratum (exactly k when every weight ≤ W/k; a heavier row
+    * spans several skip intervals but is kept once — the standard
+    * certainty-unit case), with
+    * inclusion probability proportional to weight — the classic
+    * systematic PPS design, and because it is pure integer arithmetic on
+    * exact sums it replays bit-for-bit in any engine (no `rand()`, no
+    * transcendentals — contrast exponential-jump A-ES sampling, whose
+    * pow/log calls differ across libms in the last ulp).
+    *
+    * Scale: one window cumulative sum per stratum — per-stratum
+    * sequential, parallel across strata (same contract as
+    * [[packSequences]]'s shards; for a single giant stratum, pre-shard
+    * the stratum key the same way). Long arithmetic holds to W·k < 2⁶³.
+    * Output: strata columns + (id, w).
+    */
+  def ppsSample(df: DataFrame, strataCols: Seq[String], idCol: Column,
+      weightCol: Column, k: Int): DataFrame = {
+    val part = Window.partitionBy(strataCols.map(col): _*)
+    val w = part.orderBy(col("id"))
+    df.select(strataCols.map(col) :+ idCol.as("id") :+
+        weightCol.cast("long").as("w"): _*)
+      .withColumn("cum", sum(col("w")).over(w))
+      .withColumn("tot", sum(col("w")).over(part))
+      .filter(expr(s"(cum * $k) div tot") >
+        expr(s"((cum - w) * $k) div tot"))
+      .select(strataCols.map(col) :+ col("id") :+ col("w"): _*)
+  }
+
   /** Sequence packing: assign documents to fixed-capacity token bins —
     * the context-window packing step of an LLM training pipeline. Within
     * each hash shard, documents are laid out in id order and a document

@@ -103,6 +103,89 @@ object TextOps {
     aggregate(split(text, ""), lit(0L),
       (acc, c) => (acc * base + ascii(c)) % mod)
 
+  /** PII regexes shared with the oracle replay. RE2 (DuckDB) and
+    * java.util.regex agree on this subset: character classes, bounded
+    * repetition, and the ASCII word boundary `\b` — no backreferences,
+    * no lookaround.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction: emails → `<EMAIL>`, dotted-quad IPs → `<IP>`,
+    * NNN-NNN-NNNN phones → `<PHONE>`, applied in that fixed order, plus
+    * per-class match counts (measured on the ORIGINAL text, so the
+    * counts are independent of replacement order). Pure regex column
+    * expressions — map-only at any scale.
+    */
+  def redactPii(text: Column): Seq[Column] = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>")
+    Seq(
+      redacted.as("redacted"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ip"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phone"))
+  }
+
+  /** Overlapping token-window chunking — the context-window preparation
+    * step of an LLM pipeline: each document becomes chunks of up to
+    * `window` tokens starting every `stride` tokens (`stride < window` ⇒
+    * overlap of `window − stride`). Chunk starts are 0, stride, 2·stride,
+    * … while start < n_tokens, so every token lands in ≥1 chunk and a
+    * short document still yields exactly one chunk. Explode + slice on
+    * the token array — one map stage, fan-out ≈ n_tokens/stride per doc,
+    * no shuffle at all.
+    * Output: (id, chunk_id, n_tok_chunk, chunk_text).
+    */
+  def chunkTable(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"window=$window stride=$stride: need 0 < stride <= window")
+    df.select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0L),
+          expr(s"((size(toks) - 1) div $stride) * ${stride}L"),
+          lit(stride.toLong))).as("start"))
+      .select(col("id"),
+        expr(s"start div $stride").cast("long").as("chunk_id"),
+        size(slice(col("toks"), (col("start") + 1).cast("int"), lit(window)))
+          .cast("long").as("n_tok_chunk"),
+        array_join(
+          slice(col("toks"), (col("start") + 1).cast("int"), lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Repeated word n-gram mining over a corpus — the memorization /
+    * boilerplate detector: every n-gram OCCURRENCE (not distinct per doc)
+    * is exploded and counted corpus-wide, keeping n-grams seen at least
+    * `minCount` times, with the number of distinct documents alongside.
+    * Explode → one hash aggregate on the n-gram (map-side combining, one
+    * shuffle keyed on the n-gram — never all-pairs, never per-doc state).
+    * Output: (ngram, n_docs, n_occurrences).
+    */
+  def repeatedNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    Spread.ensure(df.select(col(idCol).as("id"), col(textCol)), "id")
+      .select(col("id"), explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
   /** [[fingerprint]] as explode → groupBy min: one md5 per (doc, shingle)
     * in codegen, one shuffle on id, instead of the per-row interpreted
     * transform+array_min lambda pipeline. Short documents (no shingles →

