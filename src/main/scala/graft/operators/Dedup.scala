@@ -357,4 +357,71 @@ object Dedup {
           when(col(s"c_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _).as("simhash"))
   }
+
+  /** 64-bit SimHash as TWO independent 32-bit words (`sim_hi`, `sim_lo`):
+    * the low word votes over bits of hash48(t), the high word over bits
+    * of hash48(t || "#w1") — an independent member of the same md5 hash
+    * family. Two longs instead of one 64-bit value because bit 63 is the
+    * Long sign bit, whose literal (2⁶³) parses as HUGEINT in engines with
+    * 128-bit integers and silently changes the arithmetic — two 32-bit
+    * words sidestep the portability trap and band just as well.
+    *
+    * Same plan shape as [[simhashTable]] (the formulation the 32-bit
+    * operator settled on): explode distinct tokens → ONE grouped
+    * aggregation carrying 64 codegen'd majority counters, single shuffle
+    * on id. Use for template-heavy corpora where 32-bit buckets go hot
+    * (see the scale note on [[simhashPairs]]).
+    */
+  def simhash64Table(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = spread(df, idCol)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(Portable.tokens(col(textCol)))).as("t"))
+      .select(col("id"), Portable.hash48(col("t")).as("h0"),
+        Portable.hash48(concat(col("t"), lit("#w1"))).as("h1"))
+    val aggs = count(lit(1)).as("n") +:
+      ((0 until 32).map(b => sum(shiftright(col("h0"), b) % 2).as(s"lo_$b")) ++
+        (0 until 32).map(b => sum(shiftright(col("h1"), b) % 2).as(s"hi_$b")))
+    def word(prefix: String) = (0 until 32).map { b =>
+      when(col(s"${prefix}_$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), word("hi").as("sim_hi"), word("lo").as("sim_lo"))
+  }
+
+  /** 64-bit SimHash near-dup pairs: 8 bands of 8 bits (4 bytes per word)
+    * — by pigeonhole, candidate-complete up to Hamming distance 7 over
+    * the full 64 bits, twice the radius of the 32-bit [[simhashPairs]]
+    * with the same per-band selectivity. Verification is the exact
+    * two-word popcount sum. Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7, persist: Boolean = true)
+      : (DataFrame, () => Unit) = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming=$maxHamming: 8-band/8-bit banding is only " +
+        "candidate-complete for Hamming distance <= 7 (pigeonhole)")
+    val sims0 = simhash64Table(df, idCol, textCol)
+    val sims = if (persist) sims0.persist(StorageLevel.MEMORY_AND_DISK) else sims0
+    val cleanup = () => if (persist) { sims.unpersist(); () }
+    val bandArr = array((0 until 8).map { b =>
+      val w = if (b < 4) col("sim_lo") else col("sim_hi")
+      struct(lit(b).as("band"),
+        (shiftright(w, (b % 4) * 8) % 256).as("key"))
+    }: _*)
+    val banded = sims.select(col("id"), col("sim_hi"), col("sim_lo"),
+      explode(bandArr).as("bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sim_hi").as("ha"), col("a.sim_lo").as("la"),
+        col("b.sim_hi").as("hb"), col("b.sim_lo").as("lb"))
+      .distinct()
+    val pairs = cand
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    (pairs, cleanup)
+  }
 }

@@ -215,13 +215,40 @@ object PipelineQueries {
       |SELECT id, name, entity, dist FROM sel WHERE rn = 1
       |ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  /** 64-bit SimHash ([[graft.operators.Dedup.simhash64Table]]): two
+    * independent 32-bit majority-vote words per document — the
+    * wider-signature variant for template-heavy corpora where 32-bit
+    * byte-bands go hot (radius-7 banding lives in simhashPairs64).
+    */
+  val q68: Q = (s, dir) =>
+    graft.operators.Dedup.simhash64Table(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val q68Sql: String = {
+    def word(hashExpr: String) = (0 until 32).map { b =>
+      s"(CASE WHEN 2*len(list_filter($hashExpr, h -> ((h >> $b) & 1) = 1)) > len($hashExpr) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH ht_t AS (SELECT doc_id,
+       |  list_transform(list_distinct(string_split_regex(lower(text), '\\s+')),
+       |    t -> ('0x'||substr(md5(t),1,12))::BIGINT) AS h0,
+       |  list_transform(list_distinct(string_split_regex(lower(text), '\\s+')),
+       |    t -> ('0x'||substr(md5(t || '#w1'),1,12))::BIGINT) AS h1
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(${word("h1")} AS BIGINT) AS sim_hi,
+       |  CAST(${word("h0")} AS BIGINT) AS sim_lo
+       |FROM ht_t ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
     "q64_pii_redact" -> q64,
     "q65_pps_sample" -> q65,
     "q66_repeated_ngrams" -> q66,
-    "q67_fuzzy_linkage" -> q67)
+    "q67_fuzzy_linkage" -> q67,
+    "q68_simhash64" -> q68)
 
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -229,5 +256,6 @@ object PipelineQueries {
     "q64_pii_redact" -> q64Sql,
     "q65_pps_sample" -> q65Sql,
     "q66_repeated_ngrams" -> q66Sql,
-    "q67_fuzzy_linkage" -> q67Sql)
+    "q67_fuzzy_linkage" -> q67Sql,
+    "q68_simhash64" -> q68Sql)
 }

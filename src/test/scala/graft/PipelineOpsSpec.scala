@@ -87,6 +87,26 @@ class PipelineOpsSpec extends SparkSuite {
     assert(!out.exists(_._1 == "nothing shared"), "minCount filter")
   }
 
+  test("simhashPairs64 matches brute-force 64-bit Hamming pairs (band completeness)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val (pairs, cleanup) =
+      graft.operators.Dedup.simhashPairs64(docs, "doc_id", "text", maxHamming = 7)
+    val banded = pairs.as[(Long, Long, Long)].collect().toSet
+    cleanup()
+    // brute force over the collected 64-bit signatures
+    val sims = graft.operators.Dedup.simhash64Table(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (a, ha, la) <- sims; (b, hb, lb) <- sims if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size} " +
+        s"missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
+  }
+
   test("linkEntities picks the argmin (dist, entity) within the block, bounded by maxDist") {
     val catalog = Seq("old plate", "cold plate", "red rod").toDF("entity")
     val mentions = Seq(
