@@ -186,6 +186,55 @@ object TextOps {
       .filter(col("n_occurrences") >= minCount)
   }
 
+  /** Corpus-trained bigram language-model fluency score — the
+    * statistical text-quality signal (low score ⇒ unusual word
+    * transitions ⇒ boilerplate/garbled/generated text). For each bigram
+    * occurrence (w1,w2) the conditional probability c(w1,w2)/c(w1) is
+    * scored as the INTEGER `(10⁶·c2) div c1` — per-occurrence integer
+    * scores sum order-free (a float sum's grouping order is
+    * engine-chosen), and only the final mean divides in double. So the
+    * whole model replays bit-for-bit in any engine — no log-probs, whose
+    * transcendental evaluation differs across libms.
+    *
+    * Scale: two hash aggregates (unigram, bigram counts) + two equi-joins
+    * keyed on words + one per-doc aggregate. Count frames are
+    * vocabulary-sized, far smaller than the corpus; AQE broadcasts them
+    * when they fit, and the shuffled join shape stays correct when a
+    * web-scale vocabulary does not.
+    * Output: (id, n_bigrams, lm_score) — docs with <2 tokens keep
+    * n_bigrams=0 and a null score.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), toks.as("w")), "id")
+    val occ = base.select(col("id"),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(0), size(col("w")) - 2),
+            i => struct(element_at(col("w"), i + 1).as("w1"),
+              element_at(col("w"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c1 = base.select(explode(col("w")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    // join at the (doc, bigram)-distinct level with an occurrence-count
+    // multiplier, not per occurrence: the join volume drops from
+    // O(tokens) to O(distinct bigrams per doc), and the corpus counts c2
+    // derive from the same frame instead of a second explode pass
+    val docBg = occ.groupBy("id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val c2 = docBg.groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
+    val scored = docBg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("id"), col("cnt"),
+        (col("cnt") * expr("(1000000 * c2) div c1")).as("s"))
+      .groupBy("id").agg(sum(col("s")).as("ssum"), sum(col("cnt")).as("nb"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        (col("ssum").cast("double") / col("nb")).as("lm_score"))
+  }
+
   /** [[fingerprint]] as explode → groupBy min: one md5 per (doc, shingle)
     * in codegen, one shuffle on id, instead of the per-row interpreted
     * transform+array_min lambda pipeline. Short documents (no shingles →

@@ -241,6 +241,74 @@ object PipelineQueries {
        |FROM ht_t ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q69
+  /** Bigram language-model fluency scoring
+    * ([[TextOps.bigramLmScore]]): corpus-trained conditional-probability
+    * scores as exact integers (10⁶·c2 div c1), order-free sums, one
+    * double division at the end — the text-quality signal with a
+    * bit-exact cross-engine replay (no log-probs).
+    */
+  val q69: Q = (s, dir) =>
+    TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val q69Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |occ AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+      |  FROM (SELECT doc_id, w, unnest(range(len(w)-1)) AS i FROM t)),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM
+      |  (SELECT unnest(w) AS w1 FROM t) GROUP BY w1),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY w1, w2),
+      |sc AS (SELECT occ.doc_id, (1000000 * c2.c2) // c1.c1 AS s
+      |  FROM occ JOIN c2 USING (w1, w2) JOIN c1 USING (w1)),
+      |agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS ssum,
+      |    count(*) AS nb FROM sc GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  coalesce(agg.nb, 0) AS n_bigrams,
+      |  CAST(agg.ssum AS DOUBLE) / agg.nb AS lm_score
+      |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Z-order layout key ([[graft.operators.Layout.zOrderKey]]): orders
+    * bucketed (custkey, order-day) into a Morton curve and shows the
+    * per-z-range locality (tight min/max on BOTH dimensions per range) —
+    * the file-clustering primitive that makes two-predicate scans prune
+    * at 100 TB. Pure integer shift/mask arithmetic, bit-exact anywhere.
+    */
+  val q70: Q = (s, dir) => {
+    import graft.operators.Layout
+    val o = Tables.orders(s, dir)
+      .withColumn("xd", pmod(col("o_custkey"), lit(1024)).cast("long"))
+      .withColumn("yd",
+        pmod(datediff(col("o_orderdate"), to_date(lit("1970-01-01"))), lit(1024))
+          .cast("long"))
+    o.withColumn("z", Layout.zOrderKey(Seq(col("xd"), col("yd")), 10))
+      .withColumn("zrange", expr("z div 4096"))
+      .groupBy("zrange")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xd")).as("x_min"), max(col("xd")).as("x_max"),
+        min(col("yd")).as("y_min"), max(col("yd")).as("y_max"))
+      .orderBy("zrange")
+  }
+  val q70Sql: String = {
+    val terms = (0 until 10).flatMap { i =>
+      Seq(s"(((xd >> $i) & 1) << ${2 * i})", s"(((yd >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT
+       |    o_custkey % 1024 AS xd,
+       |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS yd
+       |  FROM orders),
+       |z AS (SELECT xd, yd, ($terms) AS z FROM d)
+       |SELECT z // 4096 AS zrange,
+       |  count(*) AS n_rows,
+       |  min(xd) AS x_min, max(xd) AS x_max,
+       |  min(yd) AS y_min, max(yd) AS y_max
+       |FROM z GROUP BY zrange ORDER BY zrange""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
@@ -248,7 +316,9 @@ object PipelineQueries {
     "q65_pps_sample" -> q65,
     "q66_repeated_ngrams" -> q66,
     "q67_fuzzy_linkage" -> q67,
-    "q68_simhash64" -> q68)
+    "q68_simhash64" -> q68,
+    "q69_bigram_lm" -> q69,
+    "q70_zorder" -> q70)
 
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -257,5 +327,7 @@ object PipelineQueries {
     "q65_pps_sample" -> q65Sql,
     "q66_repeated_ngrams" -> q66Sql,
     "q67_fuzzy_linkage" -> q67Sql,
-    "q68_simhash64" -> q68Sql)
+    "q68_simhash64" -> q68Sql,
+    "q69_bigram_lm" -> q69Sql,
+    "q70_zorder" -> q70Sql)
 }

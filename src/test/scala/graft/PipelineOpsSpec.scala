@@ -107,6 +107,33 @@ class PipelineOpsSpec extends SparkSuite {
         s"missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)}")
   }
 
+  test("zOrderKey interleaves bits exactly (vs JVM reference)") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L), (513L, 2L))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        graft.operators.Layout.zOrderKey(Seq(col("x"), col("y")), 10).as("z"))
+      .as[(Long, Long, Long)].collect().toSet
+    def ref(x: Long, y: Long): Long =
+      (0 until 10).map(i =>
+        (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    assert(got == got.map { case (x, y, _) => (x, y, ref(x, y)) })
+    assert(ref(1, 0) == 1L && ref(0, 1) == 2L && ref(1023, 1023) == (1L << 20) - 1)
+  }
+
+  test("bigramLmScore: common transitions outscore rare ones; short docs null out") {
+    val df = Seq(
+      (1L, "a b a b a b"),  // bigrams a-b (3), b-a (2) — both common
+      (2L, "a b z q"),      // contains rare transitions z->q, b->z
+      (3L, "solo")          // no bigrams
+    ).toDF("id", "text")
+    val out = TextOps.bigramLmScore(df, "id", "text")
+      .orderBy("id").as[(Long, Long, Option[Double])].collect()
+    assert(out(0)._2 == 5L && out(1)._2 == 3L && out(2)._2 == 0L)
+    assert(out(2)._3.isEmpty, "no-bigram doc must have null score")
+    assert(out(0)._3.get > out(1)._3.get,
+      s"fluent doc must outscore rare-transition doc: $out")
+  }
+
   test("linkEntities picks the argmin (dist, entity) within the block, bounded by maxDist") {
     val catalog = Seq("old plate", "cold plate", "red rod").toDF("entity")
     val mentions = Seq(
