@@ -309,6 +309,54 @@ object PipelineQueries {
        |FROM z GROUP BY zrange ORDER BY zrange""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q71
+  /** The composed curation recipe, end to end in ONE query — what a user
+    * of this engine actually runs before training: quality-gate (English,
+    * quality_score ≥ 2), exact-dedup keeping the smallest doc_id per
+    * content fingerprint, then chunk the survivors into 64-token training
+    * windows. Every stage is an operator verified on its own
+    * (q31/q20/q63); this entry pins that they COMPOSE — aliasing,
+    * ordering, and null conventions survive the chaining. Map-only +
+    * one dedup aggregate + the chunk explode: no new shuffle shape.
+    */
+  val q71: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val quality = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextOps.quality(col("text")).last)
+      .filter(col("lang") === "en" && col("quality_score") >= 2)
+    val keep = quality
+      .withColumn("keeper",
+        min(col("doc_id")).over(
+          Window.partitionBy(md5(col("text").cast("binary")))))
+      .filter(col("doc_id") === col("keeper"))
+    TextOps.chunkTable(keep, "doc_id", "text", window = 64, stride = 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+  }
+  val q71Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id, text,
+      |    CAST((CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 10 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2
+      |          >= length(text) THEN 1 ELSE 0 END) AS BIGINT) AS quality_score
+      |  FROM documents WHERE lang = 'en'),
+      |keep AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      |    FROM q WHERE quality_score >= 2)
+      |  WHERE doc_id = keeper),
+      |t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+      |  FROM keep),
+      |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 64)) AS start FROM t)
+      |SELECT doc_id,
+      |  CAST(start // 64 AS BIGINT) AS chunk_id,
+      |  CAST(len(toks[start+1:start+64]) AS BIGINT) AS n_tok_chunk,
+      |  array_to_string(toks[start+1:start+64], ' ') AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
@@ -318,7 +366,8 @@ object PipelineQueries {
     "q67_fuzzy_linkage" -> q67,
     "q68_simhash64" -> q68,
     "q69_bigram_lm" -> q69,
-    "q70_zorder" -> q70)
+    "q70_zorder" -> q70,
+    "q71_curation_pipeline" -> q71)
 
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -329,5 +378,6 @@ object PipelineQueries {
     "q67_fuzzy_linkage" -> q67Sql,
     "q68_simhash64" -> q68Sql,
     "q69_bigram_lm" -> q69Sql,
-    "q70_zorder" -> q70Sql)
+    "q70_zorder" -> q70Sql,
+    "q71_curation_pipeline" -> q71Sql)
 }
