@@ -235,6 +235,35 @@ object TextOps {
         (col("ssum").cast("double") / col("nb")).as("lm_score"))
   }
 
+  /** Feature-hashing (hashing-trick) document embedding: token counts
+    * folded into a fixed `dim`-wide integer vector — dimension j =
+    * hash48(token) mod dim, sign from an independent hash bit (the
+    * signed construction that keeps collisions zero-mean). The
+    * text→vector bridge into the ANN family ([[Similarity]]): exact
+    * integers, so any engine reproduces the embedding bit-for-bit.
+    *
+    * Same proven plan shape as [[Dedup.simhashTable]]: explode tokens →
+    * ONE grouped aggregation carrying `dim` codegen'd conditional sums —
+    * a single shuffle on id, map-side combining, no per-doc state.
+    * Output: (id, features: array<long>).
+    */
+  def featureHashTable(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0 && dim <= 256, s"dim=$dim out of (0, 256]")
+    val hashed = Spread.ensure(
+        df.select(col(idCol).as("id"), col(textCol)), "id")
+      .select(col("id"),
+        explode(Portable.tokens(col(textCol))).as("t"))
+      .select(col("id"),
+        pmod(Portable.hash48(col("t")), lit(dim.toLong)).as("j"),
+        (Portable.hash48(concat(col("t"), lit("#s"))) % 2 * 2 - 1).as("sgn"))
+    val sums = (0 until dim).map(k =>
+      coalesce(sum(when(col("j") === k, col("sgn"))), lit(0L)).as(s"f_$k"))
+    hashed.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        array((0 until dim).map(k => col(s"f_$k")): _*).as("features"))
+  }
+
   /** [[fingerprint]] as explode → groupBy min: one md5 per (doc, shingle)
     * in codegen, one shuffle on id, instead of the per-row interpreted
     * transform+array_min lambda pipeline. Short documents (no shingles →

@@ -357,6 +357,34 @@ object PipelineQueries {
       |  array_to_string(toks[start+1:start+64], ' ') AS chunk_text
       |FROM s ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Feature-hashing document embeddings ([[TextOps.featureHashTable]]):
+    * signed hashing-trick bag-of-words into 64 integer dimensions — the
+    * deterministic text→vector bridge into the ANN operators. Exact
+    * integer construction replays bit-for-bit in SQL.
+    */
+  val q72: Q = (s, dir) =>
+    TextOps.featureHashTable(Tables.documents(s, dir), "doc_id", "text", 64)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val q72Sql: String = {
+    def h48(e: String) = s"('0x'||substr(md5($e),1,12))::BIGINT"
+    val dims = (0 until 64).map(k =>
+      s"CAST(coalesce(sum(CASE WHEN j = $k THEN sgn END), 0) AS BIGINT)")
+      .mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |    ${h48("t")} % 64 AS j,
+       |    (${h48("t || '#s'")} % 2) * 2 - 1 AS sgn
+       |  FROM toks)
+       |SELECT doc_id, [
+       |    $dims
+       |  ] AS features
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
@@ -367,7 +395,8 @@ object PipelineQueries {
     "q68_simhash64" -> q68,
     "q69_bigram_lm" -> q69,
     "q70_zorder" -> q70,
-    "q71_curation_pipeline" -> q71)
+    "q71_curation_pipeline" -> q71,
+    "q72_feature_hashing" -> q72)
 
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -379,5 +408,6 @@ object PipelineQueries {
     "q68_simhash64" -> q68Sql,
     "q69_bigram_lm" -> q69Sql,
     "q70_zorder" -> q70Sql,
-    "q71_curation_pipeline" -> q71Sql)
+    "q71_curation_pipeline" -> q71Sql,
+    "q72_feature_hashing" -> q72Sql)
 }

@@ -54,6 +54,28 @@ class PlanAssertSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q67 linkage broadcasts the entity catalog (no corpus shuffle)") {
+    val p = executed("q67_fuzzy_linkage")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "catalog join fell back to SMJ:\n" + p.take(3000))
+  }
+
+  test("q63 chunking is map-only up to the output sort") {
+    // explode+slice adds no aggregation/join: the only exchanges allowed
+    // are Spread's explicit repartition (none here) and the final
+    // orderBy's range exchange
+    val p = executed("q63_chunk_overlap")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"chunking introduced $hashEx hash exchanges:\n" + p.take(3000))
+  }
+
+  test("q70 z-order ranging is one hash aggregate exchange") {
+    val p = executed("q70_zorder")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx:\n" + p.take(3000))
+  }
+
   test("q24 embedding top-k broadcasts the query side") {
     val p = executed("q24_embed_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
