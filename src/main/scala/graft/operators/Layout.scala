@@ -30,6 +30,39 @@ object Layout {
     terms.reduce(_ + _)
   }
 
+  /** Grid-blocked proximity self-join: all point pairs within Chebyshev
+    * distance ≤ `radius`, found by hashing points into radius-sized grid
+    * cells and joining each point's 3×3 cell neighborhood against home
+    * cells — O(n·density) candidates instead of the O(n²) cross join,
+    * the standard spatial-blocking shape (same bounding idea as LSH
+    * bands). Each unordered pair appears EXACTLY once: a point's home
+    * cell is unique, so (a,b) matches only via b's home cell, and
+    * `id_a < id_b` keeps one orientation — no distinct pass needed.
+    * Output: (id_a, id_b, cheb).
+    */
+  def gridNeighborPairs(df: DataFrame, idCol: String, xCol: Column,
+      yCol: Column, radius: Int): DataFrame = {
+    require(radius > 0, s"radius=$radius must be positive")
+    val pts = df.select(col(idCol).as("id"), xCol.as("x"), yCol.as("y"))
+      .withColumn("cx", expr(s"x div $radius"))
+      .withColumn("cy", expr(s"y div $radius"))
+    val offsets = for { i <- -1 to 1; j <- -1 to 1 } yield (i, j)
+    val probe = pts.select(col("id"), col("x"), col("y"),
+      explode(array(offsets.map { case (i, j) =>
+        struct((col("cx") + i).as("cx"), (col("cy") + j).as("cy"))
+      }: _*)).as("nc"))
+      .select(col("id"), col("x"), col("y"),
+        col("nc.cx").as("cx"), col("nc.cy").as("cy"))
+    probe.as("a").join(pts.as("b"),
+        col("a.cx") === col("b.cx") && col("a.cy") === col("b.cy") &&
+          col("a.id") < col("b.id"))
+      .filter(abs(col("a.x") - col("b.x")) <= radius &&
+        abs(col("a.y") - col("b.y")) <= radius)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        greatest(abs(col("a.x") - col("b.x")),
+          abs(col("a.y") - col("b.y"))).as("cheb"))
+  }
+
   /** Repartition-and-sort by z-order key: rows land in files whose
     * min/max ranges are tight on every dimension simultaneously. This is
     * the write-side operator; [[zOrderKey]] alone serves when the caller

@@ -385,6 +385,41 @@ object PipelineQueries {
        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q73
+  /** Grid-blocked spatial proximity join
+    * ([[graft.operators.Layout.gridNeighborPairs]]): customer points on a
+    * hash-derived 1024×1024 grid, all pairs within Chebyshev distance 8
+    * via 3×3 neighbor-cell blocking — O(n·density) candidates, never the
+    * n² cross join. The oracle IS the n² brute force (tractable at the
+    * oracle's scale factor), so the blocked algorithm is checked against
+    * a genuinely independent formulation — any missed boundary pair or
+    * duplicate orientation fails the hash.
+    */
+  val q73: Q = (s, dir) => {
+    import graft.functions.Portable
+    val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      pmod(Portable.hash48(concat(col("c_custkey").cast("string"), lit("x"))),
+        lit(1024L)).as("x"),
+      pmod(Portable.hash48(concat(col("c_custkey").cast("string"), lit("y"))),
+        lit(1024L)).as("y"))
+    graft.operators.Layout
+      .gridNeighborPairs(pts, "id", col("x"), col("y"), radius = 8)
+      .orderBy("id_a", "id_b")
+  }
+  val q73Sql: String = {
+    def h48(suffix: String) =
+      s"('0x'||substr(md5(CAST(c_custkey AS VARCHAR)||'$suffix'),1,12))::BIGINT % 1024"
+    s"""WITH pts AS (SELECT c_custkey AS id,
+       |    ${h48("x")} AS x,
+       |    ${h48("y")} AS y
+       |  FROM customer)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  greatest(abs(a.x - b.x), abs(a.y - b.y)) AS cheb
+       |FROM pts a JOIN pts b ON a.id < b.id
+       |WHERE abs(a.x - b.x) <= 8 AND abs(a.y - b.y) <= 8
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
@@ -396,7 +431,8 @@ object PipelineQueries {
     "q69_bigram_lm" -> q69,
     "q70_zorder" -> q70,
     "q71_curation_pipeline" -> q71,
-    "q72_feature_hashing" -> q72)
+    "q72_feature_hashing" -> q72,
+    "q73_grid_proximity_join" -> q73)
 
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -409,5 +445,6 @@ object PipelineQueries {
     "q69_bigram_lm" -> q69Sql,
     "q70_zorder" -> q70Sql,
     "q71_curation_pipeline" -> q71Sql,
-    "q72_feature_hashing" -> q72Sql)
+    "q72_feature_hashing" -> q72Sql,
+    "q73_grid_proximity_join" -> q73Sql)
 }
