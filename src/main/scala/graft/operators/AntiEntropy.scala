@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Merkle-style anti-entropy for repeated synchronization: compare two
+  * snapshots by per-bucket digests FIRST, and run the expensive row-level
+  * diff only on buckets whose digests disagree. At 100 TB the rediff
+  * traffic drops from "everything" to O(changed data) — the
+  * Dynamo/Cassandra repair idea expressed as two aggregates and a
+  * bucket-sized join (pairs with [[graft.engine.BucketedSync]], whose
+  * bucketed snapshots make the follow-up per-bucket diff exchange-free).
+  *
+  * The digest is a SUM of per-row 48-bit content hashes — commutative
+  * and associative, so any partitioning, row order, or engine produces
+  * the identical digest (and it is exactly replayable in the DuckDB
+  * oracle, unlike md5-of-concatenation which needs an order). Equal
+  * (n_rows, digest) pairs can collide only with ~2⁻⁴⁸ probability per
+  * bucket per comparison; the row diff that follows changed buckets is
+  * exact, so a collision can only cause a missed-change false negative,
+  * bounded by the same odds backups already accept from content hashes.
+  */
+object AntiEntropy {
+
+  /** Per-bucket summary: (bucket, n_rows, digest). `rowCol` must be a
+    * deterministic serialization of the row's content (e.g.
+    * `concat_ws("|", pk, cols...)`).
+    */
+  def bucketDigest(df: DataFrame, bucketCol: Column, rowCol: Column): DataFrame =
+    df.select(bucketCol.as("bucket"), Portable.hash48(rowCol).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("digest"))
+
+  /** Buckets whose summaries differ between snapshots `a` and `b` —
+    * the work list for a targeted rediff. Output:
+    * (bucket, status ∈ {only_left, only_right, changed}, a_rows, b_rows).
+    * Matching buckets are dropped: the result is O(changed buckets).
+    */
+  def changedBuckets(a: DataFrame, b: DataFrame, bucketCol: Column,
+      rowCol: Column): DataFrame = {
+    val da = bucketDigest(a, bucketCol, rowCol)
+      .select(col("bucket"), col("n_rows").as("a_rows"), col("digest").as("a_dig"))
+    val db = bucketDigest(b, bucketCol, rowCol)
+      .select(col("bucket"), col("n_rows").as("b_rows"), col("digest").as("b_dig"))
+    da.join(db, Seq("bucket"), "full_outer")
+      .filter(!(col("a_rows") <=> col("b_rows")) ||
+        !(col("a_dig") <=> col("b_dig")))
+      .select(col("bucket"),
+        when(col("a_rows").isNull, "only_right")
+          .when(col("b_rows").isNull, "only_left")
+          .otherwise("changed").as("status"),
+        coalesce(col("a_rows"), lit(0L)).as("a_rows"),
+        coalesce(col("b_rows"), lit(0L)).as("b_rows"))
+  }
+}

@@ -18,6 +18,9 @@ object PipelineQueries {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
   // ---------------------------------------------------------------- q62
   /** TF-IDF top terms per document — the key-phrase/topic tagging step of
     * a curation pipeline. tf and df are exact integer aggregates; idf is
@@ -420,6 +423,52 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q74
+  /** Merkle-style changed-bucket detection
+    * ([[graft.operators.AntiEntropy.changedBuckets]]): snapshot B is
+    * orders with a deterministic perturbation (price +1¢ on keys ≡ 0 mod
+    * 977, rows ≡ 0 mod 1009 deleted); per-bucket order-free hash-sum
+    * digests localize every difference to its custkey-mod-256 bucket —
+    * the anti-entropy pre-filter that makes repeated 100 TB syncs ship
+    * O(changed data). The commutative digest replays exactly in SQL.
+    */
+  val q74: Q = (s, dir) => {
+    import graft.operators.AntiEntropy
+    val base = Tables.orders(s, dir)
+      .withColumn("tp_c", cents(col("o_totalprice")))
+      .select("o_orderkey", "o_custkey", "tp_c")
+    val b = base
+      .withColumn("tp_c",
+        when(col("o_orderkey") % 977 === 0, col("tp_c") + 1)
+          .otherwise(col("tp_c")))
+      .filter(col("o_orderkey") % 1009 =!= 0)
+    def row = concat_ws("|", col("o_orderkey"), col("tp_c"))
+    AntiEntropy.changedBuckets(base, b, pmod(col("o_custkey"), lit(256L)), row)
+      .orderBy("bucket")
+  }
+  val q74Sql: String = {
+    val h48 = "('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||'|'||CAST(tp_c AS VARCHAR)),1,12))::BIGINT"
+    s"""WITH base AS (SELECT o_orderkey, o_custkey,
+       |    CAST(round(o_totalprice*100) AS BIGINT) AS tp_c FROM orders),
+       |bb AS (SELECT o_orderkey, o_custkey,
+       |    CASE WHEN o_orderkey % 977 = 0 THEN tp_c + 1 ELSE tp_c END AS tp_c
+       |  FROM base WHERE o_orderkey % 1009 <> 0),
+       |da AS (SELECT o_custkey % 256 AS bucket, count(*) AS a_rows,
+       |    CAST(sum($h48) AS BIGINT) AS a_dig FROM base GROUP BY bucket),
+       |db AS (SELECT o_custkey % 256 AS bucket, count(*) AS b_rows,
+       |    CAST(sum($h48) AS BIGINT) AS b_dig FROM bb GROUP BY bucket)
+       |SELECT coalesce(da.bucket, db.bucket) AS bucket,
+       |  CASE WHEN da.a_rows IS NULL THEN 'only_right'
+       |       WHEN db.b_rows IS NULL THEN 'only_left'
+       |       ELSE 'changed' END AS status,
+       |  coalesce(da.a_rows, 0) AS a_rows,
+       |  coalesce(db.b_rows, 0) AS b_rows
+       |FROM da FULL JOIN db ON da.bucket = db.bucket
+       |WHERE da.a_rows IS DISTINCT FROM db.b_rows
+       |   OR da.a_dig IS DISTINCT FROM db.b_dig
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
@@ -432,7 +481,8 @@ object PipelineQueries {
     "q70_zorder" -> q70,
     "q71_curation_pipeline" -> q71,
     "q72_feature_hashing" -> q72,
-    "q73_grid_proximity_join" -> q73)
+    "q73_grid_proximity_join" -> q73,
+    "q74_antientropy_digest" -> q74)
 
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -446,5 +496,6 @@ object PipelineQueries {
     "q70_zorder" -> q70Sql,
     "q71_curation_pipeline" -> q71Sql,
     "q72_feature_hashing" -> q72Sql,
-    "q73_grid_proximity_join" -> q73Sql)
+    "q73_grid_proximity_join" -> q73Sql,
+    "q74_antientropy_digest" -> q74Sql)
 }
