@@ -13,14 +13,18 @@ import graft.functions.Portable
   * bucket-sized join (pairs with [[graft.engine.BucketedSync]], whose
   * bucketed snapshots make the follow-up per-bucket diff exchange-free).
   *
-  * The digest is a SUM of per-row 48-bit content hashes — commutative
-  * and associative, so any partitioning, row order, or engine produces
-  * the identical digest (and it is exactly replayable in the DuckDB
-  * oracle, unlike md5-of-concatenation which needs an order). Equal
-  * (n_rows, digest) pairs can collide only with ~2⁻⁴⁸ probability per
-  * bucket per comparison; the row diff that follows changed buckets is
-  * exact, so a collision can only cause a missed-change false negative,
-  * bounded by the same odds backups already accept from content hashes.
+  * The digest is a SUM of per-row content hashes reduced mod 10⁹+7 —
+  * commutative and associative, so any partitioning, row order, or
+  * engine produces the identical digest (and it is exactly replayable in
+  * the DuckDB oracle, unlike md5-of-concatenation which needs an order).
+  * The mod keeps the Long sum in range for up to ~9·10⁹ rows per bucket
+  * (Spark 4 runs ANSI mode, where an overflowing sum THROWS — a raw
+  * 48-bit hash sum would die at ~32k rows/bucket); size buckets inside
+  * that bound. Equal (n_rows, digest) pairs collide with ~10⁻⁹
+  * probability per bucket per comparison; the row diff that follows
+  * changed buckets is exact, so a collision can only cause a
+  * missed-change false negative, bounded by the same odds backups
+  * already accept from content hashes.
   */
 object AntiEntropy {
 
@@ -29,7 +33,7 @@ object AntiEntropy {
     * `concat_ws("|", pk, cols...)`).
     */
   def bucketDigest(df: DataFrame, bucketCol: Column, rowCol: Column): DataFrame =
-    df.select(bucketCol.as("bucket"), Portable.hash48(rowCol).as("h"))
+    df.select(bucketCol.as("bucket"), Portable.hash48p(rowCol).as("h"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("digest"))
 

@@ -447,7 +447,7 @@ object PipelineQueries {
       .orderBy("bucket")
   }
   val q74Sql: String = {
-    val h48 = "('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||'|'||CAST(tp_c AS VARCHAR)),1,12))::BIGINT"
+    val h48 = "('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||'|'||CAST(tp_c AS VARCHAR)),1,12))::BIGINT % 1000000007"
     s"""WITH base AS (SELECT o_orderkey, o_custkey,
        |    CAST(round(o_totalprice*100) AS BIGINT) AS tp_c FROM orders),
        |bb AS (SELECT o_orderkey, o_custkey,

@@ -163,6 +163,31 @@ class PipelineOpsSpec extends SparkSuite {
       s"fluent doc must outscore rare-transition doc: $out")
   }
 
+  test("changedBuckets localizes exactly the perturbed/deleted buckets") {
+    import graft.operators.AntiEntropy
+    val a = (1L to 1000L).map(i => (i, i * 37 % 1000)).toDF("id", "v")
+    // mutate two rows, delete one, and drop one whole bucket
+    val b = a
+      .withColumn("v", when(col("id").isin(13L, 487L), col("v") + 1)
+        .otherwise(col("v")))
+      .filter(col("id") =!= 700L && pmod(col("id"), lit(16L)) =!= 5L)
+    def row = concat_ws("|", col("id"), col("v"))
+    val changed = AntiEntropy
+      .changedBuckets(a, b, pmod(col("id"), lit(16L)), row)
+      .as[(Long, String, Long, Long)].collect()
+    val expect = Set(13L % 16, 487L % 16, 700L % 16, 5L)
+    assert(changed.map(_._1).toSet == expect,
+      s"got ${changed.mkString(";")}")
+    assert(changed.find(_._1 == 5L).get._2 == "only_left")
+    assert(changed.filter(_._1 != 5L).forall(_._2 == "changed"))
+    // identical snapshots → empty report, regardless of partitioning
+    val none = AntiEntropy
+      .changedBuckets(a.repartition(7), a.repartition(3),
+        pmod(col("id"), lit(16L)), row)
+      .count()
+    assert(none == 0L)
+  }
+
   test("linkEntities picks the argmin (dist, entity) within the block, bounded by maxDist") {
     val catalog = Seq("old plate", "cold plate", "red rod").toDF("entity")
     val mentions = Seq(
