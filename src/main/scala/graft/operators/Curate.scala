@@ -91,6 +91,9 @@ object Curate {
     * sequential, parallel across strata (same contract as
     * [[packSequences]]'s shards; for a single giant stratum, pre-shard
     * the stratum key the same way). Long arithmetic holds to W·k < 2⁶³.
+    * Weights must be NON-NEGATIVE (a negative weight breaks the
+    * cumulative sum's monotonicity and the boundary test with it);
+    * zero-weight rows are never selected, by construction.
     * Output: strata columns + (id, w).
     */
   def ppsSample(df: DataFrame, strataCols: Seq[String], idCol: Column,

@@ -38,6 +38,10 @@ object Layout {
     * bands). Each unordered pair appears EXACTLY once: a point's home
     * cell is unique, so (a,b) matches only via b's home cell, and
     * `id_a < id_b` keeps one orientation — no distinct pass needed.
+    *
+    * Coordinates must be NON-NEGATIVE: cell assignment uses integer
+    * `div`, which truncates toward zero, so negative coordinates would
+    * straddle cell 0 and miss boundary pairs — shift into [0, ∞) first.
     * Output: (id_a, id_b, cheb).
     */
   def gridNeighborPairs(df: DataFrame, idCol: String, xCol: Column,
