@@ -54,6 +54,33 @@ class BucketedSyncSpec extends SparkSuite {
       ("u", "2", "UPDATE")))
   }
 
+  test("diffChanged skips unchanged tables yet matches the full diff op-for-op") {
+    // t differs between the dumps, u is identical — the digest pre-filter
+    // must name ONLY t, and the filtered rediff must still equal diff
+    val prod2 = ddl +
+      "INSERT INTO `t` (`id`, `s`) VALUES\n(1, 'a'),\n(2, 'b');\n" +
+      "INSERT INTO `u` (`id`, `v`) VALUES\n(1, 10),\n(2, 20);\n"
+    val backup2 = ddl +
+      "INSERT INTO `t` (`id`, `s`) VALUES\n(1, 'a'),\n(2, 'OLD');\n" +
+      "INSERT INTO `u` (`id`, `v`) VALUES\n(1, 10),\n(2, 20);\n"
+    val (pf, bf) = (tmpFile(prod2), tmpFile(backup2))
+    BucketedSync.snapshot(spark, pf, "bsync_ch_prod", buckets = 4)
+    BucketedSync.snapshot(spark, bf, "bsync_ch_backup", buckets = 4)
+    val fast = BucketedSync.diffChanged(spark, "bsync_ch_prod", "bsync_ch_backup")
+    val full = BucketedSync.diff(spark, "bsync_ch_prod", "bsync_ch_backup")
+    def ops(df: org.apache.spark.sql.DataFrame) =
+      df.select("table", "pk", "op").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ops(fast) == ops(full))
+    assert(ops(fast) == Set(("t", "2", "UPDATE")))
+    // the pre-filter restricted the rediff to t: u never enters the scan
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("table#") || plan.contains("isnotnull"),
+      "sanity: plan rendered")
+    assert(!plan.contains("Exchange"),
+      s"filtered rediff lost the exchange-free plan:\n$plan")
+  }
+
   test("tables present in only one snapshot yield NO row ops (DDL concern)") {
     val extraDdl =
       """CREATE TABLE `w` (
