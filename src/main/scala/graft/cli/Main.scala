@@ -19,6 +19,11 @@ import graft.report.SummaryReporter
   * full-script sink (SyncJob.syncDistributed) instead of collecting ops
   * to the driver — the at-scale path; concatenated sorted part files are
   * byte-identical to the single-file script.
+  *
+  * `--schema-diff` switches to report-only mode: print the column-level
+  * schema evolution between the dumps (engine.SchemaDiff — columns
+  * added/dropped/retyped, PK changes) and exit without generating a
+  * sync script.
   */
 object Main {
 
@@ -27,8 +32,10 @@ object Main {
     val distributedOut =
       if (distIdx >= 0 && distIdx + 1 < rawArgs.length) Some(rawArgs(distIdx + 1))
       else None
-    val args = if (distIdx >= 0)
+    val args0 = if (distIdx >= 0)
       rawArgs.patch(distIdx, Nil, 2) else rawArgs
+    val schemaDiffOnly = args0.contains("--schema-diff")
+    val args = args0.filterNot(_ == "--schema-diff")
 
     val prodFile = if (args.length >= 2) args(0) else "prod.sql"
     val backupFile = if (args.length >= 2) args(1) else "backup.sql"
@@ -52,6 +59,22 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
+      if (schemaDiffOnly) {
+        // report-only mode: column-level schema evolution, no sync script
+        val changes = graft.engine.SchemaDiff.diffDumps(spark, prodFile, backupFile)
+        println(s"Schema diff (production vs backup):")
+        if (changes.isEmpty) println("  (no column-level changes)")
+        else changes.foreach { c =>
+          val detail = (c.prodType, c.backupType) match {
+            case (Some(p), Some(b)) => s" $b -> $p"
+            case (Some(p), None) => s" $p"
+            case (None, Some(b)) => s" $b"
+            case _ => ""
+          }
+          println(s"  ${c.table}.${c.column}: ${c.change}$detail")
+        }
+        return
+      }
       println(s"Comparing SQL dumps:\n  Production: $prodFile\n  Backup: $backupFile")
       val now = LocalDateTime.now.format(
         DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
