@@ -469,6 +469,53 @@ object PipelineQueries {
        |ORDER BY bucket""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q75
+  /** Train/eval n-gram overlap scoring — the graded contamination metric
+    * (complementing q51's exact fingerprint join and q60's Bloom screen):
+    * for every eval document, the fraction of its distinct 5-grams that
+    * also appear anywhere in the train split. Distinct-gram explode on
+    * both sides, one left-semi-style join keyed on the gram, exact
+    * integer counts, one double division at the end. The partial-overlap
+    * signal exact dedup misses (paraphrased or truncated leakage).
+    */
+  val q75: Q = (s, dir) => {
+    val docs = graft.operators.Spread.ensure(
+      Tables.documents(s, dir).select("doc_id", "text"), "doc_id")
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.Portable.shingles(
+        graft.functions.Portable.tokens(col("text")), 5)).as("g"))
+    val evalG = grams(docs.filter(col("doc_id") % 53 === 0))
+    val trainG = grams(docs.filter(col("doc_id") % 53 =!= 0))
+      .select("g").distinct()
+    val hits = evalG.join(trainG, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_grams")).as("overlap"))
+      .orderBy("doc_id")
+  }
+  val q75Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_distinct(list_transform(range(len(w)-4),
+      |      i -> array_to_string(w[i+1:i+5], ' ')))
+      |    ELSE [] END) AS g FROM t),
+      |ev AS (SELECT * FROM g WHERE doc_id % 53 = 0),
+      |tr AS (SELECT DISTINCT g FROM g WHERE doc_id % 53 <> 0),
+      |hits AS (SELECT doc_id, count(*) AS n_hit FROM ev
+      |  WHERE g IN (SELECT g FROM tr) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id)
+      |SELECT tot.doc_id, tot.n_grams,
+      |  coalesce(hits.n_hit, 0) AS n_hit,
+      |  CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / tot.n_grams AS overlap
+      |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
@@ -482,7 +529,8 @@ object PipelineQueries {
     "q71_curation_pipeline" -> q71,
     "q72_feature_hashing" -> q72,
     "q73_grid_proximity_join" -> q73,
-    "q74_antientropy_digest" -> q74)
+    "q74_antientropy_digest" -> q74,
+    "q75_ngram_overlap" -> q75)
 
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -497,5 +545,6 @@ object PipelineQueries {
     "q71_curation_pipeline" -> q71Sql,
     "q72_feature_hashing" -> q72Sql,
     "q73_grid_proximity_join" -> q73Sql,
-    "q74_antientropy_digest" -> q74Sql)
+    "q74_antientropy_digest" -> q74Sql,
+    "q75_ngram_overlap" -> q75Sql)
 }

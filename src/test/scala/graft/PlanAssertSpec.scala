@@ -76,6 +76,22 @@ class PlanAssertSpec extends SparkSuite {
     assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx:\n" + p.take(3000))
   }
 
+  test("q62 TF-IDF broadcasts the term-stats frames onto the tf table") {
+    val p = executed("q62_tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "df/corpus-stats join fell back to SMJ:\n" + p.take(3000))
+  }
+
+  test("q72 feature hashing is one grouped aggregate (plus spread/sort)") {
+    val p = executed("q72_feature_hashing")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(hashEx <= 1,
+      s"expected <=1 requirement exchange, got $hashEx:\n" + p.take(3000))
+  }
+
   test("q24 embedding top-k broadcasts the query side") {
     val p = executed("q24_embed_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
