@@ -487,14 +487,14 @@ object PipelineQueries {
     val evalG = grams(docs.filter(col("doc_id") % 53 === 0))
     val trainG = grams(docs.filter(col("doc_id") % 53 =!= 0))
       .select("g").distinct()
-    val hits = evalG.join(trainG, Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") /
-          col("n_grams")).as("overlap"))
+    // one pass over the eval grams: a left join with a hit flag feeds
+    // both the total and the hit count (a separate semi-join + totals
+    // aggregate would tokenize the eval side twice)
+    evalG.join(trainG.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("overlap"))
       .orderBy("doc_id")
   }
   val q75Sql: String =
