@@ -83,6 +83,24 @@ object DumpWatchSync {
       .withColumn("source_file", lit(dumpPath))
       .write.mode(SaveMode.Append).parquet(s"$stateDir/ops")
 
+    val prevDump = readState(latestDumpPath(stateDir))
+
+    // schema-drift log: column-level DDL changes vs the previous arrival
+    // (engine.SchemaDiff — added/dropped/retyped columns, PK changes)
+    // appended to `stateDir/schema_changes/`. Row-level ops ride along
+    // inside CREATE text invisibly; this is the alert channel that
+    // surfaces an unreviewed migration the moment it lands.
+    prevDump.foreach { pd =>
+      val changes = graft.engine.SchemaDiff.diffDumps(spark, dumpPath, pd)
+      if (changes.nonEmpty) {
+        import spark.implicits._
+        changes.toDF()
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("source_file", lit(dumpPath))
+          .write.mode(SaveMode.Append).parquet(s"$stateDir/schema_changes")
+      }
+    }
+
     // full-script emission vs the previous dump file: the reference's
     // two-snapshot semantics. Rendered through the DISTRIBUTED full-script
     // sink (executor-side statement rendering, O(tables) driver rows) —
@@ -92,17 +110,19 @@ object DumpWatchSync {
     // files concatenate to the batch CLI's script + trailing '\n'
     // (DistributedSinkSpec), so the emitted .sql stays byte-identical.
     if (emitScripts) {
-      readState(latestDumpPath(stateDir)).foreach { prevDump =>
+      prevDump.foreach { pd =>
         val partsDir = Files.createTempDirectory("graft_watch_script")
-        job.syncDistributed(dumpPath, prevDump, partsDir.toString, scriptTs)
+        job.syncDistributed(dumpPath, pd, partsDir.toString, scriptTs)
         val scriptsDir = Paths.get(stateDir, "scripts")
         Files.createDirectories(scriptsDir)
         val name = f"sync_b$batchId%05d_${Paths.get(dumpPath).getFileName}.sql"
         writeConcatenated(partsDir, scriptsDir.resolve(name))
       }
-      Files.write(latestDumpPath(stateDir), dumpPath.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     }
+    // always track the last-applied dump, so the schema-drift log works
+    // with emitScripts off (the at-scale watcher default elsewhere)
+    Files.write(latestDumpPath(stateDir), dumpPath.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
 
     val newVersion = s"snapshot_v$batchId"
     incoming.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$newVersion")

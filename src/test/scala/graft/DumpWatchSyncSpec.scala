@@ -55,6 +55,40 @@ class DumpWatchSyncSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("schema drift between arrivals lands in the schema_changes log") {
+    val watchDir = Files.createTempDirectory("graft-watch-drift")
+    val stateDir = Files.createTempDirectory("graft-state-drift").toString
+    val ddl2 = """CREATE TABLE `t` (
+                 |  `id` INT,
+                 |  `v` BIGINT,
+                 |  `w` VARCHAR(16),
+                 |  PRIMARY KEY (`id`)
+                 |) ENGINE=InnoDB;
+                 |""".stripMargin
+    val q = DumpWatchSync.start(spark, watchDir.toString, stateDir)
+    try {
+      Files.write(watchDir.resolve("d1.sql"),
+        (ddl + "INSERT INTO `t` (`id`, `v`) VALUES\n(1, 10);\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      // arrival 2 retypes v INT->BIGINT and adds w
+      Files.write(watchDir.resolve("d2.sql"),
+        (ddl2 + "INSERT INTO `t` (`id`, `v`, `w`) VALUES\n(1, 10, 'x');\n")
+          .getBytes("UTF-8"))
+      q.processAllAvailable()
+
+      val drift = spark.read.parquet(s"$stateDir/schema_changes")
+        .collect()
+        .map(r => (r.getAs[String]("table"), r.getAs[String]("column"),
+          r.getAs[String]("change"), r.getAs[Long]("batch_id")))
+        .toSet
+      assert(drift == Set(
+        ("t", "w", "column_added", 1L),
+        ("t", "v", "column_retyped", 1L)), s"got $drift")
+      // no drift dir content for the unchanged-schema first arrival
+      assert(!drift.exists(_._4 == 0L))
+    } finally q.stop()
+  }
+
   test("watched seed-42 dump sequence emits scripts byte-identical to the batch CLI") {
     def res(name: String): String = {
       val in = getClass.getResourceAsStream(s"/refdumps/$name")
