@@ -516,6 +516,82 @@ object PipelineQueries {
       |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
       |ORDER BY tot.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Dedup endgame — cluster-representative selection: the planted-dup
+    * corpus (q52's) is closed into connected components, and every
+    * cluster keeps its best document by (quality_score DESC, doc_id) —
+    * originals beat their copies on the id tie-break. Pairs → clusters →
+    * survivors in one query; the survivor rule is a lexicographic
+    * struct-min aggregate (the argmin pattern), so partial aggregation
+    * ships one candidate per cluster per partition — no per-cluster
+    * window sort.
+    */
+  val q76: Q = (s, dir) => {
+    import graft.operators.Dedup
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val fp = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val pairs = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val toks = graft.functions.Portable.tokens(col("text"))
+    val alphabet = ('a' to 'z').mkString + ('A' to 'Z').mkString
+    val quality =
+      (when(length(col("text")).between(50, 2000), 1).otherwise(0) +
+        when(size(toks) >= 10, 1).otherwise(0) +
+        when((length(col("text")) -
+          length(translate(col("text"), alphabet, ""))) * 2
+          >= length(col("text")), 1).otherwise(0)).cast("long")
+    corpus.join(comps, Seq("doc_id"), "left")
+      .select(coalesce(col("comp"), col("doc_id")).as("comp"),
+        col("doc_id"), quality.as("q"))
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("q")).as("nq"), col("doc_id"))).as("best"))
+      .select(col("comp"),
+        col("best").getField("doc_id").as("rep_id"),
+        (-col("best").getField("nq")).as("rep_quality"),
+        col("n_members"))
+      .orderBy("comp")
+  }
+  val q76Sql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id+1000000, text FROM documents WHERE doc_id%20=0
+      |  UNION ALL SELECT doc_id+2000000, text FROM documents WHERE doc_id%20=0),
+      |fp AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comps AS (SELECT src AS doc_id, least(src, min(dst)) AS comp
+      |  FROM reach GROUP BY src),
+      |scored AS (SELECT
+      |    coalesce(comps.comp, corpus.doc_id) AS comp,
+      |    corpus.doc_id,
+      |    CAST((CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN len(string_split_regex(lower(text), '\s+')) >= 10 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 2
+      |          >= length(text) THEN 1 ELSE 0 END) AS BIGINT) AS q
+      |  FROM corpus LEFT JOIN comps ON corpus.doc_id = comps.doc_id),
+      |ranked AS (SELECT comp, doc_id, q,
+      |    count(*) OVER (PARTITION BY comp) AS n_members,
+      |    row_number() OVER (PARTITION BY comp ORDER BY q DESC, doc_id) AS rn
+      |  FROM scored)
+      |SELECT comp, doc_id AS rep_id, q AS rep_quality,
+      |  CAST(n_members AS BIGINT) AS n_members
+      |FROM ranked WHERE rn = 1 ORDER BY comp""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
@@ -530,7 +606,8 @@ object PipelineQueries {
     "q72_feature_hashing" -> q72,
     "q73_grid_proximity_join" -> q73,
     "q74_antientropy_digest" -> q74,
-    "q75_ngram_overlap" -> q75)
+    "q75_ngram_overlap" -> q75,
+    "q76_dedup_survivors" -> q76)
 
   val oracle: Map[String, String] = Map(
     "q62_tfidf_topterms" -> q62Sql,
@@ -546,5 +623,6 @@ object PipelineQueries {
     "q72_feature_hashing" -> q72Sql,
     "q73_grid_proximity_join" -> q73Sql,
     "q74_antientropy_digest" -> q74Sql,
-    "q75_ngram_overlap" -> q75Sql)
+    "q75_ngram_overlap" -> q75Sql,
+    "q76_dedup_survivors" -> q76Sql)
 }
