@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.TypedQueries.queries ++
       graft.queries.CurateQueries.queries ++
       graft.queries.RankingQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.TypedQueries.oracle ++
       graft.queries.CurateQueries.oracle ++
       graft.queries.RankingQueries.oracle ++
-      graft.queries.PipelineQueries.oracle
+      graft.queries.PipelineQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics: ordered funnels, cohort retention,
+  * power-of-two time-decayed engagement, and Markov transition counts.
+  * (Reference scope: the `events` table workloads of a training-data
+  * telemetry pipeline; no counterpart in sync.py — north-star
+  * extensions.) All four are exact: integer microsecond timestamps,
+  * integer counts, and divisions either integer floor-div or a single
+  * mirrored double division at the end — the cross-engine-parity rules
+  * used everywhere else in this repo.
+  */
+object EventOps {
+
+  /** Ordered funnel completion per user: for `steps = Seq(a, b, c, …)`,
+    * t0 = the user's earliest `a`, t1 = earliest `b` STRICTLY AFTER t0,
+    * t2 = earliest `c` strictly after t1, … — the "did the user progress
+    * through the journey in order" metric, not mere per-step presence.
+    *
+    * `events` needs columns (`userCol`, `typeCol`, `tsCol`); `tsCol`
+    * must be an integer (epoch-microsecond) column so comparisons are
+    * exact. Output: (user, t0 … t{k-1}, depth) with each t nullable and
+    * depth = number of completed steps. One aggregate per step, each
+    * keyed on the user — the shuffles all share one key, so at cluster
+    * scale the exchange is reused across rounds rather than re-planned.
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val e = events.select(col(userCol).as("user"),
+      col(typeCol).as("etype"), col(tsCol).as("ts_us"))
+    // Step 0 over ALL users (users who never reach step 0 stay with a
+    // null t0 and depth 0 — the funnel reports the whole population).
+    var acc = e.groupBy("user")
+      .agg(min(when(col("etype") === steps.head, col("ts_us"))).as("t0"))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      val prevTs = (0 to i).map(j => col(s"t$j"))
+      // when(ts > null) is null, so a missed earlier step cascades:
+      // every later t stays null without special-casing.
+      acc = acc.join(e, Seq("user"), "left")
+        .groupBy(col("user") +: prevTs: _*)
+        .agg(min(when(col("etype") === st &&
+          col("ts_us") > col(s"t$i"), col("ts_us"))).as(s"t${i + 1}"))
+    }
+    val depth = steps.indices
+      .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    acc.withColumn("depth", depth)
+  }
+
+  /** Cohort retention: users grouped by first-activity day (their
+    * cohort), counted as active per whole-week offset from that day.
+    * Output: (cohort 'yyyy-MM-dd', week, n_users). Two aggregates and a
+    * join keyed on the user — no window over the full event stream.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val e = events.select(col(userCol).as("user"),
+      to_date(col(tsCol)).as("day"))
+    val first = e.groupBy("user").agg(min(col("day")).as("cohort_day"))
+    e.distinct()
+      .join(first, "user")
+      .withColumn("week", expr("CAST(datediff(day, cohort_day) AS BIGINT) div 7"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        col("week"))
+      .agg(countDistinct(col("user")).as("n_users"))
+  }
+
+  /** Time-decayed engagement with power-of-two decay: each value is
+    * weighted 2^-(whole weeks of age at the newest event), implemented
+    * as an integer right-shift-style floor division — EXACT in any
+    * engine (the usual exp(-λ·age) is transcendental and
+    * order-sensitive; halving per bucket keeps the sum commutative and
+    * bit-replayable). `valueCol` must be a non-negative integer column
+    * (e.g. cents — floor-div parity needs non-negative operands);
+    * `tsCol` epoch microseconds. The shift is capped at 40 (past that
+    * the contribution is 0 for any plausible cent value).
+    * Output per key: (keys…, n_events, raw, decayed).
+    */
+  def decayedSum(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, bucketUs: Long = 7L * 86400000000L): DataFrame = {
+    val ref = events.agg(max(col(tsCol)).as("ref_us"))
+    events.crossJoin(broadcast(ref))
+      .withColumn("age_b", expr(s"(ref_us - $tsCol) div $bucketUs"))
+      .withColumn("dv",
+        expr(s"$valueCol div shiftleft(CAST(1 AS BIGINT), CAST(least(age_b, 40) AS INT))"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("raw"),
+        sum(col("dv")).as("decayed"))
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: counts of (from_type → to_type) adjacent pairs plus the
+    * conditional probability. The sequence order is (ts, tieCol) — a
+    * TOTAL order, so lead() picks identical successors in any engine.
+    * One window (partitioned by user, the same key the events shuffle
+    * already has) and two small aggregates.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val tr = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = tr.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    tr.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from")).as("prob"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics expressed as join/aggregate rounds — the
+  * Pregel-style workload class (reference scope: link-graph scoring over
+  * a curated corpus; no counterpart in sync.py — a north-star extension).
+  *
+  * PageRank here is EXACT-INTEGER: scores are scaled fixed-point Longs
+  * and every per-iteration transfer is an integer floor division
+  * (`score div degree`), so the result replays bit-for-bit in any engine
+  * that has 64-bit integer division — including the DuckDB oracle with
+  * the iterations unrolled as CTEs. Floating-point PageRank is
+  * order-sensitive (float sums across in-edges); the integer form is
+  * commutative, hence partitioning-independent — the property that makes
+  * it checkable at any cluster size.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over an undirected graph.
+    *
+    * `edges` must have Long columns `src`/`dst`; the graph is
+    * symmetrized (both directions added) and deduplicated, so every
+    * node present in `edges` has degree ≥ 1 — no dangling-node mass
+    * term. Per iteration:
+    *
+    *   score'(v) = (15 · (scale div n)) div 100
+    *             + (85 · Σ_{u→v} (score(u) div deg(u))) div 100
+    *
+    * i.e. damping 0.85 in integer arithmetic over scores scaled by
+    * `scale`. One shuffle per iteration (the in-edge aggregate keyed on
+    * the node), plus the initial degree aggregate — the classic
+    * iterate-until-budget shape; `iters` is a fixed unroll so the oracle
+    * can replay it as a CTE chain.
+    *
+    * Returns (result, cleanup): the symmetrized edge frame is persisted
+    * (it feeds every iteration); call cleanup() after the consuming
+    * action to release it.
+    */
+  def pageRankManaged(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
+    val und0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
+      .distinct()
+    val und = if (persist) und0.persist(StorageLevel.MEMORY_AND_DISK) else und0
+    val cleanup = () => if (persist) { und.unpersist(); () }
+
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    // All nodes carry (deg, n) through the loop: deg for the outbound
+    // split, n for the per-iteration teleport term. n is one broadcast
+    // row, deg is O(nodes).
+    var sc = deg.select(col("src").as("node"), col("deg"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr(s"CAST($scale AS BIGINT) div n"))
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(sc.select(col("node").as("src"),
+          expr("score div deg").as("c")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("inflow"))
+      sc = sc.select("node", "deg", "n")
+        .join(contrib, Seq("node"), "left")
+        .withColumn("score",
+          expr(s"(15 * (CAST($scale AS BIGINT) div n)) div 100") +
+            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+        .drop("inflow")
+    }
+    (sc.select(col("node"), col("deg"), col("score")), cleanup)
+  }
+
+  /** [[pageRankManaged]] without the cleanup handle (caller accepts the
+    * session-lifetime cache of the symmetrized edges, or passes
+    * persist=false).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, persist: Boolean = true): DataFrame =
+    pageRankManaged(edges, iters, scale, persist)._1
+}

@@ -264,6 +264,50 @@ object TextOps {
         array((0 until dim).map(k => col(s"f_$k")): _*).as("features"))
   }
 
+  /** Per-document repetition profile — the Gopher-style "repetitive
+    * content" quality signals: the fraction of word-bigram occurrences
+    * taken by the document's MOST FREQUENT bigram (boilerplate loops
+    * score high) and the fraction of 5-gram occurrences that are
+    * repeats of an earlier 5-gram in the same document (near-verbatim
+    * internal duplication). All counts are exact integers; the two
+    * fractions are single double divisions mirrored in the oracle.
+    *
+    * Per n-gram size: explode → count per (doc, gram) → ONE per-doc
+    * aggregate folding max/sum/count — two shuffles keyed on the doc,
+    * map-side combined, no per-doc buffered state. Documents shorter
+    * than the gram size keep zero counts and null fractions.
+    * Output: (id, n_tokens, top_bigram_n, bigram_occ, top_bigram_frac,
+    * gram5_occ, gram5_distinct, dup_gram5_frac).
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("w")), "id")
+    // n-gram OCCURRENCES (not Portable.shingles, which dedups) — the
+    // repetition signal lives in the multiplicity.
+    def grams(n: Int) = when(size(col("w")) >= n,
+      transform(sequence(lit(0), size(col("w")) - n),
+        i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    def gramStats(n: Int, prefix: String) =
+      base.select(col("id"), explode(grams(n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(col("c")).as(s"${prefix}_top"),
+          sum(col("c")).as(s"${prefix}_occ"),
+          count(lit(1)).as(s"${prefix}_distinct"))
+    base.select(col("id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(gramStats(2, "g2"), Seq("id"), "left")
+      .join(gramStats(5, "g5"), Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("g2_top"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("g2_occ"), lit(0L)).as("bigram_occ"),
+        (col("g2_top").cast("double") / col("g2_occ")).as("top_bigram_frac"),
+        coalesce(col("g5_occ"), lit(0L)).as("gram5_occ"),
+        coalesce(col("g5_distinct"), lit(0L)).as("gram5_distinct"),
+        ((col("g5_occ") - col("g5_distinct")).cast("double") / col("g5_occ"))
+          .as("dup_gram5_frac"))
+  }
+
   /** [[fingerprint]] as explode → groupBy min: one md5 per (doc, shingle)
     * in codegen, one shuffle on id, instead of the per-row interpreted
     * transform+array_min lambda pipeline. Short documents (no shingles →

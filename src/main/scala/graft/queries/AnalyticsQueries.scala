@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{EventOps, Graph, TextOps}
+
+/** Round-6 second wave: per-document repetition quality signals, event
+  * funnels / cohort retention / decayed engagement / Markov transitions
+  * over the event stream, and exact-integer iterative PageRank. Parity
+  * rules as everywhere: integer microseconds (`unix_micros` ↔
+  * `epoch_us`), exact integer counts, floor division only on
+  * non-negative operands, one mirrored double division at the end.
+  */
+object AnalyticsQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- q77
+  /** Gopher-style repetition profile ([[TextOps.repetitionProfile]]):
+    * top-bigram occupancy and duplicated-5-gram fraction per document —
+    * the "repetitive content" axis the length/charset quality score
+    * (q31) can't see. Two explode→agg chains keyed on the doc, exact
+    * counts, two mirrored double divisions.
+    */
+  val q77: Q = (s, dir) =>
+    TextOps.repetitionProfile(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val q77Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |g2 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |    THEN list_transform(range(len(w)-1), i -> array_to_string(w[i+1:i+2], ' '))
+      |    ELSE [] END) AS g FROM t),
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+      |s2 AS (SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS occ2,
+      |    count(*) AS dis2 FROM c2 GROUP BY doc_id),
+      |g5 AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_transform(range(len(w)-4), i -> array_to_string(w[i+1:i+5], ' '))
+      |    ELSE [] END) AS g FROM t),
+      |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+      |s5 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS occ5,
+      |    count(*) AS dis5 FROM c5 GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  coalesce(s2.top2, 0) AS top_bigram_n,
+      |  coalesce(s2.occ2, 0) AS bigram_occ,
+      |  CAST(s2.top2 AS DOUBLE) / s2.occ2 AS top_bigram_frac,
+      |  coalesce(s5.occ5, 0) AS gram5_occ,
+      |  coalesce(s5.dis5, 0) AS gram5_distinct,
+      |  CAST(s5.occ5 - s5.dis5 AS DOUBLE) / s5.occ5 AS dup_gram5_frac
+      |FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q78
+  /** Ordered funnel ([[EventOps.funnel]]): earliest view → first click
+    * STRICTLY AFTER it → first purchase strictly after that, per user,
+    * plus the completed depth — the in-order journey metric, not
+    * per-step presence. Exact microsecond comparisons on both engines.
+    */
+  val q78: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    EventOps.funnel(e, "user_id", "event_type", "us",
+        Seq("view", "click", "purchase"))
+      .select(col("user").as("user_id"),
+        col("t0").as("t_view_us"), col("t1").as("t_click_us"),
+        col("t2").as("t_purchase_us"), col("depth"))
+      .orderBy("user_id")
+  }
+  val q78Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s0 AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN us END) AS t_view_us
+      |  FROM e GROUP BY user_id),
+      |s1 AS (SELECT s0.user_id, s0.t_view_us,
+      |    min(CASE WHEN e.event_type = 'click' AND e.us > s0.t_view_us
+      |      THEN e.us END) AS t_click_us
+      |  FROM s0 LEFT JOIN e USING (user_id) GROUP BY s0.user_id, s0.t_view_us),
+      |s2 AS (SELECT s1.user_id, s1.t_view_us, s1.t_click_us,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.us > s1.t_click_us
+      |      THEN e.us END) AS t_purchase_us
+      |  FROM s1 LEFT JOIN e USING (user_id)
+      |  GROUP BY s1.user_id, s1.t_view_us, s1.t_click_us)
+      |SELECT user_id, t_view_us, t_click_us, t_purchase_us,
+      |  CAST((CASE WHEN t_view_us IS NOT NULL THEN 1 ELSE 0 END)
+      |    + (CASE WHEN t_click_us IS NOT NULL THEN 1 ELSE 0 END)
+      |    + (CASE WHEN t_purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS depth
+      |FROM s2 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  /** Cohort retention ([[EventOps.retention]]): users bucketed by
+    * first-activity day, counted per whole-week offset — two aggregates
+    * and one join keyed on the user.
+    */
+  val q79: Q = (s, dir) =>
+    EventOps.retention(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("cohort", "week")
+  val q79Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, day FROM e)
+      |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+      |  date_diff('day', f.cohort_day, a.day) // 7 AS week,
+      |  count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort, week""".stripMargin
+
+  // ---------------------------------------------------------------- q80
+  /** Exact-integer PageRank ([[Graph.pageRank]]), 3 iterations, over the
+    * customer–supplier bipartite graph (distinct (custkey, suppkey)
+    * pairs from orders⋈lineitem; node ids disambiguated as 2k / 2k+1).
+    * Scores are scaled Longs and every transfer is a floor division, so
+    * the oracle replays the iterations exactly as an unrolled CTE chain
+    * — the Pregel-shaped workload with a bit-exact cross-engine check.
+    */
+  val q80: Q = (s, dir) => {
+    val edges = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    Graph.pageRank(edges, iters = 3).orderBy("node")
+  }
+  val q80Sql: String = {
+    val scale = "1000000000000"
+    def iter(prev: String, c: String, next: String) =
+      s"""$c AS (SELECT u.dst AS node, CAST(sum(s.score // s.deg) AS BIGINT) AS inflow
+         |  FROM und u JOIN $prev s ON u.src = s.node GROUP BY u.dst),
+         |$next AS MATERIALIZED (SELECT $prev.node, $prev.deg,
+         |    (15*($scale // n.n))//100 + (85*coalesce($c.inflow, 0))//100 AS score
+         |  FROM $prev LEFT JOIN $c USING (node) CROSS JOIN n)""".stripMargin
+    s"""WITH ed AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+       |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+       |n AS (SELECT count(*) AS n FROM deg),
+       |s0 AS MATERIALIZED (SELECT src AS node, deg, $scale // n.n AS score
+       |  FROM deg CROSS JOIN n),
+       |${iter("s0", "c1", "s1")},
+       |${iter("s1", "c2", "s2")},
+       |${iter("s2", "c3", "s3")}
+       |SELECT node, deg, CAST(score AS BIGINT) AS score FROM s3
+       |ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q81
+  /** Power-of-two time-decayed engagement ([[EventOps.decayedSum]]):
+    * per (user, event type), value cents weighted 2^-(weeks of age at
+    * the newest event) via integer floor division — the exact,
+    * commutative alternative to exp(-λ·age) recency scoring.
+    */
+  val q81: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100).cast("long").as("v_c"))
+    EventOps.decayedSum(e, Seq("user_id", "event_type"), "us", "v_c")
+      .select(col("user_id"), col("event_type"), col("n_events"),
+        col("raw").as("raw_cents"), col("decayed").as("decayed_cents"))
+      .orderBy("user_id", "event_type")
+  }
+  val q81Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS v_c FROM events),
+      |r AS (SELECT max(us) AS ref_us FROM e)
+      |SELECT user_id, event_type, count(*) AS n_events,
+      |  CAST(sum(v_c) AS BIGINT) AS raw_cents,
+      |  CAST(sum(v_c // (CAST(1 AS BIGINT) <<
+      |    CAST(least((r.ref_us - us) // 604800000000, 40) AS INT)))
+      |    AS BIGINT) AS decayed_cents
+      |FROM e CROSS JOIN r
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q82
+  /** First-order Markov transition matrix
+    * ([[EventOps.transitionMatrix]]): adjacent event-type pairs per
+    * user under the total (ts, event_id) order, with conditional
+    * probabilities — the session-path model. One window on the user key
+    * plus two vocabulary-sized aggregates.
+    */
+  val q82: Q = (s, dir) => {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"))
+    EventOps.transitionMatrix(e, "user_id", "event_type", "us", "event_id")
+      .orderBy("from_type", "to_type")
+  }
+  val q82Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |t AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS to_type
+      |  FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+      |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |  FROM c GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, c.n, tot.n_from,
+      |  CAST(c.n AS DOUBLE) / tot.n_from AS prob
+      |FROM c JOIN tot USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q77_repetition_profile" -> q77,
+    "q78_event_funnel" -> q78,
+    "q79_cohort_retention" -> q79,
+    "q80_pagerank" -> q80,
+    "q81_decayed_engagement" -> q81,
+    "q82_markov_transitions" -> q82)
+
+  val oracle: Map[String, String] = Map(
+    "q77_repetition_profile" -> q77Sql,
+    "q78_event_funnel" -> q78Sql,
+    "q79_cohort_retention" -> q79Sql,
+    "q80_pagerank" -> q80Sql,
+    "q81_decayed_engagement" -> q81Sql,
+    "q82_markov_transitions" -> q82Sql)
+}
