@@ -43,17 +43,31 @@ object BucketedSync {
     * snapshot wall time.
     */
   def snapshot(spark: SparkSession, dumpPath: String, tableName: String,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32, dbuckets: Int = 0): Unit = {
     import spark.implicits._
     val job = new SyncJob(spark)
     val stmts = DumpSource.statements(spark, dumpPath)
     val cat = job.catalog(stmts)
     val recs = job.records(stmts, cat).select(RecordCols.map(col): _*)
-    Colocate.bucketizeKeys(recs, tableName, Seq("table", "pk"), buckets)
+    if (dbuckets > 0)
+      Colocate.bucketizeKeysPartitioned(
+        recs.withColumn("dbucket", dbucketCol(dbuckets)),
+        tableName, Seq("dbucket"), Seq("table", "pk"), buckets)
+    else
+      Colocate.bucketizeKeys(recs, tableName, Seq("table", "pk"), buckets)
     cat.keys.toSeq.toDF("table").coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(catPath(spark, tableName))
   }
+
+  /** Digest-bucket partition key: a deterministic function of
+    * (table, pk), so the same row lands in the same directory in every
+    * snapshot — the property that lets [[diffChangedBuckets]] compare
+    * directories across snapshots.
+    */
+  private def dbucketCol(n: Int) =
+    pmod(graft.functions.Portable.hash48(
+      concat_ws("|", col("table"), col("pk"))), lit(n.toLong))
 
   /** Deterministic sidecar location under the warehouse dir. Written and
     * read only by this object (never resolved through the catalog — it is
@@ -102,6 +116,37 @@ object BucketedSync {
     diffOn(spark, prodTable, backupTable, changed)
   }
 
+  /** [[diffChanged]] at DIGEST-BUCKET granularity for snapshots written
+    * with `dbuckets > 0`: the anti-entropy summaries are keyed on the
+    * `dbucket` PARTITION column, so the follow-up row diff filters
+    * `dbucket IN (changed)` — a predicate on the partition key, which
+    * prunes whole snapshot directories before a single file is opened
+    * (table-granular [[diffChanged]] still scans every file of a huge
+    * changed table; this localizes the rediff to the ~1/dbuckets slice
+    * of it that actually changed). The 100 TB nightly shape: digest
+    * aggregate over both snapshots, then a row diff that reads only
+    * changed directories — I/O O(changed data + digest scan), shuffle
+    * O(changed data) (and zero exchanges, since the bucket layout
+    * survives directory partitioning).
+    */
+  def diffChangedBuckets(spark: SparkSession, prodTable: String,
+      backupTable: String): DataFrame = {
+    import spark.implicits._
+    val common = commonTables(spark, prodTable, backupTable)
+    def recs(t: String): DataFrame = spark.table(t)
+      .filter(col("table").isInCollection(common))
+    // the digest row must carry the table name: dbuckets span tables
+    def rowCol = concat_ws("", col("table"), col("pk"), col("vals"))
+    val changed = graft.operators.AntiEntropy
+      .changedBuckets(recs(prodTable), recs(backupTable), col("dbucket"), rowCol)
+      .select("bucket").as[Long].collect().toSeq
+    if (changed.isEmpty)
+      diffOn(spark, prodTable, backupTable, common, Some(lit(false)))
+    else
+      diffOn(spark, prodTable, backupTable, common,
+        Some(col("dbucket").isInCollection(changed)))
+  }
+
   private def commonTables(spark: SparkSession, prodTable: String,
       backupTable: String): Seq[String] = {
     import spark.implicits._
@@ -112,17 +157,20 @@ object BucketedSync {
   }
 
   private def diffOn(spark: SparkSession, prodTable: String,
-      backupTable: String, common: Seq[String]): DataFrame = {
-    val p = spark.table(prodTable)
-      .filter(col("table").isInCollection(common))
+      backupTable: String, common: Seq[String],
+      extraFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    def restrict(df: DataFrame): DataFrame = {
+      val byTable = df.filter(col("table").isInCollection(common))
+      extraFilter.fold(byTable)(byTable.filter)
+    }
+    val p = restrict(spark.table(prodTable))
       .select(col("table"), col("pk"),
       lit(true).as("p_present"),
       col("ord_off").as("p_ord_off"), col("ord_row").as("p_ord_row"),
       col("vals").as("p_vals"),
       graft.codegen.SyncSqlGenerator.rawInsertCol(col("table"), col("vals"))
         .as("p_raw"))
-    val b = spark.table(backupTable)
-      .filter(col("table").isInCollection(common))
+    val b = restrict(spark.table(backupTable))
       .select(col("table"), col("pk"),
       lit(true).as("b_present"),
       col("ord_off").as("b_ord_off"), col("ord_row").as("b_ord_row"),

@@ -30,16 +30,28 @@ object Colocate {
     * (table, pk)): joins on exactly this column set plan exchange-free.
     */
   def bucketizeKeys(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int): Unit = {
+      buckets: Int): Unit =
+    bucketizeKeysPartitioned(df, table, Nil, keys, buckets)
+
+  /** [[bucketizeKeys]] with directory partitioning on top: rows are laid
+    * out under one directory per `partitionCols` value, and bucketed on
+    * `keys` WITHIN each directory. Joins on `keys` still plan
+    * exchange-free (the scan zips all files of a bucket id across
+    * partition directories), while an equality/IN predicate on the
+    * partition columns prunes whole directories before any file is
+    * opened — the layout for change-localized rediffs.
+    */
+  def bucketizeKeysPartitioned(df: DataFrame, table: String,
+      partitionCols: Seq[String], keys: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession
     val loc = new org.apache.hadoop.fs.Path(
       org.apache.spark.sql.graft.Bridge.tableLocation(spark, table))
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.mode(SaveMode.Overwrite)
-      .format("parquet")
-      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+    val wp = if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w
+    wp.bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }

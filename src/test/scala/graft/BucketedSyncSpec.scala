@@ -81,6 +81,58 @@ class BucketedSyncSpec extends SparkSuite {
       s"filtered rediff lost the exchange-free plan:\n$plan")
   }
 
+  test("diffChangedBuckets prunes snapshot directories yet matches the full diff") {
+    // 40 rows in t; exactly one differs. Partitioned snapshots (8
+    // dbuckets) must let the rediff read ONLY the changed row's
+    // directory — proven by counting distinct input files, not by
+    // trusting the plan string.
+    def rows(changed: Boolean) = (1 to 40).map { i =>
+      val s = if (changed && i == 17) "CHANGED" else s"v$i"
+      s"($i, '$s')"
+    }.mkString(",\n")
+    val prod3 = ddl +
+      s"INSERT INTO `t` (`id`, `s`) VALUES\n${rows(changed = true)};\n" +
+      "INSERT INTO `u` (`id`, `v`) VALUES\n(1, 10),\n(2, 20);\n"
+    val backup3 = ddl +
+      s"INSERT INTO `t` (`id`, `s`) VALUES\n${rows(changed = false)};\n" +
+      "INSERT INTO `u` (`id`, `v`) VALUES\n(1, 10),\n(2, 20);\n"
+    val (pf, bf) = (tmpFile(prod3), tmpFile(backup3))
+    BucketedSync.snapshot(spark, pf, "bsync_db_prod", buckets = 4, dbuckets = 8)
+    BucketedSync.snapshot(spark, bf, "bsync_db_backup", buckets = 4, dbuckets = 8)
+
+    val fast = BucketedSync.diffChangedBuckets(spark, "bsync_db_prod", "bsync_db_backup")
+    val full = BucketedSync.diff(spark, "bsync_db_prod", "bsync_db_backup")
+    def ops(df: org.apache.spark.sql.DataFrame) =
+      df.select("table", "pk", "op").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ops(fast) == ops(full))
+    assert(ops(fast) == Set(("t", "17", "UPDATE")))
+    assert(!fast.queryExecution.executedPlan.toString.contains("Exchange"),
+      "partitioned rediff lost the exchange-free plan")
+
+    // directory pruning: the dbucket IN (changed) filter must reach the
+    // file listing — the pruned scan touches strictly fewer files
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    def nFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val allFiles = nFiles(spark.table("bsync_db_prod"))
+    val changedBucket = spark.table("bsync_db_prod")
+      .filter(col("table") === "t" && col("pk") === "17")
+      .select("dbucket").collect().head.getLong(0)
+    val prunedFiles = nFiles(spark.table("bsync_db_prod")
+      .filter(col("dbucket") === changedBucket))
+    assert(prunedFiles < allFiles,
+      s"dbucket filter did not prune files ($prunedFiles vs $allFiles)")
+  }
+
+  test("diffChangedBuckets on identical snapshots is empty without a row scan") {
+    val (pf, bf) = (tmpFile(prod), tmpFile(prod))
+    BucketedSync.snapshot(spark, pf, "bsync_id_prod", buckets = 4, dbuckets = 8)
+    BucketedSync.snapshot(spark, bf, "bsync_id_backup", buckets = 4, dbuckets = 8)
+    val fast = BucketedSync.diffChangedBuckets(spark, "bsync_id_prod", "bsync_id_backup")
+    assert(fast.count() == 0L)
+  }
+
   test("tables present in only one snapshot yield NO row ops (DDL concern)") {
     val extraDdl =
       """CREATE TABLE `w` (
