@@ -81,4 +81,57 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L, persist: Boolean = true): DataFrame =
     pageRankManaged(edges, iters, scale, persist)._1
+
+  /** Per-node triangle participation counts — the clustering/community
+    * signal (and the classic "does your join strategy survive a dense
+    * node" graph benchmark). `edges` (Long `src`/`dst`) is treated as
+    * undirected; self-loops and duplicate/reversed pairs are collapsed.
+    *
+    * Algorithm: orient every edge from the (degree, id)-SMALLER endpoint
+    * to the larger, then count wedge–edge matches: oriented wedges
+    * a→b, a→c (b before c in the same total order) joined against the
+    * oriented edge b→c. Degree orientation bounds each node's oriented
+    * out-degree by O(√m) on any graph — the wedge fan-out stays bounded
+    * even when a celebrity node has millions of neighbors, which is
+    * exactly what id-ordered orientation gets wrong at 100 TB. Three
+    * joins + one aggregate, all keyed on node ids; no iteration.
+    *
+    * The triangle SET is orientation-independent, so an oracle may
+    * replay it with plain id-orientation — agreement then checks the
+    * algorithm, not a shared formulation.
+    * Output: (node, n_triangles) for nodes in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("v"))
+      .unionByName(canon.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // total order (deg, id): orient each edge toward its larger endpoint
+    val oriented = canon
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("lo"), col("b").as("hi")))
+          .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
+          .as("e"))
+      .select(col("e.lo").as("src"), col("e.hi").as("dst"))
+    // wedge pairs {b, c} out of the same pivot, picked once by id order;
+    // the closure join below matches the closing edge in either
+    // orientation, so the (deg, id) order never reorders the pair
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("b2"), col("dst").as("c2"))
+        .unionByName(oriented.select(col("dst").as("b2"), col("src").as("c2"))),
+      col("b") === col("b2") && col("c") === col("c2"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table statistics operators — the profiling/histogram layer every
+  * engine needs before it can plan over unknown data (reference scope:
+  * optimizer statistics and data-quality profiling of a synced corpus).
+  *
+  * Both operators avoid the naive global-sort formulations: the
+  * histogram works on the VALUE DOMAIN (distinct values + counts — a
+  * distributed aggregate) instead of ntile over a globally sorted row
+  * stream (one task holding every row), and the profiler unions
+  * per-column aggregates so each parquet scan reads exactly one column —
+  * the shapes that survive 100 TB.
+  */
+object Stats {
+
+  /** Equi-depth histogram of an integer-valued column: `k` buckets with
+    * (as near as ties allow) equal row counts. Rule: every distinct
+    * value v lands WHOLLY in bucket `(cumBefore(v) · k) div N` (its
+    * first row's 0-based position scaled to buckets) — deterministic,
+    * tie-stable, and exactly replayable in SQL.
+    *
+    * Plan: groupBy(value).count (distributed, map-side combined) → one
+    * cumulative-sum window over DISTINCT VALUES ordered by value (state
+    * bounded by the value domain, not the row count — the q36 histogram
+    * argument) → final per-bucket aggregate.
+    * Output: (bucket, n_rows, n_values, v_min, v_max).
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    val counts = df.select(valueCol.cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("bucket", expr(s"((cum - c) * $k) div n"))
+    cum.groupBy("bucket")
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_values"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+  }
+
+  /** Column profile: per listed column, row/null/distinct counts and
+    * min/max rendered as strings. Each column is profiled by its OWN
+    * aggregate over a one-column projection (column-pruned scan), then
+    * the single-row results union — N distinct-counts in one aggregate
+    * would Expand the input N× (the q46 lesson). Columns must render
+    * identically across engines: strings, integers, and dates are safe;
+    * raw doubles are not (format the value to an exact type first).
+    * Output: (col_name, n_rows, n_nulls, n_distinct, min_s, max_s).
+    */
+  def profile(df: DataFrame, cols: Map[String, Column]): DataFrame =
+    cols.toSeq.sortBy(_._1).map { case (name, c) =>
+      df.select(c.as("v"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("v").isNull, lit(1))).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).cast("string").as("min_s"),
+          max(col("v")).cast("string").as("max_s"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ unionByName _)
+}

@@ -308,6 +308,41 @@ object TextOps {
           .as("dup_gram5_frac"))
   }
 
+  /** Cross-group vocabulary similarity: the Jaccard overlap between the
+    * distinct-token sets of every pair of groups (sources, domains,
+    * snapshots) — the corpus-composition diagnostic ("which sources are
+    * near-copies of each other") one level above per-document dedup.
+    *
+    * Distinct (group, token) explode → self-join keyed ON THE TOKEN
+    * (each token contributes its group-pair combinations — bounded by
+    * G² per token, never corpus²) → one aggregate per group pair. Meant
+    * for group counts far below the document count (sources/domains);
+    * exact integer set sizes, one mirrored double division.
+    * Output: (grp_a, grp_b, n_a, n_b, n_common, jaccard), a < b.
+    */
+  def vocabularyJaccard(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val vocab = Spread.ensure(
+        df.select(col(groupCol).as("grp"), col(textCol)), "grp")
+      .select(col("grp"), explode(Portable.tokens(col(textCol))).as("t"))
+      .distinct()
+    val sizes = vocab.groupBy("grp").agg(count(lit(1)).as("n"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.t") === col("b.t") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("grp").as("grp_a"), col("n").as("n_a"))),
+        "grp_a")
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("n").as("n_b"))),
+        "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
   /** [[fingerprint]] as explode → groupBy min: one md5 per (doc, shingle)
     * in codegen, one shuffle on id, instead of the per-row interpreted
     * transform+array_min lambda pipeline. Short documents (no shingles →

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EventOps, Graph, TextOps}
+import graft.operators.{EventOps, Graph, Stats, TextOps}
 
 /** Round-6 second wave: per-document repetition quality signals, event
   * funnels / cohort retention / decayed engagement / Markov transitions
@@ -206,13 +206,129 @@ object AnalyticsQueries {
       |FROM c JOIN tot USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Triangle counting ([[Graph.triangleCounts]]) over the co-purchase
+    * graph (parts sharing an order at least twice). The operator orients
+    * edges by (degree, id) so wedge fan-out is bounded on skewed graphs;
+    * the oracle replays the triangles with plain id orientation — an
+    * INDEPENDENT formulation of the same set, so agreement checks the
+    * algorithm (orientation invariance included), not a shared shape.
+    */
+  val q83: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("src", "dst")
+    Graph.triangleCounts(pairs).orderBy("node")
+  }
+  val q83Sql: String =
+    """WITH pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS c
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |e AS (SELECT p1 AS a, p2 AS b FROM pairs WHERE c >= 2),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |nodes AS (SELECT unnest([x, y, z]) AS node FROM tri)
+      |SELECT node, count(*) AS n_triangles FROM nodes
+      |GROUP BY node ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q84
+  /** Cross-source vocabulary Jaccard ([[TextOps.vocabularyJaccard]]):
+    * which sources feed near-identical wording into the corpus — the
+    * composition diagnostic above per-document dedup. Token-keyed
+    * self-join, group-pair-bounded fan-out, exact set sizes.
+    */
+  val q84: Q = (s, dir) =>
+    TextOps.vocabularyJaccard(Tables.documents(s, dir), "source", "text")
+      .orderBy("grp_a", "grp_b")
+  val q84Sql: String =
+    """WITH v AS (SELECT DISTINCT source AS grp,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS t
+      |  FROM documents),
+      |sz AS (SELECT grp, count(*) AS n FROM v GROUP BY grp),
+      |inter AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common
+      |  FROM v a JOIN v b ON a.t = b.t AND a.grp < b.grp
+      |  GROUP BY 1, 2)
+      |SELECT inter.grp_a, inter.grp_b, sa.n AS n_a, sb.n AS n_b,
+      |  inter.n_common,
+      |  CAST(inter.n_common AS DOUBLE) / (sa.n + sb.n - inter.n_common)
+      |    AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.grp = inter.grp_a
+      |JOIN sz sb ON sb.grp = inter.grp_b
+      |ORDER BY grp_a, grp_b""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Equi-depth histogram ([[Stats.equiDepthHistogram]]) of lineitem
+    * price cents into 16 buckets — optimizer-statistics building as a
+    * distributed value-domain aggregate (never ntile over a globally
+    * sorted row stream; the q36 histogram argument applied to stats).
+    */
+  val q85: Q = (s, dir) =>
+    Stats.equiDepthHistogram(Tables.lineitem(s, dir),
+        round(col("l_extendedprice") * 100).cast("long"), 16)
+      .orderBy("bucket")
+  val q85Sql: String =
+    """WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |c AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+      |w AS (SELECT v, c,
+      |    sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER () AS n
+      |  FROM c)
+      |SELECT CAST(((cum - c) * 16) // n AS BIGINT) AS bucket,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  count(*) AS n_values,
+      |  min(v) AS v_min, max(v) AS v_max
+      |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q86
+  /** Column profiler ([[Stats.profile]]): per-column row/null/distinct
+    * counts and min/max — one column-pruned aggregate per column, never
+    * an N-distinct Expand. Values rendered as engine-stable strings
+    * (integers, dates, ASCII text).
+    */
+  val q86: Q = (s, dir) =>
+    Stats.profile(Tables.lineitem(s, dir), Map(
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"),
+        "l_quantity" -> round(col("l_quantity")).cast("long"),
+        "l_shipdate" -> col("l_shipdate").cast("date")))
+      .orderBy("col_name")
+  val q86Sql: String = {
+    def branch(name: String, v: String) =
+      s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+         |  CAST(count(*) FILTER ($v IS NULL) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $v) AS n_distinct,
+         |  CAST(min($v) AS VARCHAR) AS min_s,
+         |  CAST(max($v) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    Seq(
+      branch("l_linestatus", "l_linestatus"),
+      branch("l_quantity", "CAST(round(l_quantity) AS BIGINT)"),
+      branch("l_returnflag", "l_returnflag"),
+      branch("l_shipdate", "CAST(l_shipdate AS DATE)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q77_repetition_profile" -> q77,
     "q78_event_funnel" -> q78,
     "q79_cohort_retention" -> q79,
     "q80_pagerank" -> q80,
     "q81_decayed_engagement" -> q81,
-    "q82_markov_transitions" -> q82)
+    "q82_markov_transitions" -> q82,
+    "q83_triangle_counts" -> q83,
+    "q84_source_vocab_jaccard" -> q84,
+    "q85_equidepth_hist" -> q85,
+    "q86_column_profile" -> q86)
 
   val oracle: Map[String, String] = Map(
     "q77_repetition_profile" -> q77Sql,
@@ -220,5 +336,9 @@ object AnalyticsQueries {
     "q79_cohort_retention" -> q79Sql,
     "q80_pagerank" -> q80Sql,
     "q81_decayed_engagement" -> q81Sql,
-    "q82_markov_transitions" -> q82Sql)
+    "q82_markov_transitions" -> q82Sql,
+    "q83_triangle_counts" -> q83Sql,
+    "q84_source_vocab_jaccard" -> q84Sql,
+    "q85_equidepth_hist" -> q85Sql,
+    "q86_column_profile" -> q86Sql)
 }

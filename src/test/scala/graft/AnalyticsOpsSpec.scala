@@ -107,6 +107,59 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(hub > leaves.head * 4, s"hub $hub should dominate leaf ${leaves.head}")
   }
 
+  test("triangleCounts finds clique triangles, ignoring duplicates and orientation") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + dangling edge 4-5,
+    // fed with duplicates, reversals, and a self-loop
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val edges = (k4 ++ Seq((1L, 2L), (5L, 4L), (3L, 3L))).toDF("src", "dst")
+    val out = Graph.triangleCounts(edges)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
+      "each K4 node sits in 3 triangles; node 5 in none")
+  }
+
+  test("equiDepthHistogram fills buckets evenly and never splits a value") {
+    import graft.operators.Stats
+    // 1..10 once each, k=2 → exactly 5 rows per bucket
+    val even = (1 to 10).map(_.toLong).toDF("v")
+    val a = Stats.equiDepthHistogram(even, col("v"), 2)
+      .orderBy("bucket").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a == Seq((0L, 5L, 5L, 1L, 5L), (1L, 5L, 5L, 6L, 10L)))
+    // value 2 repeated 6× straddles the midpoint — it must land WHOLLY
+    // in the bucket of its first row
+    val tied = (Seq(1L) ++ Seq.fill(6)(2L) ++ Seq(3L, 4L, 5L)).toDF("v")
+    val b = Stats.equiDepthHistogram(tied, col("v"), 2)
+      .orderBy("bucket").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(b == Seq((0L, 7L, 2L, 1L, 2L), (1L, 3L, 3L, 3L, 5L)))
+  }
+
+  test("profile counts nulls and distincts per column with string min/max") {
+    import graft.operators.Stats
+    val df = Seq(
+      (Some("b"), Some(3L)), (Some("a"), None), (None, Some(3L))
+    ).toDF("s", "x")
+    val out = Stats.profile(df, Map("s" -> col("s"), "x" -> col("x")))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("s", 3L, 1L, 2L, Some("a"), Some("b")),
+      ("x", 3L, 1L, 1L, Some("3"), Some("3"))))
+  }
+
+  test("vocabularyJaccard computes exact set overlap per group pair") {
+    val df = Seq(
+      ("g1", "a b c"), ("g1", "c d"),   // vocab {a,b,c,d}
+      ("g2", "c d e"),                  // vocab {c,d,e}
+      ("g3", "z")                       // vocab {z}, disjoint
+    ).toDF("source", "text")
+    val out = TextOps.vocabularyJaccard(df, "source", "text")
+      .orderBy("grp_a", "grp_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // g1∩g2 = {c,d} → 2/(4+3-2) = 0.4; disjoint pairs produce no row
+    assert(out == Seq(("g1", "g2", 4L, 3L, 2L, 0.4)))
+  }
+
   test("repetitionProfile reports top-bigram occupancy and duplicated 5-grams") {
     val df = Seq(
       (1L, "a b a b a"),      // bigrams: "a b"×2, "b a"×2; one 5-gram
