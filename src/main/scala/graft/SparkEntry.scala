@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.CurateQueries.queries ++
       graft.queries.RankingQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.AnalyticsQueries.queries
+      graft.queries.AnalyticsQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.CurateQueries.oracle ++
       graft.queries.RankingQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
-      graft.queries.AnalyticsQueries.oracle
+      graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

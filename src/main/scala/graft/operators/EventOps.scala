@@ -112,4 +112,40 @@ object EventOps {
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         (col("n").cast("double") / col("n_from")).as("prob"))
   }
+
+  /** Item–item co-occurrence similarity from user interactions — the
+    * "users who touched A also touched B" collaborative signal. Jaccard
+    * over each item's DISTINCT-USER set, computed by a self-join of the
+    * distinct (user, item) frame keyed ON THE USER: each user contributes
+    * pairs among their own items only, so the candidate volume is
+    * Σ_u k_u², never items². `maxItemsPerUser` drops power users /
+    * crawler accounts BEFORE the pair join — at web scale one
+    * 10⁵-item bot account would otherwise contribute 10¹⁰ pairs, and
+    * pruning it changes the similarity of nothing a human touched.
+    * All set sizes exact integers; one double division.
+    * Output: (item_a, item_b, n_a, n_b, n_common, jaccard),
+    * item_a < item_b, n_common ≥ minCommon.
+    */
+  def itemCooccurrence(events: DataFrame, userCol: String, itemCol: String,
+      maxItemsPerUser: Int = 1000, minCommon: Int = 2): DataFrame = {
+    val ui = events.select(col(userCol).as("u"), col(itemCol).as("i"))
+      .filter(col("i").isNotNull)
+      .distinct()
+    val userSizes = ui.groupBy("u").agg(count(lit(1)).as("k"))
+      .filter(col("k") <= maxItemsPerUser)
+    val kept = ui.join(userSizes.select("u"), Seq("u"))
+    val sizes = kept.groupBy("i").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.u") === col("b.u") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    pairs
+      .join(sizes.select(col("i").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(sizes.select(col("i").as("item_b"), col("n").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
 }

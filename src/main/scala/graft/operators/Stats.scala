@@ -42,6 +42,52 @@ object Stats {
         min(col("v")).as("v_min"), max(col("v")).as("v_max"))
   }
 
+  /** Robust location/scale statistics per group: exact LOWER MEDIAN and
+    * MAD (median absolute deviation) of an integer-valued column, plus
+    * the count of robust outliers (|v − median| > z·MAD) — the
+    * quality-gate statistic that, unlike mean/stddev, is not itself
+    * dragged by the outliers it is hunting.
+    *
+    * Both medians are "lower medians" (the ⌈n/2⌉-th smallest value):
+    * exact integers, no interpolation, so any engine replays them
+    * bit-for-bit. Plan shape is the q36/q85 value-domain histogram
+    * argument applied twice: groupBy(group, value).count (distributed,
+    * map-side combined) → a cumulative-sum window over DISTINCT VALUES
+    * per group (state bounded by the value domain, not the row count) →
+    * the same again over |v − median|. No per-group buffered aggregate
+    * state, no global row sort.
+    * Output: (group, n, median, mad, n_outliers).
+    */
+  def medianMad(df: DataFrame, groupCol: Column, valueCol: Column,
+      z: Int = 3): DataFrame = {
+    val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    def lowerMedian(cts: DataFrame, out: String): DataFrame = {
+      val w = Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val n = Window.partitionBy("g")
+      cts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(n))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .groupBy("g")
+        .agg(min(col("v")).as(out), max(col("n")).as("n"))
+    }
+    val med = lowerMedian(counts, "median")
+    val dev = counts.join(med, Seq("g"))
+      .groupBy(col("g"), abs(col("v") - col("median")).as("v"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(dev, "mad").drop("n")
+    val stats = med.join(mad, Seq("g"))
+    counts.join(stats, Seq("g"))
+      .groupBy("g")
+      .agg(max(col("n")).as("n"), max(col("median")).as("median"),
+        max(col("mad")).as("mad"),
+        coalesce(sum(when(
+          abs(col("v") - col("median")) > col("mad") * z, col("c"))),
+          lit(0L)).as("n_outliers"))
+  }
+
   /** Column profile: per listed column, row/null/distinct counts and
     * min/max rendered as strings. Each column is profiled by its OWN
     * aggregate over a one-column projection (column-pruned scan), then

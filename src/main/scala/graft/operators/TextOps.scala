@@ -343,6 +343,107 @@ object TextOps {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Default sentence boundary: terminal-punctuation runs followed by
+    * whitespace. RE2-safe (no lookbehind), so the oracle's
+    * `string_split_regex` compiles the identical automaton.
+    */
+  val SentenceBoundary = "[.!?]+\\s+"
+
+  /** Sentence segmentation: one row per non-empty sentence, in document
+    * order, split on `boundary` (a regex valid in BOTH Java regex and
+    * RE2 — stick to alternation/classes/quantifiers); `norm` strips
+    * trailing punctuation and case for cross-document matching. Map-only.
+    * Output: (id, sent_idx, sentence, norm).
+    */
+  def sentenceTable(df: DataFrame, idCol: String, textCol: String,
+      boundary: String = SentenceBoundary): DataFrame =
+    Spread.ensure(df.select(col(idCol).as("id"), col(textCol).as("t")), "id")
+      .select(col("id"),
+        posexplode(filter(
+          transform(split(col("t"), boundary), s => trim(s)),
+          s => s =!= "")).as(Seq("sent_idx", "sentence")))
+      .select(col("id"), col("sent_idx").cast("long").as("sent_idx"),
+        col("sentence"),
+        lower(regexp_replace(col("sentence"), "[.!?]+$", "")).as("norm"))
+
+  /** Per-document boilerplate profile: the fraction of a document's
+    * sentences that also appear (normalized) in at least `minDocs`
+    * distinct documents — the navigation-chrome / footer / disclaimer
+    * signal that document-level dedup can't see (the documents differ;
+    * their sentences repeat). The Spark-side shape: sentence explode →
+    * ONE distinct-doc count per normalized sentence (hash agg, map-side
+    * combined) → join occurrences back on the sentence key → one per-doc
+    * aggregate. The sentence-frequency frame is corpus-vocabulary-sized;
+    * the join is a plain equi-join on the sentence hash — no all-pairs
+    * anywhere, so the shape survives 100 TB.
+    * Output: (id, n_sents, n_boiler, boiler_frac); sentence-less
+    * documents keep n_sents=0 and a null fraction.
+    */
+  def boilerplateProfile(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, boundary: String = SentenceBoundary): DataFrame = {
+    val sents = sentenceTable(df, idCol, textCol, boundary)
+      .select(col("id"), col("norm"))
+    val freq = sents.distinct()
+      .groupBy("norm").agg(count(lit(1)).as("n_docs"))
+    val perDoc = sents.join(freq, Seq("norm"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sents"),
+        coalesce(sum(when(col("n_docs") >= minDocs, lit(1L))), lit(0L))
+          .as("n_boiler"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_sents")).as("boiler_frac"))
+  }
+
+  /** Document-level token co-occurrence with LIFT (the rational core of
+    * PMI — `N·n_ab / (n_a·n_b)`, exactly PMI without the final log, whose
+    * transcendental evaluation differs across libms): which token pairs
+    * appear together far more often than independence predicts —
+    * collocation mining / topic-signal discovery over a corpus.
+    *
+    * The scale control is the FRACTIONAL document-frequency band
+    * [minDfPct, maxDfPct] percent of the corpus: the upper bound removes
+    * stopword-grade tokens BEFORE the pair join (a token in d docs
+    * contributes d pairs per partner; an unbanded "the" would dominate
+    * the join), the lower bound drops the long hapax tail, and both
+    * scale with the corpus instead of needing retuning per snapshot.
+    * Band membership is the exact integer test `nd·100 ∈ [minPct·N,
+    * maxPct·N]` — no float thresholds to disagree across engines.
+    * Distinct (doc, token) → band filter → self-join per doc (a < b) →
+    * pair counts; all counts exact integers, one double division. The
+    * corpus size N rides along as a broadcast 1-row frame — the whole
+    * operator is one declarative plan, no driver-side count().
+    * Output: (tok_a, tok_b, n_a, n_b, n_ab, lift), n_ab ≥ minPairs.
+    */
+  def cooccurrenceLift(df: DataFrame, idCol: String, textCol: String,
+      minDfPct: Int = 1, maxDfPct: Int = 95, minPairs: Int = 5): DataFrame = {
+    val docToks = Spread.ensure(
+        df.select(col(idCol).as("id"), col(textCol)), "id")
+      .select(col("id"), explode(Portable.tokens(col(textCol))).as("t"))
+      .distinct()
+    val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_corpus"))
+    val banded = docToks.groupBy("t").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("nd") * 100 >= col("n_corpus") * minDfPct &&
+        col("nd") * 100 <= col("n_corpus") * maxDfPct)
+      .join(docToks, Seq("t"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.id") === col("b.id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("tok_a"), col("b.t").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"),
+        max(col("a.nd")).as("n_a"), max(col("b.nd")).as("n_b"),
+        max(col("a.n_corpus")).as("nc"))
+      .filter(col("n_ab") >= minPairs)
+    pairs.select(col("tok_a"), col("tok_b"), col("n_a"), col("n_b"),
+      col("n_ab"),
+      ((col("n_ab") * col("nc")).cast("double") /
+        (col("n_a") * col("n_b"))).as("lift"))
+  }
+
   /** [[fingerprint]] as explode → groupBy min: one md5 per (doc, shingle)
     * in codegen, one shuffle on id, instead of the per-row interpreted
     * transform+array_min lambda pipeline. Short documents (no shingles →

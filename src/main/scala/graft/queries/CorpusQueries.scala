@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{EventOps, Stats, TextOps}
+
+/** Round-6 third wave: corpus-structure analytics — sentence-level
+  * boilerplate detection, robust (median/MAD) outlier statistics,
+  * item co-occurrence similarity from the event stream, and token
+  * co-occurrence lift (rational PMI). Parity rules as everywhere:
+  * exact integer counts end to end, floor division on non-negative
+  * operands only, one mirrored double division at the end, regexes
+  * restricted to the Java-regex ∩ RE2 subset.
+  */
+object CorpusQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** The synthetic corpus has no terminal punctuation, so the oracle
+    * query segments on article tokens instead — same automaton class
+    * (alternation of literal runs), exercising the identical plan.
+    */
+  private val Boundary = "[.!?]+\\s+|\\s+(?:the|a)\\s+"
+  private val BoundarySql = "[.!?]+\\s+|\\s+(?:the|a)\\s+"
+
+  // ---------------------------------------------------------------- q87
+  /** Sentence-level boilerplate profile ([[TextOps.boilerplateProfile]]):
+    * per document, the count/fraction of its sentences that recur
+    * (normalized) in ≥ 3 distinct documents — the navigation-chrome /
+    * footer signal document-level dedup can't see.
+    */
+  val q87: Q = (s, dir) =>
+    TextOps.boilerplateProfile(Tables.documents(s, dir), "doc_id", "text",
+        minDocs = 3, boundary = Boundary)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val q87Sql: String =
+    s"""WITH s0 AS (SELECT doc_id,
+       |    unnest(string_split_regex(text, '$BoundarySql')) AS sent
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    lower(regexp_replace(trim(sent), '[.!?]+$$', '')) AS norm
+       |  FROM s0 WHERE trim(sent) <> ''),
+       |f AS (SELECT norm, count(DISTINCT doc_id) AS n_docs
+       |  FROM s GROUP BY norm),
+       |p AS (SELECT s.doc_id, count(*) AS n_sents,
+       |    CAST(coalesce(sum(CASE WHEN f.n_docs >= 3 THEN 1 END), 0)
+       |      AS BIGINT) AS n_boiler
+       |  FROM s JOIN f USING (norm) GROUP BY s.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(p.n_sents, 0) AS n_sents,
+       |  coalesce(p.n_boiler, 0) AS n_boiler,
+       |  CAST(p.n_boiler AS DOUBLE) / p.n_sents AS boiler_frac
+       |FROM documents d LEFT JOIN p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Robust outlier statistics ([[Stats.medianMad]]): exact lower
+    * median, MAD, and |v − med| > 3·MAD outlier counts of lineitem
+    * price cents per return flag — twice the q36/q85 value-domain
+    * histogram shape, no per-group buffered state anywhere.
+    */
+  val q88: Q = (s, dir) =>
+    Stats.medianMad(Tables.lineitem(s, dir), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"), z = 3)
+      .select(col("g").as("flag"), col("n"), col("median"), col("mad"),
+        col("n_outliers"))
+      .orderBy("flag")
+  val q88Sql: String =
+    """WITH c AS (SELECT l_returnflag AS g,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS v, count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS n
+      |  FROM c),
+      |med AS (SELECT g, min(v) AS median, CAST(max(n) AS BIGINT) AS n
+      |  FROM w WHERE cum >= (n+1)//2 GROUP BY g),
+      |d AS (SELECT c.g, abs(c.v - med.median) AS v,
+      |    CAST(sum(c.c) AS BIGINT) AS c
+      |  FROM c JOIN med USING (g) GROUP BY 1, 2),
+      |w2 AS (SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS n
+      |  FROM d),
+      |mad AS (SELECT g, min(v) AS mad FROM w2
+      |  WHERE cum >= (n+1)//2 GROUP BY g)
+      |SELECT c.g AS flag, max(med.n) AS n, max(med.median) AS median,
+      |  max(mad.mad) AS mad,
+      |  CAST(coalesce(sum(CASE WHEN abs(c.v - med.median) > 3*mad.mad
+      |    THEN c.c END), 0) AS BIGINT) AS n_outliers
+      |FROM c JOIN med USING (g) JOIN mad USING (g)
+      |GROUP BY c.g ORDER BY flag""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** Item–item co-occurrence ([[EventOps.itemCooccurrence]]): Jaccard
+    * over distinct-clicker sets of the JSON `props.k` item key —
+    * user-keyed self-join, power users pruned before the pair fan-out.
+    */
+  val q89: Q = (s, dir) => {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+    EventOps.itemCooccurrence(e, "user_id", "item",
+        maxItemsPerUser = 64, minCommon = 2)
+      .orderBy("item_a", "item_b")
+  }
+  val q89Sql: String =
+    """WITH ui AS (SELECT DISTINCT user_id AS u,
+      |    json_extract_string(props, '$.k')::BIGINT AS i
+      |  FROM events
+      |  WHERE event_type = 'click'
+      |    AND json_extract_string(props, '$.k') IS NOT NULL),
+      |ks AS (SELECT u FROM ui GROUP BY u HAVING count(*) <= 64),
+      |k AS (SELECT ui.u, ui.i FROM ui JOIN ks USING (u)),
+      |sz AS (SELECT i, count(*) AS n FROM k GROUP BY i),
+      |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_common
+      |  FROM k a JOIN k b ON a.u = b.u AND a.i < b.i
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p.item_a, p.item_b, sa.n AS n_a, sb.n AS n_b, p.n_common,
+      |  CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+      |FROM p
+      |JOIN sz sa ON sa.i = p.item_a
+      |JOIN sz sb ON sb.i = p.item_b
+      |ORDER BY item_a, item_b""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  /** Token co-occurrence lift ([[TextOps.cooccurrenceLift]]): rational
+    * PMI (N·n_ab / (n_a·n_b), no log) over the fractional df band
+    * [1%, 95%] — collocation mining with the stopword ceiling and hapax
+    * floor applied before the per-doc pair fan-out.
+    */
+  val q90: Q = (s, dir) =>
+    TextOps.cooccurrenceLift(Tables.documents(s, dir), "doc_id", "text",
+        minDfPct = 1, maxDfPct = 95, minPairs = 5)
+      .orderBy("tok_a", "tok_b")
+  val q90Sql: String =
+    """WITH dt AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS t
+      |  FROM documents),
+      |n AS (SELECT count(*) AS nc FROM documents),
+      |dfc AS (SELECT t, count(*) AS nd FROM dt GROUP BY t),
+      |band AS (SELECT dfc.t, dfc.nd, n.nc FROM dfc CROSS JOIN n
+      |  WHERE nd*100 >= 1*nc AND nd*100 <= 95*nc),
+      |bt AS (SELECT dt.doc_id, band.t, band.nd, band.nc
+      |  FROM dt JOIN band USING (t)),
+      |p AS (SELECT a.t AS tok_a, b.t AS tok_b, count(*) AS n_ab,
+      |    max(a.nd) AS n_a, max(b.nd) AS n_b, max(a.nc) AS nc
+      |  FROM bt a JOIN bt b ON a.doc_id = b.doc_id AND a.t < b.t
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT tok_a, tok_b, n_a, n_b, n_ab,
+      |  CAST(n_ab*nc AS DOUBLE) / (n_a*n_b) AS lift
+      |FROM p ORDER BY tok_a, tok_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q87_sentence_boilerplate" -> q87,
+    "q88_median_mad" -> q88,
+    "q89_item_cooccurrence" -> q89,
+    "q90_cooccurrence_lift" -> q90)
+
+  val oracle: Map[String, String] = Map(
+    "q87_sentence_boilerplate" -> q87Sql,
+    "q88_median_mad" -> q88Sql,
+    "q89_item_cooccurrence" -> q89Sql,
+    "q90_cooccurrence_lift" -> q90Sql)
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventOps, Stats, TextOps}
+
+/** Round-6 corpus-structure operators: sentence segmentation +
+  * boilerplate profiling, robust median/MAD outliers, item
+  * co-occurrence, token co-occurrence lift. Each test pins the semantic
+  * contract the DuckDB oracle replays (q87-q90).
+  */
+class CorpusOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sentenceTable splits on punctuation runs, trims, drops empties, normalizes") {
+    val df = Seq(
+      (1L, "First one. Second two!  Third three?last stays"),
+      (2L, "   "), // whitespace-only → no sentences
+      (3L, "No punctuation at all")
+    ).toDF("id", "text")
+    val out = TextOps.sentenceTable(df, "id", "text")
+      .orderBy("id", "sent_idx")
+      .as[(Long, Long, String, String)].collect()
+    val s1 = out.filter(_._1 == 1L)
+    // "Third three?last" has no whitespace after '?' → not a boundary
+    assert(s1.map(_._3).toSeq ==
+      Seq("First one", "Second two", "Third three?last stays"))
+    assert(s1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    // norm: lowercased, trailing punctuation stripped
+    assert(s1.map(_._4).toSeq ==
+      Seq("first one", "second two", "third three?last stays"))
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq("No punctuation at all"))
+  }
+
+  test("boilerplateProfile counts sentences recurring in >= minDocs docs") {
+    // "footer text." appears in docs 1,2,3 (with case/punct variance the
+    // norm collapses); "unique N" never recurs.
+    val df = Seq(
+      (1L, "Unique one. Footer text."),
+      (2L, "Unique two. footer text!"),
+      (3L, "Unique three. FOOTER TEXT. Unique four."),
+      (4L, "Nothing shared here."),
+      (5L, " ") // sentence-less
+    ).toDF("id", "text")
+    val out = TextOps.boilerplateProfile(df, "id", "text", minDocs = 3)
+      .orderBy("id")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L), (5L, 0L, 0L)))
+    assert(out(0)._4.contains(0.5))
+    assert(out(4)._4.isEmpty) // no sentences → null fraction
+  }
+
+  test("medianMad computes exact lower medians and robust outlier counts") {
+    // group g1: values 1..7 plus outlier 1000 → n=8, lower median = 4
+    // deviations |v-4|: 3,2,1,0,1,2,3,996 → sorted 0,1,1,2,2,3,3,996
+    // lower median of 8 = 4th smallest = 2 → MAD 2; |v-4|>6 → only 1000
+    val g1 = (1 to 7).map(v => ("g1", v.toLong)) :+ ("g1", 1000L)
+    // g2: constant column → median=5, MAD=0, every v==median → 0 outliers
+    val g2 = Seq.fill(4)(("g2", 5L))
+    val df = (g1 ++ g2).toDF("g", "v")
+    val out = Stats.medianMad(df, col("g"), col("v"), z = 3)
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("g1", 8L, 4L, 2L, 1L), ("g2", 4L, 5L, 0L, 0L)))
+  }
+
+  test("itemCooccurrence prunes power users before the pair join") {
+    // users 1,2,3 share items; user 9 touches everything (power user)
+    val events = Seq(
+      (1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 20L),
+      (3L, 30L), (1L, 10L) // duplicate interaction collapses
+    ) ++ (1L to 50L).map(i => (9L, i * 10L))
+    val df = events.toDF("u", "item")
+    val out = EventOps.itemCooccurrence(df, "u", "item",
+        maxItemsPerUser = 10, minCommon = 2)
+      .orderBy("item_a", "item_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // only (10,20) co-occurs >= 2 times among kept users; user 9 pruned,
+    // so n_a counts exclude them
+    assert(out.toSeq == Seq((10L, 20L, 3L, 3L, 3L, 1.0)))
+  }
+
+  test("cooccurrenceLift bands df and reports exact counts with lift") {
+    // 10 docs: "x y" always together (lift 10/..); "z" in 9 docs alone;
+    // "rare" hapax (df 10% < minDfPct 20%) is banded out
+    val docs = (1 to 9).map(i => (i.toLong, "x y z")) :+ (10L, "x y rare")
+    val df = docs.toDF("id", "text")
+    val out = TextOps.cooccurrenceLift(df, "id", "text",
+        minDfPct = 20, maxDfPct = 100, minPairs = 2)
+      .orderBy("tok_a", "tok_b")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // banded tokens: x(10), y(10), z(9); rare df=1 → out (1*100 < 20*10... 100 >= 200 false)
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == Seq(
+      ("x", "y", 10L, 10L, 10L),
+      ("x", "z", 10L, 9L, 9L),
+      ("y", "z", 10L, 9L, 9L)))
+    // lift(x,y) = N*n_ab/(n_a*n_b) = 10*10/100 = 1.0
+    assert(out(0)._6 == 1.0)
+    // lift(x,z) = 10*9/90 = 1.0
+    assert(out(1)._6 == 1.0)
+  }
+
+  test("cooccurrenceLift lift exceeds 1 for positively associated pairs") {
+    // a,b together in 5 docs; a alone in 5; b alone in 5; 5 docs neither
+    val docs =
+      (1 to 5).map(i => (i.toLong, "a b")) ++
+      (6 to 10).map(i => (i.toLong, "a q")) ++
+      (11 to 15).map(i => (i.toLong, "b q")) ++
+      (16 to 20).map(i => (i.toLong, "q w"))
+    val out = TextOps.cooccurrenceLift(docs.toDF("id", "text"), "id", "text",
+        minDfPct = 10, maxDfPct = 100, minPairs = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._6)).toMap
+    // lift(a,b) = 20*5/(10*10) = 1.0 — independent-looking despite pairing
+    // lift(a,q): a∩q docs = 5, q df 15 → 20*5/150 = 0.667 — repulsion
+    assert(out(("a", "b")) == 1.0)
+    assert(math.abs(out(("a", "q")) - 20.0 * 5 / 150) < 1e-12)
+  }
+}
