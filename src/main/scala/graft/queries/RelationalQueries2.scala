@@ -326,7 +326,64 @@ object RelationalQueries2 {
       |  FROM lineitem)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Incremental view maintenance ([[graft.engine.Ivm]]): the per-status
+    * (count, sum-cents) view of the q06 backup table advanced by the
+    * prod↔backup row delta. The ORACLE RECOMPUTES the aggregate from the
+    * new table directly — an independent path, so agreement proves the
+    * maintenance algebra (±contributions at old/new groups, zero-count
+    * group drop), not a shared formulation.
+    */
+  val q91: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val prod = o.filter(col("o_orderkey") % 20 =!= 2)
+    val backup = o.filter(col("o_orderkey") % 20 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 20 === 1, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    graft.engine.Ivm.maintainedAgg(backup, prod, Seq("o_orderkey"),
+        col("o_orderstatus"), cents(col("o_totalprice")))
+      .select(col("g").as("o_orderstatus"), col("n").as("n_orders"),
+        col("s").as("sum_price_c"))
+      .orderBy("o_orderstatus")
+  }
+  val q91Sql: String =
+    """WITH prod AS (SELECT * FROM orders WHERE o_orderkey % 20 <> 2)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |    AS sum_price_c
+      |FROM prod GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q92
+  /** Non-hierarchical GROUPING SETS — (flag, status), (flag), (status):
+    * neither rollup (q19) nor cube (q38) expresses this set. grouping()
+    * markers disambiguate genuine NULL groups from subtotal rows in both
+    * engines.
+    */
+  val q92: Q = (s, dir) => {
+    Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
+    s.sql("""SELECT l_returnflag, l_linestatus,
+        grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        count(*) AS n_rows
+      FROM li_gs
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        (l_returnflag), (l_linestatus))
+      ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
+  }
+  val q92Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus))
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q91_incremental_agg" -> q91,
+    "q92_grouping_sets" -> q92,
     "q17_pivot" -> q17,
     "q36_percentiles" -> q36,
     "q38_cube" -> q38,
@@ -337,6 +394,8 @@ object RelationalQueries2 {
     "q46_distinct_agg" -> q46)
 
   val oracle: Map[String, String] = Map(
+    "q91_incremental_agg" -> q91Sql,
+    "q92_grouping_sets" -> q92Sql,
     "q17_pivot" -> q17Sql,
     "q36_percentiles" -> q36Sql,
     "q38_cube" -> q38Sql,

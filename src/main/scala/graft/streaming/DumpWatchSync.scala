@@ -83,6 +83,26 @@ object DumpWatchSync {
       .withColumn("source_file", lit(dumpPath))
       .write.mode(SaveMode.Append).parquet(s"$stateDir/ops")
 
+    // maintained per-table row counts (engine.Ivm): advanced from the op
+    // delta alone — O(changed rows) per arrival, no snapshot rescan. The
+    // first arrival seeds from the incoming records; every later arrival
+    // folds +INSERT/−DELETE into the previous stats version.
+    val prevStats: Option[DataFrame] = readLatest(stateDir)
+      .filter(v => Files.exists(Paths.get(stateDir, s"stats_$v")))
+      .map(v => spark.read.parquet(s"$stateDir/stats_$v"))
+    val newStats = prevStats match {
+      case Some(ps) =>
+        val dn = ops.groupBy(col("table").as("g"))
+          .agg(sum(when(col("op") === Differ.OP_INSERT, 1L)
+            .when(col("op") === Differ.OP_DELETE, -1L)
+            .otherwise(0L)).as("dn"))
+        graft.engine.Ivm.maintainCounts(ps, dn)
+      case None =>
+        incoming.groupBy(col("table").as("g")).agg(count(lit(1)).as("n"))
+    }
+    newStats.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/stats_snapshot_v$batchId")
+
     val prevDump = readState(latestDumpPath(stateDir))
 
     // schema-drift log: column-level DDL changes vs the previous arrival

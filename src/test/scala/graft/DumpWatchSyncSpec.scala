@@ -52,6 +52,15 @@ class DumpWatchSyncSpec extends SparkSuite {
       val snap = spark.read.parquet(s"$stateDir/$latest")
         .collect().map(_.getAs[String]("pk")).toSet
       assert(snap == Set("1", "2", "4"))
+
+      // maintained per-table stats (engine.Ivm.maintainCounts): advanced
+      // from the op delta alone, must equal a recount of each snapshot
+      val stats1 = spark.read.parquet(s"$stateDir/stats_snapshot_v0")
+        .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("n"))).toSet
+      assert(stats1 == Set(("t", 3L)))
+      val stats2 = spark.read.parquet(s"$stateDir/stats_snapshot_v1")
+        .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("n"))).toSet
+      assert(stats2 == Set(("t", 3L))) // 3 − 1 delete + 1 insert
     } finally q.stop()
   }
 
