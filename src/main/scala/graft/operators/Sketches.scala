@@ -71,6 +71,50 @@ object Sketches {
       .select(groupCols.map(col) :+ estCol(k).as("est_distinct"): _*)
   }
 
+  /** KMV set-intersection estimate between two key columns — the join-
+    * cardinality statistic an optimizer wants BEFORE running the join
+    * ("how many distinct keys do these two 100 TB tables share?") from
+    * two bounded sketches instead of a key-domain shuffle.
+    *
+    * Beyer et al.'s KMV set algebra: K_∪ = the k smallest hashes of
+    * K_A ∪ K_B with θ its max, ρ = |{h ∈ K_∪ : h ∈ K_A ∧ h ∈ K_B}|;
+    * then |A∪B| ≈ (k−1)·2⁴⁸/θ and |A∩B| ≈ ρ·|A∪B|/k. When the union
+    * sketch holds fewer than k hashes both sides were seen WHOLE, and
+    * every figure is exact. Deterministic hash48 + fixed evaluation
+    * order make the estimate itself (not just its error bound) exactly
+    * replayable — the oracle rebuilds both sketches relationally and
+    * agrees bit-for-bit.
+    *
+    * Scale: one bounded min-k aggregate per side (map-side combining,
+    * ≤ k longs shipped), then a driver-free 1-row × 1-row join of the
+    * two sketch arrays. Output: (n_a_kept, n_b_kept, theta, rho,
+    * est_union, est_intersect).
+    */
+  def kmvIntersectEstimate(a: DataFrame, aCol: Column,
+      b: DataFrame, bCol: Column, k: Int): DataFrame = {
+    val sa = kmvSketch(a.select(aCol.as("v")), Seq.empty, col("v"), k)
+      .select(col("sketch").as("ka"))
+    val sb = kmvSketch(b.select(bCol.as("v")), Seq.empty, col("v"), k)
+      .select(col("sketch").as("kb"))
+    sa.crossJoin(sb)
+      .withColumn("un", slice(array_sort(
+        array_distinct(concat(col("ka"), col("kb")))), 1, k))
+      .withColumn("theta", element_at(col("un"), size(col("un"))))
+      .withColumn("rho", size(array_intersect(
+        array_intersect(col("un"), col("ka")), col("kb"))))
+      .withColumn("est_union",
+        when(size(col("un")) < k, size(col("un")).cast("double"))
+          .otherwise(round(lit((k - 1) * HashSpace) / col("theta"), 2)))
+      .withColumn("est_intersect",
+        when(size(col("un")) < k, col("rho").cast("double"))
+          .otherwise(round(col("rho") * (lit((k - 1) * HashSpace) /
+            col("theta")) / k, 2)))
+      .select(size(col("ka")).cast("long").as("n_a_kept"),
+        size(col("kb")).cast("long").as("n_b_kept"),
+        col("theta"), col("rho").cast("long").as("rho"),
+        col("est_union"), col("est_intersect"))
+  }
+
   /** Count-min sketch — frequency estimation for heavy-hitter queries
     * over a token/key stream, the counting sibling of KMV: `depth`
     * counter rows of `width` cells, cell (r, c) counting every item whose

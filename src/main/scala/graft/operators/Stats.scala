@@ -59,9 +59,22 @@ object Stats {
     * Output: (group, n, median, mad, n_outliers).
     */
   def medianMad(df: DataFrame, groupCol: Column, valueCol: Column,
-      z: Int = 3): DataFrame = {
-    val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      z: Int = 3): DataFrame = medianMadManaged(df, groupCol, valueCol, z)._1
+
+  /** [[medianMad]] plus a cleanup thunk releasing the internal cache.
+    * The (group, value) count frame feeds three consumers — the median
+    * window, the deviation re-aggregation, and the final outlier count —
+    * so it is persisted (value-domain-sized, far smaller than the input);
+    * without it the input would be scanned and re-aggregated three times.
+    */
+  def medianMadManaged(df: DataFrame, groupCol: Column, valueCol: Column,
+      z: Int = 3, persist: Boolean = true): (DataFrame, () => Unit) = {
+    val counts0 = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val counts = if (persist)
+      counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else counts0
+    val cleanup = () => if (persist) { counts.unpersist(); () }
     def lowerMedian(cts: DataFrame, out: String): DataFrame = {
       val w = Window.partitionBy("g").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -79,13 +92,48 @@ object Stats {
       .agg(sum(col("c")).as("c"))
     val mad = lowerMedian(dev, "mad").drop("n")
     val stats = med.join(mad, Seq("g"))
-    counts.join(stats, Seq("g"))
+    val out = counts.join(stats, Seq("g"))
       .groupBy("g")
       .agg(max(col("n")).as("n"), max(col("median")).as("median"),
         max(col("mad")).as("mad"),
         coalesce(sum(when(
           abs(col("v") - col("median")) > col("mad") * z, col("c"))),
           lit(0L)).as("n_outliers"))
+    (out, cleanup)
+  }
+
+  /** Exact weighted lower percentiles per group: for each requested
+    * percentile p, the smallest value whose cumulative weight reaches
+    * p% of the group's total weight — "the price where half the
+    * *quantity* sits", "the doc length where 90% of the *tokens* sit".
+    * The membership test is the pure integer cross-multiplication
+    * `cum·100 ≥ W·p` (no division, no float target), so any engine
+    * replays it bit-for-bit; weights must be non-negative integers with
+    * W·100 within Long range (~9·10¹⁶ total weight — beyond any real
+    * corpus).
+    *
+    * Same scale shape as [[equiDepthHistogram]]/[[medianMad]]: one
+    * distributed groupBy(group, value) weight-sum, one cumulative window
+    * over DISTINCT VALUES per group, one final aggregate with a
+    * conditional min per percentile. No per-group buffered state.
+    * Output: (g, w_total, p_<p1>, p_<p2>, ...).
+    */
+  def weightedPercentiles(df: DataFrame, groupCol: Column, valueCol: Column,
+      weightCol: Column, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles $ps out of [1, 100]")
+    val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"),
+        weightCol.cast("long").as("w"))
+      .groupBy("g", "v").agg(sum(col("w")).as("wv"))
+    val cum = counts
+      .withColumn("cum", sum(col("wv")).over(
+        Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("wt", sum(col("wv")).over(Window.partitionBy("g")))
+    val aggs = max(col("wt")).as("w_total") +:
+      ps.map(p => min(when(col("cum") * 100 >= col("wt") * p, col("v")))
+        .as(s"p_$p"))
+    cum.groupBy("g").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Column profile: per listed column, row/null/distinct counts and

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EventOps, Stats, TextOps}
+import graft.operators.{EventOps, Sketches, Stats, TextOps}
 
 /** Round-6 third wave: corpus-structure analytics — sentence-level
   * boilerplate detection, robust (median/MAD) outlier statistics,
@@ -157,13 +157,96 @@ object CorpusQueries {
       |  CAST(n_ab*nc AS DOUBLE) / (n_a*n_b) AS lift
       |FROM p ORDER BY tok_a, tok_b""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Weighted percentiles ([[Stats.weightedPercentiles]]): price points
+    * where 25/50/75/90% of the shipped QUANTITY sits, per return flag —
+    * the weighted-quantile statistic (token-weighted corpus cuts, spend-
+    * weighted price bands) via the pure integer `cum·100 ≥ W·p` test.
+    */
+  val q93: Q = (s, dir) =>
+    Stats.weightedPercentiles(Tables.lineitem(s, dir), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        round(col("l_quantity")).cast("long"), Seq(25, 50, 75, 90))
+      .select(col("g").as("flag"), col("w_total"),
+        col("p_25"), col("p_50"), col("p_75"), col("p_90"))
+      .orderBy("flag")
+  val q93Sql: String =
+    """WITH c AS (SELECT l_returnflag AS g,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wv
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (SELECT g, v, wv,
+      |    sum(wv) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS cum,
+      |    sum(wv) OVER (PARTITION BY g) AS wt
+      |  FROM c)
+      |SELECT g AS flag, CAST(max(wt) AS BIGINT) AS w_total,
+      |  min(CASE WHEN cum*100 >= wt*25 THEN v END) AS p_25,
+      |  min(CASE WHEN cum*100 >= wt*50 THEN v END) AS p_50,
+      |  min(CASE WHEN cum*100 >= wt*75 THEN v END) AS p_75,
+      |  min(CASE WHEN cum*100 >= wt*90 THEN v END) AS p_90
+      |FROM w GROUP BY g ORDER BY flag""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  /** KMV join-cardinality estimate ([[Sketches.kmvIntersectEstimate]]):
+    * distinct-key overlap between the ordering customers and the
+    * positive-balance customers from two bounded k=128 sketches — the
+    * pre-join optimizer statistic — alongside the exact intersection
+    * computed by a real distinct join, so the row carries estimate AND
+    * truth. Deterministic hash48 ⇒ the oracle rebuilds the sketches
+    * relationally (row_number ≤ k) and matches every figure bit-for-bit.
+    */
+  val q94: Q = (s, dir) => {
+    val a = Tables.orders(s, dir).select(col("o_custkey"))
+    val b = Tables.customer(s, dir).filter(col("c_acctbal") > 0)
+      .select(col("c_custkey"))
+    val est = Sketches.kmvIntersectEstimate(
+      a, col("o_custkey"), b, col("c_custkey"), k = 128)
+    val exact = a.distinct()
+      .join(b.distinct(), col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    est.crossJoin(exact)
+  }
+  val q94Sql: String = {
+    val const = (128 - 1) * graft.operators.Sketches.HashSpace
+    s"""WITH av AS (SELECT DISTINCT o_custkey AS v FROM orders),
+       |bv AS (SELECT DISTINCT c_custkey AS v
+       |  FROM customer WHERE c_acctbal > 0),
+       |ha AS (SELECT DISTINCT
+       |    ('0x'||substr(md5(CAST(v AS VARCHAR)),1,12))::BIGINT AS h FROM av),
+       |hb AS (SELECT DISTINCT
+       |    ('0x'||substr(md5(CAST(v AS VARCHAR)),1,12))::BIGINT AS h FROM bv),
+       |ka AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+       |kb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+       |un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       |  ORDER BY h LIMIT 128),
+       |t AS (SELECT max(h) AS theta, count(*) AS nu FROM un),
+       |r AS (SELECT count(*) AS rho FROM un
+       |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+       |x AS (SELECT count(*) AS exact_intersect FROM av JOIN bv USING (v))
+       |SELECT (SELECT count(*) FROM ka) AS n_a_kept,
+       |  (SELECT count(*) FROM kb) AS n_b_kept,
+       |  t.theta, CAST(r.rho AS BIGINT) AS rho,
+       |  CASE WHEN t.nu < 128 THEN CAST(t.nu AS DOUBLE)
+       |       ELSE round($const / t.theta, 2) END AS est_union,
+       |  CASE WHEN t.nu < 128 THEN CAST(r.rho AS DOUBLE)
+       |       ELSE round(r.rho * ($const / t.theta) / 128, 2)
+       |       END AS est_intersect,
+       |  CAST(x.exact_intersect AS BIGINT) AS exact_intersect
+       |FROM t CROSS JOIN r CROSS JOIN x""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q94_kmv_join_estimate" -> q94,
+    "q93_weighted_percentiles" -> q93,
     "q87_sentence_boilerplate" -> q87,
     "q88_median_mad" -> q88,
     "q89_item_cooccurrence" -> q89,
     "q90_cooccurrence_lift" -> q90)
 
   val oracle: Map[String, String] = Map(
+    "q94_kmv_join_estimate" -> q94Sql,
+    "q93_weighted_percentiles" -> q93Sql,
     "q87_sentence_boilerplate" -> q87Sql,
     "q88_median_mad" -> q88Sql,
     "q89_item_cooccurrence" -> q89Sql,

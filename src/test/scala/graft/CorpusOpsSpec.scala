@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, Stats, TextOps}
+import graft.operators.{EventOps, Sketches, Stats, TextOps}
 
 /** Round-6 corpus-structure operators: sentence segmentation +
   * boilerplate profiling, robust median/MAD outliers, item
@@ -63,6 +63,52 @@ class CorpusOpsSpec extends SparkSuite {
     val out = Stats.medianMad(df, col("g"), col("v"), z = 3)
       .orderBy("g").as[(String, Long, Long, Long, Long)].collect()
     assert(out.toSeq == Seq(("g1", 8L, 4L, 2L, 1L), ("g2", 4L, 5L, 0L, 0L)))
+  }
+
+  test("weightedPercentiles picks the smallest value reaching p% of total weight") {
+    // g1: v=1 w=1, v=2 w=1, v=3 w=8 → W=10
+    //   p25: cum(1)=1, cum(2)=2, cum(3)=10 → 2*100 < 10*25? 200<250 yes → p25=3? No:
+    //   cum*100 >= W*p: v=1: 100>=250 no; v=2: 200>=250 no; v=3: 1000>=250 yes → p25=3
+    //   (the heavy value owns everything from the 21st weight percentile up)
+    // g2: uniform weights 1 on 1..4 → p50 = 2 (cum 200 >= 200), p75 = 3, p90 = 4
+    val df = Seq(
+      ("g1", 1L, 1L), ("g1", 2L, 1L), ("g1", 3L, 8L),
+      ("g2", 1L, 1L), ("g2", 2L, 1L), ("g2", 3L, 1L), ("g2", 4L, 1L)
+    ).toDF("g", "v", "w")
+    val out = Stats.weightedPercentiles(df, col("g"), col("v"), col("w"),
+        Seq(25, 50, 75, 90))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("g1", 10L, 3L, 3L, 3L, 3L),
+      ("g2", 4L, 1L, 2L, 3L, 4L)))
+  }
+
+  test("weightedPercentiles with unit weights equals unweighted lower quantiles") {
+    val df = (1L to 100L).map(v => ("g", v, 1L)).toDF("g", "v", "w")
+    val out = Stats.weightedPercentiles(df, col("g"), col("v"), col("w"),
+        Seq(50, 90)).as[(String, Long, Long, Long)].head()
+    assert(out == (("g", 100L, 50L, 90L)))
+  }
+
+  test("kmvIntersectEstimate is exact when both sides fit the sketch") {
+    val a = (1L to 40L).toDF("v")
+    val b = (31L to 60L).toDF("v") // true intersection 10
+    val out = Sketches.kmvIntersectEstimate(a, col("v"), b, col("v"), k = 128)
+      .select("n_a_kept", "n_b_kept", "rho", "est_union", "est_intersect")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(out == ((40L, 30L, 10L, 60.0, 10.0)))
+  }
+
+  test("kmvIntersectEstimate approximates large overlaps within 25%") {
+    val a = (1L to 5000L).toDF("v")
+    val b = (3001L to 8000L).toDF("v") // true ∩ = 2000, ∪ = 8000
+    val out = Sketches.kmvIntersectEstimate(a, col("v"), b, col("v"), k = 256)
+      .select("n_a_kept", "n_b_kept", "est_union", "est_intersect")
+      .as[(Long, Long, Double, Double)].head()
+    assert(out._1 == 256L && out._2 == 256L) // sketches bounded at k
+    assert(math.abs(out._3 - 8000.0) / 8000.0 < 0.25)
+    assert(math.abs(out._4 - 2000.0) / 2000.0 < 0.25)
   }
 
   test("itemCooccurrence prunes power users before the pair join") {
