@@ -1,0 +1,60 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) history from versioned
+  * snapshots — the temporal layer over the sync engine's diff stream:
+  * instead of "what changed between v_a and v_b" (Differ), "what was
+  * every row's value DURING [v_from, v_to)" (the audit/time-travel
+  * question). The reference keeps only the latest two snapshots in
+  * memory; the versioned parquet snapshots the watcher already writes
+  * (DumpWatchSync, BucketedSync) are exactly the input this needs.
+  *
+  * Scale: the (pk × version) presence grid is built by crossing the
+  * distinct-pk frame with the (tiny, broadcast) version list — O(pks ×
+  * versions) rows, shuffled ONCE on pk; change points come from one
+  * lag/lead window per pk (the same partitioning the join produced).
+  * Version counts are small by construction (snapshots, not events), so
+  * the grid is a bounded blow-up of the pk domain; no all-pairs, no
+  * per-pk buffered state beyond the window's two-row frame.
+  */
+object Scd {
+
+  /** SCD-2 history from a stacked snapshot frame: `stacked` holds every
+    * version's rows as (verCol, pkCols..., valCols...) — e.g. a union of
+    * versioned snapshots each tagged with its integer version. Output:
+    * one row per (pk, unbroken value run): pk columns, the run's values,
+    * `ver_from` (first version with these values) and `ver_to` (first
+    * version where they no longer held — the next run's start, or NULL
+    * while still current). Deleted-then-reinserted keys produce separate
+    * runs; versions where the pk is absent produce no run rows but DO
+    * close the previous run.
+    */
+  def scd2(stacked: DataFrame, verCol: String, pkCols: Seq[String],
+      valCols: Seq[String]): DataFrame = {
+    val versions = stacked.select(col(verCol).cast("long").as("__ver"))
+      .distinct()
+    val pks = stacked.select(pkCols.map(col): _*).distinct()
+    val grid = pks.crossJoin(broadcast(versions))
+    val tagged = stacked.select(
+      (col(verCol).cast("long").as("__ver") +: pkCols.map(col)) ++
+        valCols.map(col) :+ lit(true).as("__present"): _*)
+    val w = Window.partitionBy(pkCols.map(col): _*).orderBy(col("__ver"))
+    // change-point flag: presence or any value differs from the previous
+    // version of the same pk (null-safe; the first version is a change)
+    val valStruct = struct(col("__present") +: valCols.map(col): _*)
+    val joined = grid.join(tagged, pkCols :+ "__ver", "left")
+      .withColumn("__present", coalesce(col("__present"), lit(false)))
+      .withColumn("__chg",
+        !(valStruct <=> lag(valStruct, 1).over(w)) ||
+          row_number().over(w) === 1)
+    val runs = joined.filter(col("__chg"))
+      .withColumn("ver_to", lead(col("__ver"), 1).over(w))
+      .filter(col("__present")) // absent runs only close earlier ones
+      .withColumnRenamed("__ver", "ver_from")
+    runs.select(pkCols.map(col) ++ valCols.map(col) :+
+      col("ver_from") :+ col("ver_to"): _*)
+  }
+}

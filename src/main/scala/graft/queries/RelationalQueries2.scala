@@ -381,7 +381,109 @@ object RelationalQueries2 {
       |  (l_returnflag), (l_linestatus))
       |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** SCD-2 history ([[graft.engine.Scd.scd2]]): three derived snapshot
+    * versions of orders (mod-arithmetic inserts/updates/deletes per
+    * version) collapsed into (pk, values, ver_from, ver_to) validity
+    * runs — the time-travel/audit layer over the sync engine's
+    * versioned snapshots. Deletes close runs; reinserts open new ones.
+    */
+  val q95: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    def ver(v: Int, dropMod: Int, bumpMod: Int, bump: Double) =
+      o.filter(col("o_orderkey") % 20 =!= dropMod)
+        .select(lit(v).as("ver"), col("o_orderkey"),
+          col("o_orderstatus"),
+          cents(when(col("o_orderkey") % 20 === bumpMod,
+            col("o_totalprice") + bump).otherwise(col("o_totalprice")))
+            .as("price_c"))
+    val stacked = ver(0, 2, -1, 0.0)
+      .unionByName(ver(1, 0, 1, 1.0))
+      .unionByName(ver(2, 5, 3, 2.0))
+    graft.engine.Scd.scd2(stacked, "ver",
+        Seq("o_orderkey"), Seq("o_orderstatus", "price_c"))
+      .orderBy("o_orderkey", "ver_from")
+  }
+  val q95Sql: String =
+    """WITH vers AS (SELECT * FROM (VALUES (0), (1), (2)) v(ver)),
+      |v0 AS (SELECT 0 AS ver, o_orderkey, o_orderstatus,
+      |    CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+      |  FROM orders WHERE o_orderkey % 20 <> 2),
+      |v1 AS (SELECT 1 AS ver, o_orderkey, o_orderstatus,
+      |    CAST(round((CASE WHEN o_orderkey % 20 = 1 THEN o_totalprice + 1.0
+      |      ELSE o_totalprice END)*100) AS BIGINT) AS price_c
+      |  FROM orders WHERE o_orderkey % 20 <> 0),
+      |v2 AS (SELECT 2 AS ver, o_orderkey, o_orderstatus,
+      |    CAST(round((CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice + 2.0
+      |      ELSE o_totalprice END)*100) AS BIGINT) AS price_c
+      |  FROM orders WHERE o_orderkey % 20 <> 5),
+      |st AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+      |  UNION ALL SELECT * FROM v2),
+      |pks AS (SELECT DISTINCT o_orderkey FROM st),
+      |grid AS (SELECT p.o_orderkey, v.ver FROM pks p CROSS JOIN vers v),
+      |j AS (SELECT g.o_orderkey, g.ver, st.o_orderstatus, st.price_c,
+      |    st.o_orderkey IS NOT NULL AS present
+      |  FROM grid g LEFT JOIN st
+      |    ON st.o_orderkey = g.o_orderkey AND st.ver = g.ver),
+      |m AS (SELECT *, lag(present) OVER w AS lp,
+      |    lag(o_orderstatus) OVER w AS ls, lag(price_c) OVER w AS lc,
+      |    row_number() OVER w AS rn
+      |  FROM j WINDOW w AS (PARTITION BY o_orderkey ORDER BY ver)),
+      |c AS (SELECT * FROM m WHERE rn = 1
+      |  OR NOT (present IS NOT DISTINCT FROM lp
+      |    AND o_orderstatus IS NOT DISTINCT FROM ls
+      |    AND price_c IS NOT DISTINCT FROM lc)),
+      |r AS (SELECT *, lead(ver)
+      |    OVER (PARTITION BY o_orderkey ORDER BY ver) AS ver_to
+      |  FROM c)
+      |SELECT o_orderkey, o_orderstatus, price_c,
+      |  CAST(ver AS BIGINT) AS ver_from, CAST(ver_to AS BIGINT) AS ver_to
+      |FROM r WHERE present ORDER BY o_orderkey, ver_from""".stripMargin
+
+  // ---------------------------------------------------------------- q96
+  /** Value-RANGE window frames + distribution window functions — the
+    * window surface rows-frames can't express: a 60-second RANGE frame
+    * keyed on event time (ties included by VALUE, so row order can't
+    * change the sum), percent_rank/cume_dist over a total order, and
+    * nth_value with an explicit ROWS frame.
+    */
+  val q96: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100).cast("long").as("v_c"),
+      col("event_type"))
+    val wRange = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-60000000L, 0)
+    val wTotal = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val wRows = wTotal.rowsBetween(Window.unboundedPreceding, 0)
+    e.select(col("user_id"), col("event_id"), col("us"), col("v_c"),
+        sum(col("v_c")).over(wRange).as("sum_60s"),
+        percent_rank().over(wTotal).as("pr"),
+        cume_dist().over(wTotal).as("cd"),
+        nth_value(col("event_type"), 3).over(wRows).as("third_type"))
+      .orderBy("user_id", "us", "event_id")
+  }
+  val q96Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+      |    CAST(round(value*100) AS BIGINT) AS v_c, event_type FROM events)
+      |SELECT user_id, event_id, us, v_c,
+      |  CAST(sum(v_c) OVER (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS sum_60s,
+      |  percent_rank() OVER wt AS pr,
+      |  cume_dist() OVER wt AS cd,
+      |  nth_value(event_type, 3) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_type
+      |FROM e
+      |WINDOW wt AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, us, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q95_scd2_history" -> q95,
+    "q96_range_windows" -> q96,
     "q91_incremental_agg" -> q91,
     "q92_grouping_sets" -> q92,
     "q17_pivot" -> q17,
@@ -394,6 +496,8 @@ object RelationalQueries2 {
     "q46_distinct_agg" -> q46)
 
   val oracle: Map[String, String] = Map(
+    "q95_scd2_history" -> q95Sql,
+    "q96_range_windows" -> q96Sql,
     "q91_incremental_agg" -> q91Sql,
     "q92_grouping_sets" -> q92Sql,
     "q17_pivot" -> q17Sql,
