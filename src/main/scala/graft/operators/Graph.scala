@@ -58,7 +58,7 @@ object Graph {
     var sc = deg.select(col("src").as("node"), col("deg"))
       .crossJoin(broadcast(n))
       .withColumn("score", expr(s"CAST($scale AS BIGINT) div n"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = und
         .join(sc.select(col("node").as("src"),
           expr("score div deg").as("c")), "src")
@@ -70,6 +70,12 @@ object Graph {
           expr(s"(15 * (CAST($scale AS BIGINT) div n)) div 100") +
             expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
         .drop("inflow")
+      // each iteration feeds the next one TWICE (contrib + carry-through);
+      // without cutting lineage the duplicated subtree doubles per level
+      // (2^iters evaluations of iteration 1). localCheckpoint each round
+      // — the connectedComponents pattern — makes every round compute
+      // exactly once; exact-integer scores are unaffected.
+      if (i < iters) sc = sc.localCheckpoint(true)
     }
     (sc.select(col("node"), col("deg"), col("score")), cleanup)
   }
