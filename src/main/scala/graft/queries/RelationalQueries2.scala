@@ -481,7 +481,66 @@ object RelationalQueries2 {
       |WINDOW wt AS (PARTITION BY user_id ORDER BY us, event_id)
       |ORDER BY user_id, us, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Data-quality rule validation ([[graft.operators.Quality]]): four
+    * row-level rules in ONE scan (a single aggregate with one codegen'd
+    * conditional count per rule) plus two referential-integrity
+    * anti-join rules — the pre-ingest gate, N rules ≠ N scans. The
+    * discount and dim-subset rules are chosen to produce NON-zero
+    * violation counts, so the oracle checks real counting, not zeros.
+    */
+  val q97: Q = (s, dir) => {
+    import graft.operators.Quality
+    val li = Tables.lineitem(s, dir)
+    val rowRules = Quality.checkRules(li, Seq(
+      "date_bound" -> (col("l_shipdate").cast("date") <=
+        lit(java.sql.Date.valueOf("1998-12-31"))),
+      "discount_range" -> (col("l_discount") >= 0.0 &&
+        col("l_discount") <= 0.08),
+      "price_positive" -> (col("l_extendedprice") > 0.0),
+      "qty_range" -> (col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)))
+    val fkOrders = Quality.checkReferential("fk_orderkey",
+      li, col("l_orderkey"),
+      Tables.orders(s, dir), col("o_orderkey"))
+    val fkBigParts = Quality.checkReferential("fk_part_size_gt10",
+      li, col("l_partkey"),
+      Tables.part(s, dir).filter(col("p_size") > 10), col("p_partkey"))
+    rowRules.unionByName(fkOrders).unionByName(fkBigParts).orderBy("rule")
+  }
+  val q97Sql: String =
+    """WITH base AS (SELECT count(*) AS n,
+      |    CAST(coalesce(sum(CASE WHEN NOT coalesce(
+      |      CAST(l_shipdate AS DATE) <= DATE '1998-12-31', FALSE)
+      |      THEN 1 END), 0) AS BIGINT) AS v_date,
+      |    CAST(coalesce(sum(CASE WHEN NOT coalesce(
+      |      l_discount >= 0.0 AND l_discount <= 0.08, FALSE)
+      |      THEN 1 END), 0) AS BIGINT) AS v_disc,
+      |    CAST(coalesce(sum(CASE WHEN NOT coalesce(
+      |      l_extendedprice > 0.0, FALSE) THEN 1 END), 0) AS BIGINT) AS v_price,
+      |    CAST(coalesce(sum(CASE WHEN NOT coalesce(
+      |      l_quantity >= 1.0 AND l_quantity <= 50.0, FALSE)
+      |      THEN 1 END), 0) AS BIGINT) AS v_qty
+      |  FROM lineitem),
+      |fk1 AS (SELECT count(*) AS v FROM lineitem l
+      |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey IS NULL),
+      |fk2 AS (SELECT count(*) AS v FROM lineitem l
+      |  LEFT JOIN (SELECT p_partkey FROM part WHERE p_size > 10) p
+      |    ON l.l_partkey = p.p_partkey
+      |  WHERE p.p_partkey IS NULL)
+      |SELECT rule, n_rows, n_violations,
+      |  CAST(n_violations AS DOUBLE) / n_rows AS violation_frac
+      |FROM (
+      |  SELECT 'date_bound' AS rule, base.n AS n_rows, base.v_date AS n_violations FROM base
+      |  UNION ALL SELECT 'discount_range', base.n, base.v_disc FROM base
+      |  UNION ALL SELECT 'price_positive', base.n, base.v_price FROM base
+      |  UNION ALL SELECT 'qty_range', base.n, base.v_qty FROM base
+      |  UNION ALL SELECT 'fk_orderkey', base.n, fk1.v FROM base CROSS JOIN fk1
+      |  UNION ALL SELECT 'fk_part_size_gt10', base.n, fk2.v FROM base CROSS JOIN fk2)
+      |ORDER BY rule""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q97_dq_checks" -> q97,
     "q95_scd2_history" -> q95,
     "q96_range_windows" -> q96,
     "q91_incremental_agg" -> q91,
@@ -496,6 +555,7 @@ object RelationalQueries2 {
     "q46_distinct_agg" -> q46)
 
   val oracle: Map[String, String] = Map(
+    "q97_dq_checks" -> q97Sql,
     "q95_scd2_history" -> q95Sql,
     "q96_range_windows" -> q96Sql,
     "q91_incremental_agg" -> q91Sql,
