@@ -170,6 +170,58 @@ object Multimodal {
     })
   }
 
+  /** Features of a resized image (nearest-neighbor). */
+  final case class ResizedFeatures(
+      id: Long, src_w: Long, src_h: Long, w: Long, h: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Nearest-neighbor resize + channel stats: decode, sample the source
+    * at `sx = (x·srcW) div w, sy = (y·srcH) div h` for each target
+    * pixel (the EXACT integer mapping — no float scale factor, so the
+    * sampled pixel set replays in closed form for synthetic fixtures),
+    * then emit per-channel means over the w×h target. Nearest-neighbor
+    * (not bilinear) is the deterministic choice: interpolation weights
+    * are float-rounding-sensitive, pixel PICKS are pure integer
+    * arithmetic. The normalization a training pipeline runs before
+    * feature extraction, as the same partition-batched decode shape.
+    */
+  def resizeImage(m: MediaRecord, w: Int, h: Int): Option[ResizedFeatures] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map { im =>
+      val (sw, sh) = (im.getWidth, im.getHeight)
+      var r = 0L; var g = 0L; var b = 0L
+      var y = 0
+      while (y < h) {
+        val sy = y * sh / h
+        var x = 0
+        while (x < w) {
+          val sx = x * sw / w
+          val p = im.getRGB(sx, sy)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      def mean(s: Long): Double =
+        java.math.BigDecimal.valueOf(s.toDouble / n)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      ResizedFeatures(m.id, sw.toLong, sh.toLong, w.toLong, h.toLong,
+        mean(r), mean(g), mean(b))
+    }
+  }
+
+  /** Partition-batched resize — the [[extractImageFeatures]] shape with
+    * a target geometry; undecodable payloads are dropped.
+    */
+  def resizeFeatures(media: Dataset[MediaRecord], w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(resizeImage(_, w, h)))
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class MediaFrame(
       id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)

@@ -697,6 +697,36 @@ object ExtensionQueries {
       |  round(CAST(sum((x + y*3) % 256) AS DOUBLE) / (max(w)*max(h)), 4) AS mean_b
       |FROM px GROUP BY doc_id ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Nearest-neighbor image RESIZE through the driver gate
+    * ([[Multimodal.resizeImage]]): the gradient fixtures decode and
+    * resample to 8×6 with the exact integer pixel mapping
+    * `sx = (x·srcW) div 8`, so the oracle reproduces the resized
+    * channel means in closed form — a wrong rounding direction, an
+    * off-by-one in the mapping, or a float scale factor fails the hash.
+    */
+  val q98: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ids = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200).select("doc_id").as[java.lang.Long]
+    Multimodal.resizeFeatures(Multimodal.fixtureImageCorpus(ids), 8, 6)
+      .toDF().orderBy("id")
+  }
+  val q98Sql: String =
+    """WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS sw, 9 + doc_id % 5 AS sh
+      |    FROM documents WHERE doc_id < 200),
+      |px AS (SELECT doc_id, sw, sh,
+      |    (x.x * sw) // 8 AS sx, (y.y * sh) // 6 AS sy
+      |  FROM d CROSS JOIN range(8) x(x) CROSS JOIN range(6) y(y))
+      |SELECT doc_id AS id, CAST(max(sw) AS BIGINT) AS src_w,
+      |  CAST(max(sh) AS BIGINT) AS src_h,
+      |  CAST(8 AS BIGINT) AS w, CAST(6 AS BIGINT) AS h,
+      |  round(CAST(sum((sx*7 + sy) % 256) AS DOUBLE) / 48, 4) AS mean_r,
+      |  round(CAST(sum((sy*5) % 256) AS DOUBLE) / 48, 4) AS mean_g,
+      |  round(CAST(sum((sx + sy*3) % 256) AS DOUBLE) / 48, 4) AS mean_b
+      |FROM px GROUP BY doc_id ORDER BY id""".stripMargin
+
   // ---------------------------------------------------------------- q37
   /** KMV distinct-cardinality sketch (k=64) of parts per return flag —
     * the portable, exactly-checkable alternative to HLL.
@@ -851,6 +881,7 @@ object ExtensionQueries {
     "q55_ann_pq" -> q55,
     "q56_ann_ivfpq" -> q56,
     "q57_image_decode" -> q57,
+    "q98_image_resize" -> q98,
     "q21_dedup_ngram_jaccard" -> q21,
     "q22_dedup_minhash_lsh" -> q22,
     "q23_simhash" -> q23,
@@ -878,6 +909,7 @@ object ExtensionQueries {
     "q55_ann_pq" -> q55Sql,
     "q56_ann_ivfpq" -> q56Sql,
     "q57_image_decode" -> q57Sql,
+    "q98_image_resize" -> q98Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q23_simhash" -> q23Sql,

@@ -64,4 +64,32 @@ class MultimodalImageSpec extends SparkSuite {
     val got = Multimodal.extractImageFeatures(media).collect()
     assert(got.map(_.id).toSeq == Seq(1L))
   }
+
+  test("nearest-neighbor resize picks the exact integer-mapped source pixels") {
+    // 16×9 gradient resized to 4×3: target (x,y) samples source
+    // (x*16 div 4, y*9 div 3) = (4x, 3y) — expected means from the
+    // gradient formula over exactly those 12 source pixels
+    val media = Seq(MediaRecord(7L, fixture(16, 9, "png"), "image/png", 16))
+      .toDS().repartition(2)
+    val got = Multimodal.resizeFeatures(media, 4, 3).collect()
+    assert(got.length == 1)
+    val f = got.head
+    assert((f.src_w, f.src_h, f.w, f.h) == (16L, 9L, 4L, 3L))
+    var r = 0L; var g = 0L; var b = 0L
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val (sx, sy) = (4 * x, 3 * y)
+      r += (sx * 7 + sy) % 256; g += (sy * 5) % 256; b += (sx + sy * 3) % 256
+    }
+    def m(s: Long) = java.math.BigDecimal.valueOf(s / 12.0)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    assert((f.mean_r, f.mean_g, f.mean_b) == (m(r), m(g), m(b)))
+  }
+
+  test("resize of an undecodable payload is dropped") {
+    val media = Seq(
+      MediaRecord(1L, fixture(10, 10, "png"), "image/png", 10),
+      MediaRecord(2L, Array[Byte](1, 2, 3), "image/png", 0)).toDS()
+    assert(Multimodal.resizeFeatures(media, 2, 2).collect().map(_.id).toSeq
+      == Seq(1L))
+  }
 }
