@@ -539,7 +539,41 @@ object RelationalQueries2 {
       |  UNION ALL SELECT 'fk_part_size_gt10', base.n, fk2.v FROM base CROSS JOIN fk2)
       |ORDER BY rule""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Correlated subqueries — EXISTS, NOT EXISTS, and two scalar
+    * subqueries in the projection: the SQL surface Catalyst decorrelates
+    * into semi/anti/left joins (run `.explain` and the subqueries are
+    * gone). Customers with at least one 100k+ order and no pending
+    * orders, with their max order value and order count inlined.
+    */
+  val q99: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("cust_sq")
+    Tables.orders(s, dir).createOrReplaceTempView("ord_sq")
+    s.sql("""SELECT c_custkey, c_name,
+        (SELECT CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         FROM ord_sq WHERE o_custkey = c_custkey) AS max_order_c,
+        (SELECT count(*) FROM ord_sq WHERE o_custkey = c_custkey) AS n_orders
+      FROM cust_sq
+      WHERE EXISTS (SELECT 1 FROM ord_sq
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        AND NOT EXISTS (SELECT 1 FROM ord_sq
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey""")
+  }
+  val q99Sql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+      |   FROM orders WHERE o_custkey = c_custkey) AS max_order_c,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |        WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q99_subqueries" -> q99,
     "q97_dq_checks" -> q97,
     "q95_scd2_history" -> q95,
     "q96_range_windows" -> q96,
@@ -555,6 +589,7 @@ object RelationalQueries2 {
     "q46_distinct_agg" -> q46)
 
   val oracle: Map[String, String] = Map(
+    "q99_subqueries" -> q99Sql,
     "q97_dq_checks" -> q97Sql,
     "q95_scd2_history" -> q95Sql,
     "q96_range_windows" -> q96Sql,
