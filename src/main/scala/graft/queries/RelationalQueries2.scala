@@ -572,7 +572,49 @@ object RelationalQueries2 {
       |        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       |ORDER BY c_custkey""".stripMargin
 
+  // --------------------------------------------------------------- q100
+  /** Six-table star join (the TPC-H Q5 shape): revenue per nation for
+    * one region and a two-year window, requiring the customer and the
+    * line's supplier to share a nation. The join-ordering/broadcast
+    * stress test: region→nation prune first, dimensions broadcast, the
+    * two fact tables carry the only shuffles. Per-row revenue is
+    * integer cents so the six-way aggregation is order-free.
+    */
+  val q100: Q = (s, dir) => {
+    val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, dir), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1998-01-01"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).as("revenue_c"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_c").desc, col("n_name"))
+  }
+  val q100Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))
+      |    AS BIGINT) AS revenue_c,
+      |  count(*) AS n_lines
+      |FROM region
+      |JOIN nation ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue_c DESC, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q100_star_join" -> q100,
     "q99_subqueries" -> q99,
     "q97_dq_checks" -> q97,
     "q95_scd2_history" -> q95,
@@ -589,6 +631,7 @@ object RelationalQueries2 {
     "q46_distinct_agg" -> q46)
 
   val oracle: Map[String, String] = Map(
+    "q100_star_join" -> q100Sql,
     "q99_subqueries" -> q99Sql,
     "q97_dq_checks" -> q97Sql,
     "q95_scd2_history" -> q95Sql,

@@ -98,6 +98,35 @@ class PlanAssertSpec extends SparkSuite {
       p.take(3000))
   }
 
+  test("q100 star join broadcasts every dimension; facts carry the only shuffles") {
+    val p = executed("q100_star_join")
+    // region, nation, customer, supplier are all broadcast-sized; the
+    // only SMJ permitted is orders⋈lineitem (two fact tables)
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj:\n" + p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
+  test("q94 KMV sketches partial-aggregate before their exchange") {
+    val p = executed("q94_kmv_join_estimate")
+    // min-k typed aggregator: per side, an ObjectHashAggregate BELOW the
+    // exchange (map-side combining ships <= k longs per partition)
+    val partials = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(partials >= 4, s"expected partial+final per side, got $partials:\n" +
+      p.take(4000))
+    assert(!p.contains("SortMergeJoin"), "sketch combine fell back to SMJ:\n" +
+      p.take(4000))
+  }
+
+  test("q91 incremental maintenance joins only the slim (pk, group, value) columns") {
+    val p = planOf("q91_incremental_agg")
+    val reads = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    // the diff join must not drag full order rows through the shuffle
+    assert(reads.nonEmpty && reads.forall(r =>
+        !r.contains("o_orderpriority") && !r.contains("o_orderdate")),
+      s"unpruned diff scan:\n${reads.mkString("\n")}")
+  }
+
   test("curation sampling/splitting adds no requirement-driven shuffle") {
     for (q <- Seq("q47_stratified_sample", "q48_hash_split")) {
       // the final orderBy adds a range exchange for output ordering, and
