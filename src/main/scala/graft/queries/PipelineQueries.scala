@@ -365,11 +365,19 @@ object PipelineQueries {
     * signed hashing-trick bag-of-words into 64 integer dimensions — the
     * deterministic text→vector bridge into the ANN operators. Exact
     * integer construction replays bit-for-bit in SQL.
+    *
+    * The operator returns (id, features array); the ORACLE row shape is
+    * the posexploded (doc_id, dim, value) — array-typed FINAL columns
+    * crash the driver's pandas comparator (sort_values on ndarray cells),
+    * so every dimension is emitted as its own scalar row. Same values,
+    * 64× the rows, hash-comparable.
     */
   val q72: Q = (s, dir) =>
     TextOps.featureHashTable(Tables.documents(s, dir), "doc_id", "text", 64)
       .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
+      .withColumn("dim", col("dim").cast("long"))
+      .orderBy("doc_id", "dim")
   val q72Sql: String = {
     def h48(e: String) = s"('0x'||substr(md5($e),1,12))::BIGINT"
     val dims = (0 until 64).map(k =>
@@ -381,11 +389,16 @@ object PipelineQueries {
        |h AS (SELECT doc_id,
        |    ${h48("t")} % 64 AS j,
        |    (${h48("t || '#s'")} % 2) * 2 - 1 AS sgn
-       |  FROM toks)
-       |SELECT doc_id, [
+       |  FROM toks),
+       |f AS (SELECT doc_id, [
        |    $dims
        |  ] AS features
-       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM h GROUP BY doc_id)
+       |SELECT * FROM (
+       |  SELECT doc_id, CAST(unnest(range(0, 64)) AS BIGINT) AS dim,
+       |    unnest(features) AS value
+       |  FROM f
+       |) ORDER BY doc_id, dim""".stripMargin
   }
 
   // ---------------------------------------------------------------- q73
