@@ -290,36 +290,58 @@ object Dedup {
     * labels are localCheckpoint-ed — iterative self-referencing plans
     * otherwise grow a lineage the optimizer re-analyzes exponentially —
     * and the per-round convergence check is one count, the only
-    * driver-side step. Output: (id, comp) with comp = min id reachable.
+    * driver-side step. Round N−1's checkpoint blocks are released as
+    * soon as round N's convergence count has consumed them
+    * ([[Lineage.checkpointTracked]]), so live checkpoint storage stays
+    * O(nodes) regardless of the round count.
+    * Output: (id, comp) with comp = min id reachable.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsManaged(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus a cleanup thunk releasing the two
+    * checkpoint frames the result still reads from (the symmetrized edge
+    * list and the final labels) — call after the consuming action; the
+    * result cannot be recomputed afterwards (checkpoints truncate
+    * lineage). The thunk-less overload leaves those two to the session
+    * (fine for one-shot jobs; long-running hosts should use this one).
+    */
+  def connectedComponentsManaged(pairs: DataFrame, maxIter: Int = 20)
+      : (DataFrame, () => Unit) = {
+    val (edges, releaseEdges) = Lineage.checkpointTracked(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var (labels, releaseLabels) = Lineage.checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("nb_comp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nb_comp")).as("nb_min"))
-      val next = labels.join(nbMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+      val (next, releaseNext) = Lineage.checkpointTracked(
+        labels.join(nbMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nb_min"), col("comp"))).as("comp")))
       changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).count()
+      // the convergence count was round N−1's last consumer
+      releaseLabels()
       labels = next
+      releaseLabels = releaseNext
       iter += 1
     }
-    if (changed > 0)
+    if (changed > 0) {
+      releaseLabels(); releaseEdges()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing) — the pair graph has a " +
           "cluster with diameter > maxIter; rerun with a larger maxIter " +
           "rather than consuming non-converged (wrong) labels")
-    labels
+    }
+    val releaseFinal = releaseLabels
+    (labels, () => { releaseFinal(); releaseEdges() })
   }
 
   /** SimHash over distinct tokens: bit b of the result is set iff the

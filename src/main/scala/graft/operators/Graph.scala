@@ -36,8 +36,9 @@ object Graph {
     * can replay it as a CTE chain.
     *
     * Returns (result, cleanup): the symmetrized edge frame is persisted
-    * (it feeds every iteration); call cleanup() after the consuming
-    * action to release it.
+    * (it feeds every iteration) and the last iteration's checkpoint
+    * stays live (the result's plan reads from it); call cleanup() after
+    * the consuming action to release both.
     */
   def pageRankManaged(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L,
@@ -48,7 +49,8 @@ object Graph {
         col("src").cast("long").as("dst")))
       .distinct()
     val und = if (persist) und0.persist(StorageLevel.MEMORY_AND_DISK) else und0
-    val cleanup = () => if (persist) { und.unpersist(); () }
+    var release: () => Unit = () => ()
+    val cleanup = () => { if (persist) und.unpersist(); release() }
 
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n"))
@@ -74,8 +76,15 @@ object Graph {
       // without cutting lineage the duplicated subtree doubles per level
       // (2^iters evaluations of iteration 1). localCheckpoint each round
       // — the connectedComponents pattern — makes every round compute
-      // exactly once; exact-integer scores are unaffected.
-      if (i < iters) sc = sc.localCheckpoint(true)
+      // exactly once; exact-integer scores are unaffected. Round i's
+      // checkpoint is the only thing referencing round i−1's, so the
+      // older blocks are released the moment the newer ones materialize.
+      if (i < iters) {
+        val (cp, rel) = Lineage.checkpointTracked(sc)
+        release()
+        release = rel
+        sc = cp
+      }
     }
     (sc.select(col("node"), col("deg"), col("score")), cleanup)
   }
