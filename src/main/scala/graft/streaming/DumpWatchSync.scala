@@ -51,8 +51,81 @@ object DumpWatchSync {
     */
   def processDump(spark: SparkSession, dumpPath: String, stateDir: String,
       batchId: Long, emitScripts: Boolean = true,
+      scriptTs: String = "STREAM"): Unit =
+    processBatch(spark, Seq(dumpPath), stateDir, batchId, emitScripts, scriptTs)
+
+  /** Process one micro-batch of arrivals (oldest first). A burst of N
+    * queued dumps used to serialize N full diff+snapshot+script jobs on
+    * the driver; instead:
+    *
+    *  - per-arrival SCRIPTS keep their contract — one script per
+    *    consecutive (previous, arriving) pair, each byte-identical to the
+    *    batch CLI on that pair — but the N independent script jobs are
+    *    submitted CONCURRENTLY (Spark schedules jobs from multiple
+    *    driver threads fine; syncDistributed touches no session-level
+    *    mutable state);
+    *  - the snapshot / op-log / maintained-stats advance is COALESCED to
+    *    latest-wins: one diff of (previous snapshot → newest dump). The
+    *    op log then carries the burst's NET row changes (a row inserted
+    *    by dump 2 and deleted by dump 5 never surfaces), which is
+    *    exactly the semantics of diffing snapshots — the intermediate
+    *    dumps were never "current" for any downstream reader;
+    *  - schema drift stays per consecutive pair (the alert channel must
+    *    not skip a migration that appeared and was reverted mid-burst).
+    */
+  def processBatch(spark: SparkSession, dumpPaths: Seq[String],
+      stateDir: String, batchId: Long, emitScripts: Boolean = true,
       scriptTs: String = "STREAM"): Unit = {
+    if (dumpPaths.isEmpty) return
     val job = new SyncJob(spark)
+    val prevDump = readState(latestDumpPath(stateDir))
+    val chain = prevDump.toSeq ++ dumpPaths
+
+    if (emitScripts && chain.size >= 2) {
+      val scriptsDir = Paths.get(stateDir, "scripts")
+      Files.createDirectories(scriptsDir)
+      val pairs = chain.sliding(2).toSeq
+        .collect { case Seq(prev, cur) => (prev, cur) }.zipWithIndex
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(4, pairs.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val renders = pairs.map { case ((prev, cur), i) =>
+          scala.concurrent.Future {
+            val partsDir = Files.createTempDirectory("graft_watch_script")
+            job.syncDistributed(cur, prev, partsDir.toString, scriptTs)
+            val name =
+              f"sync_b$batchId%05d_$i%03d_${Paths.get(cur).getFileName}.sql"
+            writeConcatenated(partsDir, scriptsDir.resolve(name))
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(renders),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+
+    // schema-drift log: column-level DDL changes between consecutive
+    // arrivals (engine.SchemaDiff — added/dropped/retyped columns, PK
+    // changes) appended to `stateDir/schema_changes/`. This is the alert
+    // channel that surfaces an unreviewed migration the moment it lands.
+    chain.sliding(2).foreach {
+      case Seq(prev, cur) =>
+        val changes = graft.engine.SchemaDiff.diffDumps(spark, cur, prev)
+        if (changes.nonEmpty) {
+          import spark.implicits._
+          changes.toDF()
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("source_file", lit(cur))
+            .write.mode(SaveMode.Append).parquet(s"$stateDir/schema_changes")
+        }
+      case _ => ()
+    }
+
+    // snapshot / op log / stats: latest-wins — only the newest dump
+    // becomes current state; the diff below carries the burst's net ops
+    val dumpPath = dumpPaths.last
     val stmts = DumpSource.statements(spark, dumpPath)
     val cat = job.catalog(stmts)
     val incoming = job.records(DumpSource.statements(spark, dumpPath), cat)
@@ -103,42 +176,6 @@ object DumpWatchSync {
     newStats.write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/stats_snapshot_v$batchId")
 
-    val prevDump = readState(latestDumpPath(stateDir))
-
-    // schema-drift log: column-level DDL changes vs the previous arrival
-    // (engine.SchemaDiff — added/dropped/retyped columns, PK changes)
-    // appended to `stateDir/schema_changes/`. Row-level ops ride along
-    // inside CREATE text invisibly; this is the alert channel that
-    // surfaces an unreviewed migration the moment it lands.
-    prevDump.foreach { pd =>
-      val changes = graft.engine.SchemaDiff.diffDumps(spark, dumpPath, pd)
-      if (changes.nonEmpty) {
-        import spark.implicits._
-        changes.toDF()
-          .withColumn("batch_id", lit(batchId))
-          .withColumn("source_file", lit(dumpPath))
-          .write.mode(SaveMode.Append).parquet(s"$stateDir/schema_changes")
-      }
-    }
-
-    // full-script emission vs the previous dump file: the reference's
-    // two-snapshot semantics. Rendered through the DISTRIBUTED full-script
-    // sink (executor-side statement rendering, O(tables) driver rows) —
-    // job.run would collect every op (with both value arrays) to the
-    // driver per arrival, reintroducing exactly the driver-sized
-    // collection the distributed sink exists to avoid. The sorted part
-    // files concatenate to the batch CLI's script + trailing '\n'
-    // (DistributedSinkSpec), so the emitted .sql stays byte-identical.
-    if (emitScripts) {
-      prevDump.foreach { pd =>
-        val partsDir = Files.createTempDirectory("graft_watch_script")
-        job.syncDistributed(dumpPath, pd, partsDir.toString, scriptTs)
-        val scriptsDir = Paths.get(stateDir, "scripts")
-        Files.createDirectories(scriptsDir)
-        val name = f"sync_b$batchId%05d_${Paths.get(dumpPath).getFileName}.sql"
-        writeConcatenated(partsDir, scriptsDir.resolve(name))
-      }
-    }
     // always track the last-applied dump, so the schema-drift log works
     // with emitScripts off (the at-scale watcher default elsewhere)
     Files.write(latestDumpPath(stateDir), dumpPath.getBytes("UTF-8"),
@@ -204,11 +241,9 @@ object DumpWatchSync {
         val files = batch.select("path", "modificationTime")
           .collect()
           .sortBy(r => (r.getTimestamp(1).getTime, r.getString(0)))
-          .map(_.getString(0))
-        files.foreach { f =>
-          processDump(spark, f.stripPrefix("file:"), stateDir, batchId,
-            emitScripts, scriptTs)
-        }
+          .map(_.getString(0).stripPrefix("file:"))
+        processBatch(spark, files.toSeq, stateDir, batchId,
+          emitScripts, scriptTs)
       }
       .start()
   }

@@ -98,6 +98,73 @@ class DumpWatchSyncSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("a 5-dump burst in ONE batch: per-arrival scripts byte-match the batch CLI, state coalesces latest-wins") {
+    val watchDir = Files.createTempDirectory("graft-watch-burst")
+    val stateDir = Files.createTempDirectory("graft-state-burst").toString
+    def dump(rows: Seq[(Int, Int)]): String =
+      ddl + "INSERT INTO `t` (`id`, `v`) VALUES\n" +
+        rows.map { case (id, v) => s"($id, $v)" }.mkString(",\n") + ";\n"
+    // d3/d4 insert pk 99 and d5 removes it again: latest-wins op-log
+    // coalescing must never surface the mid-burst transient
+    val dumps = Seq(
+      dump(Seq(1 -> 10)),
+      dump(Seq(1 -> 20)),
+      dump(Seq(1 -> 30, 99 -> 1)),
+      dump(Seq(1 -> 40, 99 -> 2)),
+      dump(Seq(1 -> 50)),
+      dump(Seq(1 -> 60, 2 -> 6)))
+
+    val q = DumpWatchSync.start(spark, watchDir.toString, stateDir, scriptTs = "T")
+    try {
+      // arrival 1 alone seeds the snapshot (batch 0)
+      Files.write(watchDir.resolve("d1.sql"), dumps(0).getBytes("UTF-8"))
+      q.processAllAvailable()
+      // the remaining 5 dumps queue up into ONE micro-batch (batch 1)
+      (1 to 5).foreach { i =>
+        Files.write(watchDir.resolve(s"d${i + 1}.sql"), dumps(i).getBytes("UTF-8"))
+      }
+      q.processAllAvailable()
+
+      // one script per consecutive pair, each byte-identical to the
+      // batch CLI on (arriving, previous)
+      val scripts = Files.list(Paths.get(stateDir, "scripts")).iterator().asScala
+        .toSeq.sortBy(_.getFileName.toString)
+        .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+      assert(scripts.size == 5)
+      val job = new SyncJob(spark)
+      def batchScript(prod: String, backup: String): String = {
+        val p = Files.createTempFile("burst-p", ".sql")
+        Files.write(p, prod.getBytes("UTF-8"))
+        val b = Files.createTempFile("burst-b", ".sql")
+        Files.write(b, backup.getBytes("UTF-8"))
+        SyncSqlGenerator.assemble(job.run(p.toString, b.toString), "T")
+      }
+      (0 until 5).foreach { i =>
+        assert(scripts(i) == batchScript(dumps(i + 1), dumps(i)),
+          s"burst script $i differs from the batch CLI on the same pair")
+      }
+
+      // op log for the burst batch carries the NET change d1 → d6 only:
+      // pk 1 updated, pk 2 inserted, and pk 99 (inserted then deleted
+      // mid-burst) never surfaces
+      val ops = spark.read.parquet(s"$stateDir/ops").collect()
+        .map(r => (r.getAs[String]("pk"), r.getAs[String]("op"),
+          r.getAs[Long]("batch_id"))).toSet
+      assert(ops.filter(_._3 == 1L).map(t => (t._1, t._2)) ==
+        Set(("1", "UPDATE"), ("2", "INSERT")))
+
+      // snapshot + maintained stats advanced to the newest dump
+      val latest = new String(
+        Files.readAllBytes(Paths.get(stateDir, "LATEST")), "UTF-8")
+      val snap = spark.read.parquet(s"$stateDir/$latest")
+        .collect().map(_.getAs[String]("pk")).toSet
+      assert(snap == Set("1", "2"))
+      val stats = spark.read.parquet(s"$stateDir/stats_snapshot_v1")
+        .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("n"))).toSet
+      assert(stats == Set(("t", 2L)))
+    } finally q.stop()
+  }
+
   test("watched seed-42 dump sequence emits scripts byte-identical to the batch CLI") {
     def res(name: String): String = {
       val in = getClass.getResourceAsStream(s"/refdumps/$name")
