@@ -24,10 +24,48 @@ import graft.report.SummaryReporter
   * schema evolution between the dumps (engine.SchemaDiff — columns
   * added/dropped/retyped, PK changes) and exit without generating a
   * sync script.
+  *
+  * `--history <stateDir> <table> [pk]` switches to the temporal report:
+  * SCD-2 validity runs (engine.Scd) over the versioned snapshots a
+  * DumpWatchSync watcher wrote under `stateDir` — every value a row held
+  * and for which version range, optionally filtered to one pk.
   */
 object Main {
 
   def main(rawArgs: Array[String]): Unit = {
+    val histIdx = rawArgs.indexOf("--history")
+    if (histIdx >= 0) {
+      if (histIdx + 2 >= rawArgs.length) {
+        System.err.println("❌ Usage: --history <stateDir> <table> [pk]")
+        sys.exit(1)
+      }
+      val stateDir = rawArgs(histIdx + 1)
+      val table = rawArgs(histIdx + 2)
+      val pk = rawArgs.lift(histIdx + 3)
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-history")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val hist = graft.engine.Scd.historyFromState(spark, stateDir, table, pk)
+          .collect()
+        println(s"History for `$table`${pk.fold("")(p => s" pk=$p")}:")
+        if (hist.isEmpty) println("  (no runs)")
+        else hist.foreach { r =>
+          val vals = r.getAs[Seq[String]]("vals").mkString(", ")
+          val to = Option(r.get(r.fieldIndex("ver_to")))
+            .map(_.toString).getOrElse("current")
+          println(s"  pk=${r.getAs[String]("pk")} [v${r.getAs[Long]("ver_from")}" +
+            s" → $to): ($vals)")
+        }
+      } finally spark.stop()
+      return
+    }
     val distIdx = rawArgs.indexOf("--distributed-out")
     val distributedOut =
       if (distIdx >= 0 && distIdx + 1 < rawArgs.length) Some(rawArgs(distIdx + 1))

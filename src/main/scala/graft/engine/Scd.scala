@@ -57,4 +57,31 @@ object Scd {
     runs.select(pkCols.map(col) ++ valCols.map(col) :+
       col("ver_from") :+ col("ver_to"): _*)
   }
+
+  /** SCD-2 history straight from a watcher state directory
+    * ([[graft.streaming.DumpWatchSync]] writes `snapshot_v<N>/` parquet
+    * per arrival): stack every version tagged with its batch number,
+    * restrict to one table (and optionally one pk), and collapse into
+    * validity runs — the CLI's `--history` report mode. Versions are
+    * discovered from the directory names, so the report works on any
+    * state dir without a manifest.
+    */
+  def historyFromState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, table: String, pk: Option[String] = None): DataFrame = {
+    val dir = new java.io.File(stateDir)
+    val snaps = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snapshot_v"))
+      .flatMap(f => f.getName.stripPrefix("snapshot_v").toLongOption
+        .map(v => (v, f.getAbsolutePath)))
+      .sortBy(_._1)
+    require(snaps.nonEmpty, s"no snapshot_v* directories under $stateDir")
+    val stacked = snaps.map { case (v, path) =>
+      spark.read.parquet(path)
+        .filter(col("table") === table)
+        .select(lit(v).as("__v"), col("pk"), col("vals"))
+    }.reduce(_.unionByName(_))
+    val hist = scd2(stacked, "__v", Seq("pk"), Seq("vals"))
+    pk.fold(hist)(p => hist.filter(col("pk") === p))
+      .orderBy("pk", "ver_from")
+  }
 }

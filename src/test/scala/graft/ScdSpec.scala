@@ -32,6 +32,45 @@ class ScdSpec extends SparkSuite {
       (4L, "n", 2L, None)))
   }
 
+  test("historyFromState reads a watcher state dir into per-pk validity runs") {
+    import java.nio.file.Files
+    val watchDir = Files.createTempDirectory("graft-watch-hist")
+    val stateDir = Files.createTempDirectory("graft-state-hist").toString
+    val ddl = """CREATE TABLE `t` (
+                |  `id` INT,
+                |  `v` INT,
+                |  PRIMARY KEY (`id`)
+                |) ENGINE=InnoDB;
+                |""".stripMargin
+    def dump(rows: (Int, Int)*): String =
+      ddl + "INSERT INTO `t` (`id`, `v`) VALUES\n" +
+        rows.map { case (id, v) => s"($id, $v)" }.mkString(",\n") + ";\n"
+    val q = graft.streaming.DumpWatchSync.start(
+      spark, watchDir.toString, stateDir, emitScripts = false)
+    try {
+      // v0: {1→10, 2→20}; v1: 2 updated; v2: 2 deleted, 3 inserted
+      Seq(dump(1 -> 10, 2 -> 20), dump(1 -> 10, 2 -> 21),
+          dump(1 -> 10, 3 -> 30)).zipWithIndex.foreach { case (d, i) =>
+        Files.write(watchDir.resolve(s"d$i.sql"), d.getBytes("UTF-8"))
+        q.processAllAvailable()
+      }
+      val hist = Scd.historyFromState(spark, stateDir, "t")
+        .collect()
+        .map(r => (r.getAs[String]("pk"), r.getAs[Seq[String]]("vals").mkString("|"),
+          r.getAs[Long]("ver_from"), Option(r.get(r.fieldIndex("ver_to")))))
+        .toSeq
+      assert(hist == Seq(
+        ("1", "1|10", 0L, None),
+        ("2", "2|20", 0L, Some(1L)),
+        ("2", "2|21", 1L, Some(2L)),
+        ("3", "3|30", 2L, None)))
+      // single-pk filter
+      val one = Scd.historyFromState(spark, stateDir, "t", Some("2"))
+        .collect().map(_.getAs[String]("pk")).toSeq
+      assert(one == Seq("2", "2"))
+    } finally q.stop()
+  }
+
   test("scd2 null values are tracked null-safely") {
     val stacked = Seq(
       (0L, 1L, Option.empty[String]), (1L, 1L, Some("v")), (2L, 1L, None)
