@@ -74,6 +74,33 @@ class SkewAndIvfSpec extends SparkSuite {
     assert(pq == pq2)
   }
 
+  test("ivf+pq recall@5 rises monotonically with nprobe, reaching exhaustive at nprobe=nlist") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+    def topk(nprobe: Int): Set[(Long, Long)] =
+      Similarity.ivfPqTopK(e, q, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = nprobe, m = 16, ksub = 64)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // Baseline = exhaustive probing (nprobe = nlist): every candidate is
+    // ADC-scored, so it isolates what probing loses. Against THIS
+    // baseline recall is provably monotone — candidates(nprobe) only
+    // grows, ADC scores are fixed per (query, id), and a top-k item
+    // present in a candidate set always survives selection over it.
+    val full = topk(16)
+    val recalls = Seq(1, 2, 4, 8, 16).map { p =>
+      (p, (topk(p) & full).size.toDouble / full.size)
+    }
+    recalls.sliding(2).foreach {
+      case Seq((p1, r1), (p2, r2)) =>
+        assert(r1 <= r2, s"recall fell nprobe=$p1 ($r1) -> nprobe=$p2 ($r2)")
+      case _ => ()
+    }
+    assert(recalls.last._2 == 1.0)
+    assert(recalls.head._2 < 1.0,
+      "nprobe=1 must actually prune candidates, or the knob is dead " +
+        s"(recalls: $recalls)")
+  }
+
   test("ivf+pq returns k ADC-ranked neighbors from probed cells only") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 10)
