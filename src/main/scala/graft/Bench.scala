@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import java.util.Locale
 
 import org.apache.spark.sql.SparkSession
 
@@ -11,6 +12,16 @@ import graft.tools.DumpGen
   * core (dump pair → diff → script) on SPARK_GRAFT_SF_DIR, printing one
   * JSON line. The sync timing is directly comparable to BASELINE.md's
   * reference wall times (same dump shapes, same perturbation rates).
+  *
+  * Noise defense (round 7): the round-6 artifact showed warm>cold
+  * inversions up to 7× from mid-run co-tenancy that the single startup
+  * load probe could not see. Every entry is now bracketed by short
+  * CPU-spin probes recorded next to its timing; warm is the median of
+  * three runs; an entry whose bracketing probe deviates >1.5× from the
+  * session baseline is retried (up to 2 more attempts, keeping the
+  * quietest), and entries still noisy after retries are listed under
+  * `"noisy"` so the driver can discount them instead of reading
+  * contamination as regression.
   */
 object Bench {
 
@@ -38,41 +49,100 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Box-load probe: a fixed CPU-bound spin timed single-threaded and at
-    // full thread fan-out. Query timings from different runs/hosts are
-    // only comparable after normalizing by these — a co-scheduled judge
-    // process or cgroup CPU cap shows up here, not in the engine.
+    // Box-load probe: a fixed CPU-bound spin. Query timings from
+    // different runs/hosts are only comparable after normalizing by
+    // these — a co-scheduled process or cgroup CPU cap shows up here,
+    // not in the engine.
     def spin(iters: Long): Long = {
       var h = 0x9E3779B97F4A7C15L; var i = 0L
       while (i < iters) { h ^= h << 13; h ^= h >>> 7; h ^= h << 17; i += 1 }
       h
     }
-    val probeIters = 400000000L
-    val probeSt = time(spin(probeIters))
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    // Startup probes kept at the round-4..6 iteration counts so the
+    // values stay comparable across round artifacts.
+    val startupIters = 400000000L
+    val probeSt = time(spin(startupIters))
     val probeMt = time {
       val ts = (0 until cpus.toInt).map(_ =>
-        new Thread(() => { spin(probeIters); () }))
+        new Thread(() => { spin(startupIters); () }))
       ts.foreach(_.start()); ts.foreach(_.join())
     }
+    // Per-entry probes are short (~0.15 s) — they bracket every entry, so
+    // their cost must stay a rounding error next to the timings they
+    // guard. Deviation is a ratio, so the shorter spin changes nothing.
+    val entryProbeIters = 100000000L
+    def entryProbe(): Double = time(spin(entryProbeIters))
+    val probeBase = median((1 to 5).map(_ => entryProbe()))
+    val noisyFactor = 1.5
 
     // Full materialization (all output columns through the noop sink), so
     // expensive final projections aren't pruned the way .count() allows.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // Each query is timed twice from a cleared cache state: cold (charged
-    // for codegen compile + any operator-internal persists) and warm (the
-    // steady-state number a long-running cluster sees). clearCache between
-    // queries keeps timings independent — operators that persist internal
-    // frames (q21/q22's shingle index) otherwise leak cached blocks into
-    // later entries.
+    // One entry = probe, cold from a cleared cache state (charged for
+    // codegen compile + operator-internal persists), median-of-3 warm
+    // (the steady-state number a long-running cluster sees), probe.
+    //
+    // An attempt counts as NOISY when any of three independent signals
+    // fires — each catches a contamination mode the others miss:
+    //  - bracketing CPU probe >1.5× the session baseline (co-scheduled
+    //    CPU load, cgroup caps);
+    //  - warm spread: max > 2×min (+0.2 s jitter floor) across the three
+    //    warm runs (an episodic stall — I/O contention, GC debt from
+    //    earlier entries — that hits mid-entry and is gone before the
+    //    closing probe, the round-6 artifact's exact signature);
+    //  - inversion: median warm > 1.5× cold (+0.5 s) — back-to-back runs
+    //    in one JVM never legitimately do this; cold carries codegen and
+    //    internal-persist costs warm doesn't.
+    // Noisy attempts are retried (up to 2 more) after a System.gc() — if
+    // the stall was this JVM's own GC debt, pay it between timings, not
+    // inside one — keeping the attempt with the smallest cold+warm
+    // (contamination only ever inflates). Entries still noisy after
+    // retries are listed under "noisy" for the driver to discount.
+    def runEntry(body: () => Unit): (Double, Double, Double, Boolean) = {
+      def attempt(): (Double, Seq[Double], Double) = {
+        val p0 = entryProbe()
+        spark.catalog.clearCache()
+        val cold = try time(body()) catch { case _: Throwable => -1.0 }
+        val warms =
+          if (cold < 0) Seq(-1.0)
+          else (1 to 3).map(_ =>
+            try time(body()) catch { case _: Throwable => -1.0 })
+        val p1 = entryProbe()
+        (cold, warms, math.max(p0, p1))
+      }
+      def noisy(a: (Double, Seq[Double], Double)): Boolean = {
+        val (cold, warms, probe) = a
+        val ok = warms.filter(_ >= 0)
+        if (cold < 0 || ok.isEmpty) false
+        else probe > probeBase * noisyFactor ||
+          ok.max > ok.min * 2 + 0.2 ||
+          median(ok) > cold * 1.5 + 0.5
+      }
+      def score(a: (Double, Seq[Double], Double)): Double = {
+        val ok = a._2.filter(_ >= 0)
+        a._1 + (if (ok.isEmpty) 0.0 else median(ok))
+      }
+      var best = attempt()
+      var tries = 1
+      while (noisy(best) && tries < 3) {
+        System.gc()
+        val next = attempt()
+        if (score(next) < score(best)) best = next
+        tries += 1
+      }
+      val (cold, warms, probe) = best
+      val ok = warms.filter(_ >= 0)
+      val warm = if (ok.isEmpty) -1.0 else median(ok)
+      (cold, warm, probe, noisy(best))
+    }
+
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      spark.catalog.clearCache()
-      val cold = try time(materialize(fn(spark, sfDir)))
-                 catch { case _: Throwable => -1.0 }
-      val warm = try time(materialize(fn(spark, sfDir)))
-                 catch { case _: Throwable => -1.0 }
-      (name, cold, warm)
+      val (cold, warm, probe, loud) = runEntry(() => materialize(fn(spark, sfDir)))
+      (name, cold, warm, probe, loud)
     }
 
     // Sync core end-to-end (dump generation cached, not timed).
@@ -83,47 +153,49 @@ object Bench {
           Files.exists(Paths.get(cacheDir, "backup.sql")))
         (Paths.get(cacheDir, "prod.sql"), Paths.get(cacheDir, "backup.sql"))
       else DumpGen.generate(spark, sfDir, cacheDir)
-    def runSync(): Double = try time {
-      val (_, script) = new SyncJob(spark)
-        .syncCollected(prodPath.toString, backupPath.toString, "bench")
-      Files.write(Paths.get(cacheDir, "sync_out.sql"), script.getBytes("UTF-8"))
-    } catch { case _: Throwable => -1.0 }
-    spark.catalog.clearCache()
-    val syncCold = runSync()
-    val syncWarm = runSync()
+    val syncEntries = Seq[(String, () => Unit)](
+      ("sync_dump_diff", () => {
+        val (_, script) = new SyncJob(spark)
+          .syncCollected(prodPath.toString, backupPath.toString, "bench")
+        Files.write(Paths.get(cacheDir, "sync_out.sql"), script.getBytes("UTF-8"))
+        ()
+      }),
+      // snapshot: repeated runs measure the steady-state cost of
+      // snapshotting a NEW dump (the per-arrival price)
+      ("sync_bucketed_snapshot", () => {
+        graft.engine.BucketedSync.snapshot(spark, prodPath.toString, "bench_bk_prod")
+        graft.engine.BucketedSync.snapshot(spark, backupPath.toString, "bench_bk_backup")
+        ()
+      }),
+      // rediff: the per-comparison cost every repeated sync actually
+      // pays — exchange-free by construction
+      ("sync_bucketed_rediff", () => materialize(
+        graft.engine.BucketedSync.diff(spark, "bench_bk_prod", "bench_bk_backup")))
+    ).map { case (name, body) =>
+      val (cold, warm, probe, loud) = runEntry(body)
+      (name, cold, warm, probe, loud)
+    }
 
-    // Bucketed fast-path: snapshot cost is the one-time record shuffle
-    // (paid per dump); rediff is the per-comparison cost every repeated
-    // sync actually pays — exchange-free by construction.
-    spark.catalog.clearCache()
-    def runSnap(): Double = try time {
-      graft.engine.BucketedSync.snapshot(spark, prodPath.toString, "bench_bk_prod")
-      graft.engine.BucketedSync.snapshot(spark, backupPath.toString, "bench_bk_backup")
-    } catch { case _: Throwable => -1.0 }
-    val snapCold = runSnap()
-    val snapWarm = runSnap() // steady-state cost of snapshotting a NEW dump
-    def runRediff(): Double = try time(materialize(
-      graft.engine.BucketedSync.diff(spark, "bench_bk_prod", "bench_bk_backup")))
-      catch { case _: Throwable => -1.0 }
-    val rediffCold = runRediff()
-    val rediffWarm = runRediff()
-
-    val all = queryTimes :+
-      (("sync_dump_diff", syncCold, syncWarm)) :+
-      (("sync_bucketed_snapshot", snapCold, snapWarm)) :+
-      (("sync_bucketed_rediff", rediffCold, rediffWarm))
-    def jmap(f: ((String, Double, Double)) => Double): String =
-      all.map { case t @ (k, _, _) => "\"" + k + "\":" + f(t) }
+    val all = queryTimes ++ syncEntries
+    def r3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+    def jmap(f: ((String, Double, Double, Double, Boolean)) => Double): String =
+      all.map { case t @ (k, _, _, _, _) => "\"" + k + "\":" + r3(f(t)) }
         .mkString("{", ",", "}")
     val qs = jmap(_._2)
     val warm = jmap(_._3)
+    val probes = jmap(_._4)
+    val noisy = all.filter(_._5).map(_._1)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     val totalWarm = all.map(_._3).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warm,"total_warm":$totalWarm,"probe_st_sec":$probeSt,"probe_mt_sec":$probeMt,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"warm":$warm,"total_warm":${r3(totalWarm)},"probe":$probes,"probe_base_sec":${r3(probeBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"sf":"$sfDir"}"""
     println(line)
     // Also write to a plain file so the driver doesn't have to fish the
     // JSON line out of sbt's [info] prefixes (BENCH_r01 had parsed:null).
+    // bench_out.json is COMMITTED (not gitignored) since round 7: the
+    // driver's capture truncates long lines, so the committed file is the
+    // round's reproducible bench evidence.
     Files.writeString(Paths.get("bench_out.json"), line)
     spark.stop()
   }
