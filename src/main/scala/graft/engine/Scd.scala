@@ -58,6 +58,20 @@ object Scd {
       col("ver_from") :+ col("ver_to"): _*)
   }
 
+  /** Point-in-time reconstruction from [[scd2]] runs: the rows valid AT
+    * version `at` — `ver_from ≤ at` and `at` before `ver_to` (open runs
+    * included). One map-only filter over the runs frame, so time travel
+    * to any version costs a scan of the (compacted) history, not a
+    * replay of the snapshot stack — and since runs are a lossless
+    * encoding, `snapshotAt(scd2(stacked), v)` equals the original
+    * version-v snapshot row-for-row (q101's oracle checks exactly that
+    * against the independent direct-replay path).
+    */
+  def snapshotAt(runs: DataFrame, at: Long): DataFrame =
+    runs.filter(col("ver_from") <= at &&
+        (col("ver_to").isNull || col("ver_to") > at))
+      .drop("ver_from", "ver_to")
+
   /** SCD-2 history straight from a watcher state directory
     * ([[graft.streaming.DumpWatchSync]] writes `snapshot_v<N>/` parquet
     * per arrival): stack every version tagged with its batch number,

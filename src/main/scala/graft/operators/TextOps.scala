@@ -62,6 +62,42 @@ object TextOps {
         when(alphaLen * 2 >= charLen, 1).otherwise(0)).cast("long").as("quality_score"))
   }
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 class of
+    * corpus filters), per document in ONE map-only pass — the standard
+    * LLM-pretraining gate beyond the coarse [[quality]] score. Each rule
+    * is an exact-integer predicate (cross-multiplied ratios, no float
+    * thresholds), so every flag replays bit-for-bit in any engine:
+    *
+    *  - `r_tokens`:   10 ≤ token count ≤ 5000;
+    *  - `r_mean_len`: mean word length in [3, 10] (3n ≤ Σ|w| ≤ 10n);
+    *  - `r_alpha`:    ≥80% of words contain an alphabetic char
+    *                  (5·n_alpha ≥ 4·n);
+    *  - `r_stop`:     ≥2 distinct common stopwords present (the
+    *                  "natural prose" signal);
+    *  - `r_digit`:    ≤10% pure-digit words (10·n_digit ≤ n).
+    *
+    * Output: n_tokens, the five 0/1 flags, and their sum
+    * `gopher_score` — filter at == 5 for the strict gate or threshold
+    * lower for recall.
+    */
+  def gopherRules(text: Column): Seq[Column] = {
+    val w = Portable.tokens(text)
+    val n = size(w).cast("long")
+    val wordChars = aggregate(w, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(w, t => t.rlike("[a-z]"))).cast("long")
+    val nDigit = size(filter(w, t => t.rlike("^[0-9]+$"))).cast("long")
+    val stops = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+    val nStop = size(array_intersect(array_distinct(w), stops)).cast("long")
+    val rTokens = when(n.between(10L, 5000L), 1L).otherwise(0L)
+    val rMeanLen = when(wordChars >= n * 3 && wordChars <= n * 10, 1L).otherwise(0L)
+    val rAlpha = when(nAlpha * 5 >= n * 4, 1L).otherwise(0L)
+    val rStop = when(nStop >= 2, 1L).otherwise(0L)
+    val rDigit = when(nDigit * 10 <= n, 1L).otherwise(0L)
+    Seq(n.as("n_tokens"), rTokens.as("r_tokens"), rMeanLen.as("r_mean_len"),
+      rAlpha.as("r_alpha"), rStop.as("r_stop"), rDigit.as("r_digit"),
+      (rTokens + rMeanLen + rAlpha + rStop + rDigit).as("gopher_score"))
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex
     * (letter runs / digit runs / single other non-space chars).
     */

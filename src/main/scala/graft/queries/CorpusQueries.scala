@@ -236,13 +236,55 @@ object CorpusQueries {
        |FROM t CROSS JOIN r CROSS JOIN x""".stripMargin
   }
 
+  // --------------------------------------------------------------- q101
+  /** Gopher-style quality-rule battery ([[TextOps.gopherRules]]): the
+    * standard LLM-pretraining corpus gate — token-count bounds, mean
+    * word length, alphabetic-word fraction, stopword presence,
+    * digit-word fraction — five exact-integer predicates and their sum
+    * in ONE map-only scan. Cross-multiplied ratios keep every flag
+    * bit-replayable; at 100 TB this runs at read bandwidth with zero
+    * shuffles.
+    */
+  val q101: Q = (s, dir) =>
+    graft.operators.Spread.ensure(Tables.documents(s, dir), "doc_id")
+      .select(col("doc_id") +: TextOps.gopherRules(col("text")): _*)
+      .orderBy("doc_id")
+  val q101Sql: String =
+    """SELECT doc_id, n_tokens, r_tokens, r_mean_len, r_alpha, r_stop,
+      |  r_digit,
+      |  CAST(r_tokens + r_mean_len + r_alpha + r_stop + r_digit
+      |    AS BIGINT) AS gopher_score
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CAST(CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1 ELSE 0 END
+      |      AS BIGINT) AS r_tokens,
+      |    CAST(CASE WHEN wc >= len(w)*3 AND wc <= len(w)*10 THEN 1 ELSE 0 END
+      |      AS BIGINT) AS r_mean_len,
+      |    CAST(CASE WHEN na*5 >= len(w)*4 THEN 1 ELSE 0 END
+      |      AS BIGINT) AS r_alpha,
+      |    CAST(CASE WHEN ns >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+      |    CAST(CASE WHEN nd*10 <= len(w) THEN 1 ELSE 0 END
+      |      AS BIGINT) AS r_digit
+      |  FROM (
+      |    SELECT doc_id, w,
+      |      list_reduce(list_transform(w, t -> length(t)), (a,b) -> a+b) AS wc,
+      |      len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS na,
+      |      len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$'))) AS nd,
+      |      len(list_intersect(list_distinct(w),
+      |        ['the','a','of','and','to','in'])) AS ns
+      |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |          FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_kmv_join_estimate" -> q94,
     "q93_weighted_percentiles" -> q93,
     "q87_sentence_boilerplate" -> q87,
     "q88_median_mad" -> q88,
     "q89_item_cooccurrence" -> q89,
-    "q90_cooccurrence_lift" -> q90)
+    "q90_cooccurrence_lift" -> q90,
+    "q101_gopher_rules" -> q101)
 
   val oracle: Map[String, String] = Map(
     "q94_kmv_join_estimate" -> q94Sql,
@@ -250,5 +292,6 @@ object CorpusQueries {
     "q87_sentence_boilerplate" -> q87Sql,
     "q88_median_mad" -> q88Sql,
     "q89_item_cooccurrence" -> q89Sql,
-    "q90_cooccurrence_lift" -> q90Sql)
+    "q90_cooccurrence_lift" -> q90Sql,
+    "q101_gopher_rules" -> q101Sql)
 }

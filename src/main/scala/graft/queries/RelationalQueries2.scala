@@ -388,7 +388,7 @@ object RelationalQueries2 {
     * runs — the time-travel/audit layer over the sync engine's
     * versioned snapshots. Deletes close runs; reinserts open new ones.
     */
-  val q95: Q = (s, dir) => {
+  private def scdStacked(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     def ver(v: Int, dropMod: Int, bumpMod: Int, bump: Double) =
       o.filter(col("o_orderkey") % 20 =!= dropMod)
@@ -397,13 +397,15 @@ object RelationalQueries2 {
           cents(when(col("o_orderkey") % 20 === bumpMod,
             col("o_totalprice") + bump).otherwise(col("o_totalprice")))
             .as("price_c"))
-    val stacked = ver(0, 2, -1, 0.0)
+    ver(0, 2, -1, 0.0)
       .unionByName(ver(1, 0, 1, 1.0))
       .unionByName(ver(2, 5, 3, 2.0))
-    graft.engine.Scd.scd2(stacked, "ver",
+  }
+
+  val q95: Q = (s, dir) =>
+    graft.engine.Scd.scd2(scdStacked(s, dir), "ver",
         Seq("o_orderkey"), Seq("o_orderstatus", "price_c"))
       .orderBy("o_orderkey", "ver_from")
-  }
   val q95Sql: String =
     """WITH vers AS (SELECT * FROM (VALUES (0), (1), (2)) v(ver)),
       |v0 AS (SELECT 0 AS ver, o_orderkey, o_orderstatus,
@@ -439,6 +441,27 @@ object RelationalQueries2 {
       |SELECT o_orderkey, o_orderstatus, price_c,
       |  CAST(ver AS BIGINT) AS ver_from, CAST(ver_to AS BIGINT) AS ver_to
       |FROM r WHERE present ORDER BY o_orderkey, ver_from""".stripMargin
+
+  // --------------------------------------------------------------- q102
+  /** Point-in-time table reconstruction ([[graft.engine.Scd.snapshotAt]]):
+    * q95's snapshot stack collapsed to SCD-2 runs, then time-traveled
+    * back to version 1 with one filter over the runs. The oracle does
+    * NOT replay the engine path — it rebuilds version 1 directly from
+    * the base table (the independent truth), so the query proves the
+    * grid→runs→filter pipeline is a lossless encoding of the stack.
+    */
+  val q102: Q = (s, dir) =>
+    graft.engine.Scd.snapshotAt(
+        graft.engine.Scd.scd2(scdStacked(s, dir), "ver",
+          Seq("o_orderkey"), Seq("o_orderstatus", "price_c")),
+        at = 1L)
+      .orderBy("o_orderkey")
+  val q102Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CAST(round((CASE WHEN o_orderkey % 20 = 1 THEN o_totalprice + 1.0
+      |    ELSE o_totalprice END)*100) AS BIGINT) AS price_c
+      |FROM orders WHERE o_orderkey % 20 <> 0
+      |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q96
   /** Value-RANGE window frames + distribution window functions — the
@@ -618,6 +641,7 @@ object RelationalQueries2 {
     "q99_subqueries" -> q99,
     "q97_dq_checks" -> q97,
     "q95_scd2_history" -> q95,
+    "q102_time_travel" -> q102,
     "q96_range_windows" -> q96,
     "q91_incremental_agg" -> q91,
     "q92_grouping_sets" -> q92,
@@ -635,6 +659,7 @@ object RelationalQueries2 {
     "q99_subqueries" -> q99Sql,
     "q97_dq_checks" -> q97Sql,
     "q95_scd2_history" -> q95Sql,
+    "q102_time_travel" -> q102Sql,
     "q96_range_windows" -> q96Sql,
     "q91_incremental_agg" -> q91Sql,
     "q92_grouping_sets" -> q92Sql,

@@ -12,6 +12,27 @@ import graft.operators.{EventOps, Sketches, Stats, TextOps}
 class CorpusOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("gopherRules: exact-integer flags on hand-computed documents") {
+    val docs = Seq(
+      // 18 tokens, 64 word chars (3n=54 <= 64 <= 10n=180), all alpha,
+      // 5 distinct stopwords, 0 digit words -> every rule passes
+      (1L, "the quick brown fox jumps over a lazy dog in the sunny field of dreams to win big"),
+      // 12 all-digit tokens: alpha fails, digit fails, mean-len fails
+      // (15 chars < 3*12); only the token-count rule passes
+      (2L, "1 2 3 4 5 6 7 8 9 10 11 12"),
+      // 2 tokens: count fails, no stopwords; mean-len/alpha/digit pass
+      (3L, "hi there"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        graft.operators.TextOps.gopherRules(col("text")): _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 18L, 1L, 1L, 1L, 1L, 1L, 5L),
+      (2L, 12L, 1L, 0L, 0L, 0L, 0L, 1L),
+      (3L, 2L, 0L, 1L, 1L, 0L, 1L, 3L)))
+  }
+
   test("sentenceTable splits on punctuation runs, trims, drops empties, normalizes") {
     val df = Seq(
       (1L, "First one. Second two!  Third three?last stays"),

@@ -32,6 +32,23 @@ class ScdSpec extends SparkSuite {
       (4L, "n", 2L, None)))
   }
 
+  test("snapshotAt reconstructs every version of the stack from the runs") {
+    val stacked = Seq(
+      (0L, 1L, "a"), (1L, 1L, "a"), (2L, 1L, "a"),
+      (0L, 2L, "x"), (1L, 2L, "y"), (2L, 2L, "y"),
+      (0L, 3L, "d"), (2L, 3L, "d"),
+      (2L, 4L, "n")
+    ).toDF("ver", "pk", "v")
+    val runs = Scd.scd2(stacked, "ver", Seq("pk"), Seq("v"))
+    (0L to 2L).foreach { v =>
+      val got = Scd.snapshotAt(runs, v)
+        .as[(Long, String)].collect().toSet
+      val want = stacked.filter($"ver" === v).select("pk", "v")
+        .as[(Long, String)].collect().toSet
+      assert(got == want, s"version $v reconstruction differs")
+    }
+  }
+
   test("historyFromState reads a watcher state dir into per-pk validity runs") {
     import java.nio.file.Files
     val watchDir = Files.createTempDirectory("graft-watch-hist")
