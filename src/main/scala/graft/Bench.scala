@@ -90,10 +90,12 @@ object Bench {
     // fires — each catches a contamination mode the others miss:
     //  - bracketing CPU probe >1.5× the session baseline (co-scheduled
     //    CPU load, cgroup caps);
-    //  - warm spread: max > 2×min (+0.2 s jitter floor) across the three
-    //    warm runs (an episodic stall — I/O contention, GC debt from
-    //    earlier entries — that hits mid-entry and is gone before the
-    //    closing probe, the round-6 artifact's exact signature);
+    //  - warm spread: median > 1.5×min (+0.2 s jitter floor) across the
+    //    three warm runs — an episodic stall (I/O contention, GC debt
+    //    from earlier entries) that hit ≥2 of the runs and so corrupted
+    //    the reported median; one slow outlier run leaves the median
+    //    clean and is NOT flagged (the round-6 artifact's warm>cold
+    //    signature was exactly the corrupted-median case);
     //  - inversion: median warm > 1.5× cold (+0.5 s) — back-to-back runs
     //    in one JVM never legitimately do this; cold carries codegen and
     //    internal-persist costs warm doesn't.
@@ -119,7 +121,7 @@ object Bench {
         val ok = warms.filter(_ >= 0)
         if (cold < 0 || ok.isEmpty) false
         else probe > probeBase * noisyFactor ||
-          ok.max > ok.min * 2 + 0.2 ||
+          median(ok) > ok.min * 1.5 + 0.2 ||
           median(ok) > cold * 1.5 + 0.5
       }
       def score(a: (Double, Seq[Double], Double)): Double = {
