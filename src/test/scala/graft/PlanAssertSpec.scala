@@ -127,6 +127,30 @@ class PlanAssertSpec extends SparkSuite {
       s"unpruned diff scan:\n${reads.mkString("\n")}")
   }
 
+  test("q101 gopher rules is map-only: zero requirement-driven shuffles") {
+    // five rule flags over per-row HOF expressions — the claim is
+    // read-bandwidth at 100 TB, so any aggregate/join exchange is a bug;
+    // only Spread's explicit repartition and the orderBy range exchange
+    // may appear
+    val p = executed("q101_gopher_rules")
+    val required = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains("ENSURE_REQUIREMENTS")).toSeq
+    assert(required.isEmpty,
+      s"gopher rules introduced shuffles:\n${required.mkString("\n")}\n" +
+        p.take(3000))
+  }
+
+  test("q102 time travel broadcasts the version list onto the pk grid") {
+    // the (pk × version) grid comes from crossing distinct pks with the
+    // tiny version frame — that side must broadcast, never SMJ/cartesian
+    // against the pk domain
+    val p = executed("q102_time_travel")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("curation sampling/splitting adds no requirement-driven shuffle") {
     for (q <- Seq("q47_stratified_sample", "q48_hash_split")) {
       // the final orderBy adds a range exchange for output ordering, and
