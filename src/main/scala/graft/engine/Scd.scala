@@ -58,6 +58,52 @@ object Scd {
       col("ver_from") :+ col("ver_to"): _*)
   }
 
+  /** Incrementally advance an SCD-2 run frame by ONE new snapshot
+    * version — the IVM formulation of [[scd2]]: closed runs pass through
+    * untouched, and one full-outer join of the OPEN runs against the new
+    * snapshot (the sync engine's diff shape) classifies each pk:
+    *
+    *  - present both sides, values null-safe equal → run stays open;
+    *  - open but absent from the snapshot (delete) → close at `newVer`;
+    *  - values differ (update) → close at `newVer` AND open a fresh run;
+    *  - snapshot-only (insert/reinsert) → open a fresh run at `newVer`.
+    *
+    * Cost is O(open runs + snapshot rows) per version — history depth
+    * never rescans — vs [[scd2]]'s O(pks × versions) grid; fold it over
+    * arrivals to maintain history continuously (localCheckpoint the fold
+    * every few versions on a long stream, as with any iterative plan).
+    * `advance(advance(∅, s₀), s₁) == scd2(s₀ ∪ s₁)` — ScdSpec pins the
+    * equality across delete/reinsert/update/value-return cases, and
+    * q103's oracle replays the FULL batch grid in SQL against the
+    * incremental fold.
+    *
+    * `runs` may be empty-but-typed (e.g. `scd2` of the first snapshot);
+    * `snap` holds (pkCols, valCols) at `newVer`.
+    */
+  def advance(runs: DataFrame, snap: DataFrame, newVer: Long,
+      pkCols: Seq[String], valCols: Seq[String]): DataFrame = {
+    val closed = runs.filter(col("ver_to").isNotNull)
+    val open = runs.filter(col("ver_to").isNull)
+    val o = open.select(pkCols.map(col) ++ valCols.map(col) :+
+      col("ver_from") :+ lit(true).as("__o"): _*)
+    val sn = snap.select(pkCols.map(col) ++
+      valCols.map(c => col(c).as(s"__s_$c")) :+ lit(true).as("__s"): _*)
+    val j = o.join(sn, pkCols, "full_outer")
+    val oVals = struct(valCols.map(col): _*)
+    val sVals = struct(valCols.map(c => col(s"__s_$c")): _*)
+    val both = col("__o").isNotNull && col("__s").isNotNull
+    val same = both && (oVals <=> sVals)
+    val cont = j.filter(same).select(pkCols.map(col) ++ valCols.map(col) :+
+      col("ver_from") :+ lit(null).cast("long").as("ver_to"): _*)
+    val nowClosed = j.filter(col("__o").isNotNull && !same)
+      .select(pkCols.map(col) ++ valCols.map(col) :+
+        col("ver_from") :+ lit(newVer).as("ver_to"): _*)
+    val opened = j.filter(col("__s").isNotNull && !same)
+      .select(pkCols.map(col) ++ valCols.map(c => col(s"__s_$c").as(c)) :+
+        lit(newVer).as("ver_from") :+ lit(null).cast("long").as("ver_to"): _*)
+    closed.unionByName(cont).unionByName(nowClosed).unionByName(opened)
+  }
+
   /** Point-in-time reconstruction from [[scd2]] runs: the rows valid AT
     * version `at` — `ver_from ≤ at` and `at` before `ver_to` (open runs
     * included). One map-only filter over the runs frame, so time travel

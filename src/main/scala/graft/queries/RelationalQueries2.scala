@@ -463,6 +463,28 @@ object RelationalQueries2 {
       |FROM orders WHERE o_orderkey % 20 <> 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- q103
+  /** Incremental SCD-2 maintenance ([[graft.engine.Scd.advance]]): the
+    * same history as q95 built by FOLDING one-snapshot advances (seed
+    * from version 0, then two O(open + snapshot) diff joins) instead of
+    * the batch pk×version grid. The oracle replays the FULL batch grid
+    * in SQL (q95's statement verbatim), so the row pins incremental ==
+    * batch — the property that lets a 100 TB history absorb arrivals
+    * without ever rescanning its depth.
+    */
+  val q103: Q = (s, dir) => {
+    val stacked = scdStacked(s, dir)
+    val pk = Seq("o_orderkey")
+    val vals = Seq("o_orderstatus", "price_c")
+    val seed = graft.engine.Scd.scd2(
+      stacked.filter(col("ver") === 0), "ver", pk, vals)
+    (1 to 2).foldLeft(seed) { (runs, v) =>
+      graft.engine.Scd.advance(runs,
+        stacked.filter(col("ver") === v).drop("ver"), v.toLong, pk, vals)
+    }.orderBy("o_orderkey", "ver_from")
+  }
+  val q103Sql: String = q95Sql
+
   // ---------------------------------------------------------------- q96
   /** Value-RANGE window frames + distribution window functions — the
     * window surface rows-frames can't express: a 60-second RANGE frame
@@ -642,6 +664,7 @@ object RelationalQueries2 {
     "q97_dq_checks" -> q97,
     "q95_scd2_history" -> q95,
     "q102_time_travel" -> q102,
+    "q103_scd_incremental" -> q103,
     "q96_range_windows" -> q96,
     "q91_incremental_agg" -> q91,
     "q92_grouping_sets" -> q92,
@@ -660,6 +683,7 @@ object RelationalQueries2 {
     "q97_dq_checks" -> q97Sql,
     "q95_scd2_history" -> q95Sql,
     "q102_time_travel" -> q102Sql,
+    "q103_scd_incremental" -> q103Sql,
     "q96_range_windows" -> q96Sql,
     "q91_incremental_agg" -> q91Sql,
     "q92_grouping_sets" -> q92Sql,

@@ -32,6 +32,27 @@ class ScdSpec extends SparkSuite {
       (4L, "n", 2L, None)))
   }
 
+  test("advance folded over snapshots equals batch scd2 (incl. delete/reinsert/update/value-return)") {
+    // pk 1: constant; pk 2: update at v1, value RETURNS at v2 (new run,
+    // not a merge); pk 3: delete at v1, reinsert at v2; pk 4: insert at
+    // v1, delete at v2 (closed run, nothing open); pk 5: appears at v2
+    val stacked = Seq(
+      (0L, 1L, "a"), (1L, 1L, "a"), (2L, 1L, "a"),
+      (0L, 2L, "x"), (1L, 2L, "y"), (2L, 2L, "x"),
+      (0L, 3L, "d"), (2L, 3L, "d"),
+      (1L, 4L, "t"),
+      (2L, 5L, "n")
+    ).toDF("ver", "pk", "v")
+    val batch = Scd.scd2(stacked, "ver", Seq("pk"), Seq("v"))
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    val seed = Scd.scd2(stacked.filter($"ver" === 0), "ver", Seq("pk"), Seq("v"))
+    val inc = (1L to 2L).foldLeft(seed) { (runs, v) =>
+      Scd.advance(runs, stacked.filter($"ver" === v).select("pk", "v"),
+        v, Seq("pk"), Seq("v"))
+    }.as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(inc == batch)
+  }
+
   test("snapshotAt reconstructs every version of the stack from the runs") {
     val stacked = Seq(
       (0L, 1L, "a"), (1L, 1L, "a"), (2L, 1L, "a"),
