@@ -176,6 +176,24 @@ object DumpWatchSync {
     newStats.write.mode(SaveMode.Overwrite)
       .parquet(s"$stateDir/stats_snapshot_v$batchId")
 
+    // maintained SCD-2 history (engine.Scd.advance): the temporal layer,
+    // advanced per arrival from the OPEN runs + the incoming snapshot —
+    // O(open + snapshot) per batch, never a rescan of the version stack.
+    // The CLI's stack replay (Scd.historyFromState) stays the
+    // manifest-free fallback; DumpWatchSync-fed state dirs keep both
+    // paths equal (ScdSpec pins it).
+    val prevHist: Option[DataFrame] = readLatest(stateDir)
+      .filter(v => Files.exists(Paths.get(stateDir, s"history_$v")))
+      .map(v => spark.read.parquet(s"$stateDir/history_$v"))
+    val newHist = prevHist match {
+      case Some(h) => graft.engine.Scd.advance(h, incoming, batchId,
+        Seq("table", "pk"), Seq("vals"))
+      case None => incoming.select(col("table"), col("pk"), col("vals"),
+        lit(batchId).as("ver_from"), lit(null).cast("long").as("ver_to"))
+    }
+    newHist.write.mode(SaveMode.Overwrite)
+      .parquet(s"$stateDir/history_snapshot_v$batchId")
+
     // always track the last-applied dump, so the schema-drift log works
     // with emitScripts off (the at-scale watcher default elsewhere)
     Files.write(latestDumpPath(stateDir), dumpPath.getBytes("UTF-8"),

@@ -106,6 +106,18 @@ class ScdSpec extends SparkSuite {
       val one = Scd.historyFromState(spark, stateDir, "t", Some("2"))
         .collect().map(_.getAs[String]("pk")).toSeq
       assert(one == Seq("2", "2"))
+
+      // the watcher's incrementally-maintained history (Scd.advance per
+      // arrival) must equal the stack replay above
+      val maintained = spark.read
+        .parquet(s"$stateDir/history_snapshot_v2")
+        .filter(org.apache.spark.sql.functions.col("table") === "t")
+        .collect()
+        .map(r => (r.getAs[String]("pk"), r.getAs[Seq[String]]("vals").mkString("|"),
+          r.getAs[Long]("ver_from"), Option(r.get(r.fieldIndex("ver_to")))))
+        .toSet
+      assert(maintained == hist.toSet,
+        "incrementally-maintained history differs from the stack replay")
     } finally q.stop()
   }
 
