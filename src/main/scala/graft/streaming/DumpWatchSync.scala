@@ -179,20 +179,29 @@ object DumpWatchSync {
     // maintained SCD-2 history (engine.Scd.advance): the temporal layer,
     // advanced per arrival from the OPEN runs + the incoming snapshot —
     // O(open + snapshot) per batch, never a rescan of the version stack.
-    // The CLI's stack replay (Scd.historyFromState) stays the
-    // manifest-free fallback; DumpWatchSync-fed state dirs keep both
-    // paths equal (ScdSpec pins it).
-    val prevHist: Option[DataFrame] = readLatest(stateDir)
-      .filter(v => Files.exists(Paths.get(stateDir, s"history_$v")))
-      .map(v => spark.read.parquet(s"$stateDir/history_$v"))
-    val newHist = prevHist match {
+    // Storage matches the compute bound: runs CLOSED this batch append
+    // to an immutable log (closed runs never change again), and only the
+    // open-run frame — bounded by the live table size — is rewritten.
+    // Full history = history_closed ∪ history_open_<latest>. The CLI's
+    // stack replay (Scd.historyFromState) stays the manifest-free
+    // fallback; DumpWatchSync-fed state dirs keep both paths equal
+    // (ScdSpec pins it).
+    val openPrev: Option[DataFrame] = readLatest(stateDir)
+      .filter(v => Files.exists(Paths.get(stateDir, s"history_open_$v")))
+      .map(v => spark.read.parquet(s"$stateDir/history_open_$v"))
+    val advanced = (openPrev match {
       case Some(h) => graft.engine.Scd.advance(h, incoming, batchId,
         Seq("table", "pk"), Seq("vals"))
       case None => incoming.select(col("table"), col("pk"), col("vals"),
         lit(batchId).as("ver_from"), lit(null).cast("long").as("ver_to"))
-    }
-    newHist.write.mode(SaveMode.Overwrite)
-      .parquet(s"$stateDir/history_snapshot_v$batchId")
+    }).cache() // two consumers below — diff once, not twice
+    try {
+      advanced.filter(col("ver_to").isNotNull)
+        .write.mode(SaveMode.Append).parquet(s"$stateDir/history_closed")
+      advanced.filter(col("ver_to").isNull)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/history_open_snapshot_v$batchId")
+    } finally advanced.unpersist()
 
     // always track the last-applied dump, so the schema-drift log works
     // with emitScripts off (the at-scale watcher default elsewhere)

@@ -108,9 +108,10 @@ class ScdSpec extends SparkSuite {
       assert(one == Seq("2", "2"))
 
       // the watcher's incrementally-maintained history (Scd.advance per
-      // arrival) must equal the stack replay above
-      val maintained = spark.read
-        .parquet(s"$stateDir/history_snapshot_v2")
+      // arrival; append-only closed log + rewritten open frame) must
+      // equal the stack replay above
+      val maintained = spark.read.parquet(s"$stateDir/history_closed")
+        .unionByName(spark.read.parquet(s"$stateDir/history_open_snapshot_v2"))
         .filter(org.apache.spark.sql.functions.col("table") === "t")
         .collect()
         .map(r => (r.getAs[String]("pk"), r.getAs[Seq[String]]("vals").mkString("|"),
