@@ -224,6 +224,70 @@ object Dedup {
     (pairs, cleanup)
   }
 
+  /** Incremental MinHash-LSH: near-dup pairs INTRODUCED by a batch of
+    * freshly-arriving documents — fresh×corpus and fresh×fresh, never
+    * corpus×corpus. The streaming-ingest dedup shape: when 1 TB arrives
+    * against a 100 TB corpus, the candidate join fans out only over the
+    * fresh documents' band buckets; the corpus side contributes its
+    * (persistable) shingle + band frames but is never self-joined. The
+    * corpus-side frames are recomputed here from `corpus` — a deployment
+    * keeps them as a persisted index and unions in each batch's
+    * signatures, which is exactly the two-sided structure this method
+    * has (each side's shingles/signatures/bands are derived
+    * independently, so swapping the corpus side for stored frames is a
+    * drop-in).
+    *
+    * Pair set == [[minhashLshPairs]] over (corpus ∪ fresh) restricted to
+    * pairs with ≥1 fresh side (band-collision criterion and exact-
+    * Jaccard verify are identical; ExtensionOpsSpec pins the equality).
+    * Output: (id_a, id_b, jac) with id_a < id_b.
+    */
+  def minhashLshPairsDeltaManaged(corpus: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, digits: Int = 4,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val shC0 = hashedShingleTable(corpus, idCol, textCol, shingleN)
+    val shF0 = hashedShingleTable(fresh, idCol, textCol, shingleN)
+    val shC = if (persist) shC0.persist(lvl) else shC0
+    val shF = if (persist) shF0.persist(lvl) else shF0
+    val bandsC0 = lshBandsFrom(
+      minhashSignaturesFrom(shC, corpus, idCol, textCol, numHashes,
+        alreadyHashed = true), numHashes, bands)
+    val bandsF0 = lshBandsFrom(
+      minhashSignaturesFrom(shF, fresh, idCol, textCol, numHashes,
+        alreadyHashed = true), numHashes, bands)
+    val bandsC = if (persist) bandsC0.persist(lvl) else bandsC0
+    val bandsF = if (persist) bandsF0.persist(lvl) else bandsF0
+    val cleanup = () => if (persist) {
+      shC.unpersist(); shF.unpersist(); bandsC.unpersist(); bandsF.unpersist()
+      ()
+    }
+    // one-sided candidate join: fresh bands probe ALL bands — the pair
+    // (old, new) or (new, new) is found iff they collide in >=1 band,
+    // the identical criterion to the batch operator; least/greatest
+    // normalizes orientation and the distinct collapses multi-band hits
+    val allBands = bandsC.unionByName(bandsF)
+    val cand = bandsF.as("a").join(allBands.as("b"), Seq("band", "band_key"))
+      .filter(col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val sh = shC.unionByName(shF)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), digits))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+    (pairs, cleanup)
+  }
+
   /** SimHash near-dup pairs at scale: split each 32-bit simhash into 4
     * bytes and generate candidates from pairs agreeing on ≥1 byte — by
     * pigeonhole, every pair within Hamming distance 3 shares at least

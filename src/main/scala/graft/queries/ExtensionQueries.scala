@@ -141,6 +141,31 @@ object ExtensionQueries {
        |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q104
+  /** Incremental corpus dedup ([[Dedup.minhashLshPairsDeltaManaged]]):
+    * the near-dup variants arrive as a FRESH batch against the original
+    * documents as the standing corpus — candidates fan out only from
+    * the fresh side's bands (fresh×corpus ∪ fresh×fresh, never
+    * corpus×corpus). The oracle is the BATCH q22 replay over the union
+    * restricted to fresh-involving pairs: identical output proves the
+    * one-sided candidate join loses nothing.
+    */
+  val q104: Q = (s, dir) => {
+    val base = Tables.documents(s, dir).select("doc_id", "text")
+    val fresh = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq zq zq")).as("text"))
+    Dedup.minhashLshPairsDeltaManaged(base, fresh, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)._1
+      .orderBy("id_a", "id_b")
+  }
+  val q104Sql: String = {
+    val tail = "SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5"
+    require(q22Sql.contains(tail), "q104 oracle derives from q22's replay")
+    q22Sql.replace(tail,
+      tail + " AND (id_a >= 1000000 OR id_b >= 1000000)")
+  }
+
   // ---------------------------------------------------------------- q23
   /** 32-bit SimHash per document (majority vote over token-hash bits),
     * via the explode → single-grouped-agg formulation (one token-hash
@@ -884,6 +909,7 @@ object ExtensionQueries {
     "q98_image_resize" -> q98,
     "q21_dedup_ngram_jaccard" -> q21,
     "q22_dedup_minhash_lsh" -> q22,
+    "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
     "q24_embed_topk" -> q24,
     "q25_ann_lsh" -> q25,
@@ -912,6 +938,7 @@ object ExtensionQueries {
     "q98_image_resize" -> q98Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
+    "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,
     "q24_embed_topk" -> q24Sql,
     "q25_ann_lsh" -> q25Sql,

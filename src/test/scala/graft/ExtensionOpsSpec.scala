@@ -133,6 +133,27 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(s2 == Seq("UPDATE `t` SET `a` = 'x;\n-- not a comment\ny';"))
   }
 
+  test("incremental LSH pairs equal the batch pairs restricted to fresh-involving") {
+    val base = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("text"))
+    val fresh = base.filter(col("id") % 7 === 0)
+      .select((col("id") + 500000L).as("id"),
+        concat(col("text"), lit(" xq xq")).as("text"))
+    val (delta, cleanup) = Dedup.minhashLshPairsDeltaManaged(
+      base, fresh, "id", "text", threshold = 0.4)
+    val got = delta.as[(Long, Long, Double)].collect().toSet
+    cleanup()
+    val batch = Dedup.minhashLshPairs(
+        base.unionByName(fresh), "id", "text", threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = batch.filter(p => p._1 >= 500000L || p._2 >= 500000L)
+    assert(got == want,
+      s"delta=${got.size} batchRestricted=${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "fixture produced no fresh-involving near-dups")
+    // and nothing corpus-only leaks in
+    assert(got.forall(p => p._1 >= 500000L || p._2 >= 500000L))
+  }
+
   test("connectedComponents closes multi-hop chains transitively") {
     // chain 1-2, 2-3 (no 1-3 edge) plus isolated pair 7-9: components
     // must close the chain to min-id 1 even though 1~3 was never emitted
