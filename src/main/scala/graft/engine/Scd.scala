@@ -93,16 +93,63 @@ object Scd {
     val sVals = struct(valCols.map(c => col(s"__s_$c")): _*)
     val both = col("__o").isNotNull && col("__s").isNotNull
     val same = both && (oVals <=> sVals)
-    val cont = j.filter(same).select(pkCols.map(col) ++ valCols.map(col) :+
-      col("ver_from") :+ lit(null).cast("long").as("ver_to"): _*)
-    val nowClosed = j.filter(col("__o").isNotNull && !same)
-      .select(pkCols.map(col) ++ valCols.map(col) :+
-        col("ver_from") :+ lit(newVer).as("ver_to"): _*)
-    val opened = j.filter(col("__s").isNotNull && !same)
-      .select(pkCols.map(col) ++ valCols.map(c => col(s"__s_$c").as(c)) :+
-        lit(newVer).as("ver_from") :+ lit(null).cast("long").as("ver_to"): _*)
-    closed.unionByName(cont).unionByName(nowClosed).unionByName(opened)
+    // ONE scan of the join: each key emits its outcome rows as an array
+    // (an update is close + reopen → two rows), exploded back into run
+    // shape. A filter-per-outcome formulation scans j once per branch —
+    // a 3× join re-evaluation that compounds multiplicatively when
+    // advances are folded over a version sequence.
+    def runRow(vals: Seq[Column], vf: Column, vt: Column): Column =
+      struct(valCols.zip(vals).map { case (n, c) => c.as(n) } :+
+        vf.as("ver_from") :+ vt.as("ver_to"): _*)
+    val nullVer = lit(null).cast("long")
+    val cont = runRow(valCols.map(col), col("ver_from"), nullVer)
+    val close = runRow(valCols.map(col), col("ver_from"), lit(newVer))
+    val opened = runRow(valCols.map(c => col(s"__s_$c")), lit(newVer), nullVer)
+    val outcome = when(same, array(cont))
+      .when(both, array(close, opened)) // update: close the run, open anew
+      .when(col("__o").isNotNull, array(close)) // delete: close only
+      .otherwise(array(opened)) // insert / reinsert: open a fresh run
+    val advanced = j.select(pkCols.map(col) :+ explode(outcome).as("__r"): _*)
+      .select(pkCols.map(col) ++
+        (valCols :+ "ver_from" :+ "ver_to").map(f => col(s"__r.$f").as(f)): _*)
+    closed.select(pkCols.map(col) ++ valCols.map(col) :+
+      col("ver_from") :+ col("ver_to"): _*).unionByName(advanced)
   }
+
+  /** Fold [[advance]] over a sequence of `(version, snapshot)` arrivals.
+    *
+    * A bare `foldLeft(advance)` of lazy plans re-evaluates earlier rounds
+    * multiplicatively — every advance reads its input runs twice (closed
+    * passthrough + the open-side join) — and re-analyzes the growing plan
+    * per round: the same lineage blow-up as iterative PageRank. Each
+    * round is therefore eagerly localCheckpointed, with round N−1's
+    * blocks released the moment round N materializes
+    * ([[graft.operators.Lineage.checkpointTracked]]), keeping live
+    * checkpoint storage at O(runs) regardless of how many versions fold.
+    * cleanup() releases the final round once the consuming action is
+    * done.
+    */
+  def advanceFoldManaged(seed: DataFrame, snaps: Seq[(Long, DataFrame)],
+      pkCols: Seq[String], valCols: Seq[String]): (DataFrame, () => Unit) = {
+    var release: () => Unit = () => ()
+    var runs = seed
+    for ((v, snap) <- snaps) {
+      val (cp, rel) = graft.operators.Lineage.checkpointTracked(
+        advance(runs, snap, v, pkCols, valCols))
+      release()
+      release = rel
+      runs = cp
+    }
+    (runs, () => release())
+  }
+
+  /** [[advanceFoldManaged]] without the cleanup handle (caller accepts
+    * the final round's checkpoint staying live, as with
+    * [[graft.operators.Graph.pageRank]]).
+    */
+  def advanceFold(seed: DataFrame, snaps: Seq[(Long, DataFrame)],
+      pkCols: Seq[String], valCols: Seq[String]): DataFrame =
+    advanceFoldManaged(seed, snaps, pkCols, valCols)._1
 
   /** Point-in-time reconstruction from [[scd2]] runs: the rows valid AT
     * version `at` — `ver_from ≤ at` and `at` before `ver_to` (open runs

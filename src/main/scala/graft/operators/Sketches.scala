@@ -163,6 +163,95 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Bit length of a non-negative Long column (position of the highest
+    * set bit; 0 for 0) as a pure comparison chain — no log2()/floats
+    * (whose rounding near powers of two is engine-dependent) and no
+    * reliance on a bin() string format, so the DuckDB oracle replays the
+    * identical CASE chain. maxBits codegen'd comparisons.
+    */
+  private def bitLen(c: Column, maxBits: Int): Column =
+    (1 to maxBits).foldLeft(lit(0)) { (acc, b) =>
+      when(c >= lit(1L << (b - 1)), lit(b)).otherwise(acc)
+    }
+
+  /** α·m² rounded to a Long — the HLL bias constant for m = 2^p ≥ 128
+    * registers (Flajolet et al.'s 0.7213/(1 + 1.079/m)), pre-multiplied
+    * by m² so the whole estimator is one integer division. Computed
+    * driver-side only; executors and the oracle see a literal.
+    */
+  def alphaM2(p: Int): Long = {
+    val m = 1L << p
+    math.round(0.7213 / (1 + 1.079 / m) * m * m)
+  }
+
+  /** Portable HyperLogLog registers of `valueCol` per group — the
+    * FIXED-SIZE mergeable cardinality sketch (m = 2^p registers
+    * regardless of cardinality, vs KMV's k kept values): bucket = the
+    * hash48's top p bits; register = max over the bucket's values of
+    * rank = (leading zeros of the remaining 48−p bits) + 1. Engine-native
+    * HLL registers (`approx_count_distinct`) are layout-opaque and never
+    * hash-match across engines; these registers — and the estimates
+    * derived from them — are exact integers any engine reproduces.
+    *
+    * Scale: one hash aggregation to ≤ m rows per group, map-side
+    * combining doing the heavy lifting (max is commutative); no
+    * pre-distinct shuffle of the value domain at any point.
+    */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      p: Int = 9): DataFrame = {
+    require(p >= 7 && p <= 14, s"p must be in [7, 14], got $p")
+    val w = 48 - p
+    df.select(groupCols.map(col) :+
+        Portable.hash48(valueCol.cast("string")).as("__h"): _*)
+      .select(groupCols.map(col) :+
+        expr(s"__h div ${1L << w}").as("bucket") :+
+        (lit(w + 1) - bitLen(col("__h") % (1L << w), w)).as("rank"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("rank")).as("reg"))
+  }
+
+  /** Collapse [[hllSketch]] registers into per-group estimates. The
+    * harmonic sum Σ 2^−M is kept as the scaled INTEGER
+    * Σ 2^(48−p+1−M_b) + (m − hit)·2^(48−p+1) (≤ 2^49 — fits a Long; the
+    * second term covers never-hit registers at M = 0), and the estimate
+    * is round(α·m²)·2^(48−p+1) div Z — numerator ≤ 6.7·10^18 at p = 14,
+    * still a Long. Zero floats anywhere, so the estimate itself (not
+    * just its error bound) is bit-replayable. Raw estimator only: the
+    * small-range linear-counting correction needs ln() (a transcendental
+    * the oracle can't replay bit-for-bit), so callers below ~2.5·m
+    * distinct should use exact counting or [[kmvDistinct]] instead.
+    */
+  def hllEstimate(sketch: DataFrame, groupCols: Seq[String],
+      p: Int = 9): DataFrame = {
+    require(p >= 7 && p <= 14, s"p must be in [7, 14], got $p")
+    val m = 1L << p
+    val scale = 1L << (48 - p + 1)
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__hit"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${48 - p + 1} - reg)"))
+          .as("__z"))
+      .select(groupCols.map(col) :+
+        expr(s"(${alphaM2(p)}L * ${scale}L) div " +
+          s"(__z + ($m - __hit) * ${scale}L)").as("est_distinct"): _*)
+  }
+
+  /** Per-group HLL distinct-count estimate in one call. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      p: Int = 9): DataFrame =
+    hllEstimate(hllSketch(df, groupCols, valueCol, p), groupCols, p)
+
+  /** Merge register frames (same p) into per-group estimates: register
+    * max is associative and idempotent, so per-shard/per-day sketches
+    * combine into EXACTLY the registers a full rescan would build — a
+    * shuffle of ≤ m rows per sketch, never the raw data.
+    */
+  def hllMerge(sketches: DataFrame, groupCols: Seq[String],
+      p: Int = 9): DataFrame =
+    hllEstimate(
+      sketches.groupBy((groupCols :+ "bucket").map(col): _*)
+        .agg(max(col("reg")).as("reg")),
+      groupCols, p)
+
   /** The window-based formulation [[kmvDistinct]] is checked against in
     * the spec: distinct → per-group row_number ≤ k → (count, max).
     * Identical estimates, but the window sorts every distinct hash of a

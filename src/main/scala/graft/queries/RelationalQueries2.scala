@@ -478,10 +478,10 @@ object RelationalQueries2 {
     val vals = Seq("o_orderstatus", "price_c")
     val seed = graft.engine.Scd.scd2(
       stacked.filter(col("ver") === 0), "ver", pk, vals)
-    (1 to 2).foldLeft(seed) { (runs, v) =>
-      graft.engine.Scd.advance(runs,
-        stacked.filter(col("ver") === v).drop("ver"), v.toLong, pk, vals)
-    }.orderBy("o_orderkey", "ver_from")
+    graft.engine.Scd.advanceFold(seed,
+        (1 to 2).map(v => (v.toLong,
+          stacked.filter(col("ver") === v).drop("ver"))), pk, vals)
+      .orderBy("o_orderkey", "ver_from")
   }
   val q103Sql: String = q95Sql
 

@@ -53,6 +53,29 @@ class ScdSpec extends SparkSuite {
     assert(inc == batch)
   }
 
+  test("advanceFoldManaged equals batch scd2 and releases its checkpoints") {
+    val stacked = Seq(
+      (0L, 1L, "a"), (1L, 1L, "a"), (2L, 1L, "a"),
+      (0L, 2L, "x"), (1L, 2L, "y"), (2L, 2L, "x"),
+      (0L, 3L, "d"), (2L, 3L, "d"),
+      (1L, 4L, "t"),
+      (2L, 5L, "n")
+    ).toDF("ver", "pk", "v")
+    val batch = Scd.scd2(stacked, "ver", Seq("pk"), Seq("v"))
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    val seed = Scd.scd2(stacked.filter($"ver" === 0), "ver", Seq("pk"), Seq("v"))
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val (folded, cleanup) = Scd.advanceFoldManaged(seed,
+      (1L to 2L).map(v => (v, stacked.filter($"ver" === v).select("pk", "v"))),
+      Seq("pk"), Seq("v"))
+    val inc = folded.as[(Long, String, Long, Option[Long])].collect().toSet
+    assert(inc == batch)
+    cleanup()
+    assert(sc.getPersistentRDDs.keySet == before,
+      "fold checkpoints must be released by cleanup()")
+  }
+
   test("snapshotAt reconstructs every version of the stack from the runs") {
     val stacked = Seq(
       (0L, 1L, "a"), (1L, 1L, "a"), (2L, 1L, "a"),
