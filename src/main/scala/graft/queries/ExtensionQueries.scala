@@ -775,6 +775,59 @@ object ExtensionQueries {
        |FROM t ORDER BY l_returnflag""".stripMargin
   }
 
+  // --------------------------------------------------------------- q105
+  /** Portable HyperLogLog (p=9 → 512 registers) distinct parts per
+    * return flag, beside the exact truth — the FIXED-SIZE mergeable
+    * cardinality sketch completing the family next to KMV (q37, bounded
+    * k values) and count-min (q61, bounded counters). Integer registers
+    * (rank via a comparison chain, no log2), an integer-scaled harmonic
+    * sum, and one integer division mean the ESTIMATE itself is
+    * bit-replayable by the oracle — engine-native approx_count_distinct
+    * register layouts never hash-match across engines; these do.
+    * ~2000 distinct parts per flag at sf0.01 keeps the groups above the
+    * ~2.5·m small-range zone where raw HLL would need the ln()-based
+    * linear-counting correction.
+    */
+  val q105: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val est = graft.operators.Sketches.hllDistinct(
+      li, Seq("l_returnflag"), col("l_partkey"), p = 9)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    est.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("est_distinct").as("hll_distinct"),
+        col("exact_distinct"))
+      .orderBy("l_returnflag")
+  }
+  val q105Sql: String = {
+    val w = 39 // 48 - p remainder bits; bucket = top 9 bits
+    val a = graft.operators.Sketches.alphaM2(9)
+    // bit length of `rest` as the same nested comparison chain the
+    // engine codegens; rank = (w + 1) - bitlen
+    val bitlen = (1 to w).foldLeft("0") { (acc, b) =>
+      s"CASE WHEN rest >= ${1L << (b - 1)} THEN $b ELSE $acc END"
+    }
+    s"""WITH h AS (SELECT l_returnflag,
+       |    ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,12))::BIGINT AS h
+       |  FROM lineitem),
+       |b AS (SELECT l_returnflag, h // ${1L << w} AS bucket,
+       |    h % ${1L << w} AS rest FROM h),
+       |r AS (SELECT l_returnflag, bucket, 40 - ($bitlen) AS rank FROM b),
+       |regs AS (SELECT l_returnflag, bucket, max(rank) AS reg
+       |  FROM r GROUP BY 1, 2),
+       |z AS (SELECT l_returnflag, count(*) AS hit,
+       |    sum((1::BIGINT << (40 - reg))) AS zs FROM regs GROUP BY 1),
+       |est AS (SELECT l_returnflag,
+       |    CAST(($a::BIGINT * (1::BIGINT << 40))
+       |      // (zs + (512 - hit) * (1::BIGINT << 40)) AS BIGINT)
+       |      AS hll_distinct FROM z),
+       |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+       |  FROM lineitem GROUP BY 1)
+       |SELECT est.l_returnflag, hll_distinct, exact_distinct
+       |FROM est JOIN ex USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q61
   /** Count-min sketch (depth 4 × width 1024) over the full token stream
     * of the corpus, probed for the stopword set plus a known-absent
@@ -924,6 +977,7 @@ object ExtensionQueries {
     "q34_rolling_hash" -> q34,
     "q35_frame_sample" -> q35,
     "q37_kmv_distinct" -> q37,
+    "q105_hll_distinct" -> q105,
     "q61_countmin" -> q61,
     "q40_multimodal_features" -> q40)
 
@@ -953,6 +1007,7 @@ object ExtensionQueries {
     "q34_rolling_hash" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
     "q37_kmv_distinct" -> q37Sql,
+    "q105_hll_distinct" -> q105Sql,
     "q61_countmin" -> q61Sql,
     "q40_multimodal_features" -> q40Sql)
 }

@@ -100,6 +100,35 @@ class NativeHashesSpec extends SparkSuite {
     assert(j.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("HLL register sketches merge to EXACTLY the full-scan estimate") {
+    val li = Tables.lineitem(spark, sf)
+    val whole = Sketches.hllDistinct(li, Seq("l_returnflag"), col("l_partkey"))
+    val shardA = li.filter(col("l_orderkey") % 2 === 0)
+    val shardB = li.filter(col("l_orderkey") % 2 =!= 0)
+    val merged = Sketches.hllMerge(
+      Sketches.hllSketch(shardA, Seq("l_returnflag"), col("l_partkey"))
+        .unionByName(
+          Sketches.hllSketch(shardB, Seq("l_returnflag"), col("l_partkey"))),
+      Seq("l_returnflag"))
+    val j = whole.withColumnRenamed("est_distinct", "a")
+      .join(merged.withColumnRenamed("est_distinct", "b"), "l_returnflag")
+    assert(j.count() == 3)
+    assert(j.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("HLL estimate is duplicate-insensitive and inside the error band") {
+    val n = 100000L
+    val ids = spark.range(n).select(lit("g").as("g"), col("id"))
+    val est = Sketches.hllDistinct(ids, Seq("g"), col("id"))
+      .collect().head.getLong(1)
+    // p=9 → relative standard error 1.04/√512 ≈ 4.6%; allow 3σ ≈ 14%
+    assert(math.abs(est - n).toDouble / n < 0.14, s"est $est vs true $n")
+    val doubled = Sketches.hllDistinct(
+      ids.unionByName(ids), Seq("g"), col("id"))
+      .collect().head.getLong(1)
+    assert(doubled == est, "duplicates must not move the estimate")
+  }
+
   test("min-k KMV exact-count branch for small groups (n_distinct < k)") {
     val small = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("h", 9L)).toDF("g", "v")
     val got = Sketches.kmvDistinct(small, Seq("g"), col("v"), 64)
