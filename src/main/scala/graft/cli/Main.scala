@@ -29,10 +29,31 @@ import graft.report.SummaryReporter
   * SCD-2 validity runs (engine.Scd) over the versioned snapshots a
   * DumpWatchSync watcher wrote under `stateDir` — every value a row held
   * and for which version range, optionally filtered to one pk.
+  *
+  * `--vacuum <stateDir> [keepLast]` reclaims superseded per-version
+  * watcher state (old snapshots / stats / open-history frames), keeping
+  * the newest `keepLast` (default 1) of each family; the maintained
+  * SCD-2 history losslessly encodes every vacuumed version, so time
+  * travel still works afterwards.
   */
 object Main {
 
   def main(rawArgs: Array[String]): Unit = {
+    val vacIdx = rawArgs.indexOf("--vacuum")
+    if (vacIdx >= 0) {
+      if (vacIdx + 1 >= rawArgs.length) {
+        System.err.println("❌ Usage: --vacuum <stateDir> [keepLast]")
+        sys.exit(1)
+      }
+      val stateDir = rawArgs(vacIdx + 1)
+      val keep = rawArgs.lift(vacIdx + 2).flatMap(_.toIntOption).getOrElse(1)
+      val deleted = graft.streaming.DumpWatchSync.vacuum(stateDir, keep)
+      println(s"Vacuumed ${deleted.size} superseded state " +
+        (if (deleted.size == 1) "directory" else "directories") +
+        s" (kept newest $keep per family):")
+      deleted.foreach(d => println(s"  $d"))
+      return
+    }
     val histIdx = rawArgs.indexOf("--history")
     if (histIdx >= 0) {
       if (histIdx + 2 >= rawArgs.length) {

@@ -214,6 +214,42 @@ object DumpWatchSync {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** Reclaim superseded per-version state. Every arrival writes a full
+    * `snapshot_v<N>`, `stats_snapshot_v<N>` and
+    * `history_open_snapshot_v<N>`, so a long-running watcher's state dir
+    * grows by O(table size) per dump — the operational scale-killer for
+    * a 100 TB deployment. Only the newest `keepLast` of each family is
+    * read going forward (the diff consumes LATEST only), and no history
+    * is lost: the append-only `history_closed` log plus the newest open
+    * frame are a LOSSLESS SCD-2 encoding of every vacuumed snapshot —
+    * [[graft.engine.Scd.snapshotAt]] reconstructs any deleted version
+    * row-for-row (DumpWatchSyncSpec pins it). The audit logs (`ops/`,
+    * `scripts/`, `schema_changes/`) are never touched. Returns the
+    * deleted directory names.
+    */
+  def vacuum(stateDir: String, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val latest = readLatest(stateDir) // never delete the live snapshot
+    val dir = new java.io.File(stateDir)
+    def versioned(prefix: String): Seq[(Long, java.io.File)] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+        .flatMap(f => f.getName.stripPrefix(prefix).toLongOption.map(_ -> f))
+    Seq("snapshot_v", "stats_snapshot_v", "history_open_snapshot_v")
+      .flatMap { prefix =>
+        versioned(prefix).sortBy(-_._1).drop(keepLast)
+          .filterNot { case (_, f) => latest.contains(f.getName) }
+          .map { case (_, f) =>
+            val walk = Files.walk(f.toPath)
+            val all =
+              try walk.iterator().asScala.toSeq.reverse
+              finally walk.close()
+            all.foreach(Files.deleteIfExists(_))
+            f.getName
+          }
+      }
+  }
+
   /** Concatenate a text sink's sorted part files into one script file,
     * dropping the sink's trailing newline so the bytes equal
     * SyncSqlGenerator.assemble's output; the parts dir is removed.
