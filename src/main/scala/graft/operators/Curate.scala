@@ -53,6 +53,41 @@ object Curate {
     df.withColumn("split", assign)
   }
 
+  /** Per-group ADAPTIVE quality gating: keep a row iff its integer score
+    * reaches its own group's exact lower p-th percentile — "drop each
+    * source's worst p%" instead of one corpus-wide threshold, which
+    * over-prunes clean sources and under-prunes noisy ones. The threshold
+    * is the smallest score v in the group with cum(v)·100 ≥ total·p (the
+    * [[Stats.weightedPercentiles]] membership test: pure integer
+    * cross-multiplication, no interpolation), so the kept set replays
+    * bit-for-bit in any engine.
+    *
+    * Scale: thresholds aggregate on the (group, score) VALUE domain —
+    * bounded by the score range, never the corpus — and come back as a
+    * BROADCAST join feeding one map-only filter over the corpus; the
+    * window runs over per-group distinct scores, not rows. Adds the
+    * group's `thr` column.
+    */
+  def adaptiveQualityGate(df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, p: Int): DataFrame = {
+    require(p >= 1 && p <= 100, s"percentile $p out of [1, 100]")
+    val scored = df.withColumn("__score", scoreCol.cast("long"))
+    val counts = scored.groupBy((groupCols :+ "__score").map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__n")).over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy("__score")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__tot", sum(col("__n")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val thr = cum.groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("__cum") * 100 >= col("__tot") * p, col("__score")))
+        .as("thr"))
+    scored.join(broadcast(thr), groupCols)
+      .filter(col("__score") >= col("thr"))
+      .drop("__score")
+  }
+
   /** Exact per-stratum quota sampling: keep exactly `quota` rows per
     * stratum (fewer if the stratum is smaller), chosen as the quota
     * smallest `hash48(key)` values — deterministic, and rerun-stable

@@ -167,13 +167,55 @@ object CurateQueries {
        |FROM cp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q106
+  /** Per-source ADAPTIVE quality gate ([[Curate.adaptiveQualityGate]]):
+    * drop each source's worst 25% by integer quality score (scaled
+    * alphabetic fraction, 10⁴·n_alpha div n_chars) instead of one
+    * corpus-wide cutoff — a fixed threshold over-prunes clean sources
+    * and under-prunes noisy ones. The threshold is the exact lower
+    * 25th percentile per source (integer cross-multiplied membership,
+    * q93's test), computed on the (source, score) value domain and
+    * broadcast back into a map-only filter — the relative-quality
+    * curation shape for a multi-source 100 TB corpus.
+    */
+  val q106: Q = (s, dir) => {
+    val alphabet = ('a' to 'z').mkString + ('A' to 'Z').mkString
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      expr(s"(10000 * (length(text) - " +
+        s"length(translate(text, '$alphabet', '')))) div length(text)")
+        .as("score"))
+    Curate.adaptiveQualityGate(scored, Seq("source"), col("score"), p = 25)
+      .select("doc_id", "source", "score", "thr")
+      .orderBy("doc_id")
+  }
+  val q106Sql: String =
+    """WITH s AS (SELECT doc_id, source,
+      |    CAST((10000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')))
+      |      // length(text) AS BIGINT) AS score
+      |  FROM documents),
+      |c AS (SELECT source, score, count(*) AS n FROM s GROUP BY 1, 2),
+      |w AS (SELECT source, score,
+      |    sum(n) OVER (PARTITION BY source ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(n) OVER (PARTITION BY source) AS tot
+      |  FROM c),
+      |t AS (SELECT source,
+      |    CAST(min(CASE WHEN cum * 100 >= tot * 25 THEN score END) AS BIGINT)
+      |      AS thr
+      |  FROM w GROUP BY 1)
+      |SELECT s.doc_id, s.source, s.score, t.thr
+      |FROM s JOIN t USING (source) WHERE s.score >= t.thr
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q47_stratified_sample" -> q47,
     "q48_hash_split" -> q48,
     "q49_pack_sequences" -> q49,
     "q51_decontaminate" -> q51,
     "q53_quota_sample" -> q53,
-    "q60_bloom_decontaminate" -> q60)
+    "q60_bloom_decontaminate" -> q60,
+    "q106_adaptive_quality" -> q106)
 
   val oracle: Map[String, String] = Map(
     "q47_stratified_sample" -> q47Sql,
@@ -181,5 +223,6 @@ object CurateQueries {
     "q49_pack_sequences" -> q49Sql,
     "q51_decontaminate" -> q51Sql,
     "q53_quota_sample" -> q53Sql,
-    "q60_bloom_decontaminate" -> q60Sql)
+    "q60_bloom_decontaminate" -> q60Sql,
+    "q106_adaptive_quality" -> q106Sql)
 }

@@ -60,6 +60,27 @@ class CurateSpec extends SparkSuite {
     assert(a.filter(_._2 % 2 == 0).subsetOf(sub))
   }
 
+  test("adaptiveQualityGate keeps exactly the rows at or above each group's percentile") {
+    // group a: scores 1..10 → p25 threshold = 3 (cum 3·100 ≥ 10·25) → keep 3..10
+    // group b: scores all 7 → threshold 7 → keep everything
+    // group c: 5,5,9 → cum(5)=2, 2·100 ≥ 3·25 → thr 5 → keep all
+    val rows = (1 to 10).map(i => ("a", i.toLong, s"a$i")) ++
+      (1 to 4).map(i => ("b", 7L, s"b$i")) ++
+      Seq(("c", 5L, "c1"), ("c", 5L, "c2"), ("c", 9L, "c3"))
+    val df = rows.toDF("g", "score", "id")
+    val kept = Curate.adaptiveQualityGate(df, Seq("g"), col("score"), p = 25)
+      .select("id", "thr").as[(String, Long)].collect().toMap
+    assert(kept.keySet ==
+      ((3 to 10).map(i => s"a$i") ++ (1 to 4).map(i => s"b$i") ++
+        Seq("c1", "c2", "c3")).toSet)
+    assert(kept("a3") == 3L && kept("b1") == 7L && kept("c3") == 5L)
+    // partition-invariant: the kept set is a function of content only
+    val kept2 = Curate.adaptiveQualityGate(
+      df.repartition(7), Seq("g"), col("score"), p = 25)
+      .select("id").as[String].collect().toSet
+    assert(kept2 == kept.keySet)
+  }
+
   test("packSequences invariants: offsets bounded, shard layout contiguous") {
     val packed = Curate.packSequences(docs, "doc_id",
       size(graft.functions.Portable.tokens(col("text"))), 2048L, 4).cache()
