@@ -151,6 +151,36 @@ class PlanAssertSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("Catalyst injects a runtime bloom filter that prunes the fact side pre-shuffle") {
+    // a selective dim-side predicate should seed a bloom filter applied
+    // at the fact scan — the optimizer surface that keeps a 100 TB
+    // shuffle from carrying rows the join would drop anyway. The size
+    // thresholds are tuned down for test data; the pinned property is
+    // that the REWRITE fires on this query shape, which is
+    // size-independent.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      val li = Tables.lineitem(spark, dir)
+      val ord = Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "no runtime bloom filter injected:\n" + p.take(4000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("curation sampling/splitting adds no requirement-driven shuffle") {
     for (q <- Seq("q47_stratified_sample", "q48_hash_split")) {
       // the final orderBy adds a range exchange for output ordering, and
