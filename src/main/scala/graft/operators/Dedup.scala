@@ -263,10 +263,26 @@ object Dedup {
       shC.unpersist(); shF.unpersist(); bandsC.unpersist(); bandsF.unpersist()
       ()
     }
-    // one-sided candidate join: fresh bands probe ALL bands — the pair
-    // (old, new) or (new, new) is found iff they collide in >=1 band,
-    // the identical criterion to the batch operator; least/greatest
-    // normalizes orientation and the distinct collapses multi-band hits
+    val pairs = minhashLshPairsFromFrames(shC, bandsC, shF, bandsF,
+      threshold, digits)
+    (pairs, cleanup)
+  }
+
+  /** Delta near-dup pairs from PRE-BUILT index frames — the deployment
+    * form of [[minhashLshPairsDeltaManaged]]: `shC`/`bandsC` are the
+    * standing corpus index ((id, shingle) and (id, band, band_key), e.g.
+    * parquet maintained by [[graft.streaming.StreamingDedup]]); `shF`/
+    * `bandsF` are the arriving batch's frames. One-sided candidate join:
+    * fresh bands probe ALL bands — a pair (old, new) or (new, new) is
+    * found iff it collides in ≥1 band, the identical criterion to the
+    * batch operator; least/greatest normalizes orientation and the
+    * distinct collapses multi-band hits. Verification is the exact
+    * shingle Jaccard over both sides. Callers own the persistence of all
+    * four frames.
+    */
+  def minhashLshPairsFromFrames(shC: DataFrame, bandsC: DataFrame,
+      shF: DataFrame, bandsF: DataFrame, threshold: Double,
+      digits: Int = 4): DataFrame = {
     val allBands = bandsC.unionByName(bandsF)
     val cand = bandsF.as("a").join(allBands.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") =!= col("b.id"))
@@ -275,7 +291,7 @@ object Dedup {
       .distinct()
     val sh = shC.unionByName(shF)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val pairs = cand
+    cand
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
@@ -285,7 +301,6 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")), digits))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
-    (pairs, cleanup)
   }
 
   /** SimHash near-dup pairs at scale: split each 32-bit simhash into 4

@@ -112,6 +112,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup accumulates exactly the batch operator's pairs") {
+    // corpus with planted near-dups (every 7th doc copied under a new
+    // id), delivered as three micro-batches; the accumulated pair log
+    // must equal the batch MinHash-LSH over the whole corpus, each pair
+    // exactly once (found by the batch that delivers its later member)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val (expectedDf, cleanup) =
+      graft.operators.Dedup.minhashLshPairsManaged(corpus, "doc_id", "text")
+    val expected = expectedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    cleanup()
+    assert(expected.nonEmpty)
+
+    val all = corpus.as[(Long, String)].collect().toSeq
+    val (copies, orig) = all.partition(_._1 >= 100000L)
+    val (b1, b2) = orig.partition(_._1 < 250L)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.StreamingDedup.start(
+      input.toDF().toDF("doc_id", "text"), stateDir)
+    try {
+      Seq(b1, b2, copies).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      val got = spark.read.parquet(s"$stateDir/pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got.size == got.toSet.size, "a pair was detected more than once")
+      assert(got.toSet == expected)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
     val events = input.toDF().toDF("event_id", "ts")
