@@ -171,7 +171,10 @@ object Scd {
     * restrict to one table (and optionally one pk), and collapse into
     * validity runs — the CLI's `--history` report mode. Versions are
     * discovered from the directory names, so the report works on any
-    * state dir without a manifest.
+    * state dir without a manifest. When the snapshot stack has been
+    * vacuumed away ([[graft.streaming.DumpWatchSync.vacuum]]), the
+    * report falls back to [[historyFromMaintained]] — same rows, read
+    * instead of recomputed.
     */
   def historyFromState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, table: String, pk: Option[String] = None): DataFrame = {
@@ -181,6 +184,9 @@ object Scd {
       .flatMap(f => f.getName.stripPrefix("snapshot_v").toLongOption
         .map(v => (v, f.getAbsolutePath)))
       .sortBy(_._1)
+    if (snaps.length <= 1 &&
+        new java.io.File(stateDir, "history_closed").exists())
+      return historyFromMaintained(spark, stateDir, table, pk)
     require(snaps.nonEmpty, s"no snapshot_v* directories under $stateDir")
     val stacked = snaps.map { case (v, path) =>
       spark.read.parquet(path)
@@ -188,6 +194,34 @@ object Scd {
         .select(lit(v).as("__v"), col("pk"), col("vals"))
     }.reduce(_.unionByName(_))
     val hist = scd2(stacked, "__v", Seq("pk"), Seq("vals"))
+    pk.fold(hist)(p => hist.filter(col("pk") === p))
+      .orderBy("pk", "ver_from")
+  }
+
+  /** SCD-2 history from the watcher's incrementally-MAINTAINED frames
+    * (`history_closed` append-only log ∪ the newest `history_open_*`
+    * frame) — the read path that needs no snapshot stack at all, so it
+    * survives [[graft.streaming.DumpWatchSync.vacuum]] and costs a scan
+    * of the history instead of a recompute over every version. ScdSpec
+    * pins it equal to the stack replay on watcher-fed state.
+    */
+  def historyFromMaintained(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, table: String, pk: Option[String] = None): DataFrame = {
+    val dir = new java.io.File(stateDir)
+    val open = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith("history_open_snapshot_v"))
+      .flatMap(f => f.getName.stripPrefix("history_open_snapshot_v")
+        .toLongOption.map(v => (v, f.getAbsolutePath)))
+      .sortBy(-_._1).headOption
+    val closedPath = new java.io.File(stateDir, "history_closed")
+    val parts =
+      (if (closedPath.exists())
+        Seq(spark.read.parquet(closedPath.getAbsolutePath)) else Nil) ++
+        open.map { case (_, p) => spark.read.parquet(p) }.toSeq
+    require(parts.nonEmpty, s"no maintained history under $stateDir")
+    val hist = parts.reduce(_.unionByName(_)).filter(col("table") === table)
+      .select(col("pk"), col("vals"), col("ver_from"), col("ver_to"))
     pk.fold(hist)(p => hist.filter(col("pk") === p))
       .orderBy("pk", "ver_from")
   }

@@ -142,6 +142,19 @@ class ScdSpec extends SparkSuite {
         .toSet
       assert(maintained == hist.toSet,
         "incrementally-maintained history differs from the stack replay")
+
+      // after a vacuum removes the snapshot stack, --history still works:
+      // historyFromState falls back to the maintained closed+open frames
+      graft.streaming.DumpWatchSync.vacuum(stateDir, keepLast = 1)
+      val postVacuum = Scd.historyFromState(spark, stateDir, "t")
+        .collect()
+        .map(r => (r.getAs[String]("pk"), r.getAs[Seq[String]]("vals").mkString("|"),
+          r.getAs[Long]("ver_from"), Option(r.get(r.fieldIndex("ver_to")))))
+        .toSeq
+      assert(postVacuum == hist, "post-vacuum history differs from the stack replay")
+      val onePost = Scd.historyFromState(spark, stateDir, "t", Some("2"))
+        .collect().map(_.getAs[String]("pk")).toSeq
+      assert(onePost == Seq("2", "2"))
     } finally q.stop()
   }
 
