@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Persistent IVF+PQ ANN index — the train-once / probe-many deployment
+  * form of [[Similarity.ivfPqTopK]], which retrains its quantizers on
+  * every call. `build` fits the coarse quantizer and the PQ subspace
+  * codebooks once, encodes the corpus, and persists everything as
+  * parquet; `probe` answers top-k queries from the stored index without
+  * touching the raw vectors again.
+  *
+  * Index layout under `indexDir`:
+  *   coarse/    (cell, cvec)                — coarse centroids (tiny)
+  *   books/     (mi, cell, cvec, cc)        — PQ codebooks (m·ksub rows)
+  *   encoded/   (id, mi, code) PARTITIONED BY cell — corpus codes
+  *   META       one text line: m,dsub,nlist,ksub
+  *
+  * Scale: `encoded` is hash-partitioned BY COARSE CELL on disk, and a
+  * probe joins it against the broadcast (query, probed-cell) frame on
+  * the partition column — dynamic partition pruning reads only the
+  * nprobe cells a query needs, ~nprobe/nlist of the index, and the scan
+  * carries m codes per vector instead of the full embedding. Probing is
+  * then one broadcast join + one bounded aggregate + a per-query top-k
+  * window: no shuffle of the index, ever. Rebuilds are full (codebooks
+  * are corpus-distribution-dependent); appending new vectors without
+  * refit = encode them with the stored books and append to `encoded` —
+  * the streaming-ingest shape.
+  *
+  * Everything is the same exact-integer arithmetic as the q56 chain, so
+  * a probe of a freshly-built index equals [[Similarity.ivfPqTopK]] on
+  * the same inputs bit-for-bit (the spec pins it).
+  */
+object AnnIndex {
+
+  /** Fit quantizers on the `trainLimit` lowest-id vectors, encode the
+    * corpus, persist the index.
+    */
+  def build(base: DataFrame, idCol: String, vecCol: String, indexDir: String,
+      nlist: Int = 16, m: Int = 16, ksub: Int = 64, kmeansIters: Int = 3,
+      trainLimit: Int = 4096): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val (qv, _) = Similarity.quantized(col(vecCol))
+    val withQ = Spread.ensure(base, idCol)
+      .select(col(idCol).as("id"), qv.as("q"))
+    val train: Array[Array[Long]] = withQ
+      .orderBy("id").limit(trainLimit)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    val coarse: Array[(Int, Seq[Long])] =
+      Similarity.kmeansCentroids(train, nlist, kmeansIters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val pq = Similarity.PqModel.fromTrain(spark, train, m, ksub, kmeansIters)
+
+    coarse.toSeq.toDF("cell", "cvec")
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/coarse")
+    pq.bookDf.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/books")
+    val cells = withQ.withColumn("cell",
+      element_at(Similarity.rankedCells(coarse, col("q"), 1), 1))
+    pq.encode(withQ).join(cells.select("id", "cell"), "id")
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$indexDir/encoded")
+    java.nio.file.Files.write(java.nio.file.Paths.get(indexDir, "META"),
+      s"$m,${pq.dsub},$nlist,$ksub".getBytes("UTF-8"))
+  }
+
+  /** Top-k neighbors of `queries` from a stored index. Output
+    * (query_id, neighbor_id, rank, adc) — the [[Similarity.ivfPqTopK]]
+    * shape.
+    */
+  def probe(spark: SparkSession, queries: DataFrame, idCol: String,
+      vecCol: String, indexDir: String, k: Int, nprobe: Int = 4): DataFrame = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(indexDir, "META")), "UTF-8").trim.split(",")
+    val (m, dsub) = (meta(0).toInt, meta(1).toInt)
+    val coarse: Array[(Int, Seq[Long])] =
+      spark.read.parquet(s"$indexDir/coarse")
+        .select("cell", "cvec").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        .sortBy(_._1)
+    val pq = Similarity.PqModel(
+      spark.read.parquet(s"$indexDir/books"), m, dsub)
+    val enc = spark.read.parquet(s"$indexDir/encoded")
+
+    val (qv, _) = Similarity.quantized(col(vecCol))
+    val qWithQ = queries.select(col(idCol).as("query_id"), qv.as("qq"))
+    val qprobe = qWithQ.withColumn("cell",
+      explode(Similarity.rankedCells(coarse, col("qq"), nprobe)))
+    // the index side joins on its PARTITION column against a broadcast —
+    // dynamic partition pruning reads only the probed cells' directories
+    val adc = enc
+      .join(broadcast(qprobe.select("query_id", "cell")), "cell")
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(pq.queryTables(qWithQ).withColumnRenamed("cell", "qcell")),
+        Seq("query_id", "mi"))
+      .filter(col("code") === col("qcell"))
+      .groupBy("query_id", "id").agg(sum(col("dt")).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc").desc, col("id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("adc"))
+  }
+
+  /** Encode a batch of NEW vectors with the stored codebooks and append
+    * it to the index — ingest without refit (codebooks stay fixed; refit
+    * on drift is a rebuild). The batch is immediately probeable.
+    */
+  def append(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, indexDir: String): Unit = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(indexDir, "META")), "UTF-8").trim.split(",")
+    val (m, dsub) = (meta(0).toInt, meta(1).toInt)
+    val coarse: Array[(Int, Seq[Long])] =
+      spark.read.parquet(s"$indexDir/coarse")
+        .select("cell", "cvec").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1)))
+        .sortBy(_._1)
+    val pq = Similarity.PqModel(
+      spark.read.parquet(s"$indexDir/books"), m, dsub)
+    val (qv, _) = Similarity.quantized(col(vecCol))
+    val withQ = batch.select(col(idCol).as("id"), qv.as("q"))
+    val cells = withQ.withColumn("cell",
+      element_at(Similarity.rankedCells(coarse, col("q"), 1), 1))
+    pq.encode(withQ).join(cells.select("id", "cell"), "id")
+      .write.mode(SaveMode.Append).partitionBy("cell")
+      .parquet(s"$indexDir/encoded")
+  }
+}

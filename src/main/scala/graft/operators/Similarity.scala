@@ -166,7 +166,7 @@ object Similarity {
     * each centroid (unit-ish vectors: larger dot == closer),
     * deterministic tiebreak on cell id.
     */
-  private def rankedCells(centroids: Array[(Int, Seq[Long])], v: Column,
+  private[operators] def rankedCells(centroids: Array[(Int, Seq[Long])], v: Column,
       probes: Int): Column = {
     val scored = array(centroids.toIndexedSeq.map { case (cid, cvec) =>
       struct((-Portable.dotQ(v, typedLit(cvec))).as("negDot"),
@@ -290,7 +290,7 @@ object Similarity {
     * broadcast-join + aggregate, NOT m·ksub inline expressions per row
     * (which drowns codegen at ksub ≥ 64).
     */
-  private final case class PqModel(bookDf: DataFrame, m: Int, dsub: Int) {
+  private[operators] final case class PqModel(bookDf: DataFrame, m: Int, dsub: Int) {
 
     private def subArr(v: Column): Column =
       array((0 until m).map(mi => slice(v, mi * dsub + 1, dsub)): _*)
@@ -326,7 +326,7 @@ object Similarity {
     }
   }
 
-  private object PqModel {
+  private[operators] object PqModel {
     /** Train per-subspace L2 codebooks on the `trainLimit` lowest-id
       * vectors of a (id, q) frame.
       */

@@ -14,6 +14,32 @@ class ExtensionOpsSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("AnnIndex build→probe equals the one-shot IVF+PQ chain; append is probeable") {
+    import graft.operators.AnnIndex
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    AnnIndex.build(e, "vec_id", "embedding", idx)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank", "adc")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val got = rows(AnnIndex.probe(spark, q, "vec_id", "embedding", idx, k = 5))
+    val want = rows(Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5))
+    assert(got == want, "stored-index probe differs from the one-shot chain")
+
+    // ingest without refit: a duplicate of query 5's vector appended
+    // under a new id encodes to the same cell and codes, so it must
+    // surface among query 5's top-5 immediately
+    val dup = e.filter($"vec_id" === 5L)
+      .select(lit(99999L).as("vec_id"), col("embedding"))
+    AnnIndex.append(spark, dup, "vec_id", "embedding", idx)
+    val after = AnnIndex.probe(spark, q, "vec_id", "embedding", idx, k = 5)
+      .filter($"query_id" === 5L)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(after.contains(99999L),
+      s"appended duplicate missing from query 5's top-5: $after")
+  }
+
   test("ann lsh top-k achieves >=40% recall@5 vs brute force (8 tables x 4 planes)") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 20)
