@@ -437,6 +437,25 @@ object ExtensionQueries {
       "embedding", k = 5, nlist = 16, nprobe = 4, m = 16, ksub = 64)
       .orderBy("query_id", "rank")
   }
+
+  // --------------------------------------------------------------- q107
+  /** The PERSISTED form of q56 ([[graft.operators.AnnIndex]]): build the
+    * IVF+PQ index to parquet (coarse centroids, codebooks, cell-
+    * partitioned codes), then answer the same queries from the stored
+    * index alone — identical arithmetic end to end, so the oracle is
+    * q56's SQL verbatim; a drift between the one-shot chain and the
+    * stored-index path fails the hash.
+    */
+  val q107: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val idx = "/tmp/graft_ann_index_" +
+      java.nio.file.Paths.get(dir).getFileName.toString
+    graft.operators.AnnIndex.build(e, "vec_id", "embedding", idx,
+      nlist = 16, m = 16, ksub = 64)
+    graft.operators.AnnIndex.probe(s, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", idx, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
   val q56Sql: String = {
     val (nlist, nprobe, k, iters, trainLimit, dim) = (16, 4, 5, 3, 4096, 64)
     val (m, ksub, dsub) = (16, 64, 4)
@@ -958,6 +977,7 @@ object ExtensionQueries {
     "q54_simhash_neardup" -> q54,
     "q55_ann_pq" -> q55,
     "q56_ann_ivfpq" -> q56,
+    "q107_ann_index" -> q107,
     "q57_image_decode" -> q57,
     "q98_image_resize" -> q98,
     "q21_dedup_ngram_jaccard" -> q21,
@@ -988,6 +1008,7 @@ object ExtensionQueries {
     "q54_simhash_neardup" -> q54Sql,
     "q55_ann_pq" -> q55Sql,
     "q56_ann_ivfpq" -> q56Sql,
+    "q107_ann_index" -> q56Sql,
     "q57_image_decode" -> q57Sql,
     "q98_image_resize" -> q98Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
