@@ -12,6 +12,42 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Compaction planning — the small-files remediation a 100 TB lake
+    * runs continuously: per partition key, files already at or above
+    * `targetBytes` are KEPT in place (rewriting them buys nothing), and
+    * the small files are greedily packed into rewrite bins by cumulative
+    * size (`bin = cum_before div target` — the [[Curate.packSequences]]
+    * shape), so each closed bin's input reaches the target and a bin
+    * never holds more than target + one file. Deterministic: files order
+    * by name within their partition, so the same listing always yields
+    * the same plan (replayable by the oracle). Output: (partCols...,
+    * file, size, action `keep`/`rewrite`, bin — null for keeps).
+    *
+    * Scale: one window per partition key over its SMALL files only —
+    * per-key sequential by design (a rewrite bin is a sequential
+    * concatenation anyway); partition keys are the parallelism unit,
+    * matching how compaction jobs shard. No shuffle beyond the window's
+    * key exchange.
+    */
+  def compactionPlan(files: DataFrame, partCols: Seq[String], fileCol: Column,
+      sizeCol: Column, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val f = files.select(partCols.map(col) :+ fileCol.as("file") :+
+      sizeCol.cast("long").as("size"): _*)
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy("file")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = f.filter(col("size") < targetBytes)
+      .withColumn("__cum", coalesce(sum(col("size")).over(w), lit(0L)))
+      .select(partCols.map(col) :+ col("file") :+ col("size") :+
+        lit("rewrite").as("action") :+
+        expr(s"__cum div CAST($targetBytes AS BIGINT)").as("bin"): _*)
+    val kept = f.filter(col("size") >= targetBytes)
+      .select(partCols.map(col) :+ col("file") :+ col("size") :+
+        lit("keep").as("action") :+ lit(null).cast("long").as("bin"): _*)
+    packed.unionByName(kept)
+  }
+
   /** Morton (z-order) key: interleaves the low `bits` bits of each
     * dimension, first column occupying the even bit positions of the
     * lowest group. Pure integer shift/mask expression tree — codegen'd,

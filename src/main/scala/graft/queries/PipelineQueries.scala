@@ -605,7 +605,40 @@ object PipelineQueries {
       |  CAST(n_members AS BIGINT) AS n_members
       |FROM ranked WHERE rn = 1 ORDER BY comp""".stripMargin
 
+  // --------------------------------------------------------------- q108
+  /** Compaction planning ([[graft.operators.Layout.compactionPlan]]) over
+    * a deterministic synthetic file listing (one "file" per document,
+    * source = the lake partition, size = 10·n_chars): files ≥ the 8 KiB
+    * target are kept in place, the rest greedily bin-packed per source by
+    * cumulative size — the small-files remediation plan a 100 TB lake
+    * computes continuously. The oracle replays the keep/rewrite split and
+    * the cum-div binning with a window.
+    */
+  val q108: Q = (s, dir) =>
+    graft.operators.Layout.compactionPlan(
+        Tables.documents(s, dir).select(col("source"),
+          concat(col("source"), lit("/"), col("doc_id")).as("file"),
+          (col("n_chars") * 10).as("size")),
+        Seq("source"), col("file"), col("size"), targetBytes = 8192L)
+      .orderBy("source", "file")
+  val q108Sql: String =
+    """WITH f AS (SELECT source,
+      |    source || '/' || CAST(doc_id AS VARCHAR) AS file,
+      |    CAST(n_chars * 10 AS BIGINT) AS size
+      |  FROM documents),
+      |small AS (SELECT source, file, size, 'rewrite' AS action,
+      |    CAST(coalesce(sum(size) OVER (PARTITION BY source ORDER BY file
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192
+      |      AS BIGINT) AS bin
+      |  FROM f WHERE size < 8192),
+      |kept AS (SELECT source, file, size, 'keep' AS action,
+      |    CAST(NULL AS BIGINT) AS bin
+      |  FROM f WHERE size >= 8192)
+      |SELECT * FROM small UNION ALL SELECT * FROM kept
+      |ORDER BY source, file""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q108_compaction_plan" -> q108,
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
     "q64_pii_redact" -> q64,
@@ -623,6 +656,7 @@ object PipelineQueries {
     "q76_dedup_survivors" -> q76)
 
   val oracle: Map[String, String] = Map(
+    "q108_compaction_plan" -> q108Sql,
     "q62_tfidf_topterms" -> q62Sql,
     "q63_chunk_overlap" -> q63Sql,
     "q64_pii_redact" -> q64Sql,

@@ -81,6 +81,37 @@ class CurateSpec extends SparkSuite {
     assert(kept2 == kept.keySet)
   }
 
+  test("compactionPlan: keeps exactly the at-target files, bins fill to target") {
+    val t = 100L
+    val files = Seq(
+      ("p1", "a", 40L), ("p1", "b", 40L), ("p1", "c", 40L), ("p1", "d", 99L),
+      ("p1", "e", 100L), ("p1", "f", 250L),
+      ("p2", "g", 10L), ("p2", "h", 10L)
+    ).toDF("part", "file", "size")
+    val plan = graft.operators.Layout.compactionPlan(
+        files, Seq("part"), col("file"), col("size"), t)
+      .as[(String, String, Long, String, Option[Long])].collect().toSeq
+    assert(plan.size == 8, "every file appears exactly once")
+    val keeps = plan.filter(_._4 == "keep").map(_._2).toSet
+    assert(keeps == Set("e", "f"), "keeps are exactly the files >= target")
+    assert(plan.filter(_._4 == "keep").forall(_._5.isEmpty))
+    // cum-div binning: p1 smalls a(0),b(0),c(0: cum 80),d(cum 120 -> bin 1)
+    val p1bins = plan.filter(p => p._1 == "p1" && p._4 == "rewrite")
+      .map(p => p._2 -> p._5.get).toMap
+    assert(p1bins == Map("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 1L))
+    // every non-final bin prefix reaches the target; every bin < 2x target
+    for ((part, rows) <- plan.filter(_._4 == "rewrite").groupBy(_._1)) {
+      val byBin = rows.groupBy(_._5.get).toSeq.sortBy(_._1)
+        .map { case (b, rs) => (b, rs.map(_._3).sum) }
+      byBin.zipWithIndex.dropRight(1).foreach { case ((b, _), i) =>
+        val prefix = byBin.take(i + 1).map(_._2).sum
+        assert(prefix >= (b + 1) * t, s"$part bin $b prefix $prefix under target")
+      }
+      byBin.foreach { case (b, sz) =>
+        assert(sz < 2 * t, s"$part bin $b overfull: $sz") }
+    }
+  }
+
   test("packSequences invariants: offsets bounded, shard layout contiguous") {
     val packed = Curate.packSequences(docs, "doc_id",
       size(graft.functions.Portable.tokens(col("text"))), 2048L, 4).cache()
