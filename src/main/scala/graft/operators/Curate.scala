@@ -144,6 +144,61 @@ object Curate {
       .select(strataCols.map(col) :+ col("id") :+ col("w"): _*)
   }
 
+  /** Deterministic MIXTURE materialization: turn target source weights
+    * (a DoReMi/Pile-style data recipe) into a concrete dataset with
+    * per-document copy counts. Each source's document budget is
+    * `target = (weight · budget) div Σweights`; a source with more
+    * documents than target is downsampled (first `target` docs in hash
+    * order), one with fewer is EPOCH-UPSAMPLED — every doc repeated
+    * `target div avail` times and the first `target mod avail` docs in
+    * hash order once more, so Σcopies == target exactly, per source.
+    * Sources without a weight are dropped.
+    *
+    * The per-source hash ranking is computed WITHOUT a per-source global
+    * sort: rows rank within hash shards (parallel windows bounded by
+    * shard size), and tiny per-(source, shard) count offsets — broadcast
+    * back — lift shard ranks to the source-global rank in (shard, hash,
+    * id) order. The same two-level trick any 100 TB "take the first N
+    * by hash" selection needs; the oracle replays the identical order.
+    *
+    * Output: (source, doc_id, copies ≥ 1), Σ copies = target per source.
+    */
+  def mixToBudget(df: DataFrame, sourceCol: String, idCol: Column,
+      weights: Seq[(String, Long)], budget: Long,
+      shards: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wSum = weights.map(_._2).sum
+    val wdf = weights.toDF("source", "wt")
+      .withColumn("target", expr(s"(wt * ${budget}L) div ${wSum}L"))
+      .select("source", "target")
+    val base = df.select(col(sourceCol).as("source"), idCol.as("id"))
+      .withColumn("h", Portable.hash48(col("id").cast("string")))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+    val offs = base.groupBy("source", "shard")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off",
+        sum(col("c")).over(Window.partitionBy("source").orderBy("shard"))
+          - col("c"))
+    val avail = base.groupBy("source").agg(count(lit(1)).as("avail"))
+    val plan = wdf.join(avail, Seq("source"))
+      .withColumn("base_copies", expr("target div avail"))
+      .withColumn("rem", expr("target % avail"))
+      .select("source", "base_copies", "rem")
+    base
+      .withColumn("r",
+        row_number().over(
+          Window.partitionBy("source", "shard").orderBy("h", "id"))
+          .cast("long"))
+      .join(broadcast(offs.select("source", "shard", "off")),
+        Seq("source", "shard"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("copies", col("base_copies") +
+        when(col("off") + col("r") <= col("rem"), 1L).otherwise(0L))
+      .filter(col("copies") >= 1L)
+      .select(col("source"), col("id").as("doc_id"), col("copies"))
+  }
+
   /** Sequence packing: assign documents to fixed-capacity token bins —
     * the context-window packing step of an LLM training pipeline. Within
     * each hash shard, documents are laid out in id order and a document

@@ -91,6 +91,20 @@ object Dedup {
       : (DataFrame, () => Unit) = {
     val s = if (persist) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
     val cleanup = () => if (persist) { s.unpersist(); () }
+    val pairs = pairStats(s, maxDocFreq)
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), digits))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+    (pairs, cleanup)
+  }
+
+  /** Candidate pairs with intersection and set sizes — the inverted-index
+    * core shared by [[jaccardPairsManaged]] and [[containmentPairsManaged]]:
+    * self-join on shingle (optionally df-pruned) for intersections, per-doc
+    * counts for sizes. Output: (id_a, id_b, inter, sz_a, sz_b), id_a < id_b.
+    */
+  private def pairStats(s: DataFrame, maxDocFreq: Option[Long]): DataFrame = {
     val sizes = s.groupBy("id").agg(count(lit(1)).as("sz"))
     val index = maxDocFreq match {
       case None => s
@@ -99,17 +113,43 @@ object Dedup {
           .filter(col("df") > cap).select("shingle")
         s.join(hot, Seq("shingle"), "left_anti")
     }
-    val inter = index.as("a").join(index.as("b"), Seq("shingle"))
+    index.as("a").join(index.as("b"), Seq("shingle"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    val pairs = inter
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jac", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), digits))
-      .filter(col("jac") >= threshold)
-      .select("id_a", "id_b", "jac")
+  }
+
+  /** Jaccard CONTAINMENT pairs: C = |A∩B| / min(|A|,|B|) ≥ threshold.
+    * Containment catches the asymmetric duplicates Jaccard structurally
+    * cannot — a short document quoted whole inside a much longer one has
+    * C = 1 while J = |A|/|B| ≈ 0, so no Jaccard/MinHash threshold finds
+    * it without drowning in false positives. The standard companion pass
+    * (Broder's containment sketches) in a corpus dedup stack.
+    *
+    * Same inverted-index candidate join and df-pruning contract as
+    * [[jaccardPairs]] (pruning shrinks `inter`, so scores only ever
+    * drop); same (id_a, id_b) orientation — the direction of containment
+    * is whichever side is smaller, exposed via sz_a/sz_b-free output by
+    * design (consumers keep the smaller id's doc or the longer text).
+    * Output: (id_a, id_b, containment), id_a < id_b.
+    */
+  def containmentPairs(sh: DataFrame, threshold: Double, digits: Int = 4,
+      maxDocFreq: Option[Long] = None, persist: Boolean = true): DataFrame =
+    containmentPairsManaged(sh, threshold, digits, maxDocFreq, persist)._1
+
+  /** [[containmentPairs]] plus the shingle-cache cleanup thunk. */
+  def containmentPairsManaged(sh: DataFrame, threshold: Double,
+      digits: Int = 4, maxDocFreq: Option[Long] = None,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
+    val s = if (persist) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
+    val cleanup = () => if (persist) { s.unpersist(); () }
+    val pairs = pairStats(s, maxDocFreq)
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("sz_a"), col("sz_b")), digits))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
     (pairs, cleanup)
   }
 

@@ -496,4 +496,93 @@ object TextOps {
       .select(col(idCol),
         coalesce(col("fp"), md5(col("_text").cast("binary"))).as("fingerprint"))
   }
+
+  /** Cross-document duplicated text SPANS — the exact-substring dedup
+    * pass of an LLM corpus pipeline (boilerplate headers, license
+    * blocks, templated paragraphs recur verbatim across documents while
+    * whole-document similarity stays low, so MinHash/SimHash never see
+    * them). A token position is *duplicated* when its n-gram also occurs
+    * in ≥ `minDocs`−1 other documents; overlapping duplicated positions
+    * merge into maximal spans (gaps-and-islands over a running
+    * covered-end watermark).
+    *
+    * Shape: posexplode n-grams (one md5 per gram occurrence) → one hash
+    * aggregate for cross-doc gram frequency → LEFT SEMI join back (no
+    * fan-out — a stopword-like hot gram contributes candidates linearly,
+    * never quadratically) → per-document window merge. The only
+    * per-document sequential step is the merge window, bounded by
+    * document length; everything else is hash-partitioned on gram or id.
+    *
+    * Output: (doc_id, span_start, span_end, n_grams) — token-index
+    * half-open [start, end), one row per maximal span.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Portable.tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => struct(i.cast("long").as("pos"),
+          array_join(slice(toks, i + 1, lit(n)), " ").as("gram"))))
+      .otherwise(array().cast("array<struct<pos:long,gram:string>>"))
+    val pg = Spread.ensure(df.select(col(idCol).as("id"), col(textCol)), "id")
+      .select(col("id"), explode(grams).as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"),
+        Portable.hash48(col("pg.gram")).as("gram"))
+    val dup = pg.groupBy("gram")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val prevEnd = max(col("pos") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    pg.join(dup, Seq("gram"), "left_semi")
+      .withColumn("fresh",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("fresh")).over(w))
+      .groupBy(col("id").as("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
+  /** Per-document n-gram NOVELTY — the inverse signal of
+    * [[duplicateSpans]]: what fraction of a document's distinct n-grams
+    * occur nowhere else in the corpus. Drives curation priority (keep
+    * high-novelty documents when trimming to a token budget) and
+    * measures how much a new crawl actually adds over the standing
+    * corpus. Integer per-mille ratio — no float aggregate, replayable in
+    * any engine.
+    *
+    * Shape: distinct (doc, gram-hash) pairs → one gram-frequency hash
+    * aggregate → LEFT SEMI against the singleton grams → two map-side-
+    * combining counts per doc; a final left join restores documents too
+    * short to shingle (n_grams=0, null score).
+    *
+    * Output: (doc_id, n_grams, unique_grams, novelty_pm).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = Dedup.hashedShingleTable(df, idCol, textCol, n)
+    val singleton = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") === 1)
+      .select("shingle")
+    val uniq = sh.join(singleton, Seq("shingle"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("unique_grams"))
+    val per = sh.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      .join(uniq, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("unique_grams"), lit(0L)).as("unique_grams"))
+      // n_grams >= 1 for every id present in sh, so the integer div is
+      // total; shingle-less docs get a null score via the outer join below
+      .withColumn("novelty_pm", expr("(unique_grams * 1000) div n_grams"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("unique_grams"), lit(0L)).as("unique_grams"),
+        col("novelty_pm"))
+  }
 }

@@ -277,6 +277,72 @@ object CorpusQueries {
       |          FROM documents)))
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q109
+  /** Cross-document duplicated SPANS ([[TextOps.duplicateSpans]]): the
+    * exact-substring dedup pass — verbatim 5-gram runs shared across ≥2
+    * documents, merged into maximal [start, end) token spans per doc.
+    * Posexplode → one gram-frequency hash agg → LEFT SEMI join back (hot
+    * grams stay linear, never quadratic) → per-doc gaps-and-islands
+    * window bounded by document length.
+    */
+  val q109: Q = (s, dir) =>
+    TextOps.duplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+        n = 5, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+  val q109Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |           FROM documents),
+      |p AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |        ('0x' || substr(md5(array_to_string(w[i+1:i+5], ' ')),1,12))::BIGINT AS gram
+      |      FROM (SELECT doc_id, w,
+      |              unnest(CASE WHEN len(w) >= 5 THEN range(len(w)-4)
+      |                     ELSE [] END) AS i FROM t)),
+      |d AS (SELECT gram FROM p GROUP BY gram
+      |      HAVING count(DISTINCT doc_id) >= 2),
+      |m AS (SELECT p.doc_id, p.pos FROM p JOIN d USING (gram)),
+      |x AS (SELECT doc_id, pos,
+      |        max(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM m),
+      |i AS (SELECT doc_id, pos,
+      |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+      |            THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM x)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+      |  count(*) AS n_grams
+      |FROM i GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  // --------------------------------------------------------------- q112
+  /** Per-document n-gram NOVELTY ([[TextOps.ngramNovelty]]): fraction
+    * (integer per-mille) of a doc's distinct 5-grams that occur nowhere
+    * else — the curation-priority / crawl-value signal. Distinct grams →
+    * one frequency agg → LEFT SEMI vs singletons → two per-doc counts.
+    */
+  val q112: Q = (s, dir) =>
+    TextOps.ngramNovelty(Tables.documents(s, dir), "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  val q112Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |           FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS id, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_distinct(list_transform(range(len(w)-4),
+      |      i -> array_to_string(w[i+1:i+5], ' ')))
+      |    ELSE []::VARCHAR[] END) AS g FROM t),
+      |shh AS (SELECT id, ('0x'||substr(md5(g),1,12))::BIGINT AS g FROM sh),
+      |u AS (SELECT g FROM shh GROUP BY g HAVING count(*) = 1),
+      |uc AS (SELECT id, count(*) AS unique_grams FROM shh JOIN u USING (g)
+      |       GROUP BY id),
+      |per AS (SELECT id, count(*) AS n_grams FROM shh GROUP BY id),
+      |j AS (SELECT per.id, per.n_grams,
+      |        coalesce(uc.unique_grams, 0) AS unique_grams,
+      |        (coalesce(uc.unique_grams, 0) * 1000) // per.n_grams AS novelty_pm
+      |      FROM per LEFT JOIN uc USING (id))
+      |SELECT d.doc_id, coalesce(j.n_grams, 0) AS n_grams,
+      |  coalesce(j.unique_grams, 0) AS unique_grams, j.novelty_pm
+      |FROM documents d LEFT JOIN j ON j.id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_kmv_join_estimate" -> q94,
     "q93_weighted_percentiles" -> q93,
@@ -284,7 +350,9 @@ object CorpusQueries {
     "q88_median_mad" -> q88,
     "q89_item_cooccurrence" -> q89,
     "q90_cooccurrence_lift" -> q90,
-    "q101_gopher_rules" -> q101)
+    "q101_gopher_rules" -> q101,
+    "q109_duplicate_spans" -> q109,
+    "q112_ngram_novelty" -> q112)
 
   val oracle: Map[String, String] = Map(
     "q94_kmv_join_estimate" -> q94Sql,
@@ -293,5 +361,7 @@ object CorpusQueries {
     "q88_median_mad" -> q88Sql,
     "q89_item_cooccurrence" -> q89Sql,
     "q90_cooccurrence_lift" -> q90Sql,
-    "q101_gopher_rules" -> q101Sql)
+    "q101_gopher_rules" -> q101Sql,
+    "q109_duplicate_spans" -> q109Sql,
+    "q112_ngram_novelty" -> q112Sql)
 }

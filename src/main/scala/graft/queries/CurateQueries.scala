@@ -208,8 +208,41 @@ object CurateQueries {
       |FROM s JOIN t USING (source) WHERE s.score >= t.thr
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q110
+  /** Mixture materialization ([[Curate.mixToBudget]]): the data recipe
+    * {src0:1, src1:1, src2:8} at a 100-document budget, made concrete as
+    * per-document copy counts — src0/src1 downsample to 10 docs each,
+    * src2 epoch-upsamples to Σcopies = 80 exactly. Ranking is the
+    * two-level shard trick (parallel intra-shard windows + broadcast
+    * count offsets), never a per-source global sort; the oracle replays
+    * the identical (shard, hash, id) order with one ROW_NUMBER.
+    */
+  val q110: Q = (s, dir) =>
+    Curate.mixToBudget(Tables.documents(s, dir), "source", col("doc_id"),
+        weights = Seq("src0" -> 1L, "src1" -> 1L, "src2" -> 8L),
+        budget = 100L, shards = 64)
+      .orderBy("source", "doc_id")
+  val q110Sql: String =
+    """WITH w(source, wt) AS (VALUES ('src0', CAST(1 AS BIGINT)),
+      |    ('src1', CAST(1 AS BIGINT)), ('src2', CAST(8 AS BIGINT))),
+      |t AS (SELECT source, (wt * 100) // 10 AS target FROM w),
+      |d AS (SELECT source, doc_id AS id,
+      |        ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,12))::BIGINT AS h
+      |      FROM documents),
+      |r AS (SELECT source, id, h,
+      |        CAST(row_number() OVER (PARTITION BY source
+      |          ORDER BY h % 64, h, id) AS BIGINT) AS rnk,
+      |        count(*) OVER (PARTITION BY source) AS avail
+      |      FROM d),
+      |c AS (SELECT r.source, r.id, (t.target // r.avail) +
+      |        CASE WHEN r.rnk <= t.target % r.avail THEN 1 ELSE 0 END AS copies
+      |      FROM r JOIN t USING (source))
+      |SELECT source, id AS doc_id, copies FROM c WHERE copies >= 1
+      |ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q47_stratified_sample" -> q47,
+    "q110_mix_to_budget" -> q110,
     "q48_hash_split" -> q48,
     "q49_pack_sequences" -> q49,
     "q51_decontaminate" -> q51,
@@ -219,6 +252,7 @@ object CurateQueries {
 
   val oracle: Map[String, String] = Map(
     "q47_stratified_sample" -> q47Sql,
+    "q110_mix_to_budget" -> q110Sql,
     "q48_hash_split" -> q48Sql,
     "q49_pack_sequences" -> q49Sql,
     "q51_decontaminate" -> q51Sql,

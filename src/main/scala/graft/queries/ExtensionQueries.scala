@@ -108,6 +108,52 @@ object ExtensionQueries {
        |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q111
+  /** documents + 40-token EXCERPT copies of every 7th doc — the
+    * asymmetric-duplicate fixture: an excerpt's shingles are fully
+    * contained in its source (containment = 1.0) while Jaccard is
+    * ~40/len (tiny for long docs), so Jaccard/MinHash thresholds
+    * structurally miss the pair.
+    */
+  private def corpusExcerpt(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(split(lower(col("text")), "\\s+"), 1, 40), " ")
+          .as("text")))
+  }
+  private val corpusExcerptSql =
+    """SELECT doc_id AS id, text FROM documents
+      |UNION ALL SELECT doc_id+2000000 AS id,
+      |  array_to_string(string_split_regex(lower(text), '\s+')[1:40], ' ') AS text
+      |FROM documents WHERE doc_id%7=0""".stripMargin
+
+  /** Containment dedup pairs ([[Dedup.containmentPairs]]): C = inter /
+    * min(|A|,|B|) over the same df-pruned inverted-index candidate join
+    * as q21 — the sub/superset-duplicate pass Jaccard cannot express.
+    */
+  val q111: Q = (s, dir) => {
+    val sh = Dedup.hashedShingleTable(corpusExcerpt(s, dir), "doc_id", "text", 3)
+    Dedup.containmentPairs(sh, 0.8, maxDocFreq = Some(64L))
+      .orderBy("id_a", "id_b")
+  }
+  val q111Sql: String =
+    s"""WITH corpus AS ($corpusExcerptSql),
+       |$shingleCtes,
+       |hot AS (SELECT shingle FROM shh GROUP BY shingle HAVING count(*) > 64),
+       |shp AS (SELECT id, shingle FROM shh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |cont AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(inter AS DOUBLE)/least(sa.sz, sb.sz), 4) AS containment
+       |  FROM pairs JOIN sz sa ON sa.id = pairs.id_a
+       |             JOIN sz sb ON sb.id = pairs.id_b)
+       |SELECT id_a, id_b, containment FROM cont WHERE containment >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q22
   /** MinHash + LSH banding near-dup: band-collision candidates verified
     * with exact Jaccard.
@@ -981,6 +1027,7 @@ object ExtensionQueries {
     "q57_image_decode" -> q57,
     "q98_image_resize" -> q98,
     "q21_dedup_ngram_jaccard" -> q21,
+    "q111_containment_pairs" -> q111,
     "q22_dedup_minhash_lsh" -> q22,
     "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
@@ -1012,6 +1059,7 @@ object ExtensionQueries {
     "q57_image_decode" -> q57Sql,
     "q98_image_resize" -> q98Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
+    "q111_containment_pairs" -> q111Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,

@@ -184,4 +184,58 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out(("a", "b")) == 1.0)
     assert(math.abs(out(("a", "q")) - 20.0 * 5 / 150) < 1e-12)
   }
+
+  test("duplicateSpans merges overlapping and adjacent shared runs, skips unique text") {
+    // docs 1 and 2 share tokens 0-9 verbatim (6 overlapping 5-grams →
+    // ONE span [0,10)); doc 3 shares nothing; docs 4/5 share two
+    // disjoint 5-token runs separated by unique text → TWO spans
+    val shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val run1 = "b1 b2 b3 b4 b5"
+    val run2 = "c1 c2 c3 c4 c5"
+    val docs = Seq(
+      (1L, s"$shared u1 u2 u3"),
+      (2L, s"$shared v1 v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7"),
+      (4L, s"$run1 x1 x2 x3 x4 x5 $run2"),
+      (5L, s"$run1 y1 y2 y3 y4 y5 $run2")).toDF("doc_id", "text")
+    val out = TextOps.duplicateSpans(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 10L, 6L), (2L, 0L, 10L, 6L),
+      (4L, 0L, 5L, 1L), (4L, 10L, 15L, 1L),
+      (5L, 0L, 5L, 1L), (5L, 10L, 15L, 1L)))
+  }
+
+  test("duplicateSpans merges runs that ABUT (gap = 0) into one span") {
+    // doc1's grams at pos 0 (p1..p5) and pos 5 (q1..q5) are both
+    // duplicated (doc2 carries the same two runs, offset by a z9), but
+    // the bridging grams at pos 1-4 are unique to doc1. Coverage of the
+    // pos-0 gram ends exactly where pos 5 starts (prev_end == 5), so the
+    // two runs abut with no uncovered token between them → ONE span
+    // [0,10), not two
+    val docs = Seq(
+      (1L, "p1 p2 p3 p4 p5 q1 q2 q3 q4 q5"),
+      (2L, "p1 p2 p3 p4 p5 z9 q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val out = TextOps.duplicateSpans(docs, "doc_id", "text", n = 5, minDocs = 2)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 10L, 2L)))
+  }
+
+  test("ngramNovelty: unique docs score 1000, exact dup pairs 0, short docs null") {
+    val docs = Seq(
+      (1L, "m1 m2 m3 m4 m5 m6 m7"),       // all grams unique → 1000
+      (2L, "d1 d2 d3 d4 d5 d6"),          // duplicated in doc 3 → 0
+      (3L, "d1 d2 d3 d4 d5 d6"),
+      (4L, "s1 s2")).toDF("doc_id", "text") // too short → 0 grams, null
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, Some(1000L)),
+      (2L, 2L, 0L, Some(0L)),
+      (3L, 2L, 0L, Some(0L)),
+      (4L, 0L, 0L, None)))
+  }
 }

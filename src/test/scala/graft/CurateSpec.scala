@@ -112,6 +112,39 @@ class CurateSpec extends SparkSuite {
     }
   }
 
+  test("mixToBudget hits every source target exactly, up- and downsampling") {
+    val weights = Seq("src0" -> 1L, "src1" -> 1L, "src2" -> 8L)
+    val out = Curate.mixToBudget(docs, "source", col("doc_id"),
+      weights, budget = 100L, shards = 16).cache()
+    val bySource = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("copies")).as("tot"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // targets: (wt*100) div 10 → src0=10, src1=10, src2=80
+    assert(bySource("src0")._2 == 10L)
+    assert(bySource("src1")._2 == 10L)
+    assert(bySource("src2")._2 == 80L)
+    // unweighted sources are dropped entirely
+    assert(bySource.keySet == Set("src0", "src1", "src2"))
+    val avail = docs.filter(col("source") === "src2").count()
+    if (avail < 80) // upsampled source: every doc present, copies ≥ 1
+      assert(bySource("src2")._1 == avail)
+    out.unpersist()
+  }
+
+  test("mixToBudget is partition- and shard-count-invariant per rank order") {
+    val weights = Seq("src0" -> 1L, "src3" -> 3L)
+    def run(df: org.apache.spark.sql.DataFrame, shards: Int) =
+      Curate.mixToBudget(df, "source", col("doc_id"), weights, 40L, shards)
+        .select("source", "doc_id", "copies")
+        .as[(String, Long, Long)].collect().toSet
+    // same shard count, different partitioning → identical dataset
+    assert(run(docs.repartition(13), 16) == run(docs.repartition(2), 16))
+    // different shard count → same per-source totals (order differs)
+    val a = run(docs, 16).groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val b = run(docs, 64).groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(a == b)
+  }
+
   test("packSequences invariants: offsets bounded, shard layout contiguous") {
     val packed = Curate.packSequences(docs, "doc_id",
       size(graft.functions.Portable.tokens(col("text"))), 2048L, 4).cache()

@@ -205,6 +205,35 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(pruned.subsetOf(unpruned))
   }
 
+  test("containmentPairs finds the sub/superset duplicates jaccard misses") {
+    // B embeds A verbatim inside much longer unique text: every A
+    // shingle is a B shingle → containment 1.0, while jaccard =
+    // |A|/|B| ≈ 0.1 stays far under any useful dedup threshold
+    val short = (1 to 8).map(i => s"a$i").mkString(" ")
+    val long = ((1 to 40).map(i => s"u$i") ++ (1 to 8).map(i => s"a$i") ++
+      (41 to 80).map(i => s"u$i")).mkString(" ")
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val sh = Dedup.hashedShingleTable(docs, "doc_id", "text", 3)
+    val cont = Dedup.containmentPairs(sh, 0.9, persist = false)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.jaccardPairs(sh, 0.5, persist = false).count()
+    assert(jac == 0L) // jaccard at any dedup threshold misses the pair
+  }
+
+  test("containment >= jaccard on every candidate pair, same candidates") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").limit(150)
+    val sh = Dedup.hashedShingleTable(docs, "doc_id", "text", 3)
+    val j = Dedup.jaccardPairs(sh, 0.05, persist = false)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val c = Dedup.containmentPairs(sh, 0.05, persist = false)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // min(|A|,|B|) <= |A∪B| ⇒ C >= J: every jaccard pair surfaces at
+    // the same containment threshold, with a >= score
+    assert(j.keySet.subsetOf(c.keySet))
+    j.foreach { case (k, jv) => assert(c(k) >= jv, s"$k: ${c(k)} < $jv") }
+  }
+
   test("hashed shingle index yields the same jaccard pairs as string shingles") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text").limit(100)
     def run(sh: org.apache.spark.sql.DataFrame) =
