@@ -210,6 +210,44 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup pairs: every embedding is assigned to
+    * its deterministic k-means coarse cell (the same IVF quantizer as
+    * [[ivfTopK]]), and near-duplicate pairs (quantized cosine ≥ minCos)
+    * are generated ONLY within cells — the cluster-then-compare shape of
+    * Abbas et al.'s SemDeDup. Semantically-close vectors share an argmax
+    * centroid, so the pair join is cell-equi: candidate volume is
+    * Σ|cell|² instead of n², and `nlist` is the knob that holds per-cell
+    * fan-out down as the corpus grows (scale nlist ∝ √n and cells stay
+    * bounded). Assignment is a broadcast map-only stage; the only
+    * shuffle is the cell-keyed self-join.
+    *
+    * Exact duplicates always share a cell (identical vector ⇒ identical
+    * argmax), so unlike LSH blocking ([[nearDupPairsLsh]]) the recall-1.0
+    * floor for true dups is structural, not probabilistic.
+    * Output: (id_a, id_b, cos), id_a < id_b; compose with
+    * Dedup.connectedComponents for survivor selection (the q52/q76
+    * pattern).
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, nlist: Int = 16, digits: Int = 6,
+      kmeansIters: Int = 3, trainLimit: Int = 4096): DataFrame = {
+    val (qv, _) = quantized(col(vecCol))
+    val withQ = Spread.ensure(df, idCol)
+      .select(col(idCol), col(vecCol), qv.as("_semq"))
+    // bounded driver-side training sample — same justified collect as
+    // ivfTopK (deterministic lowest-id rows, ≤ trainLimit vectors)
+    val train: Array[Array[Long]] = withQ
+      .orderBy(idCol).limit(trainLimit)
+      .select("_semq").collect().map(_.getSeq[Long](0).toArray)
+    val centroids: Array[(Int, Seq[Long])] =
+      kmeansCentroids(train, nlist, kmeansIters)
+        .zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val blocked = withQ
+      .withColumn("_semcell",
+        element_at(rankedCells(centroids, col("_semq"), 1), 1).cast("long"))
+    nearDupPairs(blocked, idCol, vecCol, minCos, Some("_semcell"), digits)
+  }
+
   /** [[kmeansCentroids]] with proper L2 (minimum reconstruction error)
     * assignment: argmin ‖v−c‖² = argmax (2·v·c − c·c) — still exact Long
     * arithmetic, deterministic tiebreak on lowest cell. The max-dot

@@ -365,6 +365,68 @@ object ExtensionQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q113
+  /** SemDeDup ([[Similarity.semanticNearDupPairs]]): embeddings cluster
+    * into deterministic k-means cells, near-dup pairs generated within
+    * cells only — Σ|cell|² candidates, never n². Exact duplicates share
+    * an argmax cell structurally, so the duplicated fixture rows are
+    * guaranteed found; the oracle replays the full unrolled training
+    * loop + assignment + cell-blocked pair join.
+    */
+  val q113: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    Similarity.semanticNearDupPairs(corpus, "vec_id", "embedding",
+        minCos = 0.98)
+      .orderBy("id_a", "id_b")
+  }
+  val q113Sql: String = {
+    val (nlist, iters, trainLimit, dim) = (16, 3, 4096, 64)
+    val iterCtes = (1 to iters).map { i =>
+      s"""asg$i AS MATERIALIZED (
+         |  SELECT id, cell FROM (
+         |    SELECT t.id, c.cell,
+         |      row_number() OVER (PARTITION BY t.id ORDER BY list_dot_product(t.q, c.v) DESC, c.cell) AS rn
+         |    FROM train t CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+         |cent$i AS MATERIALIZED (
+         |  SELECT cell, list(s ORDER BY d) AS v FROM (
+         |    SELECT a.cell, dd.d,
+         |      CAST(floor(CAST(sum(t.q[dd.d+1]) AS DOUBLE)/count(*)) AS BIGINT) AS s
+         |    FROM asg$i a JOIN train t USING (id) CROSS JOIN range($dim) dd(d)
+         |    GROUP BY 1, 2) GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, v FROM cent${i - 1} WHERE cell NOT IN (SELECT cell FROM asg$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (
+       |  SELECT vec_id AS id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id+1000000, embedding FROM embeddings WHERE vec_id%20=0),
+       |vec AS MATERIALIZED (
+       |  SELECT id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM corpus),
+       |norms AS (SELECT id, list_dot_product(q, q) AS n FROM vec),
+       |train AS MATERIALIZED (SELECT id, q FROM vec ORDER BY id LIMIT $trainLimit),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, q AS v
+       |  FROM (SELECT id, q FROM train ORDER BY id LIMIT $nlist)),
+       |$iterCtes,
+       |basg AS MATERIALIZED (
+       |  SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY list_dot_product(v.q, c.v) DESC, c.cell) AS rn
+       |    FROM vec v CROSS JOIN cent$iters c) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    round(list_dot_product(va.q, vb.q) / (sqrt(na.n) * sqrt(nb.n)), 6) AS cos
+       |  FROM basg a JOIN basg b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN vec va ON va.id = a.id JOIN vec vb ON vb.id = b.id
+       |  JOIN norms na ON na.id = a.id JOIN norms nb ON nb.id = b.id)
+       |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.98
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------- PQ oracle pieces
   /** Shared DuckDB CTE text for vec/train (integer-quantized embeddings,
     * lowest-id training sample). MATERIALIZED throughout the PQ chains:
@@ -1028,6 +1090,7 @@ object ExtensionQueries {
     "q98_image_resize" -> q98,
     "q21_dedup_ngram_jaccard" -> q21,
     "q111_containment_pairs" -> q111,
+    "q113_semantic_dedup" -> q113,
     "q22_dedup_minhash_lsh" -> q22,
     "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
@@ -1060,6 +1123,7 @@ object ExtensionQueries {
     "q98_image_resize" -> q98Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
     "q111_containment_pairs" -> q111Sql,
+    "q113_semantic_dedup" -> q113Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,

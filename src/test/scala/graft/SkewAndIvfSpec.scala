@@ -120,4 +120,22 @@ class SkewAndIvfSpec extends SparkSuite {
     assert(a == b)
     got.unpersist()
   }
+
+  test("semanticNearDupPairs: exact dups always found, pairs ⊆ brute force") {
+    val e = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val dup = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(dup)
+    val sem = Similarity.semanticNearDupPairs(corpus, "vec_id", "embedding",
+        minCos = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical vectors share an argmax cell → every planted dup found
+    val planted = dup.select((col("vec_id") - 1000000L).as("a"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    planted.foreach { p => assert(sem.contains(p), s"missing planted dup $p") }
+    // cell blocking only PRUNES candidates vs brute force
+    val brute = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sem.subsetOf(brute))
+  }
 }
