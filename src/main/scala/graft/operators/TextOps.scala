@@ -547,6 +547,35 @@ object TextOps {
       .select("doc_id", "span_start", "span_end", "n_grams")
   }
 
+  /** Hashed-feature LINEAR text classifier — the fastText-shape
+    * model-based quality/toxicity/language gate of an LLM pipeline, as
+    * pure column expressions: each token hashes into one of `dim`
+    * feature buckets, the bucket's weight is looked up, and the
+    * document's score is the weight sum. ZERO shuffles — scoring a
+    * learned classifier over 100 TB runs at read bandwidth, exactly like
+    * this, with the weight table swapped for the trained model's.
+    *
+    * Weights here are a deterministic md5-derived stand-in model
+    * (integer in [-8, 8): `hash48("w_" ++ bucket) mod 16 − 8`) so the
+    * DuckDB oracle replays scoring bit-for-bit; integer weight SUMS are
+    * order-free (a float dot product's grouping order is engine-chosen).
+    * The classification is the sign predicate — no integer division
+    * whose floor/truncate semantics differ across engines on negatives.
+    *
+    * Output: (idCol, n_tokens, score, keep ∈ {0,1}).
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 4096): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    def weight(t: Column): Column =
+      Portable.hash48(concat(lit("w_"),
+        (Portable.hash48(t) % dim).cast("string"))) % 16 - 8
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("score"))
+      .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
+  }
+
   /** Per-document n-gram NOVELTY — the inverse signal of
     * [[duplicateSpans]]: what fraction of a document's distinct n-grams
     * occur nowhere else in the corpus. Drives curation priority (keep

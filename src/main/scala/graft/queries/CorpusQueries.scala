@@ -343,6 +343,33 @@ object CorpusQueries {
       |FROM documents d LEFT JOIN j ON j.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q114
+  /** Hashed-feature linear classifier ([[TextOps.hashedLinearScore]]):
+    * fastText-shape model scoring as pure column expressions — token →
+    * feature bucket → weight, integer weight sum, sign classification.
+    * Zero shuffles; the md5-derived stand-in weights replay exactly in
+    * SQL (a trained model swaps in via the same bucket lookup).
+    */
+  val q114: Q = (s, dir) =>
+    TextOps.hashedLinearScore(
+        graft.operators.Spread.ensure(Tables.documents(s, dir), "doc_id"),
+        "doc_id", "text", dim = 4096)
+      .orderBy("doc_id")
+  val q114Sql: String =
+    """SELECT doc_id, n_tokens, score,
+      |  CASE WHEN score >= 0 THEN CAST(1 AS BIGINT)
+      |       ELSE CAST(0 AS BIGINT) END AS keep
+      |FROM (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    list_reduce(list_transform(w, t ->
+      |      ('0x'||substr(md5('w_' ||
+      |        CAST(('0x'||substr(md5(t),1,12))::BIGINT % 4096 AS VARCHAR)
+      |      ),1,12))::BIGINT % 16 - 8),
+      |      (a, b) -> a + b) AS score
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_kmv_join_estimate" -> q94,
     "q93_weighted_percentiles" -> q93,
@@ -352,7 +379,8 @@ object CorpusQueries {
     "q90_cooccurrence_lift" -> q90,
     "q101_gopher_rules" -> q101,
     "q109_duplicate_spans" -> q109,
-    "q112_ngram_novelty" -> q112)
+    "q112_ngram_novelty" -> q112,
+    "q114_linear_classifier" -> q114)
 
   val oracle: Map[String, String] = Map(
     "q94_kmv_join_estimate" -> q94Sql,
@@ -363,5 +391,6 @@ object CorpusQueries {
     "q90_cooccurrence_lift" -> q90Sql,
     "q101_gopher_rules" -> q101Sql,
     "q109_duplicate_spans" -> q109Sql,
-    "q112_ngram_novelty" -> q112Sql)
+    "q112_ngram_novelty" -> q112Sql,
+    "q114_linear_classifier" -> q114Sql)
 }

@@ -223,6 +223,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 0L, 10L, 2L)))
   }
 
+  test("hashedLinearScore: score equals the per-token weight-sum spec, plan has no shuffle") {
+    def h48(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    }
+    def weight(tok: String): Long = h48("w_" + (h48(tok) % 4096)) % 16 - 8
+    val docs = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum"))
+      .toDF("doc_id", "text")
+    val out = TextOps.hashedLinearScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val exp = Seq("the quick brown fox", "lorem ipsum").zipWithIndex.map {
+      case (t, i) =>
+        val sc = t.split("\\s+").map(weight).sum
+        (i + 1L, t.split("\\s+").length.toLong, sc, if (sc >= 0) 1L else 0L)
+    }
+    assert(out == exp)
+    // model scoring must stay map-only: no Exchange in the plan
+    val plan = TextOps.hashedLinearScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("ngramNovelty: unique docs score 1000, exact dup pairs 0, short docs null") {
     val docs = Seq(
       (1L, "m1 m2 m3 m4 m5 m6 m7"),       // all grams unique → 1000
