@@ -53,6 +53,34 @@ object Curate {
     df.withColumn("split", assign)
   }
 
+  /** LEAKAGE-AWARE train/val/test split: near-duplicate documents always
+    * land in the SAME split. A plain per-doc hash split scatters a
+    * near-dup cluster across train and test — the classic eval
+    * contamination a fingerprint decontamination pass (q51) can't see,
+    * because the near-dups are inside one corpus, not across two. Here
+    * every document inherits its connected-component representative (min
+    * id over the near-dup pair graph, [[Dedup.connectedComponents]];
+    * singletons represent themselves) and the [[hashSplit]] rule keys on
+    * the REPRESENTATIVE — one hash verdict per cluster.
+    *
+    * `pairs` is any near-dup pair frame — exact fingerprints, MinHash
+    * LSH, SimHash, containment, SemDeDup — so the leakage definition is
+    * the caller's dedup stack. Components cost one hash-join round per
+    * cluster diameter (near-dup clusters are shallow); everything after
+    * is a left join + map-only split assignment.
+    *
+    * Output: df + (rep, split).
+    */
+  def leakageAwareSplit(df: DataFrame, idCol: Column, pairs: DataFrame,
+      splits: Seq[(String, Int)], denom: Int = 100): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "_la_id")
+    val withRep = df.join(comps, idCol === col("_la_id"), "left")
+      .withColumn("rep", coalesce(col("comp"), idCol))
+      .drop("_la_id", "comp")
+    hashSplit(withRep, col("rep"), splits, denom)
+  }
+
   /** Per-group ADAPTIVE quality gating: keep a row iff its integer score
     * reaches its own group's exact lower p-th percentile — "drop each
     * source's worst p%" instead of one corpus-wide threshold, which

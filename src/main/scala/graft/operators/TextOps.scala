@@ -614,4 +614,39 @@ object TextOps {
         coalesce(col("unique_grams"), lit(0L)).as("unique_grams"),
         col("novelty_pm"))
   }
+
+  /** INCREMENTAL novelty: what fraction of a fresh batch's distinct
+    * n-grams the standing corpus has never seen — the marginal value of
+    * a crawl before paying to ingest it, and the per-document priority
+    * when trimming arrivals to a token budget. The incremental sibling
+    * of [[ngramNovelty]] (which scores a corpus against itself), and the
+    * measurement counterpart of Dedup.minhashLshPairsDeltaManaged's
+    * fresh-vs-corpus dedup.
+    *
+    * Shape: fresh grams LEFT ANTI join the corpus' distinct gram set —
+    * one shuffle keyed on the 48-bit gram hash; at 100 TB the corpus
+    * side is the big one, and a Bloom screen of the fresh side (the q60
+    * machinery) drops most probes before the shuffle when the fresh
+    * batch is small. Output: (doc_id, n_grams, novel_grams, novelty_pm)
+    * per fresh doc, null score for shingle-less docs.
+    */
+  def ngramNoveltyVsCorpus(corpus: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val cg = Dedup.hashedShingleTable(corpus, idCol, textCol, n)
+      .select("shingle").distinct()
+    val fg = Dedup.hashedShingleTable(fresh, idCol, textCol, n)
+    val novel = fg.join(cg, Seq("shingle"), "left_anti")
+      .groupBy("id").agg(count(lit(1)).as("novel_grams"))
+    val per = fg.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_pm", expr("(novel_grams * 1000) div n_grams"))
+    fresh.select(col(idCol).as("doc_id"))
+      .join(per.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        col("novelty_pm"))
+  }
 }

@@ -370,6 +370,51 @@ object CorpusQueries {
       |        FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  /** Incremental novelty ([[TextOps.ngramNoveltyVsCorpus]]): a fresh
+    * batch — exact re-crawls (novelty 0) plus genuinely-new-suffix docs
+    * — scored against the standing corpus' gram set: the crawl-value
+    * measure before ingest. One anti-join shuffle on the gram hash.
+    */
+  val q116: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val fresh = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zq1 zq2 zq3")).as("text")))
+    TextOps.ngramNoveltyVsCorpus(d, fresh, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+  val q116Sql: String =
+    """WITH fresh AS (
+      |  SELECT doc_id+1000000 AS id, text FROM documents WHERE doc_id%4=0
+      |  UNION ALL SELECT doc_id+2000000 AS id, text || ' zq1 zq2 zq3' AS text
+      |  FROM documents WHERE doc_id%4=1),
+      |cw AS (SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |cgh AS (SELECT DISTINCT ('0x'||substr(md5(g),1,12))::BIGINT AS g FROM (
+      |  SELECT unnest(CASE WHEN len(w) >= 5
+      |    THEN list_distinct(list_transform(range(len(w)-4),
+      |      i -> array_to_string(w[i+1:i+5], ' ')))
+      |    ELSE []::VARCHAR[] END) AS g FROM cw)),
+      |fw AS (SELECT id, string_split_regex(lower(text), '\s+') AS w FROM fresh),
+      |fgh AS (SELECT id, ('0x'||substr(md5(g),1,12))::BIGINT AS g FROM (
+      |  SELECT DISTINCT id, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_distinct(list_transform(range(len(w)-4),
+      |      i -> array_to_string(w[i+1:i+5], ' ')))
+      |    ELSE []::VARCHAR[] END) AS g FROM fw)),
+      |nv AS (SELECT id, count(*) AS novel_grams FROM fgh
+      |       WHERE g NOT IN (SELECT g FROM cgh) GROUP BY id),
+      |per AS (SELECT id, count(*) AS n_grams FROM fgh GROUP BY id),
+      |j AS (SELECT per.id, per.n_grams,
+      |        coalesce(nv.novel_grams, 0) AS novel_grams,
+      |        (coalesce(nv.novel_grams, 0) * 1000) // per.n_grams AS novelty_pm
+      |      FROM per LEFT JOIN nv USING (id))
+      |SELECT f.id AS doc_id, coalesce(j.n_grams, 0) AS n_grams,
+      |  coalesce(j.novel_grams, 0) AS novel_grams, j.novelty_pm
+      |FROM fresh f LEFT JOIN j ON j.id = f.id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q94_kmv_join_estimate" -> q94,
     "q93_weighted_percentiles" -> q93,
@@ -380,7 +425,8 @@ object CorpusQueries {
     "q101_gopher_rules" -> q101,
     "q109_duplicate_spans" -> q109,
     "q112_ngram_novelty" -> q112,
-    "q114_linear_classifier" -> q114)
+    "q114_linear_classifier" -> q114,
+    "q116_incremental_novelty" -> q116)
 
   val oracle: Map[String, String] = Map(
     "q94_kmv_join_estimate" -> q94Sql,
@@ -392,5 +438,6 @@ object CorpusQueries {
     "q101_gopher_rules" -> q101Sql,
     "q109_duplicate_spans" -> q109Sql,
     "q112_ngram_novelty" -> q112Sql,
-    "q114_linear_classifier" -> q114Sql)
+    "q114_linear_classifier" -> q114Sql,
+    "q116_incremental_novelty" -> q116Sql)
 }

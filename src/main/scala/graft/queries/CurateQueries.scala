@@ -240,9 +240,57 @@ object CurateQueries {
       |SELECT source, id AS doc_id, copies FROM c WHERE copies >= 1
       |ORDER BY source, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q115
+  /** Leakage-aware split ([[Curate.leakageAwareSplit]]) over the
+    * duplicated-corpus fixture: exact-fingerprint pairs → connected
+    * components → every member splits by its REPRESENTATIVE's hash, so
+    * a dup cluster can never straddle train/test. The oracle replays
+    * components with a recursive CTE and the split rule on the rep.
+    */
+  val q115: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val fp = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val pairs = fp.as("a").join(fp.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    Curate.leakageAwareSplit(corpus, col("doc_id"), pairs,
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("doc_id", "rep", "split")
+      .orderBy("doc_id")
+  }
+  val q115Sql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id+1000000, text FROM documents WHERE doc_id%20=0
+      |  UNION ALL SELECT doc_id+2000000, text FROM documents WHERE doc_id%20=0),
+      |fp AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS comp
+      |  FROM reach GROUP BY src),
+      |rep AS (SELECT c.doc_id, coalesce(k.comp, c.doc_id) AS rep
+      |  FROM corpus c LEFT JOIN comp k ON k.doc_id = c.doc_id)
+      |SELECT doc_id, rep,
+      |  CASE WHEN ('0x'||substr(md5(CAST(rep AS VARCHAR)),1,12))::BIGINT % 100 < 80 THEN 'train'
+      |       WHEN ('0x'||substr(md5(CAST(rep AS VARCHAR)),1,12))::BIGINT % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM rep ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q47_stratified_sample" -> q47,
     "q110_mix_to_budget" -> q110,
+    "q115_leakage_aware_split" -> q115,
     "q48_hash_split" -> q48,
     "q49_pack_sequences" -> q49,
     "q51_decontaminate" -> q51,
@@ -253,6 +301,7 @@ object CurateQueries {
   val oracle: Map[String, String] = Map(
     "q47_stratified_sample" -> q47Sql,
     "q110_mix_to_budget" -> q110Sql,
+    "q115_leakage_aware_split" -> q115Sql,
     "q48_hash_split" -> q48Sql,
     "q49_pack_sequences" -> q49Sql,
     "q51_decontaminate" -> q51Sql,

@@ -247,6 +247,25 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("ngramNoveltyVsCorpus: re-crawls 0, new text 1000, mixed in between") {
+    val corpus = Seq(
+      (1L, "c1 c2 c3 c4 c5 c6"),
+      (2L, "d1 d2 d3 d4 d5")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "c1 c2 c3 c4 c5 c6"),            // exact re-crawl → 0
+      (11L, "n1 n2 n3 n4 n5 n6"),            // all new → 1000
+      (12L, "c1 c2 c3 c4 c5 x9"),            // 1 of 2 grams new → 500
+      (13L, "s1 s2")).toDF("doc_id", "text") // shingle-less → null
+    val out = TextOps.ngramNoveltyVsCorpus(corpus, fresh, "doc_id", "text", 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (10L, 2L, 0L, Some(0L)),
+      (11L, 2L, 2L, Some(1000L)),
+      (12L, 2L, 1L, Some(500L)),
+      (13L, 0L, 0L, None)))
+  }
+
   test("ngramNovelty: unique docs score 1000, exact dup pairs 0, short docs null") {
     val docs = Seq(
       (1L, "m1 m2 m3 m4 m5 m6 m7"),       // all grams unique → 1000

@@ -112,6 +112,36 @@ class CurateSpec extends SparkSuite {
     }
   }
 
+  test("leakageAwareSplit keeps every near-dup cluster in one split") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("text")))
+    val fp = corpus.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val pairs = fp.as("a").join(fp.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+    val out = Curate.leakageAwareSplit(corpus, col("doc_id"), pairs, splits)
+      .cache()
+    // no component straddles splits
+    val mixed = out.groupBy("rep")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(mixed == 0L)
+    val bySplit = out.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    // every planted dup follows its original — even when the original's
+    // own hash would have sent the copy elsewhere
+    bySplit.keys.filter(_ >= 5000L).foreach { dup =>
+      assert(bySplit(dup) == bySplit(dup - 5000L), s"dup $dup strayed") }
+    // singletons keep the plain hashSplit verdict (rep == self)
+    val plain = Curate.hashSplit(corpus, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    bySplit.keys.filter(id => id < 5000L && id % 10 != 0).foreach { id =>
+      assert(bySplit(id) == plain(id), s"singleton $id diverged") }
+    out.unpersist()
+  }
+
   test("mixToBudget hits every source target exactly, up- and downsampling") {
     val weights = Seq("src0" -> 1L, "src1" -> 1L, "src2" -> 8L)
     val out = Curate.mixToBudget(docs, "source", col("doc_id"),

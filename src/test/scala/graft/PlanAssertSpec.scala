@@ -201,4 +201,24 @@ class PlanAssertSpec extends SparkSuite {
           s"$q sample filter not pushed to scan:\n" + p.take(3000))
     }
   }
+
+  test("q109 span dedup back-join is LEFT SEMI (hot grams stay linear)") {
+    val p = executed("q109_duplicate_spans")
+    // the dup-gram join must be a semi join — an inner join against the
+    // gram set would fan a k-doc boilerplate gram into k candidate rows
+    // per occurrence; semi keeps it one row per position
+    assert(p.contains("LeftSemi"), p.take(3000))
+    // gram frequency aggregate must partial-aggregate map-side
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("q114 linear classifier scores with zero exchanges before the sort") {
+    val p = executed("q114_linear_classifier")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    // allowed: Spread's explicit repartition + the output-order range
+    // exchange; model scoring itself must add none
+    assert(exchanges.forall(l =>
+      l.contains("REPARTITION_BY_NUM") || l.contains("rangepartitioning")),
+      s"unexpected exchange:\n${exchanges.mkString("\n")}")
+  }
 }
