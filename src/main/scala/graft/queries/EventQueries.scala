@@ -155,17 +155,66 @@ object EventQueries {
       |  ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY purchase_id""".stripMargin
 
+  // --------------------------------------------------------------- q117
+  /** Keyless range join ([[graft.operators.RangeJoin.pointInInterval]]):
+    * every high-value purchase opens a global 10-minute incident window;
+    * count the error events inside each. Unlike q50 there is NO equi key
+    * — any user's error lands in any incident — so the naive plan is a
+    * cartesian/BNL product; the operator's bucket expansion turns it into
+    * one hash shuffle (PlanAssertSpec pins no-cartesian/no-BNL). Windows
+    * with zero errors are kept (left join back to the interval set).
+    */
+  val q117: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val points = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+        unix_micros(col("ts")).as("pt"),
+        (round(col("value") * 100)).cast("long").as("err_c"))
+    val intervals = ev
+      .filter(col("event_type") === "purchase" && col("value") > 150.0)
+      .select(col("event_id").as("incident_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 600000000L).as("e"))
+    val pairs = graft.operators.RangeJoin.pointInInterval(
+      points, "pt", intervals, "s", "e", bucketWidth = 600000000L)
+    val hits = pairs.groupBy("incident_id")
+      .agg(count(lit(1)).as("n_errors"), sum(col("err_c")).as("err_value_c"))
+    intervals.select("incident_id")
+      .join(hits, Seq("incident_id"), "left")
+      .select(col("incident_id"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+        coalesce(col("err_value_c"), lit(0L)).as("err_value_c"))
+      .orderBy("incident_id")
+  }
+  val q117Sql: String =
+    """WITH iv AS (SELECT event_id AS incident_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 600000000 AS e
+      |  FROM events WHERE event_type = 'purchase' AND value > 150.0),
+      |pt AS (SELECT event_id AS err_id, epoch_us(ts) AS pt,
+      |    CAST(round(value*100) AS BIGINT) AS err_c
+      |  FROM events WHERE event_type = 'error'),
+      |hits AS (SELECT iv.incident_id, count(*) AS n_errors,
+      |    sum(pt.err_c) AS err_value_c
+      |  FROM pt JOIN iv ON pt.pt BETWEEN iv.s AND iv.e
+      |  GROUP BY iv.incident_id)
+      |SELECT iv.incident_id, coalesce(hits.n_errors, 0) AS n_errors,
+      |  coalesce(hits.err_value_c, 0) AS err_value_c
+      |FROM iv LEFT JOIN hits ON hits.incident_id = iv.incident_id
+      |ORDER BY iv.incident_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q41_sessionize" -> q41,
     "q42_sliding_window" -> q42,
     "q43_topk_udaf" -> q43,
     "q50_interval_join" -> q50,
-    "q59_asof_join" -> q59)
+    "q59_asof_join" -> q59,
+    "q117_range_join_keyless" -> q117)
 
   val oracle: Map[String, String] = Map(
     "q41_sessionize" -> q41Sql,
     "q42_sliding_window" -> q42Sql,
     "q43_topk_udaf" -> q43Sql,
     "q50_interval_join" -> q50Sql,
-    "q59_asof_join" -> q59Sql)
+    "q59_asof_join" -> q59Sql,
+    "q117_range_join_keyless" -> q117Sql)
 }

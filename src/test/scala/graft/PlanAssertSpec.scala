@@ -212,6 +212,12 @@ class PlanAssertSpec extends SparkSuite {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("q117 keyless range join plans as hash join on buckets, never BNL/cartesian") {
+    val p = executed("q117_range_join_keyless")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q114 linear classifier scores with zero exchanges before the sort") {
     val p = executed("q114_linear_classifier")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
