@@ -427,6 +427,66 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q118
+  /** Distributed Lloyd k-means ([[graft.operators.Cluster.kmeansLloyd]]):
+    * unlike the IVF coarse quantizer (driver-sample training, q27/q55)
+    * BOTH steps are distributed — map-only broadcast-centroid assignment,
+    * one partial-aggregated shuffle per update — so the training set is
+    * the whole base, the 100 TB shape. Integer-quantized squared-euclid
+    * with lowest-cluster tiebreak and floor(sum/count) means keeps every
+    * engine bit-identical; the oracle replays both unrolled iterations.
+    */
+  val q118: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    graft.operators.Cluster.kmeansLloyd(e, "vec_id", "embedding",
+        k = 8, iters = 2)
+      .select(col("id").as("vec_id"),
+        col("cluster").cast("long").as("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
+  val q118Sql: String = {
+    val (k, iters, dim) = (8, 2, 64)
+    val iterCtes = (1 to iters).map { i =>
+      s"""kasg$i AS MATERIALIZED (
+         |  SELECT id, cell FROM (
+         |    SELECT v.id, c.cell,
+         |      row_number() OVER (PARTITION BY v.id ORDER BY
+         |        list_dot_product(v.q, v.q) - 2*list_dot_product(v.q, c.v)
+         |          + list_dot_product(c.v, c.v) ASC, c.cell) AS rn
+         |    FROM kvec v CROSS JOIN kcent${i - 1} c) WHERE rn = 1),
+         |kcent$i AS MATERIALIZED (
+         |  SELECT cell, list(s ORDER BY d) AS v FROM (
+         |    SELECT a.cell, dd.d,
+         |      CAST(floor(CAST(sum(v.q[dd.d+1]) AS DOUBLE)/count(*)) AS BIGINT) AS s
+         |    FROM kasg$i a JOIN kvec v USING (id) CROSS JOIN range($dim) dd(d)
+         |    GROUP BY 1, 2) GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, v FROM kcent${i - 1}
+         |  WHERE cell NOT IN (SELECT DISTINCT cell FROM kasg$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH kvec AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |kcent0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, q AS v
+       |  FROM (SELECT id, q FROM kvec ORDER BY id LIMIT $k)),
+       |$iterCtes
+       |SELECT v.id AS vec_id, CAST(f.cell AS BIGINT) AS cluster,
+       |  CAST(list_dot_product(v.q, v.q) - 2*list_dot_product(v.q, c.v)
+       |    + list_dot_product(c.v, c.v) AS BIGINT) AS dist
+       |FROM (SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY
+       |        list_dot_product(v.q, v.q) - 2*list_dot_product(v.q, c.v)
+       |          + list_dot_product(c.v, c.v) ASC, c.cell) AS rn
+       |    FROM kvec v CROSS JOIN kcent$iters c) WHERE rn = 1) f
+       |JOIN kvec v ON v.id = f.id
+       |JOIN kcent$iters c ON c.cell = f.cell
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------- PQ oracle pieces
   /** Shared DuckDB CTE text for vec/train (integer-quantized embeddings,
     * lowest-id training sample). MATERIALIZED throughout the PQ chains:
@@ -1091,6 +1151,7 @@ object ExtensionQueries {
     "q21_dedup_ngram_jaccard" -> q21,
     "q111_containment_pairs" -> q111,
     "q113_semantic_dedup" -> q113,
+    "q118_kmeans_lloyd" -> q118,
     "q22_dedup_minhash_lsh" -> q22,
     "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
@@ -1124,6 +1185,7 @@ object ExtensionQueries {
     "q21_dedup_ngram_jaccard" -> q21Sql,
     "q111_containment_pairs" -> q111Sql,
     "q113_semantic_dedup" -> q113Sql,
+    "q118_kmeans_lloyd" -> q118Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,
