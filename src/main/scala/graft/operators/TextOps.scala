@@ -630,6 +630,98 @@ object TextOps {
     * batch is small. Output: (doc_id, n_grams, novel_grams, novelty_pm)
     * per fresh doc, null score for shingle-less docs.
     */
+  /** One BPE merge candidate: the globally most frequent adjacent symbol
+    * pair in the vocab (weighted by word count), tiebreak (count desc,
+    * left asc, right asc). One vocab-sized shuffle + a 1-row collect.
+    */
+  private def bpeBestPair(vocab: DataFrame): Option[(String, String, Long)] =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(0, size(syms)-2), i -> " +
+          "struct(element_at(syms, i+1) AS l, element_at(syms, i+2) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("cnt").as("c"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .limit(1).collect()
+      .headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Greedy leftmost non-overlapping merge of adjacent (l, r) symbol
+    * pairs into l||r — the BPE apply step, as a codegen'd array fold.
+    */
+  private def bpeApplyMerge(symsCol: String, l: String, r: String): Column = {
+    val (ls, rs) = (sqlStr(l), sqlStr(r))
+    expr(s"""aggregate($symsCol, CAST(array() AS ARRAY<STRING>),
+      (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = $ls AND x = $rs,
+        concat(slice(acc, 1, size(acc) - 1), array(concat($ls, $rs))),
+        concat(acc, array(x))))""")
+  }
+
+  /** Distributed BPE tokenizer training — the merge-pair loop of Sennrich
+    * et al.'s subword units, the tokenizer-fitting step of every LLM data
+    * pipeline. The corpus is touched ONCE (word-count aggregation); every
+    * merge round after that runs on the VOCAB table — |distinct words|,
+    * millions not billions of rows — so cost is merges × (one vocab-sized
+    * pair-count shuffle + a 1-row collect + a map-only fold). Per-round
+    * frames persist and the previous round unpersists once the next
+    * round's argmax materializes (no cache accumulation across rounds).
+    *
+    * Determinism: exact-Long pair counts, (count desc, pair asc) argmax
+    * tiebreak, greedy leftmost-nonoverlapping apply — any engine replays
+    * the identical merge table. Returns (step, left_sym, right_sym,
+    * pair_count), the learned merge rules in order.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr("split(word, '')"))
+      .persist()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var prev: Option[DataFrame] = None
+    var step = 1
+    var continue = true
+    while (step <= merges && continue) {
+      bpeBestPair(vocab) match {
+        case Some((l, r, c)) =>
+          learned += ((step, l, r, c))
+          prev.foreach(_.unpersist()) // round N-1, now that N's argmax ran
+          prev = Some(vocab)
+          vocab = vocab.withColumn("syms", bpeApplyMerge("syms", l, r)).persist()
+          step += 1
+        case None => continue = false // vocab fully merged
+      }
+    }
+    prev.foreach(_.unpersist())
+    vocab.unpersist()
+    learned.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Tokenize text with a learned merge table: chars, then each merge
+    * applied in rule order — map-only at any scale (rules broadcast as
+    * literals inside the fold chain). `rules` in (left, right) step
+    * order, e.g. from [[bpeTrain]]'s collected output.
+    */
+  def bpeSegment(text: Column, rules: Seq[(String, String)]): Column = {
+    val chars = split(lower(text), "")
+    rules.foldLeft(chars) { case (syms, (l, r)) =>
+      val (ls, rs) = (sqlStr(l), sqlStr(r))
+      aggregate(syms, expr("CAST(array() AS ARRAY<STRING>)"),
+        (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === expr(ls) && x === expr(rs),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(expr(ls), expr(rs)))))
+            .otherwise(concat(acc, array(x))))
+    }
+  }
+
   def ngramNoveltyVsCorpus(corpus: DataFrame, fresh: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val cg = Dedup.hashedShingleTable(corpus, idCol, textCol, n)

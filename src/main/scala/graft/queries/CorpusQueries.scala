@@ -415,7 +415,50 @@ object CorpusQueries {
       |FROM fresh f LEFT JOIN j ON j.id = f.id
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q119
+  /** BPE tokenizer training ([[TextOps.bpeTrain]]): 8 merge rounds over
+    * the documents vocab. The oracle replays every round in SQL — symbol
+    * chains as sentinel-delimited strings, pair counts from the split
+    * chain, argmax with the (count desc, pair asc) tiebreak, and the
+    * greedy leftmost merge as a left-to-right string replace (replace
+    * consumes matches exactly like the engine's array fold).
+    */
+  val q119: Q = (s, dir) =>
+    TextOps.bpeTrain(Tables.documents(s, dir).select("text"), "text", 8)
+      .orderBy("step")
+  val q119Sql: String = {
+    val merges = 8
+    def pairCte(i: Int) =
+      s"""p$i AS (SELECT u.pp.l AS l, u.pp.r AS r,
+         |    CAST(sum(u.cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest(list_transform(range(len(sy)-1),
+         |      i -> {'l': sy[i+1], 'r': sy[i+2]})) AS pp
+         |    FROM (SELECT cnt, string_split(substr(chain, 2, length(chain)-2),
+         |        chr(2)||chr(1)) AS sy FROM v${i - 1})
+         |    WHERE len(sy) >= 2) u
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+         |v$i AS (SELECT word, cnt,
+         |    replace(chain, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
+         |      chr(1)||b.l||b.r||chr(2)) AS chain
+         |  FROM v${i - 1}, b$i b)""".stripMargin
+    val rounds = (1 to merges).map(pairCte).mkString(",\n")
+    val out = (1 to merges).map(i =>
+      s"SELECT $i AS step, l AS left_sym, r AS right_sym, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |v0 AS MATERIALIZED (SELECT word, count(*) AS cnt,
+       |    list_aggregate(list_transform(range(length(word)),
+       |      i -> chr(1)||word[i+1:i+1]||chr(2)), 'string_agg', '') AS chain
+       |  FROM w WHERE length(word) > 0 GROUP BY word),
+       |$rounds
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q119_bpe_train" -> q119,
     "q94_kmv_join_estimate" -> q94,
     "q93_weighted_percentiles" -> q93,
     "q87_sentence_boilerplate" -> q87,
@@ -429,6 +472,7 @@ object CorpusQueries {
     "q116_incremental_novelty" -> q116)
 
   val oracle: Map[String, String] = Map(
+    "q119_bpe_train" -> q119Sql,
     "q94_kmv_join_estimate" -> q94Sql,
     "q93_weighted_percentiles" -> q93Sql,
     "q87_sentence_boilerplate" -> q87Sql,

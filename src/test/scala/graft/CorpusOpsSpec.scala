@@ -247,6 +247,49 @@ class CorpusOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("bpeTrain learns the expected merges on a known corpus") {
+    // "low low low lower newest newest": classic Sennrich-style fixture.
+    // Pair counts round 1: (l,o)=4, (o,w)=4, (w,e)=3, ... tiebreak picks
+    // (l,o) over (o,w) lexicographically at equal count.
+    val df = Seq("low low low lower newest newest").toDF("text")
+    val rules = TextOps.bpeTrain(df, "text", 3)
+      .orderBy("step")
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(rules(0) == ((1, "l", "o", 4L)), rules)
+    assert(rules(1) == ((2, "lo", "w", 4L)), rules)
+    // round 3: "low"/"lower" start with one `low` symbol, so lower's
+    // (w,e) is gone; best remaining are the newest-pairs at 2, and the
+    // (l asc, r asc) tiebreak picks (e,s)
+    assert(rules(2) == ((3, "e", "s", 2L)), rules)
+  }
+
+  test("bpe merge apply is greedy leftmost non-overlapping") {
+    // "aaa" with merge (a,a) → [aa, a], never [a, aa] or overlap
+    val df = Seq("aaa aaaa").toDF("text")
+    val seg = df.select(TextOps.bpeSegment(col("text"),
+      Seq(("a", "a"))).as("t")).as[Seq[String]].head()
+    assert(seg == Seq("aa", "a", " ", "aa", "aa"), seg)
+  }
+
+  test("bpeSegment applies learned rules in order") {
+    val corpus = Seq("low low low lower newest newest").toDF("text")
+    val rules = TextOps.bpeTrain(corpus, "text", 3)
+      .orderBy("step")
+      .as[(Int, String, String, Long)].collect().toSeq
+      .map(r => (r._2, r._3))
+    val seg = Seq("lowest").toDF("t")
+      .select(TextOps.bpeSegment(col("t"), rules).as("s"))
+      .as[Seq[String]].head()
+    // rules: (l,o) → (lo,w) → (e,s); "lowest" → [low, es, t]
+    assert(seg == Seq("low", "es", "t"), seg)
+  }
+
+  test("bpeTrain leaves no cached frames behind") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    TextOps.bpeTrain(Seq("a b ab ab ba").toDF("text"), "text", 4).collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("ngramNoveltyVsCorpus: re-crawls 0, new text 1000, mixed in between") {
     val corpus = Seq(
       (1L, "c1 c2 c3 c4 c5 c6"),
