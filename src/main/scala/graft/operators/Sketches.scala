@@ -163,6 +163,66 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** EXACT heavy hitters without shuffling the full term universe:
+    * per-partition Misra-Gries summaries nominate candidates, a
+    * broadcast semi-screen + exact count verifies them. The pigeonhole
+    * argument makes the candidate set a guaranteed superset: a term with
+    * global count > n/(capacity+1) must exceed N_p/(capacity+1) in some
+    * partition (else the sum is bounded), and Misra-Gries never evicts a
+    * key whose decremented counter is still positive — so with
+    * `supportPpm · (capacity+1) > 1e6` (enforced) no qualifying term can
+    * be missed, and the exact recheck removes every false positive.
+    * Output is therefore EXACT (term, cnt) for all terms with
+    * `cnt · 1e6 ≥ n · supportPpm` — deterministic regardless of
+    * partitioning, even though the intermediate candidate set is not.
+    *
+    * Scale: the only full-width shuffle a naive `groupBy(term)` needs on
+    * a 100 TB corpus (billions of distinct long-tail terms) is replaced
+    * by a bounded candidate frame (≤ capacity·partitions rows,
+    * broadcast) and an aggregation over candidate rows only. Three
+    * streaming scans of the term column, no persisted state.
+    *
+    * mapPartitions is deliberate (SURVEY §2 last-resort rule): the MG
+    * counter bank is genuine per-partition imperative state with
+    * data-dependent eviction — no Catalyst expression expresses it.
+    */
+  def heavyHitters(df: DataFrame, termCol: Column, capacity: Int,
+      supportPpm: Long): DataFrame = {
+    require(supportPpm * (capacity + 1) > 1000000L,
+      s"capacity $capacity too small for support ${supportPpm}ppm: " +
+        "the Misra-Gries superset guarantee needs supportPpm*(capacity+1) > 1e6")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = df.select(termCol.cast("string").as("t"))
+      .filter(col("t").isNotNull)
+    val n = terms.count()
+    val cands = terms.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None =>
+            if (m.size < capacity) m.update(t, 1L)
+            else {
+              // decrement-all (the arriving item's implicit 1 included)
+              val ks = m.keys.toArray
+              var i = 0
+              while (i < ks.length) {
+                val k = ks(i); val c = m(k) - 1
+                if (c == 0L) m.remove(k) else m.update(k, c)
+                i += 1
+              }
+            }
+        }
+      }
+      m.keysIterator
+    }.toDF("t").distinct()
+    terms.join(broadcast(cands), Seq("t"), "left_semi")
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 1000000L >= lit(n) * supportPpm)
+      .select(col("t").as("term"), col("cnt"))
+  }
+
   /** Bit length of a non-negative Long column (position of the highest
     * set bit; 0 for 0) as a pure comparison chain — no log2()/floats
     * (whose rounding near powers of two is engine-dependent) and no

@@ -703,6 +703,30 @@ object TextOps {
     learned.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Per-document BPE token counts WITHOUT re-folding every document:
+    * the corpus' distinct words get the merge rules applied once (vocab-
+    * sized work), and documents join their exploded words against that
+    * (word → n_tokens) table — segmentation at scale is a hash join, not
+    * per-character work over 100 TB of text. `rules` from [[bpeTrain]].
+    * Output: (id, n_words, n_tokens) per document.
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocabSyms = rules.foldLeft(
+      words.select("word").distinct()
+        .withColumn("syms", expr("split(word, '')"))) {
+      case (v, (l, r)) => v.withColumn("syms", bpeApplyMerge("syms", l, r))
+    }
+    val wordTokens = vocabSyms
+      .select(col("word"), size(col("syms")).cast("long").as("w_tokens"))
+    words.join(wordTokens, "word")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_words"), sum("w_tokens").as("n_tokens"))
+  }
+
   /** Tokenize text with a learned merge table: chars, then each merge
     * applied in rule order — map-only at any scale (rules broadcast as
     * literals inside the fold chain). `rules` in (left, right) step

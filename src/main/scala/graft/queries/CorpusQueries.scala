@@ -426,8 +426,10 @@ object CorpusQueries {
   val q119: Q = (s, dir) =>
     TextOps.bpeTrain(Tables.documents(s, dir).select("text"), "text", 8)
       .orderBy("step")
-  val q119Sql: String = {
-    val merges = 8
+  /** Shared q119/q120 oracle text: the unrolled BPE training chain
+    * (w, v0, p1..b1..v1, ..., vN) as DuckDB CTE bodies.
+    */
+  private def bpeRoundsCtes(merges: Int): String = {
     def pairCte(i: Int) =
       s"""p$i AS (SELECT u.pp.l AS l, u.pp.r AS r,
          |    CAST(sum(u.cnt) AS BIGINT) AS c
@@ -438,27 +440,100 @@ object CorpusQueries {
          |    WHERE len(sy) >= 2) u
          |  GROUP BY 1, 2),
          |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
-         |v$i AS (SELECT word, cnt,
+         |v$i AS MATERIALIZED (SELECT word, cnt,
          |    replace(chain, chr(1)||b.l||chr(2)||chr(1)||b.r||chr(2),
          |      chr(1)||b.l||b.r||chr(2)) AS chain
          |  FROM v${i - 1}, b$i b)""".stripMargin
     val rounds = (1 to merges).map(pairCte).mkString(",\n")
-    val out = (1 to merges).map(i =>
-      s"SELECT $i AS step, l AS left_sym, r AS right_sym, c AS pair_count FROM b$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH w AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+    s"""w AS (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
        |  FROM documents),
        |v0 AS MATERIALIZED (SELECT word, count(*) AS cnt,
        |    list_aggregate(list_transform(range(length(word)),
        |      i -> chr(1)||word[i+1:i+1]||chr(2)), 'string_agg', '') AS chain
        |  FROM w WHERE length(word) > 0 GROUP BY word),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val q119Sql: String = {
+    val merges = 8
+    val out = (1 to merges).map(i =>
+      s"SELECT $i AS step, l AS left_sym, r AS right_sym, c AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeRoundsCtes(merges)}
        |$out
        |ORDER BY step""".stripMargin
   }
 
+  // --------------------------------------------------------------- q120
+  /** BPE token accounting ([[TextOps.bpeTokenCounts]]): per-source doc
+    * and token totals under the 8-merge tokenizer of q119. The key scale
+    * design: documents are never re-folded — merges apply once to the
+    * DISTINCT-WORD table and each doc joins its words against the
+    * (word → n_tokens) map, so segmentation is a hash join.
+    */
+  val q120: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val rules = TextOps.bpeTrain(d.select("text"), "text", 8)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextOps.bpeTokenCounts(d, "doc_id", "text", rules)
+      .join(d.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_tokens").as("n_tokens"))
+      .withColumn("tokens_per_doc_pm", expr("n_tokens * 1000 div n_docs"))
+      .orderBy("source")
+  }
+  val q120Sql: String =
+    s"""WITH ${bpeRoundsCtes(8)},
+       |wt AS (SELECT word, len(string_split(substr(chain, 2, length(chain)-2),
+       |    chr(2)||chr(1))) AS w_tokens FROM v8),
+       |dw AS (SELECT doc_id, source,
+       |    unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |  FROM documents),
+       |per AS (SELECT d.doc_id, d.source, count(*) AS n_words,
+       |    CAST(sum(w.w_tokens) AS BIGINT) AS n_tokens
+       |  FROM (SELECT * FROM dw WHERE length(word) > 0) d
+       |  JOIN wt w USING (word) GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  (CAST(sum(n_tokens) AS BIGINT) * 1000) // count(*) AS tokens_per_doc_pm
+       |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q121
+  /** Heavy-hitter bigrams ([[Sketches.heavyHitters]]): all word bigrams
+    * with ≥ 0.14% corpus frequency, via per-partition Misra-Gries
+    * candidates + exact recheck — never a full-universe shuffle. The
+    * oracle is the brute-force GROUP BY ... HAVING, so agreement proves
+    * the sketch path is exact, not approximate.
+    */
+  val q121: Q = (s, dir) => {
+    val bigrams = Tables.documents(s, dir)
+      .select(expr("filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)")
+        .as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(0, size(w)-2), " +
+        "i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+        .as("bigram"))
+    Sketches.heavyHitters(bigrams, col("bigram"),
+        capacity = 1024, supportPpm = 1400L)
+      .orderBy("term")
+  }
+  val q121Sql: String =
+    """WITH w AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> length(x) > 0) AS w FROM documents),
+      |b AS (SELECT unnest(list_transform(range(len(w)-1),
+      |    i -> w[i+1]||' '||w[i+2])) AS t FROM w WHERE len(w) >= 2),
+      |n AS (SELECT count(*) AS n FROM b)
+      |SELECT b.t AS term, count(*) AS cnt FROM b, n
+      |GROUP BY b.t, n.n HAVING count(*)*1000000 >= n.n*1400
+      |ORDER BY term""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q121_heavy_hitters" -> q121,
     "q119_bpe_train" -> q119,
+    "q120_bpe_token_accounting" -> q120,
     "q94_kmv_join_estimate" -> q94,
     "q93_weighted_percentiles" -> q93,
     "q87_sentence_boilerplate" -> q87,
@@ -472,7 +547,9 @@ object CorpusQueries {
     "q116_incremental_novelty" -> q116)
 
   val oracle: Map[String, String] = Map(
+    "q121_heavy_hitters" -> q121Sql,
     "q119_bpe_train" -> q119Sql,
+    "q120_bpe_token_accounting" -> q120Sql,
     "q94_kmv_join_estimate" -> q94Sql,
     "q93_weighted_percentiles" -> q93Sql,
     "q87_sentence_boilerplate" -> q87Sql,

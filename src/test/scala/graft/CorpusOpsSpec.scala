@@ -284,6 +284,42 @@ class CorpusOpsSpec extends SparkSuite {
     assert(seg == Seq("low", "es", "t"), seg)
   }
 
+  test("bpeTokenCounts segments via the vocab join, not per-doc folds") {
+    val corpus = Seq((1L, "low low low lower newest newest")).toDF("id", "text")
+    val rules = TextOps.bpeTrain(corpus, "text", 3)
+      .orderBy("step").as[(Int, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    // rules: (l,o),(lo,w),(e,s): low→[low]=1, lower→[low,e,r]=3,
+    // newest→[n,e,w,es,t]=5
+    val out = TextOps.bpeTokenCounts(
+        Seq((7L, "low lower newest")).toDF("id", "text"), "id", "text", rules)
+      .as[(Long, Long, Long)].head()
+    assert(out == ((7L, 3L, 9L)), out)
+  }
+
+  test("heavyHitters is exact and partitioning-invariant despite MG eviction") {
+    // 4000 distinct tail terms (1×) + 3 heavy terms; capacity 128 forces
+    // heavy eviction churn in every partition
+    val rows = (1 to 4000).map(i => s"tail_$i") ++
+      Seq.fill(500)("hot_a") ++ Seq.fill(300)("hot_b") ++ Seq.fill(60)("warm")
+    val df = rows.toDF("t")
+    // n = 4860; support 10000ppm → cnt ≥ 48.6 → hot_a, hot_b, warm
+    val exact = Map("hot_a" -> 500L, "hot_b" -> 300L, "warm" -> 60L)
+    for (parts <- Seq(1, 3, 13)) {
+      val out = graft.operators.Sketches.heavyHitters(
+          df.repartition(parts), col("t"), capacity = 128, supportPpm = 10000L)
+        .as[(String, Long)].collect().toMap
+      assert(out == exact, s"parts=$parts: $out")
+    }
+  }
+
+  test("heavyHitters rejects a capacity too small for the support") {
+    intercept[IllegalArgumentException] {
+      graft.operators.Sketches.heavyHitters(
+        Seq("x").toDF("t"), col("t"), capacity = 50, supportPpm = 10000L)
+    }
+  }
+
   test("bpeTrain leaves no cached frames behind") {
     val before = spark.sparkContext.getPersistentRDDs.size
     TextOps.bpeTrain(Seq("a b ab ab ba").toDF("text"), "text", 4).collect()
