@@ -46,4 +46,26 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("_rj_b")
   }
+
+  /** All (a, b) interval pairs that OVERLAP (`aStart ≤ bEnd AND bStart ≤
+    * aEnd`, inclusive — touching endpoints count), again with no equi
+    * key. Both sides replicate to every bucket they span; a matching
+    * pair co-occurs in every bucket of the overlap region, so the
+    * exactly-once rule keeps the pair only in the FIRST shared bucket —
+    * `max(aStart, bStart) div W`, the bucket where the later interval
+    * begins. Column names on the two inputs must be disjoint.
+    */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def spans(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_rj_b", explode(sequence(
+        expr(s"$s div ${bucketWidth}L"), expr(s"$e div ${bucketWidth}L"))))
+    spans(a, aStart, aEnd).join(spans(b, bStart, bEnd), Seq("_rj_b"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("_rj_b") ===
+        expr(s"greatest($aStart, $bStart) div ${bucketWidth}L"))
+      .drop("_rj_b")
+  }
 }

@@ -202,7 +202,42 @@ object EventQueries {
       |FROM iv LEFT JOIN hits ON hits.incident_id = iv.incident_id
       |ORDER BY iv.incident_id""".stripMargin
 
+  // --------------------------------------------------------------- q122
+  /** Keyless interval-overlap join ([[graft.operators.RangeJoin
+    * .intervalOverlap]]): pairs of q117's incident windows that overlap
+    * in time — concurrent-incident detection, the interval×interval
+    * sibling of q117's point-in-interval. Exactly-once via the
+    * first-shared-bucket rule; exact overlap length in µs.
+    */
+  val q122: Q = (s, dir) => {
+    val iv = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 100.0)
+      .select(col("event_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 3600000000L).as("e"))
+    val a = iv.select(col("event_id").as("id_a"), col("s").as("sa"),
+      col("e").as("ea"))
+    val b = iv.select(col("event_id").as("id_b"), col("s").as("sb"),
+      col("e").as("eb"))
+    graft.operators.RangeJoin.intervalOverlap(
+        a, "sa", "ea", b, "sb", "eb", bucketWidth = 3600000000L)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          .as("overlap_us"))
+      .orderBy("id_a", "id_b")
+  }
+  val q122Sql: String =
+    """WITH iv AS (SELECT event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 3600000000 AS e
+      |  FROM events WHERE event_type = 'purchase' AND value > 100.0)
+      |SELECT a.event_id AS id_a, b.event_id AS id_b,
+      |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+      |FROM iv a JOIN iv b
+      |  ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q122_interval_overlap" -> q122,
     "q41_sessionize" -> q41,
     "q42_sliding_window" -> q42,
     "q43_topk_udaf" -> q43,
@@ -211,6 +246,7 @@ object EventQueries {
     "q117_range_join_keyless" -> q117)
 
   val oracle: Map[String, String] = Map(
+    "q122_interval_overlap" -> q122Sql,
     "q41_sessionize" -> q41Sql,
     "q42_sliding_window" -> q42Sql,
     "q43_topk_udaf" -> q43Sql,

@@ -37,6 +37,19 @@ class RangeJoinSpec extends SparkSuite {
     assert(pairs(p, i, 7L) == Set((1L, 30L), (1L, 31L)))
   }
 
+  test("intervalOverlap: touching endpoints overlap; disjoint do not; pairs unique") {
+    val a = Seq((1L, 0L, 10L), (2L, 50L, 60L), (3L, 100L, 200L))
+      .toDF("ida", "sa", "ea")
+    val b = Seq((7L, 10L, 20L), (8L, 61L, 70L), (9L, 150L, 160L),
+      (10L, 0L, 300L)).toDF("idb", "sb", "eb")
+    val out = RangeJoin.intervalOverlap(a, "sa", "ea", b, "sb", "eb", 7L)
+    assert(out.count() == out.select("ida", "idb").distinct().count())
+    val pairs = out.select("ida", "idb").as[(Long, Long)].collect().toSet
+    // (1,7): touch at 10 → overlap; (2,8): gap of 1 → none; (3,9): nested;
+    // (10): spans everything → overlaps all three
+    assert(pairs == Set((1L, 7L), (3L, 9L), (1L, 10L), (2L, 10L), (3L, 10L)))
+  }
+
   test("bucket width much larger than spans still correct") {
     val p = pts((1L, 50L), (2L, 5000L))
     val i = ivs((40L, 40L, 60L), (41L, 4999L, 5001L))
