@@ -703,6 +703,41 @@ object TextOps {
     learned.toSeq.toDF("step", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Winnowing fingerprints (the MOSS local-fingerprint scheme,
+    * Schleimer/Wilkerson/Aiken SIGMOD'03): hash every POSITIONAL word
+    * k-gram, slide a w-hash window, and select each window's minimum —
+    * rightmost on ties (robust winnowing). Guarantees: any shared run of
+    * ≥ w+k−1 tokens between two documents shares at least one selected
+    * fingerprint, and gaps between selections are ≤ w — the bounded-
+    * coverage property [[fingerprint]] (global min) lacks, which is what
+    * lets partial copies be LOCALIZED, not just detected.
+    *
+    * Map-only at any scale: nested higher-order expressions per row, no
+    * shuffle, no state; O(m·w) per doc. Downstream, equal (fp) values
+    * join copy candidates the same way shingle hashes do in [[Dedup]],
+    * but at w-fold lower index volume. Output: (doc_id, pos, fp) — pos
+    * is the 0-based k-gram offset, deterministic across engines (exact
+    * integer hash compare; docs shorter than k+w−1 tokens emit nothing).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 2, "need k >= 1 and w >= 2")
+    df.select(col(idCol).as("doc_id"),
+        Portable.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= k + w - 1)
+      .withColumn("_hs", transform(
+        expr(s"transform(sequence(0, size(_toks) - $k), " +
+          s"i -> concat_ws(' ', slice(_toks, i + 1, $k)))"),
+        g => Portable.hash48(g)))
+      .withColumn("pos", explode(expr(
+        s"""array_distinct(transform(sequence(0, size(_hs) - $w),
+           i -> aggregate(sequence(i + 1, i + $w - 1), i, (acc, j) ->
+             IF(element_at(_hs, j + 1) <= element_at(_hs, acc + 1),
+                j, acc))))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr("element_at(_hs, pos + 1)").as("fp"))
+  }
+
   /** Per-document BPE token counts WITHOUT re-folding every document:
     * the corpus' distinct words get the merge rules applied once (vocab-
     * sized work), and documents join their exploded words against that

@@ -530,7 +530,35 @@ object CorpusQueries {
       |GROUP BY b.t, n.n HAVING count(*)*1000000 >= n.n*1400
       |ORDER BY term""".stripMargin
 
+  // --------------------------------------------------------------- q123
+  /** Winnowing fingerprints ([[TextOps.winnowFingerprints]]), k=4 w=5:
+    * the MOSS selection — every 5-hash window contributes its rightmost
+    * minimum — so shared runs of ≥ 8 tokens are guaranteed a common
+    * fingerprint and selection density is bounded. The oracle replays
+    * the identical fold (list_reduce) over the identical 48-bit hashes.
+    */
+  val q123: Q = (s, dir) =>
+    TextOps.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        k = 4, w = 5)
+      .orderBy("doc_id", "pos")
+  val q123Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(len(toks) - 3),
+      |    i -> ('0x'||substr(md5(array_to_string(toks[i+1:i+4], ' ')),1,12))::BIGINT)
+      |    AS hs
+      |  FROM t WHERE len(toks) >= 8),
+      |s AS (SELECT doc_id, hs,
+      |    list_distinct(list_transform(range(len(hs) - 4),
+      |      i -> list_reduce(range(i, i + 5), (acc, j) ->
+      |        CASE WHEN hs[j+1] <= hs[acc+1] THEN j ELSE acc END))) AS sel
+      |  FROM g),
+      |u AS (SELECT doc_id, hs, unnest(sel) AS pos FROM s)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos, hs[pos+1] AS fp
+      |FROM u ORDER BY doc_id, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q123_winnow_fingerprints" -> q123,
     "q121_heavy_hitters" -> q121,
     "q119_bpe_train" -> q119,
     "q120_bpe_token_accounting" -> q120,
@@ -547,6 +575,7 @@ object CorpusQueries {
     "q116_incremental_novelty" -> q116)
 
   val oracle: Map[String, String] = Map(
+    "q123_winnow_fingerprints" -> q123Sql,
     "q121_heavy_hitters" -> q121Sql,
     "q119_bpe_train" -> q119Sql,
     "q120_bpe_token_accounting" -> q120Sql,

@@ -297,6 +297,30 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out == ((7L, 3L, 9L)), out)
   }
 
+  test("winnowFingerprints: bounded gaps and guaranteed shared-run detection") {
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val shared = (100 to 110).map(i => s"s$i").mkString(" ") // 11-token run
+    val df = Seq(
+      (1L, words + " " + shared),
+      (2L, shared + " " + (200 to 240).map(i => s"x$i").mkString(" ")),
+      (3L, "too short")).toDF("doc_id", "text")
+    val out = TextOps.winnowFingerprints(df, "doc_id", "text", k = 4, w = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    // short doc emits nothing
+    assert(!out.exists(_._1 == 3L))
+    // gap bound: consecutive selected positions differ by <= w
+    for (d <- Seq(1L, 2L)) {
+      val ps = out.filter(_._1 == d).map(_._2).sorted
+      assert(ps.nonEmpty)
+      ps.zip(ps.tail).foreach { case (a, b) =>
+        assert(b - a <= 5, s"doc $d gap $a->$b") }
+    }
+    // the >= w+k-1 shared run yields at least one common fingerprint
+    val f1 = out.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = out.filter(_._1 == 2L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty, "shared 11-token run not detected")
+  }
+
   test("heavyHitters is exact and partitioning-invariant despite MG eviction") {
     // 4000 distinct tail terms (1×) + 3 heavy terms; capacity 128 forces
     // heavy eviction churn in every partition
