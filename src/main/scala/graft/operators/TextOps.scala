@@ -738,6 +738,31 @@ object TextOps {
         expr("element_at(_hs, pos + 1)").as("fp"))
   }
 
+  /** Copy-candidate pairs from winnowed fingerprints: documents sharing
+    * ≥ minShared selected fingerprints, after pruning fingerprints that
+    * occur in more than maxDf documents (the boilerplate band — same
+    * role as the hot-shingle prune in Dedup's inverted index, bounding
+    * per-key join fan-out at corpus scale). Because winnowing selects
+    * ~2/(w+1) of positions, the inverted index this joins on is w-fold
+    * smaller than a full shingle table — the cheap first pass before
+    * span-level verification ([[duplicateSpans]]).
+    * Output: (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def winnowCopyCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxDf: Int, minShared: Int): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select("doc_id", "fp").distinct()
+    val banded = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select("fp"),
+      Seq("fp"), "left_semi")
+    banded.as("a").join(banded.as("b"), "fp")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-document BPE token counts WITHOUT re-folding every document:
     * the corpus' distinct words get the merge rules applied once (vocab-
     * sized work), and documents join their exploded words against that

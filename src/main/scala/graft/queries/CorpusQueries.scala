@@ -557,7 +557,39 @@ object CorpusQueries {
       |SELECT doc_id, CAST(pos AS BIGINT) AS pos, hs[pos+1] AS fp
       |FROM u ORDER BY doc_id, pos""".stripMargin
 
+  // --------------------------------------------------------------- q124
+  /** Winnow copy candidates ([[TextOps.winnowCopyCandidates]]): doc
+    * pairs sharing ≥ 2 winnowed fingerprints, hot fingerprints (> 20
+    * docs) banded out — the w-fold-cheaper candidate pass in front of
+    * q109's exact span verification.
+    */
+  val q124: Q = (s, dir) =>
+    TextOps.winnowCopyCandidates(Tables.documents(s, dir), "doc_id",
+        "text", k = 4, w = 5, maxDf = 20, minShared = 2)
+      .orderBy("id_a", "id_b")
+  val q124Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, list_transform(range(len(toks) - 3),
+      |    i -> ('0x'||substr(md5(array_to_string(toks[i+1:i+4], ' ')),1,12))::BIGINT)
+      |    AS hs
+      |  FROM t WHERE len(toks) >= 8),
+      |s AS (SELECT doc_id, hs,
+      |    list_distinct(list_transform(range(len(hs) - 4),
+      |      i -> list_reduce(range(i, i + 5), (acc, j) ->
+      |        CASE WHEN hs[j+1] <= hs[acc+1] THEN j ELSE acc END))) AS sel
+      |  FROM g),
+      |f AS (SELECT DISTINCT doc_id, hs[pos+1] AS fp
+      |  FROM (SELECT doc_id, hs, unnest(sel) AS pos FROM s)),
+      |band AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 20),
+      |fb AS (SELECT f.doc_id, f.fp FROM f JOIN band USING (fp))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |FROM fb a JOIN fb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q124_winnow_candidates" -> q124,
     "q123_winnow_fingerprints" -> q123,
     "q121_heavy_hitters" -> q121,
     "q119_bpe_train" -> q119,
@@ -575,6 +607,7 @@ object CorpusQueries {
     "q116_incremental_novelty" -> q116)
 
   val oracle: Map[String, String] = Map(
+    "q124_winnow_candidates" -> q124Sql,
     "q123_winnow_fingerprints" -> q123Sql,
     "q121_heavy_hitters" -> q121Sql,
     "q119_bpe_train" -> q119Sql,

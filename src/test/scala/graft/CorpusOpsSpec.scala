@@ -319,6 +319,11 @@ class CorpusOpsSpec extends SparkSuite {
     val f1 = out.filter(_._1 == 1L).map(_._3).toSet
     val f2 = out.filter(_._1 == 2L).map(_._3).toSet
     assert((f1 & f2).nonEmpty, "shared 11-token run not detected")
+    // and the candidate pass surfaces exactly that pair
+    val cands = TextOps.winnowCopyCandidates(df, "doc_id", "text",
+        k = 4, w = 5, maxDf = 20, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands == Set((1L, 2L)), cands)
   }
 
   test("heavyHitters is exact and partitioning-invariant despite MG eviction") {
