@@ -218,6 +218,23 @@ class PlanAssertSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q121 heavy hitters screens with a broadcast semi join, counts only candidates") {
+    val p = executed("q121_heavy_hitters")
+    // the exact recheck must never shuffle the full term universe: the
+    // candidate set broadcasts and screens map-side
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), p.take(3000))
+    // the MG nomination pass is the single imperative stage
+    assert(p.contains("MapPartitions"), p.take(3000))
+  }
+
+  test("q123 winnowing is map-only: no exchange before the output sort") {
+    val p = executed("q123_winnow_fingerprints")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("q114 linear classifier scores with zero exchanges before the sort") {
     val p = executed("q114_linear_classifier")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
