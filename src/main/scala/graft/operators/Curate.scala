@@ -81,6 +81,41 @@ object Curate {
     hashSplit(withRep, col("rep"), splits, denom)
   }
 
+  /** Global token-budget selection WITHOUT a global sort: keep the
+    * highest-priority rows until `budget` cost is claimed. The naive
+    * plan — ORDER BY priority DESC then running-sum — funnels the corpus
+    * through one partition; here the global prefix decomposes: a
+    * bounded-cardinality bucket aggregation (priority must be a small-
+    * domain integer, e.g. a per-mille score — the collect is ≤ domain
+    * rows, documented-justified), exclusive higher-bucket totals
+    * computed driver-side and broadcast back, and a per-bucket window
+    * (parallel across buckets) for the same-priority prefix. A row is
+    * kept iff `higher_total + same_bucket_before < budget` — exactly the
+    * global (priority DESC, id ASC) claim-what-fits rule, so the last
+    * kept row may overshoot the budget.
+    * Output: input columns + (pri, cost_before).
+    */
+  def budgetTrim(df: DataFrame, idCol: Column, priCol: Column,
+      costCol: Column, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = df.groupBy(priCol.cast("long").as("pri"))
+      .agg(sum(costCol.cast("long")).as("tot"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val higher = buckets.scanLeft(0L)(_ + _._2).zip(buckets)
+      .map { case (h, (p, _)) => (p, h) }.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pri").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("pri", priCol.cast("long"))
+      .join(broadcast(higher.toDF("pri", "_higher")), "pri")
+      .withColumn("cost_before",
+        col("_higher") + coalesce(sum(costCol.cast("long")).over(w), lit(0L)))
+      .filter(col("cost_before") < budget)
+      .drop("_higher")
+  }
+
   /** Per-group ADAPTIVE quality gating: keep a row iff its integer score
     * reaches its own group's exact lower p-th percentile — "drop each
     * source's worst p%" instead of one corpus-wide threshold, which

@@ -118,6 +118,31 @@ object Similarity {
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Exact Gram matrix Xᵀ X of the quantized embedding column — the
+    * reduce step of distributed PCA/covariance: one pass, one shuffle of
+    * d·(d+1)/2-keyed partial sums, a d×d result no matter the corpus
+    * size. Per row, the upper-triangle outer product explodes to 2080
+    * (d=64) exact-Long cell terms that partial-aggregate map-side, so
+    * the exchange carries ≤ cells × partitions rows. Consumers center
+    * with the companion column sums (`s_i`, from the same pass shape)
+    * and run the d×d eigen step wherever they like — the driver, at
+    * these sizes. All arithmetic exact Long: any engine replays the
+    * identical matrix.
+    * Output: (i, j, s_xy) for 0 ≤ i ≤ j < d.
+    */
+  def gramMatrix(df: DataFrame, vecCol: String, scale: Int = 1000): DataFrame =
+    df.select(expr(s"transform($vecCol, x -> " +
+        s"CAST(floor(CAST(x AS DOUBLE) * ${scale}.0d + 0.5d) AS BIGINT))")
+        .as("v"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(v)-1), i ->
+             transform(sequence(i, size(v)-1), j ->
+               struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                 element_at(v, i+1) * element_at(v, j+1) AS xy))))"""))
+        .as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.xy")).as("s_xy"))
+
   /** Deterministic Lloyd k-means over integer-quantized vectors: init =
     * the `nlist` lowest-id training vectors, assignment = max exact-Long
     * dot (tiebreak lowest cell id), update = element-wise

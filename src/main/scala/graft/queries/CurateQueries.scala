@@ -287,7 +287,42 @@ object CurateQueries {
       |       ELSE 'test' END AS split
       |FROM rep ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q126
+  /** Token-budget trim ([[Curate.budgetTrim]]): fill a fixed 10k-token
+    * budget with the most alpha-dense documents — the "spend the crawl
+    * budget on the best docs" selection, decomposed so no global sort
+    * ever runs: bucket totals + broadcast prefix + per-bucket windows.
+    * The oracle replays the equivalent GLOBAL running-sum rule, so
+    * agreement proves the decomposition exact, tiebreaks included.
+    */
+  val q126: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id") +: graft.operators.TextOps.quality(col("text")): _*)
+      .filter(col("n_chars_m") > 0)
+      .withColumn("pri", expr("(n_alpha * 1000) div n_chars_m"))
+      .withColumn("cost", col("n_tokens"))
+    Curate.budgetTrim(d, col("doc_id"), col("pri"), col("cost"),
+        budget = 10000L)
+      .select(col("doc_id"), col("pri"), col("cost"), col("cost_before"))
+      .orderBy("doc_id")
+  }
+  val q126Sql: String =
+    """WITH x AS (SELECT doc_id,
+      |    len(string_split_regex(text, '\s+')) AS cost,
+      |    length(text) AS n_chars,
+      |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (SELECT doc_id, (n_alpha*1000)//n_chars AS pri, cost FROM x),
+      |w AS (SELECT doc_id, pri, cost,
+      |    coalesce(sum(cost) OVER (ORDER BY pri DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cost_before
+      |  FROM p)
+      |SELECT doc_id, pri, cost, cost_before FROM w
+      |WHERE cost_before < 10000 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q126_budget_trim" -> q126,
     "q47_stratified_sample" -> q47,
     "q110_mix_to_budget" -> q110,
     "q115_leakage_aware_split" -> q115,
@@ -299,6 +334,7 @@ object CurateQueries {
     "q106_adaptive_quality" -> q106)
 
   val oracle: Map[String, String] = Map(
+    "q126_budget_trim" -> q126Sql,
     "q47_stratified_sample" -> q47Sql,
     "q110_mix_to_budget" -> q110Sql,
     "q115_leakage_aware_split" -> q115Sql,

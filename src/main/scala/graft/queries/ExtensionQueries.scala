@@ -487,6 +487,26 @@ object ExtensionQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q125
+  /** Exact Gram matrix ([[Similarity.gramMatrix]]): Xᵀ X over the
+    * quantized embeddings — the one-pass reduce step of distributed PCA.
+    * 2080 upper-triangle cells regardless of corpus size; exact Long
+    * partial sums, so the oracle replays it bit-for-bit.
+    */
+  val q125: Q = (s, dir) =>
+    Similarity.gramMatrix(Tables.embeddings(s, dir), "embedding")
+      .orderBy("i", "j")
+  val q125Sql: String =
+    """WITH v AS (SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE)*1000.0 + 0.5) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |p AS (SELECT unnest(flatten(list_transform(range(len(v)), i ->
+      |    list_transform(range(i, len(v)), j ->
+      |      {'i': i, 'j': j, 'xy': v[i+1]*v[j+1]})))) AS c FROM v)
+      |SELECT CAST(c.i AS BIGINT) AS i, CAST(c.j AS BIGINT) AS j,
+      |  CAST(sum(c.xy) AS BIGINT) AS s_xy
+      |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
   // ---------------------------------------------------- PQ oracle pieces
   /** Shared DuckDB CTE text for vec/train (integer-quantized embeddings,
     * lowest-id training sample). MATERIALIZED throughout the PQ chains:
@@ -1152,6 +1172,7 @@ object ExtensionQueries {
     "q111_containment_pairs" -> q111,
     "q113_semantic_dedup" -> q113,
     "q118_kmeans_lloyd" -> q118,
+    "q125_gram_matrix" -> q125,
     "q22_dedup_minhash_lsh" -> q22,
     "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
@@ -1186,6 +1207,7 @@ object ExtensionQueries {
     "q111_containment_pairs" -> q111Sql,
     "q113_semantic_dedup" -> q113Sql,
     "q118_kmeans_lloyd" -> q118Sql,
+    "q125_gram_matrix" -> q125Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,

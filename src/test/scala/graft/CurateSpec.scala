@@ -142,6 +142,29 @@ class CurateSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("budgetTrim equals the global claim-what-fits rule, mid-bucket cut included") {
+    // priorities collide heavily so the cut lands inside a bucket and the
+    // per-bucket window must reproduce global doc_id tiebreaking
+    val rows = (1L to 50L).map(id => (id, (id % 5) * 10L, 7L))
+    val df = rows.toDF("id", "pri", "cost")
+    val budget = 100L
+    // brute force: global (pri desc, id asc) prefix
+    val expect = rows.sortBy { case (id, p, _) => (-p, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, p, c)) =>
+        (id, p, c, cum + c) }
+      .tail.filter { case (_, _, c, cumAfter) => cumAfter - c < budget }
+      .map(_._1).toSet
+    val got = graft.operators.Curate.budgetTrim(
+        df, col("id"), col("pri"), col("cost"), budget)
+      .select("id").as[Long].collect().toSet
+    assert(got == expect, s"got $got expect $expect")
+    // last kept row may overshoot, but claimed-before is always < budget
+    val before = graft.operators.Curate.budgetTrim(
+        df, col("id"), col("pri"), col("cost"), budget)
+      .agg(max("cost_before")).as[Long].head()
+    assert(before < budget)
+  }
+
   test("mixToBudget hits every source target exactly, up- and downsampling") {
     val weights = Seq("src0" -> 1L, "src1" -> 1L, "src2" -> 8L)
     val out = Curate.mixToBudget(docs, "source", col("doc_id"),
