@@ -266,4 +266,25 @@ class ExtensionOpsSpec extends SparkSuite {
     val cos = pairs.select("cos").as[Double].collect()
     assert(cos.length >= 20 && cos.forall(_ == 1.0))
   }
+
+  test("gramMatrix equals the brute-force XtX on quantized vectors, upper triangle only") {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
+    val scale = 1000
+    val got = Similarity.gramMatrix(e, "embedding", scale)
+      .as[(Long, Long, Long)].collect()
+      .map { case (i, j, s) => ((i, j), s) }.toMap
+
+    val vecs = e.select("embedding").as[Seq[Double]].collect()
+      .map(_.map(x => math.floor(x * scale + 0.5d).toLong).toArray)
+    val d = vecs.head.length
+    val want = (for { i <- 0 until d; j <- i until d } yield
+      ((i.toLong, j.toLong), vecs.map(v => v(i) * v(j)).sum)).toMap
+
+    assert(got == want, "gram cells differ from brute-force XtX")
+    // only the upper triangle is emitted: exactly d*(d+1)/2 cells, i <= j
+    assert(got.size == d * (d + 1) / 2)
+    assert(got.keys.forall { case (i, j) => i <= j })
+    // diagonal cells are sums of squares, hence non-negative
+    assert((0 until d).forall(i => got((i.toLong, i.toLong)) >= 0L))
+  }
 }
