@@ -143,6 +143,30 @@ object Similarity {
       .groupBy(col("c.i").as("i"), col("c.j").as("j"))
       .agg(sum(col("c.xy")).as("s_xy"))
 
+  /** Johnson–Lindenstrauss random projection: each quantized vector is
+    * reduced to `k` exact-Long coordinates ⟨v, plane_p⟩ against the
+    * md5-derived ±1 plane family ([[planeMatrix]]) — the Achlioptas
+    * sign-matrix construction, which preserves pairwise distances within
+    * 1±ε for k = O(log n / ε²) while shrinking the vectors d/k-fold
+    * before any ANN / clustering pass. Map-only: the k plane rows are a
+    * compile-time literal folded into codegen'd [[graft.functions.LongArrayDot]]
+    * dots, so the plan is Scan → Project → Generate — zero shuffles, and
+    * at 100 TB it streams at scan speed. Exact integer arithmetic end to
+    * end ⇒ any engine replays the identical projection.
+    *
+    * Output: one scalar row (id, p, proj) per vector × plane, oracle-
+    * comparable (no array-typed final columns).
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int = 64): DataFrame = {
+    val q = Portable.quantize(col(vecCol), Scale)
+    val planes = planeMatrix(k, dim)
+    val projections = array(planes.map(pl =>
+      Portable.dotQ(q, typedLit(pl.map(_.toLong).toSeq))): _*)
+    df.select(col(idCol), posexplode(projections).as(Seq("p", "proj")))
+      .select(col(idCol), col("p").cast("long").as("p"), col("proj"))
+  }
+
   /** Deterministic Lloyd k-means over integer-quantized vectors: init =
     * the `nlist` lowest-id training vectors, assignment = max exact-Long
     * dot (tiebreak lowest cell id), update = element-wise

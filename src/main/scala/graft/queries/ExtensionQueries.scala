@@ -507,6 +507,32 @@ object ExtensionQueries {
       |  CAST(sum(c.xy) AS BIGINT) AS s_xy
       |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin
 
+  // --------------------------------------------------------------- q127
+  /** Johnson–Lindenstrauss random projection
+    * ([[Similarity.randomProjection]]): every embedding reduced to 16
+    * exact-Long coordinates against the md5-derived ±1 planes — the
+    * map-only compression step in front of ANN/clustering at scale. The
+    * oracle regenerates the identical planes from md5 parity and replays
+    * the exact integer dots bit-for-bit.
+    */
+  val q127: Q = (s, dir) =>
+    Similarity.randomProjection(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 16)
+      .orderBy("vec_id", "p")
+  val q127Sql: String =
+    """WITH planes AS (
+      |  SELECT p, list(CASE WHEN ('0x'||substr(md5('plane_'||p||'_'||d),1,2))::BIGINT % 2 = 0
+      |                      THEN 1 ELSE -1 END ORDER BY d) AS pw
+      |  FROM range(16) t(p) CROSS JOIN range(64) dd(d) GROUP BY p),
+      |vec AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings)
+      |SELECT v.vec_id, CAST(pl.p AS BIGINT) AS p,
+      |  CAST(list_dot_product(v.q, pl.pw) AS BIGINT) AS proj
+      |FROM vec v CROSS JOIN planes pl
+      |ORDER BY vec_id, p""".stripMargin
+
   // ---------------------------------------------------- PQ oracle pieces
   /** Shared DuckDB CTE text for vec/train (integer-quantized embeddings,
     * lowest-id training sample). MATERIALIZED throughout the PQ chains:
@@ -1173,6 +1199,7 @@ object ExtensionQueries {
     "q113_semantic_dedup" -> q113,
     "q118_kmeans_lloyd" -> q118,
     "q125_gram_matrix" -> q125,
+    "q127_random_projection" -> q127,
     "q22_dedup_minhash_lsh" -> q22,
     "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
@@ -1208,6 +1235,7 @@ object ExtensionQueries {
     "q113_semantic_dedup" -> q113Sql,
     "q118_kmeans_lloyd" -> q118Sql,
     "q125_gram_matrix" -> q125Sql,
+    "q127_random_projection" -> q127Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,

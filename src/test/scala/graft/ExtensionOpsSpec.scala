@@ -267,6 +267,22 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(cos.length >= 20 && cos.forall(_ == 1.0))
   }
 
+  test("randomProjection equals driver-side dots against the md5 planes") {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 40)
+    val k = 16
+    val got = Similarity.randomProjection(e, "vec_id", "embedding", k)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, p, proj) => ((id, p), proj) }.toMap
+
+    val planes = Similarity.planeMatrix(k, 64)
+    val vecs = e.select("vec_id", "embedding").as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.map(x => math.round(x * 1000)).toArray }
+    val want = (for { (id, q) <- vecs; p <- 0 until k } yield
+      ((id, p.toLong), q.zip(planes(p)).map { case (x, s) => x * s }.sum)).toMap
+    assert(got == want, "projection coordinates differ from driver replay")
+    assert(got.size == vecs.length * k)
+  }
+
   test("gramMatrix equals the brute-force XtX on quantized vectors, upper triangle only") {
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 50)
     val scale = 1000

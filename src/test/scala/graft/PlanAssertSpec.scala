@@ -235,6 +235,13 @@ class PlanAssertSpec extends SparkSuite {
       s"unexpected exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("q127 random projection is map-only: no exchange before the output sort") {
+    val p = executed("q127_random_projection")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"unexpected exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("q114 linear classifier scores with zero exchanges before the sort") {
     val p = executed("q114_linear_classifier")
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
