@@ -271,6 +271,53 @@ object TextOps {
         (col("ssum").cast("double") / col("nb")).as("lm_score"))
   }
 
+  /** DSIR-style hashed-token importance score (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * documents are scored by how much their hashed-unigram distribution
+    * resembles a target subset of the corpus (`targetPred` rows) versus
+    * the rest — the standard importance-weighting signal for selecting
+    * pre-training data that "looks like" a trusted reference set.
+    *
+    * Distributions live in a fixed `buckets`-wide hashed feature space
+    * (hash48 mod buckets), so both are one tiny grouped aggregate —
+    * map-side combined, `buckets` rows total regardless of corpus size —
+    * and the per-bucket weight
+    * `round(1e6 · p̂_target(b) / p̂_source(b))` (add-one smoothed) is an
+    * exact integer after one-shot IEEE-double ops that every engine
+    * rounds identically; no `ln`, whose libm rounding varies. Doubles
+    * also can't overflow where a scaled-integer product would at
+    * 100 TB token counts.
+    *
+    * Scoring is ONE shuffle: per-occurrence bucket rows join the
+    * broadcast `buckets`-row weight table map-side, then a single
+    * grouped sum per document (partials collapse per partition before
+    * the exchange). Output: (id, n_tokens, dsir_micro), higher =
+    * more target-like.
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets")
+    val occ = Spread.ensure(
+        df.select(col(idCol).as("id"), targetPred.as("is_t"), col(textCol)), "id")
+      .select(col("id"), col("is_t"),
+        explode(Portable.tokens(col(textCol))).as("t"))
+      .select(col("id"), col("is_t"),
+        pmod(Portable.hash48(col("t")), lit(buckets.toLong)).as("j"))
+    val dist = occ.groupBy("j").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cs"))
+    val tot = dist.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
+    val weights = dist.crossJoin(broadcast(tot))
+      .select(col("j"), floor(
+          (col("ct") + 1).cast("double") * (col("ts") + buckets).cast("double") /
+            ((col("cs") + 1).cast("double") * (col("tt") + buckets).cast("double")) *
+            lit(1000000.0d) + lit(0.5d))
+        .cast("long").as("w"))
+    occ.join(broadcast(weights), Seq("j"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("dsir_micro"))
+  }
+
   /** Feature-hashing (hashing-trick) document embedding: token counts
     * folded into a fixed `dim`-wide integer vector — dimension j =
     * hash48(token) mod dim, sign from an independent hash bit (the

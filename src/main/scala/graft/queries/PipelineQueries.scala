@@ -244,6 +244,40 @@ object PipelineQueries {
        |FROM ht_t ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q128
+  /** DSIR-style importance scoring ([[TextOps.dsirScore]]): every
+    * document scored by how target-like its hashed-unigram distribution
+    * is, with English docs as the target set — the importance-resampling
+    * signal for pre-training data selection. 256-bucket distributions,
+    * add-one smoothing, integer-micro weights; the oracle replays the
+    * identical hashed buckets and one-shot double ops bit-for-bit.
+    */
+  val q128: Q = (s, dir) =>
+    TextOps.dsirScore(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val q128Sql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, lang = 'en' AS is_t,
+      |    ('0x'||substr(md5(unnest(string_split_regex(lower(text), '\s+'))),1,12))::BIGINT
+      |      % 256 AS j
+      |  FROM documents),
+      |dist AS (SELECT j,
+      |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+      |    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS cs
+      |  FROM occ GROUP BY j),
+      |tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM dist),
+      |w AS (SELECT j,
+      |    CAST(floor(CAST(ct+1 AS DOUBLE) * CAST(ts+256 AS DOUBLE) /
+      |               (CAST(cs+1 AS DOUBLE) * CAST(tt+256 AS DOUBLE))
+      |               * 1000000.0 + 0.5) AS BIGINT) AS w
+      |  FROM dist CROSS JOIN tot)
+      |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(w.w) AS BIGINT) AS dsir_micro
+      |FROM occ o JOIN w ON o.j = w.j
+      |GROUP BY o.doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q69
   /** Bigram language-model fluency scoring
     * ([[TextOps.bigramLmScore]]): corpus-trained conditional-probability
@@ -647,6 +681,7 @@ object PipelineQueries {
     "q67_fuzzy_linkage" -> q67,
     "q68_simhash64" -> q68,
     "q69_bigram_lm" -> q69,
+    "q128_dsir_score" -> q128,
     "q70_zorder" -> q70,
     "q71_curation_pipeline" -> q71,
     "q72_feature_hashing" -> q72,
@@ -665,6 +700,7 @@ object PipelineQueries {
     "q67_fuzzy_linkage" -> q67Sql,
     "q68_simhash64" -> q68Sql,
     "q69_bigram_lm" -> q69Sql,
+    "q128_dsir_score" -> q128Sql,
     "q70_zorder" -> q70Sql,
     "q71_curation_pipeline" -> q71Sql,
     "q72_feature_hashing" -> q72Sql,

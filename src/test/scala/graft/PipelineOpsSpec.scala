@@ -208,4 +208,27 @@ class PipelineOpsSpec extends SparkSuite {
     assert(m3._3 == "red rod" && m3._4 == 0L)
     assert(!out.exists(_._1 == 4L), "unblocked mention must be dropped")
   }
+
+  test("dsirScore ranks target-vocabulary docs above off-target docs") {
+    // target docs (is_t) share a vocabulary; source docs use another;
+    // the held-out scored docs lean one way or the other
+    val docs = Seq(
+      (1L, true,  "alpha beta gamma alpha beta"),
+      (2L, true,  "beta gamma delta alpha gamma"),
+      (3L, false, "omega psi chi omega psi"),
+      (4L, false, "psi chi phi omega chi"),
+      (5L, false, "alpha beta gamma beta alpha"), // target-like content
+      (6L, false, "omega psi chi phi psi")        // source-like content
+    ).toDF("id", "is_t", "text")
+    val out = TextOps.dsirScore(docs, "id", "text", col("is_t"), buckets = 64)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => id -> (n, s) }.toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out.values.forall(_._1 == 5L), "every doc has 5 tokens")
+    // the target-like held-out doc outscores the source-like one
+    assert(out(5L)._2 > out(6L)._2,
+      s"target-like ${out(5L)._2} !> source-like ${out(6L)._2}")
+    // actual target docs outscore actual source docs
+    assert(Seq(1L, 2L).map(out(_)._2).min > Seq(3L, 4L).map(out(_)._2).max)
+  }
 }
