@@ -271,6 +271,53 @@ object TextOps {
         (col("ssum").cast("double") / col("nb")).as("lm_score"))
   }
 
+  /** BM25-style retrieval scoring of every document against the
+    * corpus's `nTerms` most frequent tokens (tiebreak: token asc) — the
+    * classic Robertson/Spärck-Jones ranking reshaped for cross-engine
+    * exactness: the idf and tf-saturation factors are milli-scaled
+    * integer ratios (`idf_milli = 1000·(N−df+1) div (df+1)`, the
+    * rational surrogate of the log idf — same ordering, no libm `ln`
+    * whose last-ulp rounding differs between engines), and the
+    * per-term contributions multiply to exact micro integers that sum
+    * order-free. k1/b arrive milli-scaled (1200/750 = the textbook
+    * 1.2/0.75).
+    *
+    * Plan: one shuffle to (doc, term) tf — which also carries the doc
+    * length, so no separate doc-length join — tiny broadcast aggs for
+    * the term set, per-term df, and corpus totals, then one grouped sum
+    * per doc. Query-term screening rides the broadcast join, so the
+    * per-(doc,term) frame never re-shuffles. Output: (id, n_hit_terms,
+    * bm25_micro) for docs hitting ≥1 query term.
+    */
+  def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
+      nTerms: Int = 8, k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    val tf = Spread.ensure(
+        df.select(col(idCol).as("id"), toks.as("w")), "id")
+      .select(col("id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("t"))
+      .groupBy("id", "t")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val terms = tf.groupBy("t").agg(sum(col("tf")).as("n"),
+        countDistinct(col("id")).as("df"))
+      .orderBy(col("n").desc, col("t").asc)
+      .limit(nTerms)
+      .select("t", "df")
+    val tot = tf.groupBy("id").agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+    tf.join(broadcast(terms), Seq("t"))
+      .crossJoin(broadcast(tot))
+      .select(col("id"),
+        expr(s"""(1000 * tf * ($k1Milli + 1000)) div
+                 (1000 * tf + ($k1Milli * (1000 - $bMilli +
+                    ($bMilli * ((1000 * dl * nd) div tt)) div 1000)) div 1000)""")
+          .as("sat_milli"),
+        expr("(1000 * (nd - df + 1)) div (df + 1)").as("idf_milli"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(col("sat_milli") * col("idf_milli")).as("bm25_micro"))
+  }
+
   /** DSIR-style hashed-token importance score (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * documents are scored by how much their hashed-unigram distribution

@@ -244,6 +244,41 @@ object PipelineQueries {
        |FROM ht_t ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q129
+  /** BM25-style retrieval scoring ([[TextOps.bm25TopTerms]]): every
+    * document ranked against the corpus's 8 most frequent tokens with
+    * exact milli-integer idf and tf-saturation (k1=1.2, b=0.75) — the
+    * classic relevance score with a bit-exact cross-engine replay (the
+    * rational-idf surrogate keeps the ordering of the log idf without
+    * libm `ln`).
+    */
+  val q129: Q = (s, dir) =>
+    TextOps.bm25TopTerms(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val q129Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+      |tfc AS (SELECT doc_id, t, count(*) AS tf, max(dl) AS dl
+      |  FROM tf GROUP BY doc_id, t),
+      |terms AS (SELECT t, count(DISTINCT doc_id) AS df
+      |  FROM tfc GROUP BY t ORDER BY sum(tf) DESC, t ASC LIMIT 8),
+      |tot AS (SELECT count(*) AS nd, sum(dl) AS tt
+      |  FROM (SELECT doc_id, max(dl) AS dl FROM tfc GROUP BY doc_id)),
+      |scored AS (
+      |  SELECT c.doc_id,
+      |    (1000 * c.tf * (1200 + 1000)) //
+      |      (1000 * c.tf + (1200 * (1000 - 750 +
+      |        (750 * ((1000 * c.dl * tot.nd) // tot.tt)) // 1000)) // 1000)
+      |      AS sat_milli,
+      |    (1000 * (tot.nd - q.df + 1)) // (q.df + 1) AS idf_milli
+      |  FROM tfc c JOIN terms q ON c.t = q.t CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+      |  CAST(sum(sat_milli * idf_milli) AS BIGINT) AS bm25_micro
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q128
   /** DSIR-style importance scoring ([[TextOps.dsirScore]]): every
     * document scored by how target-like its hashed-unigram distribution
@@ -682,6 +717,7 @@ object PipelineQueries {
     "q68_simhash64" -> q68,
     "q69_bigram_lm" -> q69,
     "q128_dsir_score" -> q128,
+    "q129_bm25_topterms" -> q129,
     "q70_zorder" -> q70,
     "q71_curation_pipeline" -> q71,
     "q72_feature_hashing" -> q72,
@@ -701,6 +737,7 @@ object PipelineQueries {
     "q68_simhash64" -> q68Sql,
     "q69_bigram_lm" -> q69Sql,
     "q128_dsir_score" -> q128Sql,
+    "q129_bm25_topterms" -> q129Sql,
     "q70_zorder" -> q70Sql,
     "q71_curation_pipeline" -> q71Sql,
     "q72_feature_hashing" -> q72Sql,

@@ -231,4 +231,25 @@ class PipelineOpsSpec extends SparkSuite {
     // actual target docs outscore actual source docs
     assert(Seq(1L, 2L).map(out(_)._2).min > Seq(3L, 4L).map(out(_)._2).max)
   }
+
+  test("bm25TopTerms: tf saturates, doc length penalizes, rare terms weigh more") {
+    val docs = Seq(
+      (1L, "apple apple apple apple banana"),
+      (2L, "apple banana"),
+      (3L, "apple banana pear pear pear pear pear pear pear pear"),
+      (4L, "cherry plum quince fig date")
+    ).toDF("id", "text")
+    val out = TextOps.bm25TopTerms(docs, "id", "text", nTerms = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, h, s) => id -> (h, s) }.toMap
+    // top-2 terms by occurrences: pear (8), apple (6) — doc 4 hits none
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 2L)
+    // doc 1 (tf=4) must beat doc 2 (tf=1) on apple, but by less than 4×:
+    // the saturation bound tf·(k1+1)/(tf+k1) < k1+1
+    assert(out(1L)._2 > out(2L)._2 && out(1L)._2 < 4L * out(2L)._2)
+    // pear is rarer (df=1) than apple (df=3): doc 3's two hits dominated
+    // by the pear idf must beat doc 1's saturated apple despite dl=10
+    assert(out(3L)._2 > out(1L)._2)
+  }
 }
