@@ -34,6 +34,37 @@ object Curate {
       denom: Int = 100): DataFrame =
     df.filter(hashBucket(keyCol, denom) < rateCol)
 
+  /** Deterministic epoch shuffle: the reproducible pseudorandom
+    * training order every pre-training run needs — each epoch is an
+    * independent permutation of the corpus, sharded for `shards`
+    * parallel readers. Shard = hash48(key#e‹epoch›) mod shards; order
+    * within a shard = that same hash (ties broken on key), so the
+    * "shuffle" is pure hashing: any engine, cluster size, or re-run
+    * reproduces the identical order, and a training job can seek into
+    * (epoch, shard, pos) without materializing anything.
+    *
+    * No global-sort funnel: one map-only pass assigns shard/order keys,
+    * then `row_number` windows run per (epoch, shard) — `shards`-way
+    * parallel, one shuffle. At 100 TB the per-shard window sorts
+    * 1/shards of the corpus; pick shards ≥ the reader count.
+    * Output: (epoch, shard, pos, key).
+    */
+  def epochShuffle(df: DataFrame, keyCol: Column, epochs: Int = 1,
+      shards: Int = 8): DataFrame = {
+    require(epochs > 0 && shards > 0, s"epochs=$epochs shards=$shards")
+    val h = Portable.hash48(concat(col("k"), lit("#e"),
+      col("epoch").cast("string")))
+    df.select(keyCol.cast("string").as("k"))
+      .select(col("k"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .select(col("epoch").cast("long").as("epoch"), col("k"),
+        pmod(h, lit(shards.toLong)).as("shard"), h.as("hv"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("epoch", "shard")
+          .orderBy(col("hv"), col("k"))) - 1).cast("long"))
+      .select("epoch", "shard", "pos", "k")
+  }
+
   /** Deterministic train/val/test (or N-way) split assignment: hash
     * buckets partition `[0, denom)` into contiguous ranges sized by the
     * given weights (must sum to `denom`). Adds a `split` column; the same

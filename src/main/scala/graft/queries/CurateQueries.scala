@@ -287,6 +287,30 @@ object CurateQueries {
       |       ELSE 'test' END AS split
       |FROM rep ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q130
+  /** Deterministic epoch shuffle ([[Curate.epochShuffle]]): two
+    * independent pseudorandom permutations of the corpus, sharded 4-way
+    * for parallel readers — the reproducible training-order primitive.
+    * Pure hashing, so the oracle replays every (epoch, shard, pos)
+    * coordinate exactly.
+    */
+  val q130: Q = (s, dir) =>
+    Curate.epochShuffle(Tables.documents(s, dir), col("doc_id"),
+        epochs = 2, shards = 4)
+      .withColumn("doc_id", col("k").cast("long"))
+      .select("epoch", "shard", "pos", "doc_id")
+      .orderBy("epoch", "shard", "pos")
+  val q130Sql: String =
+    """WITH e AS (SELECT doc_id, unnest(range(2)) AS epoch FROM documents),
+      |h AS (SELECT epoch, doc_id,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#e'||CAST(epoch AS VARCHAR)),1,12))::BIGINT AS hv
+      |  FROM e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, hv % 4 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY epoch, hv % 4
+      |    ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos,
+      |  doc_id
+      |FROM h ORDER BY epoch, shard, pos""".stripMargin
+
   // --------------------------------------------------------------- q126
   /** Token-budget trim ([[Curate.budgetTrim]]): fill a fixed 10k-token
     * budget with the most alpha-dense documents — the "spend the crawl
@@ -323,6 +347,7 @@ object CurateQueries {
 
   val queries: Map[String, Q] = Map(
     "q126_budget_trim" -> q126,
+    "q130_epoch_shuffle" -> q130,
     "q47_stratified_sample" -> q47,
     "q110_mix_to_budget" -> q110,
     "q115_leakage_aware_split" -> q115,
@@ -335,6 +360,7 @@ object CurateQueries {
 
   val oracle: Map[String, String] = Map(
     "q126_budget_trim" -> q126Sql,
+    "q130_epoch_shuffle" -> q130Sql,
     "q47_stratified_sample" -> q47Sql,
     "q110_mix_to_budget" -> q110Sql,
     "q115_leakage_aware_split" -> q115Sql,

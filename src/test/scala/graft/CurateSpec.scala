@@ -217,4 +217,27 @@ class CurateSpec extends SparkSuite {
     }
     packed.unpersist()
   }
+
+  test("epochShuffle: each epoch is a full permutation, epochs reorder, positions dense") {
+    val docs = (1L to 200L).toDF("id")
+    val out = Curate.epochShuffle(docs, col("id"), epochs = 2, shards = 4)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == 400)
+    // every key appears exactly once per epoch
+    (0L to 1L).foreach { e =>
+      assert(out.filter(_._1 == e).map(_._4).toSet.size == 200, s"epoch $e")
+    }
+    // positions are dense 0..n-1 within each (epoch, shard)
+    out.groupBy(r => (r._1, r._2)).foreach { case ((e, sh), rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"epoch $e shard $sh")
+    }
+    // the two epochs produce different orders (some key changes shard or pos)
+    val coord = out.map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+    assert((1L to 200L).exists(k =>
+      coord((0L, k.toString)) != coord((1L, k.toString))))
+    // shards are roughly balanced: no shard holds more than half an epoch
+    out.groupBy(r => (r._1, r._2)).values.foreach(rows =>
+      assert(rows.length < 100, s"skewed shard: ${rows.length}"))
+  }
 }
