@@ -1061,6 +1061,76 @@ object ExtensionQueries {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  // --------------------------------------------------------------- q131
+  /** Hierarchical HLL rollup ([[graft.operators.Sketches.hllMerge]]):
+    * distinct parts per NATION and per REGION from one lineitem scan —
+    * the nation-level registers (p=8, 256 integer registers each) merge
+    * upward by register max into exactly the region registers a rescan
+    * would build, so the expensive pass runs once and every coarser
+    * level is a ≤ m-row shuffle over sketches. The "sketch once, merge
+    * many" pattern that makes daily/per-shard cardinality tracking
+    * feasible at 100 TB. Both levels' integer estimates replay
+    * bit-for-bit in the oracle.
+    */
+  val q131: Q = (s, dir) => {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(s, dir).select("l_suppkey", "l_partkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, dir).select("n_nationkey", "n_regionkey", "n_name")
+    val reg = Tables.region(s, dir).select("r_regionkey", "r_name")
+    val joined = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+    val sk = Sketches.hllSketch(joined, Seq("r_name", "n_name"),
+      col("l_partkey"), p = 8).persist()
+    val nation = Sketches.hllEstimate(sk, Seq("r_name", "n_name"), p = 8)
+      .select(lit("nation").as("level"), col("r_name"), col("n_name"),
+        col("est_distinct"))
+    val region = Sketches.hllMerge(sk, Seq("r_name"), p = 8)
+      .select(lit("region").as("level"), col("r_name"),
+        lit("").as("n_name"), col("est_distinct"))
+    nation.unionByName(region).orderBy("level", "r_name", "n_name")
+  }
+  val q131Sql: String = {
+    val p = 8; val w = 48 - p; val m = 1L << p
+    val a = graft.operators.Sketches.alphaM2(p)
+    val shift = 48 - p + 1
+    val bitlen = (1 to w).foldLeft("0") { (acc, b) =>
+      s"CASE WHEN rest >= ${1L << (b - 1)} THEN $b ELSE $acc END"
+    }
+    s"""WITH h AS (SELECT r_name, n_name,
+       |    ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,12))::BIGINT AS h
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey),
+       |b AS (SELECT r_name, n_name, h // ${1L << w} AS bucket,
+       |    h % ${1L << w} AS rest FROM h),
+       |r AS (SELECT r_name, n_name, bucket,
+       |    ${w + 1} - ($bitlen) AS rank FROM b),
+       |regs AS (SELECT r_name, n_name, bucket, max(rank) AS reg
+       |  FROM r GROUP BY 1, 2, 3),
+       |nat AS (SELECT r_name, n_name, count(*) AS hit,
+       |    sum((1::BIGINT << ($shift - reg))) AS zs
+       |  FROM regs GROUP BY 1, 2),
+       |nat_est AS (SELECT 'nation' AS level, r_name, n_name,
+       |    CAST(($a::BIGINT * (1::BIGINT << $shift))
+       |      // (zs + ($m - hit) * (1::BIGINT << $shift)) AS BIGINT)
+       |      AS est_distinct FROM nat),
+       |rregs AS (SELECT r_name, bucket, max(reg) AS reg
+       |  FROM regs GROUP BY 1, 2),
+       |rz AS (SELECT r_name, count(*) AS hit,
+       |    sum((1::BIGINT << ($shift - reg))) AS zs
+       |  FROM rregs GROUP BY 1),
+       |reg_est AS (SELECT 'region' AS level, r_name, '' AS n_name,
+       |    CAST(($a::BIGINT * (1::BIGINT << $shift))
+       |      // (zs + ($m - hit) * (1::BIGINT << $shift)) AS BIGINT)
+       |      AS est_distinct FROM rz)
+       |SELECT * FROM nat_est UNION ALL SELECT * FROM reg_est
+       |ORDER BY level, r_name, n_name""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q61
   /** Count-min sketch (depth 4 × width 1024) over the full token stream
     * of the corpus, probed for the stopword set plus a known-absent
@@ -1217,6 +1287,7 @@ object ExtensionQueries {
     "q35_frame_sample" -> q35,
     "q37_kmv_distinct" -> q37,
     "q105_hll_distinct" -> q105,
+    "q131_hll_rollup" -> q131,
     "q61_countmin" -> q61,
     "q40_multimodal_features" -> q40)
 
@@ -1253,6 +1324,7 @@ object ExtensionQueries {
     "q35_frame_sample" -> q35Sql,
     "q37_kmv_distinct" -> q37Sql,
     "q105_hll_distinct" -> q105Sql,
+    "q131_hll_rollup" -> q131Sql,
     "q61_countmin" -> q61Sql,
     "q40_multimodal_features" -> q40Sql)
 }

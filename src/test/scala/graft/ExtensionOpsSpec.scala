@@ -258,6 +258,33 @@ class ExtensionOpsSpec extends SparkSuite {
     }
   }
 
+  test("hllMerge from finer sketches equals the direct coarse-level estimate") {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(spark, dir)
+    val sk = Sketches.hllSketch(li, Seq("l_returnflag", "l_linestatus"),
+      col("l_partkey"), p = 8)
+    val merged = Sketches.hllMerge(sk, Seq("l_returnflag"), p = 8)
+      .as[(String, Long)].collect().toMap
+    val direct = Sketches.hllDistinct(li, Seq("l_returnflag"),
+        col("l_partkey"), p = 8)
+      .as[(String, Long)].collect().toMap
+    assert(merged == direct,
+      "register-max merge must reproduce the rescan estimate exactly")
+    // accuracy only binds above the small-range zone (~2.5·m = 640 at
+    // p=8): below it the raw estimator overestimates by design (the
+    // ln()-based linear-counting correction is deliberately omitted —
+    // see hllEstimate's scaladoc). Below-zone groups still must
+    // overestimate, never undercount past HLL error.
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (flag, n) =>
+      val e = merged(flag).toDouble
+      if (n >= 640) assert(math.abs(e - n) / n <= 0.2, s"$flag: est=$e exact=$n")
+      else assert(e >= 0.8 * n, s"$flag: small-range est=$e exact=$n")
+    }
+  }
+
   test("quantized cosine of a vector with itself is 1.0") {
     val e = Tables.embeddings(spark, dir).limit(20)
     val dup = e.select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
