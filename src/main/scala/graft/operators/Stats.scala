@@ -145,6 +145,72 @@ object Stats {
     * raw doubles are not (format the value to an exact type first).
     * Output: (col_name, n_rows, n_nulls, n_distinct, min_s, max_s).
     */
+  /** Row-level robust outlier extraction — the records themselves, not
+    * just q88-style counts: every row whose |v − median| exceeds
+    * z·MAD for its group, with the group stats attached. The
+    * median/MAD pass is [[medianMadManaged]] (value-domain windows, no
+    * per-group buffered state); the per-group stats frame is tiny and
+    * broadcast back onto the input, so extraction is a map-only second
+    * pass over the data — the shape that lets 100 TB flag its anomalies
+    * without a self-join shuffle.
+    * Output: (g, id, v, median, mad, dev).
+    */
+  def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
+      idCol: Column, z: Int = 3): DataFrame =
+    robustOutliersManaged(df, groupCol, valueCol, idCol, z)._1
+
+  /** [[robustOutliers]] plus the cleanup thunk for the internal
+    * median/MAD cache (same contract as [[medianMadManaged]]).
+    */
+  def robustOutliersManaged(df: DataFrame, groupCol: Column,
+      valueCol: Column, idCol: Column, z: Int = 3,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
+    val (stats, cleanup) =
+      medianMadManaged(df, groupCol, valueCol, z, persist)
+    val out = df
+      .select(groupCol.as("g"), idCol.as("id"), valueCol.cast("long").as("v"))
+      .join(broadcast(stats.select("g", "median", "mad")), Seq("g"))
+      .filter(abs(col("v") - col("median")) > col("mad") * z)
+      .select(col("g"), col("id"), col("v"), col("median"), col("mad"),
+        abs(col("v") - col("median")).as("dev"))
+    (out, cleanup)
+  }
+
+  /** Two-sample chi-square histogram drift between the `sideCol=false`
+    * ("old") and `sideCol=true` ("new") rows — the distribution-shift
+    * monitor a pipeline runs between corpus snapshots before trusting a
+    * refresh. Per bucket b with counts (a, b') and side totals (A, B),
+    * the contribution is the textbook
+    * `(a·B − b'·A)² · (A+B) / (A·B·(a+b'))`, emitted micro-scaled as an
+    * exact Long (the double ops are one-shot IEEE — products/quotients
+    * only, every engine rounds them identically; summing happens in
+    * integers, so partition order can't change anything).
+    *
+    * ONE shuffle on ≤ #buckets keys (map-side combined counts), then a
+    * broadcast of the 1-row totals — nothing here grows with the data.
+    * Output: (bucket, n_old, n_new, chi2_micro); Σ chi2_micro / 1e6 is
+    * the statistic (df = buckets−1).
+    */
+  def histogramDrift(df: DataFrame, sideCol: Column,
+      bucketCol: Column): DataFrame = {
+    val counts = df.select(sideCol.as("s"), bucketCol.cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(!col("s"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("n_new"))
+    val tot = counts.agg(sum(col("n_old")).as("ta"), sum(col("n_new")).as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        floor(
+          (col("n_old").cast("double") * col("tb").cast("double") -
+            col("n_new").cast("double") * col("ta").cast("double")) *
+          (col("n_old").cast("double") * col("tb").cast("double") -
+            col("n_new").cast("double") * col("ta").cast("double")) /
+          (col("ta").cast("double") * col("tb").cast("double") *
+            (col("n_old") + col("n_new")).cast("double")) *
+          (col("ta") + col("tb")).cast("double") * lit(1000000.0d) + lit(0.5d))
+          .cast("long").as("chi2_micro"))
+  }
+
   def profile(df: DataFrame, cols: Map[String, Column]): DataFrame =
     cols.toSeq.sortBy(_._1).map { case (name, c) =>
       df.select(c.as("v"))

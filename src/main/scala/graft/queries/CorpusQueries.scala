@@ -96,6 +96,84 @@ object CorpusQueries {
       |FROM c JOIN med USING (g) JOIN mad USING (g)
       |GROUP BY c.g ORDER BY flag""".stripMargin
 
+  // --------------------------------------------------------------- q132
+  /** Row-level robust outlier extraction ([[Stats.robustOutliers]]):
+    * the actual anomalous lineitems — |price − median| > 2·MAD within
+    * the return flag — not just q88's counts. Median/MAD from the
+    * value-domain pass, stats broadcast back, extraction map-only.
+    */
+  val q132: Q = (s, dir) =>
+    Stats.robustOutliers(Tables.lineitem(s, dir), col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_orderkey") * 10 + col("l_linenumber"), z = 2)
+      .select(col("g").as("flag"), col("id").as("line_id"), col("v"),
+        col("median"), col("mad"), col("dev"))
+      .orderBy("flag", "line_id")
+  val q132Sql: String =
+    """WITH c AS (SELECT l_returnflag AS g,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS v, count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS n
+      |  FROM c),
+      |med AS (SELECT g, min(v) AS median FROM w
+      |  WHERE cum >= (n+1)//2 GROUP BY g),
+      |d AS (SELECT c.g, abs(c.v - med.median) AS v,
+      |    CAST(sum(c.c) AS BIGINT) AS c
+      |  FROM c JOIN med USING (g) GROUP BY 1, 2),
+      |w2 AS (SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS n
+      |  FROM d),
+      |mad AS (SELECT g, min(v) AS mad FROM w2
+      |  WHERE cum >= (n+1)//2 GROUP BY g)
+      |SELECT li.l_returnflag AS flag,
+      |  li.l_orderkey*10 + li.l_linenumber AS line_id,
+      |  CAST(round(li.l_extendedprice*100) AS BIGINT) AS v,
+      |  med.median, mad.mad,
+      |  abs(CAST(round(li.l_extendedprice*100) AS BIGINT) - med.median)
+      |    AS dev
+      |FROM lineitem li
+      |JOIN med ON med.g = li.l_returnflag
+      |JOIN mad ON mad.g = li.l_returnflag
+      |WHERE abs(CAST(round(li.l_extendedprice*100) AS BIGINT) - med.median)
+      |  > 2 * mad.mad
+      |ORDER BY flag, line_id""".stripMargin
+
+  // --------------------------------------------------------------- q133
+  /** Chi-square histogram drift ([[Stats.histogramDrift]]): length
+    * distribution of even-id ("old snapshot") vs odd-id ("new
+    * snapshot") documents compared bucket by bucket — the
+    * distribution-shift monitor between corpus refreshes. Integer
+    * micro contributions; Σ/1e6 is the χ² statistic.
+    */
+  val q133: Q = (s, dir) =>
+    Stats.histogramDrift(Tables.documents(s, dir),
+        col("doc_id") % 2 === 1,
+        expr("least(n_chars div 100, 19)").cast("long"))
+      .orderBy("bucket")
+  val q133Sql: String =
+    """WITH c AS (SELECT least(n_chars // 100, 19) AS bucket,
+      |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_old,
+      |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_new
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT sum(n_old) AS ta, sum(n_new) AS tb FROM c)
+      |SELECT bucket, CAST(n_old AS BIGINT) AS n_old,
+      |  CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(floor(
+      |    (CAST(n_old AS DOUBLE) * CAST(tb AS DOUBLE) -
+      |     CAST(n_new AS DOUBLE) * CAST(ta AS DOUBLE)) *
+      |    (CAST(n_old AS DOUBLE) * CAST(tb AS DOUBLE) -
+      |     CAST(n_new AS DOUBLE) * CAST(ta AS DOUBLE)) /
+      |    (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) *
+      |     CAST(n_old + n_new AS DOUBLE)) *
+      |    CAST(ta + tb AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+      |    AS chi2_micro
+      |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- q89
   /** Item–item co-occurrence ([[EventOps.itemCooccurrence]]): Jaccard
     * over distinct-clicker sets of the JSON `props.k` item key —
@@ -598,6 +676,8 @@ object CorpusQueries {
     "q93_weighted_percentiles" -> q93,
     "q87_sentence_boilerplate" -> q87,
     "q88_median_mad" -> q88,
+    "q132_robust_outliers" -> q132,
+    "q133_histogram_drift" -> q133,
     "q89_item_cooccurrence" -> q89,
     "q90_cooccurrence_lift" -> q90,
     "q101_gopher_rules" -> q101,
@@ -616,6 +696,8 @@ object CorpusQueries {
     "q93_weighted_percentiles" -> q93Sql,
     "q87_sentence_boilerplate" -> q87Sql,
     "q88_median_mad" -> q88Sql,
+    "q132_robust_outliers" -> q132Sql,
+    "q133_histogram_drift" -> q133Sql,
     "q89_item_cooccurrence" -> q89Sql,
     "q90_cooccurrence_lift" -> q90Sql,
     "q101_gopher_rules" -> q101Sql,

@@ -389,4 +389,39 @@ class CorpusOpsSpec extends SparkSuite {
       (3L, 2L, 0L, Some(0L)),
       (4L, 0L, 0L, None)))
   }
+
+  test("histogramDrift: zero on identical distributions, positive on shift") {
+    // old and new each: 50 rows in bucket 0, 50 in bucket 1 → no drift
+    val same = ((0 until 100).map(i => (i < 50, i % 2)) ++
+        (0 until 100).map(i => (i >= 50, i % 2)))
+      .toDF("side", "bucket")
+    val zero = Stats.histogramDrift(same, col("side"), col("bucket"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(zero.forall(_._4 == 0L), s"identical dists must give 0: ${zero.toSeq}")
+
+    // new side concentrates in bucket 0 → positive drift in every bucket
+    val shifted = ((0 until 100).map(i => (false, i % 2)) ++
+        (0 until 100).map(i => (true, if (i < 90) 0 else 1)))
+      .toDF("side", "bucket")
+    val drift = Stats.histogramDrift(shifted, col("side"), col("bucket"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(drift.forall(_._4 > 0L), s"shifted dists must drift: ${drift.toSeq}")
+  }
+
+  test("robustOutliers returns exactly the rows medianMad counts") {
+    // group g: spread 1..21 (median 11, MAD 6) plus two extremes
+    val rows = ((1L to 21L) ++ Seq(1000L, -500L))
+      .zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+    val df = rows.toDF("g", "id", "v")
+    val out = Stats.robustOutliers(df, col("g"), col("v"), col("id"), z = 3)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val counted = Stats.medianMad(df, col("g"), col("v"), z = 3)
+      .select("n_outliers").as[Long].collect().head
+    assert(out.length.toLong == counted,
+      s"row-level extraction (${out.length}) != counted ($counted)")
+    assert(out.map(_._3).toSet == Set(1000L, -500L))
+    out.foreach { case (_, _, v, med, mad, dev) =>
+      assert(dev == math.abs(v - med) && dev > 3 * mad)
+    }
+  }
 }
