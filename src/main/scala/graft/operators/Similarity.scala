@@ -167,6 +167,45 @@ object Similarity {
       .select(col(idCol), col("p").cast("long").as("p"), col("proj"))
   }
 
+  /** Nearest-class-prototype classification: each labelled vector set
+    * collapses to ONE prototype (the element-wise exact-integer mean of
+    * its quantized vectors, `floor(sum/n)` per dimension — the
+    * kmeansCentroids update rule), and every vector is re-assigned to
+    * the prototype with the max exact-Long dot (tie → lowest label).
+    * Agreement between `label` and `assigned` is the embedding-space
+    * separability check a pipeline runs on its domain/topic labels; the
+    * confusion pairs are the label-noise candidates.
+    *
+    * Scale: prototypes are one explode→agg pass (labels × dims rows —
+    * tiny regardless of corpus), broadcast back; scoring fans each
+    * vector out to L label rows map-side and immediately collapses to
+    * the argmax in the same aggregation (partial max before the one
+    * id-keyed shuffle). Nothing driver-side, nothing O(n²).
+    * Output: (id, label, assigned, best_dot).
+    */
+  def nearestPrototype(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val q = Spread.ensure(
+        df.select(col(idCol).as("id"), col(labelCol).cast("long").as("label"),
+          Portable.quantize(col(vecCol), Scale).as("qv")), "id")
+    val protos = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("p"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("d"), col("p")))).as("dp"))
+      .select(col("label").as("plabel"), expr("transform(dp, e -> e.p)").as("pv"))
+    q.crossJoin(broadcast(protos))
+      .select(col("id"), col("label"),
+        struct(Portable.dotQ(col("qv"), col("pv")).as("dot"),
+          (-col("plabel")).as("neg")).as("cand"))
+      .groupBy("id", "label")
+      .agg(max(col("cand")).as("best"))
+      .select(col("id"), col("label"), (-col("best.neg")).as("assigned"),
+        col("best.dot").as("best_dot"))
+  }
+
   /** Deterministic Lloyd k-means over integer-quantized vectors: init =
     * the `nlist` lowest-id training vectors, assignment = max exact-Long
     * dot (tiebreak lowest cell id), update = element-wise

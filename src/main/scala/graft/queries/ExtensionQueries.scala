@@ -533,6 +533,37 @@ object ExtensionQueries {
       |FROM vec v CROSS JOIN planes pl
       |ORDER BY vec_id, p""".stripMargin
 
+  // --------------------------------------------------------------- q134
+  /** Nearest-class-prototype classification
+    * ([[Similarity.nearestPrototype]]): every embedding re-assigned to
+    * the closest per-label mean vector — the embedding-space
+    * separability / label-noise check. Exact integer prototypes and
+    * dots replay bit-for-bit in the oracle.
+    */
+  val q134: Q = (s, dir) =>
+    Similarity.nearestPrototype(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label")
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  val q134Sql: String =
+    """WITH vec AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |comp AS (SELECT label, i AS d,
+      |    CAST(floor(CAST(sum(q[i+1]) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |      AS BIGINT) AS pv
+      |  FROM vec CROSS JOIN range(64) t(i) GROUP BY 1, 2),
+      |protos AS (SELECT label AS plabel, list(pv ORDER BY d) AS pv
+      |  FROM comp GROUP BY 1),
+      |scored AS (SELECT v.id, v.label, pr.plabel,
+      |    CAST(list_dot_product(v.q, pr.pv) AS BIGINT) AS dot
+      |  FROM vec v CROSS JOIN protos pr),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY id
+      |    ORDER BY dot DESC, plabel ASC) AS rn FROM scored)
+      |SELECT id AS vec_id, label, plabel AS assigned, dot AS best_dot
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------- PQ oracle pieces
   /** Shared DuckDB CTE text for vec/train (integer-quantized embeddings,
     * lowest-id training sample). MATERIALIZED throughout the PQ chains:
@@ -1270,6 +1301,7 @@ object ExtensionQueries {
     "q118_kmeans_lloyd" -> q118,
     "q125_gram_matrix" -> q125,
     "q127_random_projection" -> q127,
+    "q134_nearest_prototype" -> q134,
     "q22_dedup_minhash_lsh" -> q22,
     "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
@@ -1307,6 +1339,7 @@ object ExtensionQueries {
     "q118_kmeans_lloyd" -> q118Sql,
     "q125_gram_matrix" -> q125Sql,
     "q127_random_projection" -> q127Sql,
+    "q134_nearest_prototype" -> q134Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,

@@ -258,6 +258,25 @@ class ExtensionOpsSpec extends SparkSuite {
     }
   }
 
+  test("nearestPrototype recovers separable clusters and flags a flipped label") {
+    // two orthogonal directions; vec 99 carries label 1 but lives in
+    // cluster 0's direction — the label-noise case it must surface
+    def v(axis: Int, mag: Double) =
+      Seq.tabulate(4)(i => if (i == axis) mag.toFloat else 0.1f)
+    val rows =
+      (0 until 5).map(i => (i.toLong, v(0, 1.0 + i * 0.01), 0)) ++
+      (0 until 5).map(i => (10L + i, v(2, 1.0 + i * 0.01), 1)) :+
+      ((99L, v(0, 1.0), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.nearestPrototype(df, "vec_id", "embedding", "label")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    (0 until 5).foreach(i => assert(out(i.toLong) == (0L, 0L)))
+    (0 until 5).foreach(i => assert(out(10L + i) == (1L, 1L)))
+    // the mislabelled vector is re-assigned to its true cluster
+    assert(out(99L) == (1L, 0L), s"flipped label not flagged: ${out(99L)}")
+  }
+
   test("hllMerge from finer sketches equals the direct coarse-level estimate") {
     import graft.operators.Sketches
     val li = Tables.lineitem(spark, dir)
