@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curate, Linkage, TextOps}
+import graft.operators.{Curate, Linkage, Similarity, TextOps}
 
 /** Round-6 training-data-pipeline operators: TF-IDF key-term extraction,
   * overlapping chunking, PII redaction, weighted (PPS) sampling, repeated
@@ -243,6 +243,75 @@ object PipelineQueries {
        |  CAST(${word("h0")} AS BIGINT) AS sim_lo
        |FROM ht_t ORDER BY doc_id""".stripMargin
   }
+
+  // --------------------------------------------------------------- q135
+  /** Hybrid-retrieval rank fusion ([[graft.operators.Fusion.rrf]]):
+    * the BM25 top-100 (q129's scorer) and the embedding top-100 around
+    * query vector 0 (q24's scorer) fused by reciprocal rank — the RAG
+    * retrieval-stack recipe. Both candidate lists are bounded before
+    * fusion (the 100 TB shape: fuse top-N, never full rankings);
+    * integer-micro contributions replay exactly.
+    */
+  val q135: Q = (s, dir) => {
+    val bmRank = TextOps.bm25TopTerms(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("bm25_micro").desc, col("id"))
+      .limit(100)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("bm25_micro").desc, col("id"))).cast("long"))
+      .select("id", "rank")
+    val cosRank = Similarity.cosineTopK(
+        Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 100)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    graft.operators.Fusion.rrf(Seq(bmRank, cosRank), k = 60)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  val q135Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM d),
+      |tfc AS (SELECT doc_id, t, count(*) AS tf, max(dl) AS dl
+      |  FROM tf GROUP BY doc_id, t),
+      |terms AS (SELECT t, count(DISTINCT doc_id) AS df
+      |  FROM tfc GROUP BY t ORDER BY sum(tf) DESC, t ASC LIMIT 8),
+      |tot AS (SELECT count(*) AS nd, sum(dl) AS tt
+      |  FROM (SELECT doc_id, max(dl) AS dl FROM tfc GROUP BY doc_id)),
+      |scored AS (
+      |  SELECT c.doc_id,
+      |    (1000 * c.tf * (1200 + 1000)) //
+      |      (1000 * c.tf + (1200 * (1000 - 750 +
+      |        (750 * ((1000 * c.dl * tot.nd) // tot.tt)) // 1000)) // 1000)
+      |      AS sat_milli,
+      |    (1000 * (tot.nd - q.df + 1)) // (q.df + 1) AS idf_milli
+      |  FROM tfc c JOIN terms q ON c.t = q.t CROSS JOIN tot),
+      |bmdoc AS (SELECT doc_id, sum(sat_milli * idf_milli) AS bm25
+      |  FROM scored GROUP BY doc_id),
+      |bm AS (SELECT id, rank FROM (
+      |  SELECT doc_id AS id,
+      |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      |  FROM bmdoc) WHERE rank <= 100),
+      |vec AS (SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |norms AS (SELECT id, list_dot_product(q, q) AS n FROM vec),
+      |q0 AS (SELECT v.q AS q0, nr.n AS n0
+      |  FROM vec v JOIN norms nr ON nr.id = v.id WHERE v.id = 0),
+      |cs AS (SELECT v.id,
+      |    round(list_dot_product(v.q, q0.q0) / (sqrt(q0.n0) * sqrt(nr.n)), 6)
+      |      AS cos
+      |  FROM vec v JOIN norms nr ON nr.id = v.id CROSS JOIN q0
+      |  WHERE v.id <> 0),
+      |cr AS (SELECT id, rank FROM (
+      |  SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank
+      |  FROM cs) WHERE rank <= 100),
+      |u AS (SELECT * FROM bm UNION ALL SELECT * FROM cr)
+      |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+      |  CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro
+      |FROM u GROUP BY id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q129
   /** BM25-style retrieval scoring ([[TextOps.bm25TopTerms]]): every
@@ -718,6 +787,7 @@ object PipelineQueries {
     "q69_bigram_lm" -> q69,
     "q128_dsir_score" -> q128,
     "q129_bm25_topterms" -> q129,
+    "q135_rrf_fusion" -> q135,
     "q70_zorder" -> q70,
     "q71_curation_pipeline" -> q71,
     "q72_feature_hashing" -> q72,
@@ -738,6 +808,7 @@ object PipelineQueries {
     "q69_bigram_lm" -> q69Sql,
     "q128_dsir_score" -> q128Sql,
     "q129_bm25_topterms" -> q129Sql,
+    "q135_rrf_fusion" -> q135Sql,
     "q70_zorder" -> q70Sql,
     "q71_curation_pipeline" -> q71Sql,
     "q72_feature_hashing" -> q72Sql,

@@ -232,6 +232,24 @@ class PipelineOpsSpec extends SparkSuite {
     assert(Seq(1L, 2L).map(out(_)._2).min > Seq(3L, 4L).map(out(_)._2).max)
   }
 
+  test("rrf: doc in both lists beats single-list docs; order within a list respected") {
+    import graft.operators.Fusion
+    val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val b = Seq((12L, 1L), (13L, 2L)).toDF("id", "rank")
+    val out = Fusion.rrf(Seq(a, b), k = 60)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    assert(out(12L)._1 == 2L && out.filterKeys(_ != 12L).values.forall(_._1 == 1L))
+    // 12 appears in both lists → highest fused score
+    assert(out(12L)._2 > out.filterKeys(_ != 12L).values.map(_._2).max)
+    // within list a alone, rank 1 beats rank 2
+    assert(out(10L)._2 > out(11L)._2)
+    // exact integer contributions: 1e6 div 61, 62, 63
+    assert(out(10L)._2 == 1000000L / 61)
+    assert(out(12L)._2 == 1000000L / 63 + 1000000L / 61)
+  }
+
   test("bm25TopTerms: tf saturates, doc length penalizes, rare terms weigh more") {
     val docs = Seq(
       (1L, "apple apple apple apple banana"),
