@@ -43,34 +43,91 @@ object Graph {
   def pageRankManaged(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L,
       persist: Boolean = true): (DataFrame, () => Unit) = {
+    val (und, undRelease) = symmetrized(edges, persist)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    // All nodes carry (deg, tele) through the loop: deg for the
+    // outbound split, tele = the constant uniform teleport term
+    // (15·(scale div n)) div 100. n is one broadcast row, deg is
+    // O(nodes).
+    val init = deg.select(col("src").as("node"), col("deg"))
+      .crossJoin(broadcast(n))
+      .withColumn("tele",
+        expr(s"(15 * (CAST($scale AS BIGINT) div n)) div 100"))
+      .withColumn("score", expr(s"CAST($scale AS BIGINT) div n"))
+      .select("node", "deg", "tele", "score")
+    val (res, loopRelease) = prRounds(und, init, iters)
+    (res, () => { undRelease(); loopRelease() })
+  }
+
+  /** Personalized PageRank: the teleport mass lands on a SEED set
+    * instead of uniformly — random walks restart at the seeds, so the
+    * score is proximity/trust relative to them. This is the quality-
+    * propagation primitive (trusted-domain seeds → crawl-frontier
+    * scores) and the same exact-integer arithmetic as [[pageRank]]:
+    * seed teleport `(15·(scale div |S|)) div 100`, non-seeds 0, initial
+    * mass `scale div |S|` at the seeds. Seeds absent from the graph are
+    * dropped before |S| is counted. Identical per-iteration plan shape
+    * — one node-keyed shuffle per round.
+    */
+  def personalizedPageRankManaged(edges: DataFrame, seeds: DataFrame,
+      iters: Int, scale: Long = 1000000000000L,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
+    val (und, undRelease) = symmetrized(edges, persist)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seedSet = seeds.select(col("node").cast("long").as("node")).distinct()
+      .join(deg.select(col("src").as("node")), Seq("node"))
+    val ns = seedSet.agg(count(lit(1)).as("ns"))
+    val init = deg.select(col("src").as("node"), col("deg"))
+      .join(seedSet.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .withColumn("tele", when(col("is_seed").isNotNull,
+          expr(s"(15 * (CAST($scale AS BIGINT) div ns)) div 100"))
+        .otherwise(lit(0L)))
+      .withColumn("score", when(col("is_seed").isNotNull,
+          expr(s"CAST($scale AS BIGINT) div ns")).otherwise(lit(0L)))
+      .select("node", "deg", "tele", "score")
+    val (res, loopRelease) = prRounds(und, init, iters)
+    (res, () => { undRelease(); loopRelease() })
+  }
+
+  /** [[personalizedPageRankManaged]] without the cleanup handle. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, persist: Boolean = true): DataFrame =
+    personalizedPageRankManaged(edges, seeds, iters, scale, persist)._1
+
+  /** Symmetrize + dedup an edge frame; optionally persist (it feeds
+    * every iteration). Returns the frame and its release thunk.
+    */
+  private def symmetrized(edges: DataFrame,
+      persist: Boolean): (DataFrame, () => Unit) = {
     val und0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .unionByName(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
       .distinct()
     val und = if (persist) und0.persist(StorageLevel.MEMORY_AND_DISK) else und0
-    var release: () => Unit = () => ()
-    val cleanup = () => { if (persist) und.unpersist(); release() }
+    (und, () => { if (persist) { und.unpersist(); () } })
+  }
 
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-    val n = deg.agg(count(lit(1)).as("n"))
-    // All nodes carry (deg, n) through the loop: deg for the outbound
-    // split, n for the per-iteration teleport term. n is one broadcast
-    // row, deg is O(nodes).
-    var sc = deg.select(col("src").as("node"), col("deg"))
-      .crossJoin(broadcast(n))
-      .withColumn("score", expr(s"CAST($scale AS BIGINT) div n"))
+  /** The shared power-iteration loop: score'(v) = tele(v) +
+    * (85 · Σ_{u→v} (score(u) div deg(u))) div 100, for a fixed `iters`
+    * unroll over a per-node constant `tele` column.
+    */
+  private def prRounds(und: DataFrame, init: DataFrame,
+      iters: Int): (DataFrame, () => Unit) = {
+    var release: () => Unit = () => ()
+    var sc = init
     for (i <- 1 to iters) {
       val contrib = und
         .join(sc.select(col("node").as("src"),
           expr("score div deg").as("c")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("inflow"))
-      sc = sc.select("node", "deg", "n")
+      sc = sc.select("node", "deg", "tele")
         .join(contrib, Seq("node"), "left")
-        .withColumn("score",
-          expr(s"(15 * (CAST($scale AS BIGINT) div n)) div 100") +
-            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
+        .withColumn("score", col("tele") +
+          expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100"))
         .drop("inflow")
       // each iteration feeds the next one TWICE (contrib + carry-through);
       // without cutting lineage the duplicated subtree doubles per level
@@ -86,7 +143,7 @@ object Graph {
         sc = cp
       }
     }
-    (sc.select(col("node"), col("deg"), col("score")), cleanup)
+    (sc.select(col("node"), col("deg"), col("score")), () => release())
   }
 
   /** [[pageRankManaged]] without the cleanup handle (caller accepts the

@@ -149,6 +149,57 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // --------------------------------------------------------------- q136
+  /** Personalized PageRank ([[Graph.personalizedPageRank]]) over the
+    * same customer–supplier graph as q80, teleporting to the ten
+    * lowest-id customer nodes — trust/proximity propagation from a
+    * seed set, the crawl-frontier quality-scoring primitive. Seeds with
+    * no graph presence are dropped before |S| is counted; all
+    * arithmetic is the same exact-integer fixed point as q80, so the
+    * oracle unrolls the three rounds as CTEs and matches bit-for-bit.
+    */
+  val q136: Q = (s, dir) => {
+    val edges = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = Tables.customer(s, dir)
+      .select((col("c_custkey") * 2).as("node"))
+      .orderBy("node").limit(10)
+    Graph.personalizedPageRank(edges, seeds, iters = 3).orderBy("node")
+  }
+  val q136Sql: String = {
+    val scale = "1000000000000"
+    def iter(prev: String, c: String, next: String) =
+      s"""$c AS (SELECT u.dst AS node, CAST(sum(s.score // s.deg) AS BIGINT) AS inflow
+         |  FROM und u JOIN $prev s ON u.src = s.node GROUP BY u.dst),
+         |$next AS MATERIALIZED (SELECT $prev.node, $prev.deg, $prev.tele,
+         |    $prev.tele + (85*coalesce($c.inflow, 0))//100 AS score
+         |  FROM $prev LEFT JOIN $c USING (node))""".stripMargin
+    s"""WITH ed AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+       |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+       |seeds0 AS (SELECT c_custkey*2 AS node FROM customer
+       |  ORDER BY node LIMIT 10),
+       |seeds AS (SELECT DISTINCT node FROM seeds0
+       |  WHERE node IN (SELECT src FROM deg)),
+       |ns AS (SELECT count(*) AS ns FROM seeds),
+       |s0 AS MATERIALIZED (SELECT d.src AS node, d.deg,
+       |    CASE WHEN se.node IS NOT NULL
+       |         THEN (15*($scale // ns.ns))//100 ELSE 0 END AS tele,
+       |    CASE WHEN se.node IS NOT NULL
+       |         THEN $scale // ns.ns ELSE 0 END AS score
+       |  FROM deg d LEFT JOIN seeds se ON se.node = d.src CROSS JOIN ns),
+       |${iter("s0", "c1", "s1")},
+       |${iter("s1", "c2", "s2")},
+       |${iter("s2", "c3", "s3")}
+       |SELECT node, deg, CAST(score AS BIGINT) AS score FROM s3
+       |ORDER BY node""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q81
   /** Power-of-two time-decayed engagement ([[EventOps.decayedSum]]):
     * per (user, event type), value cents weighted 2^-(weeks of age at
@@ -323,6 +374,7 @@ object AnalyticsQueries {
     "q78_event_funnel" -> q78,
     "q79_cohort_retention" -> q79,
     "q80_pagerank" -> q80,
+    "q136_personalized_pagerank" -> q136,
     "q81_decayed_engagement" -> q81,
     "q82_markov_transitions" -> q82,
     "q83_triangle_counts" -> q83,
@@ -335,6 +387,7 @@ object AnalyticsQueries {
     "q78_event_funnel" -> q78Sql,
     "q79_cohort_retention" -> q79Sql,
     "q80_pagerank" -> q80Sql,
+    "q136_personalized_pagerank" -> q136Sql,
     "q81_decayed_engagement" -> q81Sql,
     "q82_markov_transitions" -> q82Sql,
     "q83_triangle_counts" -> q83Sql,

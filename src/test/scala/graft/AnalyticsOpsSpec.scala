@@ -107,6 +107,34 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(hub > leaves.head * 4, s"hub $hub should dominate leaf ${leaves.head}")
   }
 
+  test("personalizedPageRank: all-node seeds degenerate to uniform pageRank") {
+    val edges = (2L to 9L).map(l => (1L, l)).toDF("src", "dst")
+    val allNodes = (1L to 9L).toDF("node")
+    val uniform = Graph.pageRank(edges, iters = 3, persist = false)
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    val ppr = Graph.personalizedPageRank(edges, allNodes, iters = 3,
+        persist = false)
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    assert(ppr == uniform,
+      "teleporting to every node must equal the uniform walk exactly")
+  }
+
+  test("personalizedPageRank concentrates mass at the seed side; absent seeds dropped") {
+    // path 1-2-3-4-5-6: seed at node 1 (plus ghost seed 99, not in graph)
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val out = Graph.personalizedPageRank(edges, seeds, iters = 4,
+        persist = false)
+      .orderBy("node").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // score decays with distance from the seed end of the path
+    assert(out(1L) > out(3L) && out(3L) > out(5L),
+      s"mass must decay away from the seed: $out")
+    assert(out(2L) > out(6L), s"near beats far: $out")
+    // ghost seed contributed nothing: node 99 is absent from the output
+    assert(!out.contains(99L))
+  }
+
   test("triangleCounts finds clique triangles, ignoring duplicates and orientation") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3) + dangling edge 4-5,
     // fed with duplicates, reversals, and a self-loop
