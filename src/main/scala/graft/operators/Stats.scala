@@ -176,6 +176,35 @@ object Stats {
     (out, cleanup)
   }
 
+  /** Per-group quantile (rank) normalization: each row's value mapped
+    * to its group-relative cumulative fraction `cume_micro =
+    * (cum(v) · 1e6) div n` — the distribution-free feature transform
+    * (uniformize before mixing heterogeneous sources, compare lengths
+    * across languages, …). Ties share one quantile by construction:
+    * the rank lives on the DISTINCT value, not the row.
+    *
+    * Value-domain shape throughout (the medianMad argument): one
+    * groupBy(g, v) count, one cumulative window over distinct values
+    * per group, then the tiny per-value frame joins back to the rows on
+    * (g, v) — no global sort, no per-group row window, state bounded by
+    * the value domain. Output: (g, id, v, cume_micro).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: Column, valueCol: Column,
+      idCol: Column): DataFrame = {
+    val rows = df.select(groupCol.as("g"), idCol.as("id"),
+      valueCol.cast("long").as("v"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = Window.partitionBy("g")
+    val q = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(n))
+      .select(col("g"), col("v"),
+        expr("(cum * 1000000) div n").as("cume_micro"))
+    rows.join(q, Seq("g", "v"))
+      .select("g", "id", "v", "cume_micro")
+  }
+
   /** Two-sample chi-square histogram drift between the `sideCol=false`
     * ("old") and `sideCol=true` ("new") rows — the distribution-shift
     * monitor a pipeline runs between corpus snapshots before trusting a

@@ -143,6 +143,30 @@ object CorpusQueries {
       |  > 2 * mad.mad
       |ORDER BY flag, line_id""".stripMargin
 
+  // --------------------------------------------------------------- q137
+  /** Quantile normalization ([[Stats.quantileNormalize]]): document
+    * lengths uniformized within each language — the distribution-free
+    * transform applied before mixing heterogeneous sources. Integer
+    * micro quantiles on the value domain; ties share one quantile.
+    */
+  val q137: Q = (s, dir) =>
+    Stats.quantileNormalize(Tables.documents(s, dir), col("lang"),
+        col("n_chars"), col("doc_id"))
+      .select(col("g").as("lang"), col("id").as("doc_id"), col("v"),
+        col("cume_micro"))
+      .orderBy("lang", "doc_id")
+  val q137Sql: String =
+    """WITH r AS (SELECT lang AS g, doc_id AS id,
+      |    CAST(n_chars AS BIGINT) AS v FROM documents),
+      |c AS (SELECT g, v, count(*) AS c FROM r GROUP BY 1, 2),
+      |q AS (SELECT g, v,
+      |    (sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      * 1000000) // (sum(c) OVER (PARTITION BY g)) AS cume_micro
+      |  FROM c)
+      |SELECT r.g AS lang, r.id AS doc_id, r.v, q.cume_micro
+      |FROM r JOIN q ON q.g = r.g AND q.v = r.v
+      |ORDER BY lang, doc_id""".stripMargin
+
   // --------------------------------------------------------------- q133
   /** Chi-square histogram drift ([[Stats.histogramDrift]]): length
     * distribution of even-id ("old snapshot") vs odd-id ("new
@@ -678,6 +702,7 @@ object CorpusQueries {
     "q88_median_mad" -> q88,
     "q132_robust_outliers" -> q132,
     "q133_histogram_drift" -> q133,
+    "q137_quantile_normalize" -> q137,
     "q89_item_cooccurrence" -> q89,
     "q90_cooccurrence_lift" -> q90,
     "q101_gopher_rules" -> q101,
@@ -698,6 +723,7 @@ object CorpusQueries {
     "q88_median_mad" -> q88Sql,
     "q132_robust_outliers" -> q132Sql,
     "q133_histogram_drift" -> q133Sql,
+    "q137_quantile_normalize" -> q137Sql,
     "q89_item_cooccurrence" -> q89Sql,
     "q90_cooccurrence_lift" -> q90Sql,
     "q101_gopher_rules" -> q101Sql,

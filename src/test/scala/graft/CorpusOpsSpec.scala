@@ -390,6 +390,20 @@ class CorpusOpsSpec extends SparkSuite {
       (4L, 0L, 0L, None)))
   }
 
+  test("quantileNormalize: max maps to 1e6, ties share a quantile, ranks monotone") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L),
+      ("b", 5L, 7L)
+    ).toDF("g", "id", "v")
+    val out = Stats.quantileNormalize(df, col("g"), col("v"), col("id"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(out(1L) == 250000L)            // cum 1 of 4
+    assert(out(2L) == 750000L && out(3L) == 750000L) // tied at cum 3 of 4
+    assert(out(4L) == 1000000L)           // the max always lands on 1e6
+    assert(out(5L) == 1000000L)           // singleton group
+  }
+
   test("histogramDrift: zero on identical distributions, positive on shift") {
     // old and new each: 50 rows in bucket 0, 50 in bucket 1 → no drift
     val same = ((0 until 100).map(i => (i < 50, i % 2)) ++
