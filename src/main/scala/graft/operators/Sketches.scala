@@ -300,6 +300,44 @@ object Sketches {
       p: Int = 9): DataFrame =
     hllEstimate(hllSketch(df, groupCols, valueCol, p), groupCols, p)
 
+  /** The register-COLUMNS formulation of the portable HLL for
+    * single-aggregation contexts — Structured Streaming allows exactly
+    * one stateful aggregation per query, so the (group, bucket)-row
+    * shape of [[hllSketch]]→[[hllEstimate]] (two grouping levels) can't
+    * stream. Instead: [[hllPrep]] projects the bucket/rank pair,
+    * [[hllRegCols]] turns them into m conditional `max` AGGREGATE
+    * columns (one grouped aggregation total — the simhashTable /
+    * featureHashTable wide-agg pattern), and [[hllEstFromCols]] folds
+    * the m register columns into the same integer estimate as
+    * [[hllEstimate]], as a mere projection. Bit-identical to the row
+    * formulation (spec-pinned), so batch and stream agree exactly.
+    */
+  def hllPrep(valueCol: Column, p: Int = 7): Seq[Column] = {
+    require(p >= 7 && p <= 10, s"p must be in [7, 10] for the column form, got $p")
+    val w = 48 - p
+    val h = Portable.hash48(valueCol.cast("string"))
+    // bucket = h div 2^w and rest = h mod 2^w via bit ops (h is a
+    // non-negative 48-bit value, so shift/mask ARE the divisions)
+    Seq(shiftright(h, w).as("__b"),
+      (lit(w + 1) - bitLen(h.bitwiseAND(lit((1L << w) - 1)), w)).as("__r"))
+  }
+
+  /** The m aggregate columns: register k = max rank among bucket-k rows. */
+  def hllRegCols(p: Int = 7): Seq[Column] =
+    (0 until (1 << p)).map(k =>
+      max(when(col("__b") === k, col("__r"))).as(s"__reg_$k"))
+
+  /** The integer estimate from the m register columns (null register =
+    * never hit = rank 0, contributing the full 2^(48−p+1) term — the
+    * `(m − hit)·scale` arm of [[hllEstimate]]).
+    */
+  def hllEstFromCols(p: Int = 7): Column = {
+    val scale = 1L << (48 - p + 1)
+    val terms = (0 until (1 << p)).map(k =>
+      s"coalesce(shiftleft(CAST(1 AS BIGINT), ${48 - p + 1} - __reg_$k), ${scale}L)")
+    expr(s"(${alphaM2(p)}L * ${scale}L) div (${terms.mkString(" + ")})")
+  }
+
   /** Merge register frames (same p) into per-group estimates: register
     * max is associative and idempotent, so per-shard/per-day sketches
     * combine into EXACTLY the registers a full rescan would build — a

@@ -200,6 +200,44 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // --------------------------------------------------------------- q138
+  /** Windowed distinct-user HLL
+    * ([[graft.streaming.EventAnalytics.windowedDistinct]], batch
+    * execution of the same plan that streams): per-hour distinct users
+    * from 128 fixed integer registers folded in ONE aggregation — the
+    * bounded-state streaming cardinality shape. The oracle rebuilds the
+    * registers per bucket and replays the identical integer estimate.
+    */
+  val q138: Q = (s, dir) =>
+    graft.streaming.EventAnalytics.windowedDistinct(Tables.events(s, dir))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:00")
+        .as("bucket"), col("est_users"))
+      .orderBy("bucket")
+  val q138Sql: String = {
+    val p = 7; val w = 48 - p; val m = 1L << p
+    val a = graft.operators.Sketches.alphaM2(p)
+    val shift = 48 - p + 1
+    val bitlen = (1 to w).foldLeft("0") { (acc, b) =>
+      s"CASE WHEN rest >= ${1L << (b - 1)} THEN $b ELSE $acc END"
+    }
+    s"""WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')
+       |      AS bucket,
+       |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,12))::BIGINT AS h
+       |  FROM events),
+       |b AS (SELECT bucket, h // ${1L << w} AS reg_b,
+       |    h % ${1L << w} AS rest FROM h),
+       |r AS (SELECT bucket, reg_b, ${w + 1} - ($bitlen) AS rank FROM b),
+       |regs AS (SELECT bucket, reg_b, max(rank) AS reg
+       |  FROM r GROUP BY 1, 2),
+       |z AS (SELECT bucket, count(*) AS hit,
+       |    sum((1::BIGINT << ($shift - reg))) AS zs FROM regs GROUP BY 1)
+       |SELECT bucket,
+       |  CAST(($a::BIGINT * (1::BIGINT << $shift))
+       |    // (zs + ($m - hit) * (1::BIGINT << $shift)) AS BIGINT)
+       |    AS est_users
+       |FROM z ORDER BY bucket""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q81
   /** Power-of-two time-decayed engagement ([[EventOps.decayedSum]]):
     * per (user, event type), value cents weighted 2^-(weeks of age at
@@ -375,6 +413,7 @@ object AnalyticsQueries {
     "q79_cohort_retention" -> q79,
     "q80_pagerank" -> q80,
     "q136_personalized_pagerank" -> q136,
+    "q138_windowed_distinct_hll" -> q138,
     "q81_decayed_engagement" -> q81,
     "q82_markov_transitions" -> q82,
     "q83_triangle_counts" -> q83,
@@ -388,6 +427,7 @@ object AnalyticsQueries {
     "q79_cohort_retention" -> q79Sql,
     "q80_pagerank" -> q80Sql,
     "q136_personalized_pagerank" -> q136Sql,
+    "q138_windowed_distinct_hll" -> q138Sql,
     "q81_decayed_engagement" -> q81Sql,
     "q82_markov_transitions" -> q82Sql,
     "q83_triangle_counts" -> q83Sql,

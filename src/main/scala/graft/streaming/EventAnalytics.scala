@@ -29,6 +29,30 @@ object EventAnalytics {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Windowed distinct-user cardinality via the portable integer HLL —
+    * the unbounded-domain counterpart of [[windowedAgg]]'s counts:
+    * exact `countDistinct` state grows with the number of distinct
+    * users per window, while the sketch state is a FIXED 2^p registers
+    * per window regardless of traffic. Structured Streaming permits
+    * one stateful aggregation per query, so this uses the
+    * register-COLUMNS formulation ([[graft.operators.Sketches.hllPrep]]
+    * / `hllRegCols` / `hllEstFromCols`): bucket+rank projected per
+    * event, 2^p conditional maxes in the single grouped agg, estimate
+    * folded map-side after it. Identical integers batch or streamed.
+    */
+  def windowedDistinct(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours", p: Int = 7): DataFrame = {
+    import graft.operators.Sketches
+    val regs = Sketches.hllRegCols(p)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts") +: Sketches.hllPrep(col("user_id"), p): _*)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(regs.head, regs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        Sketches.hllEstFromCols(p).as("est_users"))
+  }
+
   /** Per-user session windows (gap-based). */
   def sessions(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

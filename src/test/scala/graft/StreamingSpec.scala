@@ -45,6 +45,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowedDistinct HLL streams == batch == the row-formulation sketch") {
+    val batchEvents = Tables.events(spark, dir)
+    val expected = EventAnalytics.windowedDistinct(batchEvents)
+      .orderBy("window_start").collect().toSeq
+
+    // the wide-column single-agg formulation must equal the
+    // (group, bucket)-row formulation it streams in place of
+    val rowForm = graft.operators.Sketches.hllDistinct(
+        batchEvents.select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+          .select(col("w.start").as("window_start"), col("user_id")),
+        Seq("window_start"), col("user_id"), p = 7)
+      .orderBy("window_start").collect().toSeq
+    assert(expected.map(r => (r.getTimestamp(0), r.getLong(1))) ==
+      rowForm.map(r => (r.getTimestamp(0), r.getLong(1))),
+      "column-form estimate must equal the row-form estimate")
+
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      batchEvents.schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-hllstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamEvents = spark.readStream
+      .schema(rawSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventAnalytics.windowedDistinct(streamEvents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hll_out").orderBy("window_start").collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("clickAttribution as a real stream-stream join matches its batch execution") {
     val batchEvents = Tables.events(spark, dir)
     val expected = EventAnalytics.clickAttribution(batchEvents)
