@@ -282,18 +282,21 @@ object TextOps {
     * order-free. k1/b arrive milli-scaled (1200/750 = the textbook
     * 1.2/0.75).
     *
-    * Plan: one shuffle to (doc, term) tf — which also carries the doc
-    * length, so no separate doc-length join — tiny broadcast aggs for
-    * the term set, per-term df, and corpus totals, then one grouped sum
-    * per doc. Query-term screening rides the broadcast join, so the
-    * per-(doc,term) frame never re-shuffles. Output: (id, n_hit_terms,
-    * bm25_micro) for docs hitting ≥1 query term.
+    * Plan: a statistics pass (exploded tf → tiny term-set/df broadcast
+    * agg; corpus totals map-only off the doc frame, no explode) and a
+    * scoring pass whose (doc, term) tf carries the doc length — so no
+    * separate doc-length join, and term screening rides the broadcast.
+    * One doc-keyed shuffle finishes it. At scale the statistics pass is
+    * the part you'd compute once and reuse across query batches.
+    * Output: (id, n_hit_terms, bm25_micro) for docs hitting ≥1 query
+    * term.
     */
   def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
       nTerms: Int = 8, k1Milli: Long = 1200L, bMilli: Long = 750L): DataFrame = {
     val toks = Portable.tokens(col(textCol))
-    val tf = Spread.ensure(
-        df.select(col(idCol).as("id"), toks.as("w")), "id")
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), toks.as("w")), "id")
+    val tf = base
       .select(col("id"), size(col("w")).cast("long").as("dl"),
         explode(col("w")).as("t"))
       .groupBy("id", "t")
@@ -303,7 +306,10 @@ object TextOps {
       .orderBy(col("n").desc, col("t").asc)
       .limit(nTerms)
       .select("t", "df")
-    val tot = tf.groupBy("id").agg(max(col("dl")).as("dl"))
+    // corpus totals straight off the doc-level frame — a map-only
+    // aggregate (no token explode, no shuffle), not a third pass over
+    // the exploded tf
+    val tot = base.select(size(col("w")).cast("long").as("dl"))
       .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
     tf.join(broadcast(terms), Seq("t"))
       .crossJoin(broadcast(tot))

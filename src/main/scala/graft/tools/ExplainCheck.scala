@@ -11,8 +11,9 @@ object ExplainCheck {
     val qs = if (args.nonEmpty) args.toSeq else Seq("q01_scan_filter","q02_agg_pricing","q03_join_agg","q06_table_diff")
     for (q <- qs) {
       println(s"===== $q =====")
+      val budget = sys.env.get("EXPLAIN_LINES").map(_.toInt).getOrElse(40)
       println(SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode).split("\n").take(40).mkString("\n"))
+        org.apache.spark.sql.execution.FormattedMode).split("\n").take(budget).mkString("\n"))
     }
     spark.stop()
   }
