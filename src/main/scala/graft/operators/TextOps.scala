@@ -324,6 +324,42 @@ object TextOps {
         sum(col("sat_milli") * col("idf_milli")).as("bm25_micro"))
   }
 
+  /** Exact phrase search over a positional inverted index — the
+    * search-engine primitive: find every occurrence of every phrase
+    * WITHOUT a per-phrase corpus scan. The classic positional-index
+    * query generalizes to one relational step: explode phrases to
+    * (phrase, j, token_j), join the corpus' (doc, pos, token) postings
+    * on the token, normalize each hit to its implied start
+    * `pos − j`, and a start is a true occurrence iff ALL `len` offsets
+    * hit — one grouped count. Duplicate tokens inside a phrase are
+    * handled for free (each offset j contributes exactly one row to
+    * its own start).
+    *
+    * Scale: the phrase table is broadcast (queries are small); the
+    * postings explode is map-only off the scan; the only shuffle is
+    * the (phrase, doc, start) count — fan-out bounded by Σ per-token
+    * postings of the phrase tokens, the same cost model as any
+    * positional index. Output: (phrase_id, id, start).
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame): DataFrame = {
+    val idx = Spread.ensure(
+        df.select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("w")), "id")
+      .select(col("id"), posexplode(col("w")).as(Seq("pos", "t")))
+    val ptoks = phrases.select(col("phrase_id"),
+      posexplode(Portable.tokens(col("phrase"))).as(Seq("j", "t")))
+    val plen = phrases.select(col("phrase_id"),
+      size(Portable.tokens(col("phrase"))).cast("long").as("len"))
+    idx.join(broadcast(ptoks), Seq("t"))
+      .select(col("phrase_id"), col("id"), (col("pos") - col("j")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy("phrase_id", "id", "start")
+      .agg(count(lit(1)).as("nhit"))
+      .join(broadcast(plen), Seq("phrase_id"))
+      .filter(col("nhit") === col("len"))
+      .select(col("phrase_id"), col("id"), col("start").cast("long").as("start"))
+  }
+
   /** DSIR-style hashed-token importance score (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * documents are scored by how much their hashed-unigram distribution

@@ -244,6 +244,47 @@ object PipelineQueries {
        |FROM ht_t ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q139
+  /** Exact phrase search ([[TextOps.phraseSearch]]): the corpus' three
+    * most document-frequent word-3-grams located at every (doc, start)
+    * via the positional-index join — one relational step for any
+    * number of phrases of any length. The ORACLE is the O(docs ×
+    * positions × phrases) brute-force slice comparison — a genuinely
+    * independent algorithm, so a missed or phantom occurrence fails
+    * the hash.
+    */
+  val q139: Q = (s, dir) => {
+    import graft.functions.Portable
+    val docs = Tables.documents(s, dir)
+    val phrases = graft.operators.Spread.ensure(
+        docs.select(col("doc_id").as("id"), col("text")), "id")
+      .select(explode(Portable.shingles(Portable.tokens(col("text")), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g").asc).limit(3)
+      .withColumn("phrase_id", row_number()
+        .over(Window.orderBy(col("df").desc, col("g").asc)).cast("long"))
+      .select(col("phrase_id"), col("g").as("phrase"))
+    TextOps.phraseSearch(docs, "doc_id", "text", phrases)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("phrase_id", "doc_id", "start")
+  }
+  val q139Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (SELECT unnest(list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(len(w)-2),
+      |      i -> array_to_string(w[i+1:i+3], ' '))
+      |    ELSE [] END)) AS g FROM t),
+      |top AS (SELECT g, count(*) AS df FROM g GROUP BY g
+      |  ORDER BY df DESC, g ASC LIMIT 3),
+      |ph AS (SELECT row_number() OVER (ORDER BY df DESC, g ASC) AS phrase_id,
+      |    string_split_regex(g, '\s+') AS pw FROM top)
+      |SELECT p.phrase_id, t.doc_id, CAST(u.start AS BIGINT) AS start
+      |FROM t, ph p,
+      |  unnest(range(0, greatest(len(t.w) - len(p.pw) + 1, 0))) AS u(start)
+      |WHERE t.w[u.start+1:u.start+len(p.pw)] = p.pw
+      |ORDER BY phrase_id, doc_id, start""".stripMargin
+
   // --------------------------------------------------------------- q135
   /** Hybrid-retrieval rank fusion ([[graft.operators.Fusion.rrf]]):
     * the BM25 top-100 (q129's scorer) and the embedding top-100 around
@@ -788,6 +829,7 @@ object PipelineQueries {
     "q128_dsir_score" -> q128,
     "q129_bm25_topterms" -> q129,
     "q135_rrf_fusion" -> q135,
+    "q139_phrase_search" -> q139,
     "q70_zorder" -> q70,
     "q71_curation_pipeline" -> q71,
     "q72_feature_hashing" -> q72,
@@ -809,6 +851,7 @@ object PipelineQueries {
     "q128_dsir_score" -> q128Sql,
     "q129_bm25_topterms" -> q129Sql,
     "q135_rrf_fusion" -> q135Sql,
+    "q139_phrase_search" -> q139Sql,
     "q70_zorder" -> q70Sql,
     "q71_curation_pipeline" -> q71Sql,
     "q72_feature_hashing" -> q72Sql,

@@ -232,6 +232,20 @@ class PipelineOpsSpec extends SparkSuite {
     assert(Seq(1L, 2L).map(out(_)._2).min > Seq(3L, 4L).map(out(_)._2).max)
   }
 
+  test("phraseSearch finds all starts incl. overlapping and duplicate-token phrases") {
+    val docs = Seq(
+      (1L, "a b a b a"),     // "a b a" at 0 AND 2 (overlapping)
+      (2L, "x a b a y"),     // at 1
+      (3L, "a b c"),         // no
+      (4L, "b a b")          // no ("a b a" needs 3 from pos 0? b a b != a b a)
+    ).toDF("doc_id", "text")
+    val phrases = Seq((1L, "a b a"), (2L, "c")).toDF("phrase_id", "phrase")
+    val out = TextOps.phraseSearch(docs, "doc_id", "text", phrases)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 0L), (1L, 1L, 2L), (1L, 2L, 1L),
+      (2L, 3L, 2L)), s"got $out")
+  }
+
   test("rrf: doc in both lists beats single-list docs; order within a list respected") {
     import graft.operators.Fusion
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
