@@ -324,6 +324,47 @@ object TextOps {
         sum(col("sat_milli") * col("idf_milli")).as("bm25_micro"))
   }
 
+  /** Content-defined chunking — the rsync/LBFS boundary rule lifted to
+    * tokens: cut before position i whenever the hash of the 3-gram
+    * starting at i is ≡ 0 mod `divisor` (expected chunk length ≈
+    * divisor). Because boundaries depend only on LOCAL content, an
+    * insertion or deletion re-chunks ONLY the edited neighborhood —
+    * every other chunk keeps its identity (hash), which is what makes
+    * chunk-level dedup/delta-sync survive edits where fixed-stride
+    * chunking ([[chunkTable]]) shifts every downstream boundary.
+    *
+    * Plan: positional explode (map-only) → one per-doc cumulative
+    * window over positions (state bounded by doc length) → one grouped
+    * agg rebuilding chunks. Output: (id, chunk_id, start, n_tok,
+    * chunk_h) with chunk_h = hash48 of the chunk text — the dedup key.
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 64): DataFrame = {
+    require(divisor > 0, s"divisor=$divisor")
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), Portable.tokens(col(textCol)).as("w")), "id")
+    val pos = base.select(col("id"), col("w"),
+        posexplode(col("w")).as(Seq("pos", "t")))
+      .select(col("id"), col("pos"), col("t"),
+        when(col("pos") > 0 && col("pos") + 3 <= size(col("w")),
+          (pmod(Portable.hash48(concat_ws(" ",
+            element_at(col("w"), col("pos") + 1),
+            element_at(col("w"), col("pos") + 2),
+            element_at(col("w"), col("pos") + 3))), lit(divisor.toLong)) === 0)
+            .cast("long"))
+          .otherwise(lit(0L)).as("cut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pos.withColumn("chunk_id", sum(col("cut")).over(w))
+      .groupBy("id", "chunk_id")
+      .agg(min(col("pos")).cast("long").as("start"),
+        count(lit(1)).as("n_tok"),
+        Portable.hash48(concat_ws(" ",
+          expr("transform(array_sort(collect_list(struct(pos, t))), e -> e.t)")))
+          .as("chunk_h"))
+  }
+
   /** Exact phrase search over a positional inverted index — the
     * search-engine primitive: find every occurrence of every phrase
     * WITHOUT a per-phrase corpus scan. The classic positional-index

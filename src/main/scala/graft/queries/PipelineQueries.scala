@@ -244,6 +244,37 @@ object PipelineQueries {
        |FROM ht_t ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q140
+  /** Content-defined chunking ([[TextOps.contentDefinedChunks]]):
+    * rsync/LBFS-style local-hash boundaries (expected length 64
+    * tokens) whose chunk identities survive edits — the delta-sync /
+    * chunk-dedup primitive fixed-stride chunking can't provide. Pure
+    * hashing; the oracle replays every boundary and chunk hash.
+    */
+  val q140: Q = (s, dir) =>
+    TextOps.contentDefinedChunks(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+  val q140Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |p AS (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t),
+      |c AS (SELECT doc_id, pos, w[pos+1] AS tok,
+      |    CASE WHEN pos > 0 AND pos + 3 <= len(w)
+      |      AND ('0x'||substr(md5(array_to_string(w[pos+1:pos+3], ' ')),1,12))::BIGINT % 64 = 0
+      |    THEN 1 ELSE 0 END AS cut
+      |  FROM p),
+      |k AS (SELECT doc_id, pos, tok,
+      |    sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS UNBOUNDED PRECEDING) AS chunk_id
+      |  FROM c)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(min(pos) AS BIGINT) AS start,
+      |  CAST(count(*) AS BIGINT) AS n_tok,
+      |  ('0x'||substr(md5(string_agg(tok, ' ' ORDER BY pos)),1,12))::BIGINT
+      |    AS chunk_h
+      |FROM k GROUP BY 1, 2 ORDER BY doc_id, chunk_id""".stripMargin
+
   // --------------------------------------------------------------- q139
   /** Exact phrase search ([[TextOps.phraseSearch]]): the corpus' three
     * most document-frequent word-3-grams located at every (doc, start)
@@ -830,6 +861,7 @@ object PipelineQueries {
     "q129_bm25_topterms" -> q129,
     "q135_rrf_fusion" -> q135,
     "q139_phrase_search" -> q139,
+    "q140_content_chunks" -> q140,
     "q70_zorder" -> q70,
     "q71_curation_pipeline" -> q71,
     "q72_feature_hashing" -> q72,
@@ -852,6 +884,7 @@ object PipelineQueries {
     "q129_bm25_topterms" -> q129Sql,
     "q135_rrf_fusion" -> q135Sql,
     "q139_phrase_search" -> q139Sql,
+    "q140_content_chunks" -> q140Sql,
     "q70_zorder" -> q70Sql,
     "q71_curation_pipeline" -> q71Sql,
     "q72_feature_hashing" -> q72Sql,

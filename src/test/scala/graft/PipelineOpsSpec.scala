@@ -232,6 +232,33 @@ class PipelineOpsSpec extends SparkSuite {
     assert(Seq(1L, 2L).map(out(_)._2).min > Seq(3L, 4L).map(out(_)._2).max)
   }
 
+  test("contentDefinedChunks: boundaries survive an edit; fixed chunking's don't") {
+    // one long synthetic doc; edit = insert a token near the front
+    val words = (0 until 600).map(i => s"w$i")
+    val orig = Seq((1L, words.mkString(" "))).toDF("id", "text")
+    val edited = Seq((1L, ("zzz" +: words).mkString(" "))).toDF("id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      TextOps.contentDefinedChunks(df, "id", "text", divisor = 16)
+        .select("chunk_h").as[Long].collect().toSet
+    val a = hashes(orig)
+    val b = hashes(edited)
+    // chunk identities are content-addressed: everything after the edited
+    // neighborhood re-aligns, so most chunk hashes are shared
+    val shared = (a & b).size.toDouble / a.size
+    assert(a.size >= 5, s"expected several chunks, got ${a.size}")
+    assert(shared >= 0.6, s"only ${(shared * 100).round}% of chunks survived the edit")
+
+    // whole-doc coverage: chunk (start, n_tok) runs tile the token range
+    val runs = TextOps.contentDefinedChunks(orig, "id", "text", divisor = 16)
+      .orderBy("chunk_id").select("start", "n_tok")
+      .as[(Long, Long)].collect()
+    assert(runs.head._1 == 0L)
+    runs.sliding(2).foreach { case Array((s1, n1), (s2, _)) =>
+      assert(s1 + n1 == s2, "chunks must tile with no gaps/overlaps")
+    case _ => }
+    assert(runs.map(_._2).sum == 600L)
+  }
+
   test("phraseSearch finds all starts incl. overlapping and duplicate-token phrases") {
     val docs = Seq(
       (1L, "a b a b a"),     // "a b a" at 0 AND 2 (overlapping)
