@@ -240,6 +240,34 @@ object Stats {
           .cast("long").as("chi2_micro"))
   }
 
+  /** Schema inference over a semi-structured JSON column — the landing
+    * step for ingesting heterogeneous event/log data: per key and
+    * per observed value type (long / double / bool / string), the
+    * occurrence count and lexical min/max. Optional keys and mixed
+    * types surface as multiple rows per key, which IS the schema
+    * drift report.
+    *
+    * Map-only parse (one `from_json` to map<string,string> per row —
+    * no per-key path probing) + one tiny (key, type)-keyed aggregate;
+    * nothing grows with the data but the distinct key/type set.
+    * Output: (key, vtype, n, min_v, max_v).
+    */
+  def jsonSchemaProfile(df: DataFrame, jsonCol: Column): DataFrame = {
+    val kv = df.select(explode(from_json(jsonCol,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+      .as(Seq("key", "v")))
+    kv.withColumn("vtype",
+        when(col("v").rlike("^-?[0-9]+$"), "long")
+          .when(col("v").rlike("^-?[0-9]+\\.[0-9]+$"), "double")
+          .when(col("v").isin("true", "false"), "bool")
+          .otherwise("string"))
+      .groupBy("key", "vtype")
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
   def profile(df: DataFrame, cols: Map[String, Column]): DataFrame =
     cols.toSeq.sortBy(_._1).map { case (name, c) =>
       df.select(c.as("v"))

@@ -72,6 +72,47 @@ object ExtensionQueries {
       |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------- q141
+  /** JSON schema inference ([[graft.operators.Stats.jsonSchemaProfile]])
+    * over synthesized heterogeneous JSON (optional keys, mixed
+    * presence: `score` on every 3rd doc, `flag` on every 5th) — the
+    * semi-structured landing profile: per (key, value-type) counts and
+    * lexical ranges. One map-only parse, one tiny aggregate; both
+    * engines build and profile the identical JSON text.
+    */
+  val q141: Q = (s, dir) => {
+    val j = Tables.documents(s, dir).select(concat(
+      lit("{\"id\": "), col("doc_id"),
+      lit(", \"lang\": \""), col("lang"), lit("\""),
+      when(col("doc_id") % 3 === 0, concat(
+        lit(", \"score\": "), (col("n_chars") % 100).cast("string"),
+        lit("."), (col("doc_id") % 10).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(", \"flag\": true"))
+        .otherwise(lit("")),
+      lit("}")).as("props"))
+    graft.operators.Stats.jsonSchemaProfile(j, col("props"))
+      .orderBy("key", "vtype")
+  }
+  val q141Sql: String =
+    """WITH j AS (SELECT '{"id": ' || doc_id || ', "lang": "' || lang || '"'
+      #    || CASE WHEN doc_id % 3 = 0
+      #         THEN ', "score": ' || (n_chars % 100) || '.' || (doc_id % 10)
+      #         ELSE '' END
+      #    || CASE WHEN doc_id % 5 = 0 THEN ', "flag": true' ELSE '' END
+      #    || '}' AS props
+      #  FROM documents),
+      #kv AS (SELECT unnest(json_keys(props)) AS key, props FROM j),
+      #tv AS (SELECT key, json_extract_string(props, '$.' || key) AS v FROM kv),
+      #t AS (SELECT key,
+      #    CASE WHEN regexp_full_match(v, '-?[0-9]+') THEN 'long'
+      #         WHEN regexp_full_match(v, '-?[0-9]+\.[0-9]+') THEN 'double'
+      #         WHEN v IN ('true', 'false') THEN 'bool'
+      #         ELSE 'string' END AS vtype, v
+      #  FROM tv)
+      #SELECT key, vtype, count(*) AS n, min(v) AS min_v, max(v) AS max_v
+      #FROM t GROUP BY 1, 2 ORDER BY key, vtype""".stripMargin('#')
+
   // ---------------------------------------------------------------- q20
   /** Exact dedup: one representative (min id) per distinct text. */
   val q20: Q = (s, dir) =>
@@ -1287,6 +1328,7 @@ object ExtensionQueries {
 
   val queries: Map[String, Q] = Map(
     "q16_json_funcs" -> q16,
+    "q141_json_schema_profile" -> q141,
     "q20_dedup_exact" -> q20,
     "q52_dedup_components" -> q52,
     "q54_simhash_neardup" -> q54,
@@ -1325,6 +1367,7 @@ object ExtensionQueries {
 
   val oracle: Map[String, String] = Map(
     "q16_json_funcs" -> q16Sql,
+    "q141_json_schema_profile" -> q141Sql,
     "q20_dedup_exact" -> q20Sql,
     "q52_dedup_components" -> q52Sql,
     "q54_simhash_neardup" -> q54Sql,

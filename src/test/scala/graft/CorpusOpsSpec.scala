@@ -390,6 +390,23 @@ class CorpusOpsSpec extends SparkSuite {
       (4L, 0L, 0L, None)))
   }
 
+  test("jsonSchemaProfile surfaces mixed types and optional keys as separate rows") {
+    val j = Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": 2.5, "b": "y", "c": true}""",
+      """{"a": 3}"""
+    ).toDF("props")
+    val out = Stats.jsonSchemaProfile(j, col("props"))
+      .as[(String, String, Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // key "a" drifts between long and double → two rows, THE drift report
+    assert(out(("a", "long")) == (2L, "1", "3"))
+    assert(out(("a", "double")) == (1L, "2.5", "2.5"))
+    assert(out(("b", "string")) == (2L, "x", "y"))
+    assert(out(("c", "bool"))._1 == 1L)
+    assert(out.size == 4)
+  }
+
   test("quantileNormalize: max maps to 1e6, ties share a quantile, ranks monotone") {
     val df = Seq(
       ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 40L),
