@@ -34,6 +34,42 @@ object Curate {
       denom: Int = 100): DataFrame =
     df.filter(hashBucket(keyCol, denom) < rateCol)
 
+  /** Temperature-balanced stratum quotas at T=2 — the multilingual
+    * sampling compromise between proportional (T=1, head languages
+    * drown the tail) and uniform (T=∞, tail upsampled into
+    * repetition): stratum weight = ⌊√n⌋, quota =
+    * `(budget · w) div Σw`, members kept by smallest key hash. The
+    * integer square root is `floor` of IEEE-754 `sqrt`, which the
+    * standard requires correctly rounded — so unlike `pow`-based
+    * temperatures, T=2 is exactly replayable on every engine, keeping
+    * the whole selection integer-deterministic.
+    *
+    * One tiny per-stratum count agg → broadcast quotas → per-stratum
+    * PARALLEL rank windows. For heavily skewed strata, compute quotas
+    * here and feed `max(quota)` to [[quotaSample]]'s bounded top-k
+    * aggregator instead of ranking all rows (two-phase; the window
+    * form below is the single-pass version).
+    * Output: (strata..., id, quota, n).
+    */
+  def sqrtBalancedQuota(df: DataFrame, strataCols: Seq[String],
+      idCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget=$budget")
+    val counts = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("w")).as("sw"))
+    val quotas = counts.crossJoin(broadcast(tot))
+      .select(strataCols.map(col) :+ col("n") :+
+        expr(s"(CAST($budget AS BIGINT) * w) div sw").as("quota"): _*)
+    val ranked = df.select(strataCols.map(col) :+ idCol.as("id"): _*)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(strataCols.map(col): _*)
+          .orderBy(Portable.hash48(col("id").cast("string")), col("id"))))
+    ranked.join(broadcast(quotas), strataCols)
+      .filter(col("rk") <= col("quota"))
+      .select(strataCols.map(col) :+ col("id") :+ col("quota") :+ col("n"): _*)
+  }
+
   /** Deterministic epoch shuffle: the reproducible pseudorandom
     * training order every pre-training run needs — each epoch is an
     * independent permutation of the corpus, sharded for `shards`

@@ -287,6 +287,31 @@ object CurateQueries {
       |       ELSE 'test' END AS split
       |FROM rep ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q142
+  /** Temperature-balanced quotas ([[Curate.sqrtBalancedQuota]]): a
+    * 200-doc budget split across languages by ⌊√n⌋ weights (T=2 — the
+    * UniMax-style head/tail compromise), members kept by smallest key
+    * hash. IEEE sqrt is correctly rounded by the standard, so even the
+    * "transcendental" here replays exactly.
+    */
+  val q142: Q = (s, dir) =>
+    Curate.sqrtBalancedQuota(Tables.documents(s, dir), Seq("lang"),
+        col("doc_id"), budget = 200L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("lang", "doc_id")
+  val q142Sql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+       |  FROM documents GROUP BY lang),
+       |t AS (SELECT sum(w) AS sw FROM c),
+       |q AS (SELECT lang, n, (200 * w) // sw AS quota FROM c CROSS JOIN t),
+       |r AS (SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $H48, doc_id) AS rk
+       |  FROM documents)
+       |SELECT r.lang, r.doc_id, q.quota, q.n
+       |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
+       |ORDER BY lang, doc_id""".stripMargin
+
   // --------------------------------------------------------------- q130
   /** Deterministic epoch shuffle ([[Curate.epochShuffle]]): two
     * independent pseudorandom permutations of the corpus, sharded 4-way
@@ -348,6 +373,7 @@ object CurateQueries {
   val queries: Map[String, Q] = Map(
     "q126_budget_trim" -> q126,
     "q130_epoch_shuffle" -> q130,
+    "q142_sqrt_balanced_quota" -> q142,
     "q47_stratified_sample" -> q47,
     "q110_mix_to_budget" -> q110,
     "q115_leakage_aware_split" -> q115,
@@ -361,6 +387,7 @@ object CurateQueries {
   val oracle: Map[String, String] = Map(
     "q126_budget_trim" -> q126Sql,
     "q130_epoch_shuffle" -> q130Sql,
+    "q142_sqrt_balanced_quota" -> q142Sql,
     "q47_stratified_sample" -> q47Sql,
     "q110_mix_to_budget" -> q110Sql,
     "q115_leakage_aware_split" -> q115Sql,

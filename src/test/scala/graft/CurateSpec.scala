@@ -218,6 +218,27 @@ class CurateSpec extends SparkSuite {
     packed.unpersist()
   }
 
+  test("sqrtBalancedQuota: tail gets more than proportional, head less; budget respected") {
+    // head stratum 400 rows, tail stratum 25 rows, budget 100
+    val df = ((1L to 400L).map(i => ("head", i)) ++
+      (1L to 25L).map(i => ("tail", 1000L + i))).toDF("lang", "id")
+    val out = Curate.sqrtBalancedQuota(df, Seq("lang"), col("id"), budget = 100L)
+      .as[(String, Long, Long, Long)].collect()
+    val byLang = out.groupBy(_._1)
+    val headQ = byLang("head").head._3
+    val tailQ = byLang("tail").head._3
+    // w = isqrt: 20 and 5 → quotas 80 and 20
+    assert(headQ == 80L && tailQ == 20L, s"quotas $headQ/$tailQ")
+    // selection honors the quota exactly (strata are larger than quotas)
+    assert(byLang("head").length == 80 && byLang("tail").length == 20)
+    // proportional would give tail (25/425)·100 ≈ 5 — sqrt gives it 4×
+    assert(tailQ > 100L * 25L / 425L)
+    // selected ids are the smallest hashes — deterministic across runs
+    val again = Curate.sqrtBalancedQuota(df, Seq("lang"), col("id"), budget = 100L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("epochShuffle: each epoch is a full permutation, epochs reorder, positions dense") {
     val docs = (1L to 200L).toDF("id")
     val out = Curate.epochShuffle(docs, col("id"), epochs = 2, shards = 4)
