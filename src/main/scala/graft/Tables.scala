@@ -16,23 +16,42 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize a timestamp-bearing column to microsecond TimestampType
+    * regardless of how the driver's parquet writer encoded it across
+    * testdata generations: TIMESTAMP(NANOS) read as long via
+    * `nanosAsLong` (truncating `div 1000` — the same truncation DuckDB
+    * applies), TIMESTAMP_NTZ (`isAdjustedToUTC=false`, what pyarrow
+    * `timestamp[us]` without a zone reads as in Spark 4), or already
+    * TimestampType. The session timezone is UTC everywhere, so the
+    * NTZ→LTZ cast is wall-clock-preserving — identical to DuckDB's
+    * naive read of the same file.
+    */
+  def normalizeTs(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(name).dataType match {
+      case LongType =>
+        df.withColumn(name, timestamp_micros(expr(s"$name div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(name, col(name).cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  // orders/lineitem timestamp columns stay as the file reads them
+  // (TIMESTAMP_NTZ on current testdata): NTZ is exactly DuckDB's naive
+  // read AND the typed-mode DATETIME mapping (TypedModeSpec round-trip);
+  // no query needs epoch arithmetic on them.
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which vanilla Spark
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and convert to
-    * a microsecond TimestampType with exact integer division (`div`,
-    * truncating — the same truncation DuckDB applies to ns parquet).
-    */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(load(s, d, "events"), "ts")
   }
   /** documents/embeddings ship as one single-row-group file per SF, so the
     * scan is ONE partition regardless of maxPartitionBytes. The loaders

@@ -32,6 +32,39 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .drop("dedup_key")
 
+  /** Cross-group duplication matrix: for every unordered group pair
+    * (sources, crawl snapshots, pipeline stages), the number of exact
+    * duplicate document pairs whose members land one in each group —
+    * the provenance-overlap report that decides which source to drop
+    * when corpora share content. Diagonal cells (`grp_a == grp_b`)
+    * count within-group pairs.
+    *
+    * Computed WITHOUT materializing pairs: one (key, group) count
+    * aggregate, then per-key cross-group products `c_a·c_b` and
+    * within-group `c·(c−1)/2` — fan-out is distinct groups per key
+    * (bounded by the group cardinality), never the k² pair blow-up an
+    * inverted-index self-join pays on a hot key. A million-way
+    * duplicate contributes one row per group it appears in. An oracle
+    * can replay the O(k²) pair-join formulation — agreement then checks
+    * the combinatorics, not a shared plan.
+    */
+  def crossGroupDupMatrix(df: DataFrame, idCol: String, groupCol: String,
+      key: Column): DataFrame = {
+    val cnt = df.select(col(idCol), col(groupCol).as("grp"),
+        key.as("dedup_key"))
+      .groupBy("dedup_key", "grp").agg(count(lit(1)).as("c"))
+    val cross = cnt.as("a").join(cnt.as("b"),
+        col("a.dedup_key") === col("b.dedup_key") &&
+          col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        (col("a.c") * col("b.c")).as("np"))
+    val within = cnt.filter(col("c") > 1)
+      .select(col("grp").as("grp_a"), col("grp").as("grp_b"),
+        expr("c * (c - 1) div 2").as("np"))
+    cross.unionByName(within)
+      .groupBy("grp_a", "grp_b").agg(sum(col("np")).as("n_dup_pairs"))
+  }
+
   /** Ensure the per-document heavy compute (tokenize→shingle→hash) has at
     * least `defaultParallelism` partitions — see [[Spread.ensure]].
     */
@@ -537,25 +570,40 @@ object Dedup {
     */
   def simhashPairs64(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 7, persist: Boolean = true)
-      : (DataFrame, () => Unit) = {
+      : (DataFrame, () => Unit) =
+    hammingPairs64(
+      simhash64Table(df, idCol, textCol)
+        .select(col("id"), col("sim_hi").as("hi"), col("sim_lo").as("lo")),
+      maxHamming, persist)
+
+  /** Banded Hamming near-dup pairs over ANY 64-bit signature frame
+    * (`id`, `hi`, `lo` — two 32-bit words): 8 bands of 8 bits, by
+    * pigeonhole candidate-complete up to Hamming distance 7, exact
+    * two-word popcount verify, never all-pairs. The shared backend of
+    * [[simhashPairs64]] (text signatures) and
+    * [[Multimodal.perceptualHashes]] (image aHash signatures) — any
+    * fixed-width fingerprint dedups through the same plan. Output:
+    * (id_a, id_b, hamming).
+    */
+  def hammingPairs64(sims0: DataFrame, maxHamming: Int = 7,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"maxHamming=$maxHamming: 8-band/8-bit banding is only " +
         "candidate-complete for Hamming distance <= 7 (pigeonhole)")
-    val sims0 = simhash64Table(df, idCol, textCol)
     val sims = if (persist) sims0.persist(StorageLevel.MEMORY_AND_DISK) else sims0
     val cleanup = () => if (persist) { sims.unpersist(); () }
     val bandArr = array((0 until 8).map { b =>
-      val w = if (b < 4) col("sim_lo") else col("sim_hi")
+      val w = if (b < 4) col("lo") else col("hi")
       struct(lit(b).as("band"),
         (shiftright(w, (b % 4) * 8) % 256).as("key"))
     }: _*)
-    val banded = sims.select(col("id"), col("sim_hi"), col("sim_lo"),
+    val banded = sims.select(col("id"), col("hi"), col("lo"),
       explode(bandArr).as("bk"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sim_hi").as("ha"), col("a.sim_lo").as("la"),
-        col("b.sim_hi").as("hb"), col("b.sim_lo").as("lb"))
+        col("a.hi").as("ha"), col("a.lo").as("la"),
+        col("b.hi").as("hb"), col("b.lo").as("lb"))
       .distinct()
     val pairs = cand
       .withColumn("hamming",

@@ -154,6 +154,73 @@ object Graph {
       scale: Long = 1000000000000L, persist: Boolean = true): DataFrame =
     pageRankManaged(edges, iters, scale, persist)._1
 
+  /** Seeded multi-class label propagation over an undirected graph —
+    * the semi-supervised label-spreading primitive: a small human- (or
+    * model-) labeled seed set pushes labels out to the whole corpus
+    * along similarity/interaction edges (quality ratings → crawl,
+    * topic tags → document graph, trust → link graph). Classic LPA is
+    * run-order-dependent (async updates, random tie-breaks); this form
+    * is SYNCHRONOUS with a total tie order, so any engine at any
+    * partitioning produces the identical labeling — the determinism the
+    * oracle needs and production reruns want.
+    *
+    * Per round, every non-seed node takes the label with the greatest
+    * neighbor mass (edge count; ties → smallest label); nodes whose
+    * neighborhood is still unlabeled keep their current assignment;
+    * seeds are CLAMPED to their given label. `iters` bounds the spread
+    * radius. One node-keyed shuffle per round (the mass aggregate) —
+    * the [[pageRankManaged]] plan shape — with per-round checkpoint
+    * release via [[Lineage.checkpointTracked]].
+    *
+    * `edges`: Long `src`/`dst` (symmetrized + deduplicated here).
+    * `seeds`: (`node`, `label`) — duplicate seed nodes collapse to
+    * their smallest label. Output: (node, label, is_seed); `label` is
+    * null only for nodes ≥ `iters` hops from every seed.
+    */
+  def labelPropagationManaged(edges: DataFrame, seeds: DataFrame,
+      iters: Int, persist: Boolean = true): (DataFrame, () => Unit) = {
+    val (und, undRelease) = symmetrized(edges, persist)
+    val seedLabels = seeds
+      .select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("label"))
+      .groupBy("node").agg(min(col("label")).as("label"))
+      .withColumn("is_seed", lit(1L))
+    val init = und.select(col("src").as("node")).distinct()
+      .join(seedLabels, Seq("node"), "left")
+      .select(col("node"), col("label"),
+        coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    var release: () => Unit = () => ()
+    var cur = init
+    for (i <- 1 to iters) {
+      val mass = und
+        .join(cur.filter(col("label").isNotNull)
+          .select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("mass"))
+      // argmax(mass) with smallest-label tiebreak, as ONE aggregate:
+      // max(struct(mass, -label)) — no per-node window sort
+      val best = mass.groupBy("node")
+        .agg(max(struct(col("mass"), (-col("label")).as("nl"))).as("b"))
+        .select(col("node"), (-col("b.nl")).as("best_label"))
+      cur = cur.join(best, Seq("node"), "left")
+        .withColumn("label", when(col("is_seed") === 1L, col("label"))
+          .otherwise(coalesce(col("best_label"), col("label"))))
+        .drop("best_label")
+      if (i < iters) {
+        val (cp, rel) = Lineage.checkpointTracked(cur)
+        release()
+        release = rel
+        cur = cp
+      }
+    }
+    (cur.select("node", "label", "is_seed"), () => { undRelease(); release() })
+  }
+
+  /** [[labelPropagationManaged]] without the cleanup handle. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int,
+      persist: Boolean = true): DataFrame =
+    labelPropagationManaged(edges, seeds, iters, persist)._1
+
   /** Per-node triangle participation counts — the clustering/community
     * signal (and the classic "does your join strategy survive a dense
     * node" graph benchmark). `edges` (Long `src`/`dst`) is treated as

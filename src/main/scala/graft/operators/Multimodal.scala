@@ -222,6 +222,69 @@ object Multimodal {
     media.mapPartitions(_.flatMap(resizeImage(_, w, h)))
   }
 
+  /** 64-bit perceptual hash of an image (two 32-bit words, the
+    * [[graft.operators.Dedup.hammingPairs64]] signature shape).
+    */
+  final case class PerceptualHash(id: Long, ph_hi: Long, ph_lo: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint: decode, nearest-
+    * neighbor downsample to 8×8 with the EXACT integer mapping of
+    * [[resizeImage]] (`sx = (x·srcW) div 8`), integer luma
+    * `299·r + 587·g + 114·b` (no division — the scale cancels in the
+    * mean comparison), bit (y·8+x) set iff `64·luma > Σluma` (strictly
+    * above the mean, as an exact integer cross-multiplication — no
+    * float mean, no rounding mode to disagree on). Near-identical
+    * frames land within small Hamming distance; re-encodes of the same
+    * frame hash identically. Pure integer end-to-end, so an oracle
+    * replays the full decode→hash path in closed form on synthetic
+    * fixtures.
+    */
+  def perceptualHash(m: MediaRecord): Option[PerceptualHash] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map { im =>
+      val (sw, sh) = (im.getWidth, im.getHeight)
+      val luma = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < 8) {
+        val sy = y * sh / 8
+        var x = 0
+        while (x < 8) {
+          val sx = x * sw / 8
+          val p = im.getRGB(sx, sy)
+          val l = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+            114L * (p & 0xff)
+          luma(y * 8 + x) = l
+          total += l
+          x += 1
+        }
+        y += 1
+      }
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 64) {
+        if (64L * luma(i) > total) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      PerceptualHash(m.id, hi, lo)
+    }
+  }
+
+  /** Partition-batched perceptual hashing — the [[extractImageFeatures]]
+    * shape; undecodable payloads are dropped. Feed the result (renamed
+    * to `id`/`hi`/`lo`) to [[graft.operators.Dedup.hammingPairs64]] for
+    * frame-level near-dup pairs.
+    */
+  def perceptualHashes(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(perceptualHash))
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class MediaFrame(
       id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)

@@ -46,20 +46,54 @@ object Similarity {
     * neighbor id. Output: (query_id, neighbor_id, rank, cos).
     */
   def cosineTopK(base: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, digits: Int = 6): DataFrame = {
+      vecCol: String, k: Int, digits: Int = 6): DataFrame =
+    rankedCosine(base, queries, idCol, vecCol, k, digits, labelCol = None)
+      .select("query_id", "neighbor_id", "rank", "cos")
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (query) row, the k MOST similar base rows carrying a DIFFERENT
+    * label — the near-the-margin negatives that make embedding training
+    * converge, as opposed to uniformly sampled easy ones. Identical
+    * plan shape to [[cosineTopK]] (broadcast anchors, map-only scoring,
+    * per-anchor bounded top-k); the label inequality prunes BEFORE
+    * ranking, so rank is over negatives only.
+    * Output: (query_id, query_label, neighbor_id, neighbor_label,
+    * rank, cos).
+    */
+  def hardNegatives(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int, digits: Int = 6): DataFrame =
+    rankedCosine(base, queries, idCol, vecCol, k, digits, Some(labelCol))
+
+  /** Shared broadcast-queries exact-cosine ranking core. With a label
+    * column, pairs sharing a label are excluded (negative mining);
+    * without, only self-pairs are.
+    */
+  private def rankedCosine(base: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, digits: Int,
+      labelCol: Option[String]): DataFrame = {
     val (bq, bn) = quantized(col(vecCol))
-    val b = Spread.ensure(base, idCol)
-      .select(col(idCol).as("neighbor_id"), bq.as("b_q"), bn.as("b_n"))
-    val q = queries.select(col(idCol).as("query_id"), bq.as("q_q"), bn.as("q_n"))
+    def side(df: DataFrame, role: String) = {
+      val named = df.select(
+        col(idCol).as(s"${role}_id") +: labelCol.toSeq.map(l =>
+          col(l).as(s"${role}_label")) :+ bq.as(s"${role.head}_q") :+
+          bn.as(s"${role.head}_n"): _*)
+      named
+    }
+    val b = side(Spread.ensure(base, idCol), "neighbor")
+    val q = side(queries, "query")
+    val keep = labelCol match {
+      case Some(_) => col("neighbor_label") =!= col("query_label")
+      case None    => col("neighbor_id") =!= col("query_id")
+    }
     val scored = b.crossJoin(broadcast(q))
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(keep)
       .withColumn("cos", Portable.cosineQ(
-        Portable.dotQ(col("q_q"), col("b_q")), col("q_n"), col("b_n"), digits))
+        Portable.dotQ(col("q_q"), col("n_q")), col("q_n"), col("n_n"), digits))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+      .drop("q_q", "q_n", "n_q", "n_n")
   }
 
   /** Embedding near-duplicate pairs (cos ≥ minCos). With `blockCol` the

@@ -407,7 +407,62 @@ object AnalyticsQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // --------------------------------------------------------------- q143
+  /** Seeded label propagation ([[Graph.labelPropagation]]) over the q80
+    * customer–supplier graph: every 10th customer is "human-labeled"
+    * with its nation key; three synchronous rounds spread the labels to
+    * the rest of the graph — which nation's customer community each
+    * supplier (and unlabeled customer) belongs to. Deterministic by
+    * construction (edge-count mass, smallest-label ties, clamped
+    * seeds), so the oracle unrolls the rounds as CTEs with a
+    * row_number argmax and matches bit-for-bit.
+    */
+  val q143: Q = (s, dir) => {
+    val edges = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select((col("c_custkey") * 2).as("node"),
+        col("c_nationkey").cast("long").as("label"))
+    Graph.labelPropagation(edges, seeds, iters = 3).orderBy("node")
+  }
+  val q143Sql: String = {
+    def round(prev: String, c: String, b: String, next: String) =
+      s"""$c AS (SELECT u.dst AS node, s.label, count(*) AS mass
+         |  FROM und u JOIN $prev s ON u.src = s.node
+         |  WHERE s.label IS NOT NULL GROUP BY u.dst, s.label),
+         |$b AS (SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY mass DESC, label ASC) AS rk
+         |    FROM $c) WHERE rk = 1),
+         |$next AS MATERIALIZED (SELECT $prev.node, $prev.is_seed,
+         |    CASE WHEN $prev.is_seed = 1 THEN $prev.label
+         |         ELSE coalesce($b.label, $prev.label) END AS label
+         |  FROM $prev LEFT JOIN $b USING (node))""".stripMargin
+    s"""WITH ed AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+       |sd AS (SELECT c_custkey*2 AS node,
+       |    CAST(min(c_nationkey) AS BIGINT) AS label
+       |  FROM customer WHERE c_custkey % 10 = 0 GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT n.node, sd.label,
+       |    CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+       |  FROM (SELECT DISTINCT src AS node FROM und) n
+       |  LEFT JOIN sd USING (node)),
+       |${round("s0", "c1", "b1", "s1")},
+       |${round("s1", "c2", "b2", "s2")},
+       |${round("s2", "c3", "b3", "s3")}
+       |SELECT node, label, CAST(is_seed AS BIGINT) AS is_seed FROM s3
+       |ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q143_label_propagation" -> q143,
     "q77_repetition_profile" -> q77,
     "q78_event_funnel" -> q78,
     "q79_cohort_retention" -> q79,
@@ -422,6 +477,7 @@ object AnalyticsQueries {
     "q86_column_profile" -> q86)
 
   val oracle: Map[String, String] = Map(
+    "q143_label_propagation" -> q143Sql,
     "q77_repetition_profile" -> q77Sql,
     "q78_event_funnel" -> q78Sql,
     "q79_cohort_retention" -> q79Sql,

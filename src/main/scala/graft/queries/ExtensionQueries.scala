@@ -122,6 +122,35 @@ object ExtensionQueries {
        |SELECT min(id) AS doc_id, count(*) AS n_dups FROM corpus
        |GROUP BY text ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q144
+  /** Cross-source duplication matrix ([[Dedup.crossGroupDupMatrix]]):
+    * exact-duplicate pair counts per unordered source pair over the
+    * corpus + a planted "recrawl" source (every 7th document re-ingested
+    * under a new id) — the provenance-overlap report behind "which
+    * source do we drop". The engine never materializes pairs (per-key
+    * per-source counts → c_a·c_b / c·(c−1)/2 combinatorics); the oracle
+    * replays the O(k²) fingerprint self-join — an independent
+    * algorithm, so agreement checks the combinatorics.
+    */
+  val q144: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        lit("recrawl").as("source"), col("text")))
+    Dedup.crossGroupDupMatrix(corpus, "doc_id", "source", md5(col("text")))
+      .orderBy("grp_a", "grp_b")
+  }
+  val q144Sql: String =
+    """WITH corpus AS (SELECT doc_id, source, text FROM documents
+      |  UNION ALL SELECT doc_id+3000000, 'recrawl', text
+      |  FROM documents WHERE doc_id%7=0),
+      |fp AS (SELECT doc_id, source, md5(text) AS k FROM corpus),
+      |pairs AS (SELECT least(a.source, b.source) AS grp_a,
+      |    greatest(a.source, b.source) AS grp_b
+      |  FROM fp a JOIN fp b ON a.k = b.k AND a.doc_id < b.doc_id)
+      |SELECT grp_a, grp_b, count(*) AS n_dup_pairs FROM pairs
+      |GROUP BY 1, 2 ORDER BY grp_a, grp_b""".stripMargin
+
   // ---------------------------------------------------------------- q21
   /** N-gram Jaccard near-dup pairs via the inverted-index candidate join,
     * with document-frequency pruning (df > 64) of hot shingles from the
@@ -294,6 +323,38 @@ object ExtensionQueries {
       |ranked AS (SELECT *, row_number() OVER (
       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
       |SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- q145
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each of
+    * the first 10 anchor vectors, the 5 most-similar vectors with a
+    * DIFFERENT label — the near-the-margin negatives contrastive
+    * training needs (uniform negatives are too easy to teach the
+    * boundary). Label inequality prunes BEFORE the bounded top-k, same
+    * broadcast-anchor map-only scan as q24.
+    */
+  val q145: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 5)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+  val q145Sql: String =
+    """WITH qv AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, q.label AS query_label,
+      |    b.vec_id AS neighbor_id, b.label AS neighbor_label,
+      |    round(list_dot_product(q.q, b.q) /
+      |      (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(b.q, b.q))), 6) AS cos
+      |  FROM qv b CROSS JOIN qv q
+      |  WHERE q.vec_id < 10 AND b.label <> q.label),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+      |SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cos
+      |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q25
@@ -1057,6 +1118,60 @@ object ExtensionQueries {
       |  round(CAST(sum((sx + sy*3) % 256) AS DOUBLE) / 48, 4) AS mean_b
       |FROM px GROUP BY doc_id ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q146
+  /** Perceptual (average-hash) image near-dup pairs
+    * ([[Multimodal.perceptualHashes]] → [[Dedup.hammingPairs64]]): the
+    * frame-level dedup a video/image pipeline runs — re-encodes and
+    * near-identical frames collapse by 64-bit aHash Hamming distance.
+    * The gradient fixtures depend on doc_id only through (w, h) =
+    * (id%8, id%5), so ids congruent mod 40 are pixel-identical — a
+    * planted Hamming-0 class structure the banded pair join must
+    * recover, plus whatever deterministic cross-class collisions land
+    * ≤ 2 (the gradients make DISTANT geometries perceptually close, so
+    * a loose radius would accept most pairs — 2 keeps the report a
+    * dedup, not a similarity matrix). The oracle replays decode→8×8 NN-downsample→integer
+    * luma→mean-threshold→popcount in closed form and brute-forces ALL
+    * pairs — banding completeness (pigeonhole ≤ 7) is part of what
+    * agreement proves.
+    */
+  val q146: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ids = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200).select("doc_id").as[java.lang.Long]
+    val hashes = Multimodal
+      .perceptualHashes(Multimodal.fixtureImageCorpus(ids))
+      .toDF().select(col("id"), col("ph_hi").as("hi"), col("ph_lo").as("lo"))
+    val (pairs, _) =
+      Dedup.hammingPairs64(hashes, maxHamming = 2, persist = false)
+    pairs.orderBy("id_a", "id_b")
+  }
+  val q146Sql: String =
+    """WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS sw, 9 + doc_id % 5 AS sh
+      |    FROM documents WHERE doc_id < 200),
+      |px AS (SELECT doc_id, (x.x * sw) // 8 AS sx, (y.y * sh) // 8 AS sy,
+      |    y.y*8 + x.x AS i
+      |  FROM d CROSS JOIN range(8) x(x) CROSS JOIN range(8) y(y)),
+      |lm AS (SELECT doc_id, i,
+      |    299*((sx*7 + sy) % 256) + 587*((sy*5) % 256)
+      |      + 114*((sx + sy*3) % 256) AS luma
+      |  FROM px),
+      |t AS (SELECT doc_id, sum(luma) AS total FROM lm GROUP BY doc_id),
+      |bits AS (SELECT lm.doc_id, lm.i FROM lm JOIN t USING (doc_id)
+      |  WHERE 64*lm.luma > t.total),
+      |hsh AS (SELECT d.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN b.i >= 32
+      |      THEN 1::BIGINT << (b.i - 32) ELSE 0 END), 0) AS BIGINT) AS hi,
+      |    CAST(coalesce(sum(CASE WHEN b.i < 32
+      |      THEN 1::BIGINT << b.i ELSE 0 END), 0) AS BIGINT) AS lo
+      |  FROM d LEFT JOIN bits b ON b.doc_id = d.doc_id GROUP BY d.doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      |    AS BIGINT) AS hamming
+      |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------------------------------------------------------- q37
   /** KMV distinct-cardinality sketch (k=64) of parts per return flag —
     * the portable, exactly-checkable alternative to HLL.
@@ -1337,7 +1452,9 @@ object ExtensionQueries {
     "q107_ann_index" -> q107,
     "q57_image_decode" -> q57,
     "q98_image_resize" -> q98,
+    "q146_perceptual_dedup" -> q146,
     "q21_dedup_ngram_jaccard" -> q21,
+    "q144_cross_source_dups" -> q144,
     "q111_containment_pairs" -> q111,
     "q113_semantic_dedup" -> q113,
     "q118_kmeans_lloyd" -> q118,
@@ -1348,6 +1465,7 @@ object ExtensionQueries {
     "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
     "q24_embed_topk" -> q24,
+    "q145_hard_negatives" -> q145,
     "q25_ann_lsh" -> q25,
     "q26_embed_neardup" -> q26,
     "q27_ann_ivf" -> q27,
@@ -1376,7 +1494,9 @@ object ExtensionQueries {
     "q107_ann_index" -> q56Sql,
     "q57_image_decode" -> q57Sql,
     "q98_image_resize" -> q98Sql,
+    "q146_perceptual_dedup" -> q146Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,
+    "q144_cross_source_dups" -> q144Sql,
     "q111_containment_pairs" -> q111Sql,
     "q113_semantic_dedup" -> q113Sql,
     "q118_kmeans_lloyd" -> q118Sql,
@@ -1387,6 +1507,7 @@ object ExtensionQueries {
     "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,
     "q24_embed_topk" -> q24Sql,
+    "q145_hard_negatives" -> q145Sql,
     "q25_ann_lsh" -> q25Sql,
     "q26_embed_neardup" -> q26Sql,
     "q27_ann_ivf" -> q27Sql,

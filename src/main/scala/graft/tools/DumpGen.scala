@@ -21,10 +21,12 @@ import graft.Tables
   */
 object DumpGen {
 
-  /** Bump when the generated dump format/perturbation changes so cached
-    * bench dump pairs regenerate instead of silently drifting.
+  /** Bump when the generated dump format/perturbation changes — or the
+    * driver regenerates /root/testdata (round 8: ns/ms timestamps became
+    * µs) — so cached bench dump pairs regenerate instead of silently
+    * drifting.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   val TablePks: Seq[(String, String)] = Seq(
     "customer" -> "c_custkey", "orders" -> "o_orderkey",

@@ -135,6 +135,43 @@ class AnalyticsOpsSpec extends SparkSuite {
     assert(!out.contains(99L))
   }
 
+  test("labelPropagation spreads seed labels within components, clamps seeds, smallest-label ties") {
+    // two components: a path 1-2-3-4 seeded at node 1 (label 7), and an
+    // isolated pair 10-11 with no seed (stays null)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 7L)).toDF("node", "label")
+    val out = Graph.labelPropagation(edges, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(7L) && out(2L) == Some(7L) &&
+      out(3L) == Some(7L) && out(4L) == Some(7L))
+    assert(out(10L) == None && out(11L) == None,
+      "seedless component must stay unlabeled")
+
+    // tie: node 5 sees one neighbor of label 3 and one of label 9 →
+    // smallest label wins; the seeds themselves NEVER flip even though
+    // each sees only the other label
+    val e2 = Seq((5L, 6L), (5L, 7L), (6L, 7L)).toDF("src", "dst")
+    val s2 = Seq((6L, 9L), (7L, 3L)).toDF("node", "label")
+    val out2 = Graph.labelPropagation(e2, s2, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2(5L) == 3L, "equal mass must break to the smallest label")
+    assert(out2(6L) == 9L && out2(7L) == 3L, "seeds are clamped")
+  }
+
+  test("labelPropagation radius is bounded by iters; duplicate seeds collapse to min") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq((1L, 4L), (1L, 2L)).toDF("node", "label") // dup node
+    val out = Graph.labelPropagation(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(1L) == Some(2L), "duplicate seed labels collapse to min")
+    assert(out(2L) == Some(2L) && out(3L) == Some(2L))
+    assert(out(4L) == None && out(5L) == None,
+      "nodes beyond iters hops stay unlabeled")
+  }
+
   test("triangleCounts finds clique triangles, ignoring duplicates and orientation") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3) + dangling edge 4-5,
     // fed with duplicates, reversals, and a self-loop

@@ -45,6 +45,18 @@ class CheckpointLeakSpec extends SparkSuite {
     assert(registrySize == before)
   }
 
+  test("labelPropagationManaged + cleanup leaves no persisted RDDs behind") {
+    val before = registrySize
+    val edges = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq((1L, 5L)).toDF("node", "label")
+    val (lp, cleanup) = Graph.labelPropagationManaged(edges, seeds, iters = 6)
+    assert(lp.collect().nonEmpty)
+    assert(registrySize <= before + 2,
+      s"per-round checkpoints leaked: $registrySize vs pre-call $before")
+    cleanup()
+    assert(registrySize == before)
+  }
+
   test("connectedComponentsManaged + cleanup leaves no persisted RDDs behind") {
     val before = registrySize
     // one long chain forces many label-propagation rounds

@@ -92,6 +92,58 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got == Set((3L, 2L), (7L, 1L)))
   }
 
+  test("crossGroupDupMatrix equals the brute-force pair join, hot keys included") {
+    // key "x" appears 3× in src a, 2× in b, 1× in c — a 6-doc duplicate
+    // family; "y" only within a; "z" unique
+    val docs = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),
+      (4L, "b", "x"), (5L, "b", "x"), (6L, "c", "x"),
+      (7L, "a", "y"), (8L, "a", "y"), (9L, "c", "z"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.crossGroupDupMatrix(docs, "doc_id", "source", col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // brute force over the 6-doc x-family: within a C(3,2)=3 (+1 for y),
+    // within b C(2,2)=1, a×b 3·2=6, a×c 3·1=3, b×c 2·1=2
+    assert(got == Map(
+      ("a", "a") -> 4L, ("b", "b") -> 1L, ("a", "b") -> 6L,
+      ("a", "c") -> 3L, ("b", "c") -> 2L))
+  }
+
+  test("hardNegatives never returns the anchor's own label and ranks by cosine") {
+    val e = Tables.embeddings(spark, dir)
+    val anchors = e.filter(col("vec_id") < 5)
+    val got = Similarity.hardNegatives(e, anchors, "vec_id", "embedding",
+      "label", k = 5).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getAs[Int]("query_label") !=
+      r.getAs[Int]("neighbor_label")), "a negative must differ in label")
+    // per anchor: ranks are 1..5 and cosine non-increasing in rank
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to 5L).toSeq)
+      val cosSeq = byRank.map(_.getAs[Double]("cos")).toSeq
+      assert(cosSeq == cosSeq.sorted.reverse, "cos must be non-increasing")
+    }
+    // cross-check the top negative against a brute-force recompute: it
+    // must dominate every other-label cosine for that anchor
+    val all = Similarity.cosineTopK(e, anchors, "vec_id", "embedding",
+      k = 100000) // full ranking at test scale — no truncation risk
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bestNeg = all.collect()
+      .filter(r => labels(r.getAs[Long]("neighbor_id")) !=
+        labels(r.getAs[Long]("query_id")))
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.minBy(_.getAs[Long]("rank"))
+        .getAs[Long]("neighbor_id") }
+    got.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      assert(bestNeg(r.getAs[Long]("query_id")) ==
+        r.getAs[Long]("neighbor_id"),
+        "rank-1 hard negative must be the best other-label neighbor")
+    }
+  }
+
   test("multimodal feature extraction: md5 matches Spark's builtin, plumbing preserves ids") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Tables.documents(spark, dir).limit(50)

@@ -65,6 +65,42 @@ class MultimodalImageSpec extends SparkSuite {
     assert(got.map(_.id).toSeq == Seq(1L))
   }
 
+  test("perceptualHash: same pixels → identical hash across formats; banded pairs == brute force") {
+    // PNG and BMP encodes of the SAME gradient must collapse to one
+    // perceptual hash (re-encode invariance — the property aHash dedup
+    // exists for); a different geometry gives a different hash
+    val media = Seq(
+      MediaRecord(1L, fixture(24, 11, "png"), "image/png", 24),
+      MediaRecord(2L, fixture(24, 11, "bmp"), "image/bmp", 24),
+      MediaRecord(3L, fixture(17, 13, "png"), "image/png", 17),
+      MediaRecord(4L, "junk".getBytes("UTF-8"), "text/plain", 0))
+      .toDS().repartition(3)
+    val hs = Multimodal.perceptualHashes(media).collect()
+      .map(p => p.id -> (p.ph_hi, p.ph_lo)).toMap
+    assert(hs.keySet == Set(1L, 2L, 3L), "undecodable dropped")
+    assert(hs(1L) == hs(2L), "re-encode must hash identically")
+    assert(hs(1L) != hs(3L), "different geometry must differ")
+
+    // banded candidate join equals the all-pairs Hamming brute force
+    val ids = spark.range(80).map(java.lang.Long.valueOf(_))
+    val hashes = Multimodal
+      .perceptualHashes(Multimodal.fixtureImageCorpus(ids))
+      .toDF("id", "hi", "lo")
+    val (pairs, _) = graft.operators.Dedup.hammingPairs64(
+      hashes, maxHamming = 7, persist = false)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val raw = hashes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, ha, la) <- raw; (ib, hb, lb) <- raw if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 7
+    } yield (ia, ib) -> d.toLong).toMap
+    assert(got == brute, "banding must be candidate-complete to Hamming 7")
+    // ids congruent mod 40 are pixel-identical fixtures → Hamming 0
+    assert((0L until 40L).forall(i => got.get((i, i + 40)).contains(0L)))
+  }
+
   test("nearest-neighbor resize picks the exact integer-mapped source pixels") {
     // 16×9 gradient resized to 4×3: target (x,y) samples source
     // (x*16 div 4, y*9 div 3) = (4x, 3y) — expected means from the

@@ -19,21 +19,16 @@ class StreamingSpec extends SparkSuite {
     val expected = EventAnalytics.windowedAgg(batchEvents)
       .orderBy("window_start", "event_type").collect().toSeq
 
-    // the source parquet stores ns timestamps; declare ts as long (the
-    // nanosAsLong read shape) and convert, mirroring Tables.events
-    val rawSchema = org.apache.spark.sql.types.StructType(
-      batchEvents.schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
+    // declare the file's OWN on-disk schema (whatever this testdata
+    // generation used) and normalize ts exactly like Tables.events
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source requires a directory
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val streamEvents = spark.readStream
-      .schema(rawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamEvents = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString), "ts")
     val q = EventAnalytics.windowedAgg(streamEvents)
       .writeStream.outputMode("complete")
       .format("memory").queryName("win_out").start()
@@ -61,18 +56,13 @@ class StreamingSpec extends SparkSuite {
       rowForm.map(r => (r.getTimestamp(0), r.getLong(1))),
       "column-form estimate must equal the row-form estimate")
 
-    val rawSchema = org.apache.spark.sql.types.StructType(
-      batchEvents.schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft-hllstream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val streamEvents = spark.readStream
-      .schema(rawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamEvents = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString), "ts")
     val q = EventAnalytics.windowedDistinct(streamEvents)
       .writeStream.outputMode("complete")
       .format("memory").queryName("hll_out").start()
@@ -89,18 +79,13 @@ class StreamingSpec extends SparkSuite {
       .orderBy("click_id", "view_id").collect().toSeq
     assert(expected.nonEmpty)
 
-    val rawSchema = org.apache.spark.sql.types.StructType(
-      batchEvents.schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft-join-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val streamEvents = spark.readStream
-      .schema(rawSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamEvents = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString), "ts")
     val q = EventAnalytics.clickAttribution(streamEvents)
       .writeStream.outputMode("append")
       .format("memory").queryName("attr_out").start()
