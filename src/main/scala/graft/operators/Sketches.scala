@@ -71,6 +71,37 @@ object Sketches {
       .select(groupCols.map(col) :+ estCol(k).as("est_distinct"): _*)
   }
 
+  /** Pairwise KMV Jaccard matrix across groups: for every unordered
+    * group pair, estimate the Jaccard similarity of their value SETS
+    * from bounded min-k sketches — the "how much do these sources
+    * overlap" report (shingle sets per crawl source, key sets per
+    * shard) computed WITHOUT any cross-group row join: one bounded
+    * min-k aggregate over the data (map-side combining, ≤ k longs per
+    * group shipped), then G² pair arithmetic on k-length arrays — at
+    * 100 TB the data is touched once, the matrix costs nothing.
+    *
+    * Beyer et al. set algebra per pair: U = the k smallest of
+    * K_A ∪ K_B, ρ = |U ∩ K_A ∩ K_B|, J ≈ ρ/|U|. When |U| < k both
+    * sets were seen whole and the figure is EXACT. Deterministic
+    * hash48 + integer ppm make the estimate itself replayable.
+    * Output: (grp_a, grp_b, matches, union_k, jaccard_ppm).
+    */
+  def kmvJaccardMatrix(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int): DataFrame = {
+    val sk = kmvSketch(df, Seq(groupCol), valueCol, k)
+    val a = sk.select(col(groupCol).as("grp_a"), col("sketch").as("ka"))
+    val b = sk.select(col(groupCol).as("grp_b"), col("sketch").as("kb"))
+    // G sketch rows per side — the pair join is a deliberate tiny
+    // nested-loop over group pairs, never over data rows
+    a.join(b, col("grp_a") < col("grp_b"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
+      .select(col("grp_a"), col("grp_b"),
+        expr("CAST(size(array_intersect(array_intersect(u, ka), kb)) AS BIGINT)")
+          .as("matches"),
+        expr("CAST(size(u) AS BIGINT)").as("union_k"))
+      .withColumn("jaccard_ppm", expr("(matches * 1000000) div union_k"))
+  }
+
   /** KMV set-intersection estimate between two key columns — the join-
     * cardinality statistic an optimizer wants BEFORE running the join
     * ("how many distinct keys do these two 100 TB tables share?") from

@@ -461,7 +461,56 @@ object AnalyticsQueries {
        |ORDER BY node""".stripMargin
   }
 
+  // --------------------------------------------------------------- q147
+  /** Sketch-level source-overlap matrix ([[graft.operators.Sketches
+    * .kmvJaccardMatrix]]): pairwise shingle-set Jaccard between crawl
+    * sources from 128-hash KMV sketches — q84's exact vocabulary
+    * Jaccard needs a cross-source token join; this touches the corpus
+    * ONCE (bounded min-k per source) and estimates every cell from the
+    * sketches, the formulation that survives 100 TB and thousands of
+    * sources. Deterministic hash48 + integer ppm ⇒ the oracle rebuilds
+    * the sketches relationally and matches the estimate bit-for-bit.
+    */
+  val q147: Q = (s, dir) => {
+    import graft.functions.Portable
+    val sh = Tables.documents(s, dir).select(col("source"),
+      explode(Portable.shingles(Portable.tokens(col("text")), 3)).as("shingle"))
+    graft.operators.Sketches.kmvJaccardMatrix(sh, "source", col("shingle"),
+        k = 128)
+      .orderBy("grp_a", "grp_b")
+  }
+  val q147Sql: String =
+    """WITH words AS (SELECT source,
+      |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT DISTINCT source, unnest(CASE WHEN len(w) >= 3
+      |  THEN list_distinct(list_transform(range(len(w)-2),
+      |    i -> array_to_string(w[i+1:i+3], ' ')))
+      |  ELSE []::VARCHAR[] END) AS shingle FROM words),
+      |shh AS (SELECT DISTINCT source,
+      |    ('0x'||substr(md5(shingle),1,12))::BIGINT AS h FROM sh),
+      |r AS (SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM shh),
+      |sk AS (SELECT source, h FROM r WHERE rk <= 128),
+      |p AS (SELECT a.source AS grp_a, b.source AS grp_b
+      |  FROM (SELECT DISTINCT source FROM sk) a
+      |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+      |u AS (SELECT p.grp_a, p.grp_b, s.h, count(*) AS c
+      |  FROM p JOIN sk s ON s.source IN (p.grp_a, p.grp_b)
+      |  GROUP BY 1, 2, 3),
+      |ur AS (SELECT grp_a, grp_b, h, c,
+      |    row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rk
+      |  FROM u),
+      |t AS (SELECT grp_a, grp_b,
+      |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS matches,
+      |    count(*) AS ucount
+      |  FROM ur WHERE rk <= 128 GROUP BY 1, 2)
+      |SELECT grp_a, grp_b, CAST(matches AS BIGINT) AS matches,
+      |  CAST(ucount AS BIGINT) AS union_k,
+      |  CAST((matches * 1000000) // ucount AS BIGINT) AS jaccard_ppm
+      |FROM t ORDER BY grp_a, grp_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q147_kmv_source_overlap" -> q147,
     "q143_label_propagation" -> q143,
     "q77_repetition_profile" -> q77,
     "q78_event_funnel" -> q78,
@@ -477,6 +526,7 @@ object AnalyticsQueries {
     "q86_column_profile" -> q86)
 
   val oracle: Map[String, String] = Map(
+    "q147_kmv_source_overlap" -> q147Sql,
     "q143_label_propagation" -> q143Sql,
     "q77_repetition_profile" -> q77Sql,
     "q78_event_funnel" -> q78Sql,

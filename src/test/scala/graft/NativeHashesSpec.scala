@@ -100,6 +100,33 @@ class NativeHashesSpec extends SparkSuite {
     assert(j.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("kmvJaccardMatrix is EXACT below k and tracks true Jaccard above it") {
+    // below k: sets {a,b,c} vs {b,c,d} vs {x} — exact cells
+    val small = Seq(
+      ("A", "a"), ("A", "b"), ("A", "c"),
+      ("B", "b"), ("B", "c"), ("B", "d"),
+      ("C", "x")).toDF("source", "v")
+    val got = Sketches.kmvJaccardMatrix(small, "source", col("v"), k = 128)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("A", "B")) == (2L, 4L, 500000L), "J(A,B) = 2/4 exactly")
+    assert(got(("A", "C")) == (0L, 4L, 0L))
+    assert(got(("B", "C")) == (0L, 4L, 0L))
+
+    // above k: 2000 vs 2000 values sharing 1000 → true J = 1/3; the
+    // k=128 estimate must land within ±0.12 absolute (3+ sigma)
+    val big = spark.range(2000).selectExpr("'P' AS source", "CAST(id AS STRING) AS v")
+      .unionAll(spark.range(1000, 3000)
+        .selectExpr("'Q' AS source", "CAST(id AS STRING) AS v"))
+    val est = Sketches.kmvJaccardMatrix(big, "source", col("v"), k = 128)
+      .collect().head.getLong(4) / 1e6
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimate $est vs 0.333")
+    // determinism: rerun bit-identical
+    val est2 = Sketches.kmvJaccardMatrix(big, "source", col("v"), k = 128)
+      .collect().head.getLong(4) / 1e6
+    assert(est == est2)
+  }
+
   test("HLL register sketches merge to EXACTLY the full-scan estimate") {
     val li = Tables.lineitem(spark, sf)
     val whole = Sketches.hllDistinct(li, Seq("l_returnflag"), col("l_partkey"))
