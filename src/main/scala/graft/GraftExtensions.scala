@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash48, LongArrayDot, RollingHash}
+import graft.functions.{Hash48, LongArrayDot, NfcNormalize, RollingHash}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users (and JDBC/Thrift
@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"hash48 expects 1 argument, got ${children.size}")
         Hash48(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"nfc_normalize expects 1 argument, got ${children.size}")
+        NfcNormalize(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),

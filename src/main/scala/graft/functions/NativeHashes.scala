@@ -30,6 +30,23 @@ object NativeHashUtil {
       ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
+  /** Unicode NFC (canonical composition) of a string — the
+    * normalization pass every text pipeline needs before hashing:
+    * 'é' (U+00E9) and 'e'+U+0301 are byte-different, render-identical,
+    * and MUST collide in dedup keys. java.text.Normalizer implements
+    * the Unicode canonical algorithm, the same one DuckDB's
+    * nfc_normalize binds — canonical composition is fully specified by
+    * the standard, so the two agree on every input.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; most corpus
+    // text is ASCII/NFC already and skips the composing pass entirely
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Left-to-right polynomial fold over the string's code points:
     * h = (h·base + cp) mod m. Matches the portable
     * `aggregate(split(text, ""), 0, (acc, c) -> (acc·base + ascii(c)) % m)`
@@ -107,4 +124,31 @@ case class RollingHash(child: Expression, base: Long, mod: Long)
 object RollingHash {
   def apply(c: Column, base: Long, mod: Long): Column =
     Bridge.column(RollingHash(Bridge.expression(c), base, mod))
+}
+
+/** Native codegen'd Unicode NFC normalization (see
+  * [[NativeHashUtil.nfc]]). Spark has no built-in normalization
+  * function; a Scala UDF would break whole-stage codegen in the middle
+  * of every text pipeline's hottest map stage — this stays fused, with
+  * an isNormalized fast path for the (dominant) already-NFC rows.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = StringType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    NativeHashUtil.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NativeHashUtil.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def apply(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
 }

@@ -473,8 +473,12 @@ object AnalyticsQueries {
     */
   val q147: Q = (s, dir) => {
     import graft.functions.Portable
-    val sh = Tables.documents(s, dir).select(col("source"),
-      explode(Portable.shingles(Portable.tokens(col("text")), 3)).as("shingle"))
+    // documents.parquet is one row group → one partition; without a
+    // spread the whole tokenize→shingle→hash stage runs on one core
+    // (measured 4.9 s warm → see SURVEY perf notes)
+    val sh = graft.operators.Spread.ensure(Tables.documents(s, dir), "doc_id")
+      .select(col("source"),
+        explode(Portable.shingles(Portable.tokens(col("text")), 3)).as("shingle"))
     graft.operators.Sketches.kmvJaccardMatrix(sh, "source", col("shingle"),
         k = 128)
       .orderBy("grp_a", "grp_b")

@@ -690,7 +690,49 @@ object CorpusQueries {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q148
+  /** Unicode-normalization dedup ([[graft.functions.NfcNormalize]], the
+    * native codegen'd NFC expression — Spark has no built-in; a UDF
+    * would break whole-stage codegen in the hottest map stage): find
+    * documents whose NFC forms collide while their raw bytes differ —
+    * the 'é' (U+00E9) vs 'e'+U+0301 families that byte-level exact
+    * dedup (q20) can never merge. Planted corpus: every document gets
+    * a precomposed suffix; every 10th is re-ingested with the
+    * DECOMPOSED spelling of the same suffix. Canonical composition is
+    * fully specified by Unicode, so DuckDB's nfc_normalize replays the
+    * engine's expression exactly — the group report hash-matches.
+    */
+  val q148: Q = (s, dir) => {
+    import graft.functions.NfcNormalize
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d
+      .select(col("doc_id"), concat(col("text"), lit(" café")).as("t"))
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(col("text"), lit(" café")).as("t")))
+    corpus.select(col("doc_id"), md5(col("t")).as("raw_fp"),
+        md5(NfcNormalize(col("t"))).as("nfc_fp"))
+      .groupBy("nfc_fp")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_members"),
+        countDistinct(col("raw_fp")).as("n_raw_forms"))
+      .filter(col("n_members") > 1)
+      .select("rep_id", "n_members", "n_raw_forms")
+      .orderBy("rep_id")
+  }
+  val q148Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text || ' caf' || chr(233) AS t FROM documents
+      |  UNION ALL SELECT doc_id+4000000, text || ' cafe' || chr(769)
+      |  FROM documents WHERE doc_id%10=0),
+      |fp AS (SELECT doc_id, md5(t) AS raw_fp,
+      |    md5(nfc_normalize(t)) AS nfc_fp FROM corpus)
+      |SELECT min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_forms
+      |FROM fp GROUP BY nfc_fp HAVING count(*) > 1
+      |ORDER BY rep_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q148_nfc_dedup" -> q148,
     "q124_winnow_candidates" -> q124,
     "q123_winnow_fingerprints" -> q123,
     "q121_heavy_hitters" -> q121,
@@ -712,6 +754,7 @@ object CorpusQueries {
     "q116_incremental_novelty" -> q116)
 
   val oracle: Map[String, String] = Map(
+    "q148_nfc_dedup" -> q148Sql,
     "q124_winnow_candidates" -> q124Sql,
     "q123_winnow_fingerprints" -> q123Sql,
     "q121_heavy_hitters" -> q121Sql,

@@ -70,6 +70,26 @@ class NativeHashesSpec extends SparkSuite {
     assert(r.getLong(0) == exp.getLong(0))
     assert(r.getLong(1) == exp.getLong(1))
     assert(r.getLong(2) == exp.getLong(1))
+    val n = s2.sql("SELECT nfc_normalize('café') AS a").collect().head
+    assert(n.getString(0) == "café", "SQL nfc must compose e+U+0301")
+  }
+
+  test("NfcNormalize composes decomposed forms, keeps NFC text byte-identical") {
+    import graft.functions.NfcNormalize
+    val df = Seq(
+      (1L, "café île"),   // decomposed é, î
+      (2L, "café île"),     // precomposed
+      (3L, "plain ascii"),
+      (4L, "")).toDF("id", "t")
+      .select(col("id"), NfcNormalize(col("t")).as("n"), col("t"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2))).toMap
+    assert(rows(1L)._1 == rows(2L)._1, "NFC must unify both spellings")
+    assert(rows(2L)._1 == rows(2L)._2, "already-NFC text unchanged")
+    assert(rows(3L)._1 == "plain ascii" && rows(4L)._1 == "")
+    // agrees with java.text.Normalizer on the decomposed row
+    assert(rows(1L)._1 == java.text.Normalizer.normalize(
+      rows(1L)._2, java.text.Normalizer.Form.NFC))
   }
 
   test("bounded min-k KMV estimates identical to the window formulation") {

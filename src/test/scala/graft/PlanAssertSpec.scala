@@ -218,6 +218,30 @@ class PlanAssertSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q144 dup matrix joins per-key COUNTS, never doc pairs — no cartesian/BNL") {
+    val p = executed("q144_cross_source_dups")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the only joins are equi on the fingerprint key of the COUNT frame
+    assert(p.contains("dedup_key"), "pair combinatorics must key on dedup_key")
+  }
+
+  test("q145 hard negatives broadcasts the anchor side like q24") {
+    val p = executed("q145_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "anchors must broadcast:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "scoring must not shuffle the base:\n" +
+      p.take(3000))
+  }
+
+  test("q147 KMV overlap matrix aggregates before its tiny pair join") {
+    val p = executed("q147_kmv_source_overlap")
+    // the data-sized stage is the min-k aggregate: partial_minkarray must
+    // appear (map-side combining) before the exchange; the pair join is
+    // over G sketch rows and may be a nested loop — that's the design
+    assert(p.toLowerCase.contains("partial_"), p.take(3000))
+  }
+
   test("q121 heavy hitters screens with a broadcast semi join, counts only candidates") {
     val p = executed("q121_heavy_hitters")
     // the exact recheck must never shuffle the full term universe: the
