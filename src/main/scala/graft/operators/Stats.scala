@@ -268,6 +268,33 @@ object Stats {
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))
   }
 
+  /** Hot-key skew diagnostic for a Long join/aggregation key: the top-N
+    * heaviest keys with their corpus share (ppm) and their multiple of
+    * the mean per-key load (milli) — the report that decides whether a
+    * key needs salting ([[Skew]]), AQE skew-join splitting, or a
+    * broadcast rewrite BEFORE the job that would discover it by
+    * stalling on one reducer. One (key)-keyed count aggregate (map-side
+    * combining), then the bounded [[graft.functions.TopKAggregator]] —
+    * at most N candidates per partition ship to a single final merge,
+    * so profiling a 100 TB key column never sorts or collects the key
+    * domain. Deterministic (count desc, key asc) ties.
+    * Output: (key, cnt, share_ppm, skew_x1000, total, n_keys).
+    */
+  def skewProfile(df: DataFrame, key: Column, topN: Int): DataFrame = {
+    val cnt = df.groupBy(key.cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val tk = graft.functions.TopKAggregator.topK(topN)
+    cnt.agg(tk(col("key"), col("cnt")).as("top"))
+      .crossJoin(broadcast(tot))
+      .select(explode(col("top")).as("t"), col("total"), col("n_keys"))
+      .select(col("t.id").as("key"), col("t.score").as("cnt"),
+        expr("(t.score * 1000000) div total").as("share_ppm"),
+        expr("(t.score * n_keys * 1000) div total").as("skew_x1000"),
+        col("total"), col("n_keys"))
+  }
+
   def profile(df: DataFrame, cols: Map[String, Column]): DataFrame =
     cols.toSeq.sortBy(_._1).map { case (name, c) =>
       df.select(c.as("v"))

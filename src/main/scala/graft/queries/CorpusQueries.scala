@@ -731,7 +731,32 @@ object CorpusQueries {
       |FROM fp GROUP BY nfc_fp HAVING count(*) > 1
       |ORDER BY rep_id""".stripMargin
 
+  // --------------------------------------------------------------- q150
+  /** Hot-key skew diagnostic ([[Stats.skewProfile]]): the 20 heaviest
+    * part keys on lineitem with corpus share (ppm) and multiple of the
+    * mean per-key load (milli) — the pre-flight report that decides
+    * salting/AQE-split/broadcast BEFORE a job stalls on one reducer.
+    * One count aggregate + the bounded top-k aggregator: profiling the
+    * key column never sorts or collects the key domain.
+    */
+  val q150: Q = (s, dir) =>
+    Stats.skewProfile(Tables.lineitem(s, dir), col("l_partkey"), 20)
+      .orderBy(col("cnt").desc, col("key"))
+  val q150Sql: String =
+    """WITH c AS (SELECT l_partkey AS key, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c),
+      |r AS (SELECT key, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, key) AS rk FROM c)
+      |SELECT key, cnt,
+      |  CAST((cnt * 1000000) // total AS BIGINT) AS share_ppm,
+      |  CAST((cnt * n_keys * 1000) // total AS BIGINT) AS skew_x1000,
+      |  CAST(total AS BIGINT) AS total, CAST(n_keys AS BIGINT) AS n_keys
+      |FROM r CROSS JOIN t WHERE rk <= 20
+      |ORDER BY cnt DESC, key""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q150_skew_profile" -> q150,
     "q148_nfc_dedup" -> q148,
     "q124_winnow_candidates" -> q124,
     "q123_winnow_fingerprints" -> q123,
@@ -754,6 +779,7 @@ object CorpusQueries {
     "q116_incremental_novelty" -> q116)
 
   val oracle: Map[String, String] = Map(
+    "q150_skew_profile" -> q150Sql,
     "q148_nfc_dedup" -> q148Sql,
     "q124_winnow_candidates" -> q124Sql,
     "q123_winnow_fingerprints" -> q123Sql,

@@ -847,7 +847,71 @@ object PipelineQueries {
       |SELECT * FROM small UNION ALL SELECT * FROM kept
       |ORDER BY source, file""".stripMargin
 
+  // --------------------------------------------------------------- q149
+  /** Cross-version chunk reuse ([[TextOps.contentDefinedChunks]] over
+    * two snapshot versions): every 5th document gets a prefix edit in
+    * "v2"; the report counts how many of each document's v2 chunks
+    * already exist in v1 — the delta-sync savings estimate that
+    * justifies content-defined over fixed-stride chunking (a prefix
+    * edit shifts every byte offset, yet all chunks past the first
+    * content boundary keep their hashes). Two chunk tables, one
+    * id-partitioned left join, one grouped count — at snapshot scale
+    * this IS the transfer-planning query.
+    */
+  val q149: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val v2 = d.withColumn("text",
+      when(col("doc_id") % 5 === 0, concat(lit("upd "), col("text")))
+        .otherwise(col("text")))
+    val c1 = TextOps.contentDefinedChunks(d, "doc_id", "text")
+      .select(col("id"), col("chunk_h")).distinct()
+      .withColumn("hit", lit(1L))
+    val c2 = TextOps.contentDefinedChunks(v2, "doc_id", "text")
+    c2.join(c1, Seq("id", "chunk_h"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"), count(col("hit")).as("n_reused"))
+      .select(col("id").as("doc_id"),
+        (col("id") % 5 === 0).cast("long").as("edited"),
+        col("n_chunks"), col("n_reused"),
+        expr("(n_reused * 1000000) div n_chunks").as("reuse_ppm"))
+      .orderBy("doc_id")
+  }
+  val q149Sql: String = {
+    def chunks(src: String, p: String) =
+      s"""${p}t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+         |  FROM $src),
+         |${p}p AS (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM ${p}t),
+         |${p}c AS (SELECT doc_id, pos, w[pos+1] AS tok,
+         |    CASE WHEN pos > 0 AND pos + 3 <= len(w)
+         |      AND ('0x'||substr(md5(array_to_string(w[pos+1:pos+3], ' ')),1,12))::BIGINT % 64 = 0
+         |    THEN 1 ELSE 0 END AS cut FROM ${p}p),
+         |${p}k AS (SELECT doc_id, pos, tok, sum(cut) OVER (
+         |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+         |    AS chunk_id FROM ${p}c),
+         |${p}h AS (SELECT doc_id, chunk_id,
+         |    ('0x'||substr(md5(string_agg(tok, ' ' ORDER BY pos)),1,12))::BIGINT
+         |      AS chunk_h
+         |  FROM ${p}k GROUP BY 1, 2)""".stripMargin
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+       |v2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |    THEN 'upd ' || text ELSE text END AS text FROM documents),
+       |${chunks("v1", "a")},
+       |${chunks("v2", "b")},
+       |a1 AS (SELECT DISTINCT doc_id, chunk_h FROM ah),
+       |j AS (SELECT bh.doc_id, bh.chunk_id,
+       |    CASE WHEN a1.chunk_h IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM bh LEFT JOIN a1
+       |    ON a1.doc_id = bh.doc_id AND a1.chunk_h = bh.chunk_h)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS edited,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(hit) AS BIGINT) AS n_reused,
+       |  CAST((sum(hit) * 1000000) // count(*) AS BIGINT) AS reuse_ppm
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q149_chunk_reuse" -> q149,
     "q108_compaction_plan" -> q108,
     "q62_tfidf_topterms" -> q62,
     "q63_chunk_overlap" -> q63,
@@ -871,6 +935,7 @@ object PipelineQueries {
     "q76_dedup_survivors" -> q76)
 
   val oracle: Map[String, String] = Map(
+    "q149_chunk_reuse" -> q149Sql,
     "q108_compaction_plan" -> q108Sql,
     "q62_tfidf_topterms" -> q62Sql,
     "q63_chunk_overlap" -> q63Sql,

@@ -439,6 +439,25 @@ class CorpusOpsSpec extends SparkSuite {
     assert(drift.forall(_._4 > 0L), s"shifted dists must drift: ${drift.toSeq}")
   }
 
+  test("skewProfile: top-N by count with deterministic ties, exact shares, partition-invariant") {
+    // key 7 is hot (10 rows), 3 and 5 tie at 4, long tail of singletons
+    val rows = Seq.fill(10)(7L) ++ Seq.fill(4)(3L) ++ Seq.fill(4)(5L) ++
+      (100L to 105L)
+    val df = rows.toDF("k").repartition(7)
+    val got = Stats.skewProfile(df, col("k"), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.size.toLong; val nKeys = 9L
+    assert(got.toSeq == Seq(
+      (7L, 10L, 10L * 1000000 / total, 10L * nKeys * 1000 / total),
+      (3L, 4L, 4L * 1000000 / total, 4L * nKeys * 1000 / total),
+      (5L, 4L, 4L * 1000000 / total, 4L * nKeys * 1000 / total)),
+      s"got ${got.toSeq}")
+    // partition-invariance: a different layout yields the identical rows
+    val again = Stats.skewProfile(rows.toDF("k").repartition(2), col("k"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == got.map(t => (t._1, t._2)).toSeq)
+  }
+
   test("robustOutliers returns exactly the rows medianMad counts") {
     // group g: spread 1..21 (median 11, MAD 6) plus two extremes
     val rows = ((1L to 21L) ++ Seq(1000L, -500L))
