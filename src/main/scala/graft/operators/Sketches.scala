@@ -71,6 +71,74 @@ object Sketches {
       .select(groupCols.map(col) :+ estCol(k).as("est_distinct"): _*)
   }
 
+  /** floor(log₂ v) for positive Longs as a pure-integer comparison sum —
+    * NO log(): Java's `Math.log(x)/Math.log(2)` is not exact at powers
+    * of two, so a float log2 disagrees across engines exactly at bucket
+    * boundaries. 39 bits covers any cent-scaled money/length value.
+    */
+  private def floorLog2(v: Column): Column =
+    (1 to 39).map(k => when(v >= lit(1L << k), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** DDSketch-style MERGEABLE quantile sketch on a positive Long value
+    * domain: values < 32 keep their own bucket (exact); larger values
+    * bucket by (floor(log₂ v), next 4 mantissa bits) — a base-2^(1/16)
+    * log histogram whose bucket width is ≤ 1/16 of its lower bound, so
+    * any quantile read from it is within 6.25% RELATIVE error with a
+    * bucket count bounded by 32 + 16·35 ≈ 600 regardless of data size.
+    * This completes the bounded-sketch family (KMV/HLL cardinality,
+    * count-min frequency, Misra-Gries heavy hitters) with quantiles:
+    * per-shard/per-day sketches merge by adding counts and the merged
+    * quantile equals the full-scan sketch EXACTLY — and unlike
+    * rank-sketches with random compactors (KLL), every step is
+    * deterministic integer arithmetic the oracle replays bit-for-bit.
+    * Output: (groups..., bucket, cnt).
+    */
+  def logHistSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    val base = df.select(groupCols.map(col) :+ valueCol.cast("long").as("v"): _*)
+      .filter(col("v") > 0)
+    base.withColumn("b", floorLog2(col("v")))
+      .withColumn("bucket", when(col("v") < 32, col("v"))
+        .otherwise(lit(32) + (col("b") - 5) * 16 +
+          expr("(v div shiftleft(CAST(1 AS BIGINT), b - 4)) % 16")))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge log-histogram sketch frames (same bucketing): counts add. */
+  def logHistMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a [[logHistSketch]]: for each integer
+    * percentile p, the LOWER BOUND of the first bucket whose cumulative
+    * count crosses `n·p` (the exact integer membership test — no float
+    * rank). est ≤ true value ≤ est·17/16 by construction. The
+    * cumulative walk is a window over ≤ ~600 bucket rows per group —
+    * value-domain work, independent of data size.
+    * Output: (groups..., p, est).
+    */
+  def logHistQuantiles(sketch: DataFrame, groupCols: Seq[String],
+      ps: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("bucket")
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("lb", when(col("bucket") < 32, col("bucket"))
+        .otherwise(expr(
+          """shiftleft(CAST(16 AS BIGINT) + ((bucket - 32) % 16),
+            |  CAST(((bucket - 32) div 16) + 1 AS INT))""".stripMargin)))
+    ps.map { p =>
+      cum.filter(col("cum") * 100 >= col("n") * p)
+        .groupBy(groupCols.map(col): _*)
+        .agg(min(col("lb")).as("est"))
+        .withColumn("p", lit(p.toLong))
+        .select(groupCols.map(col) :+ col("p") :+ col("est"): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Pairwise KMV Jaccard matrix across groups: for every unordered
     * group pair, estimate the Jaccard similarity of their value SETS
     * from bounded min-k sketches — the "how much do these sources

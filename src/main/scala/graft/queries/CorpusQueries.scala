@@ -755,7 +755,57 @@ object CorpusQueries {
       |FROM r CROSS JOIN t WHERE rk <= 20
       |ORDER BY cnt DESC, key""".stripMargin
 
+  // --------------------------------------------------------------- q151
+  /** Mergeable log-histogram quantiles ([[Sketches.logHistSketch]] →
+    * [[Sketches.logHistQuantiles]]): p50/p90/p99 of price cents per
+    * return flag from a DDSketch-style base-2^(1/16) integer log
+    * histogram — bounded ~600 buckets regardless of data size, shard
+    * sketches merge by adding counts, ≤ 6.25% relative error by
+    * construction, and (unlike KLL's random compactors) every step is
+    * deterministic integer arithmetic: the floor-log₂ is a comparison
+    * SUM (a float log2 disagrees across engines exactly at bucket
+    * boundaries), so the oracle replays the sketch AND the quantile
+    * walk bit-for-bit.
+    */
+  val q151: Q = (s, dir) =>
+    Sketches.logHistQuantiles(
+      Sketches.logHistSketch(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long")),
+      Seq("l_returnflag"), Seq(50, 90, 99))
+      .orderBy("l_returnflag", "p")
+  val q151Sql: String = {
+    val bChain = (1 to 39)
+      .map(k => s"(CASE WHEN v >= ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH vv AS (SELECT l_returnflag AS g,
+       |    CAST(round(l_extendedprice*100) AS BIGINT) AS v
+       |  FROM lineitem WHERE round(l_extendedprice*100) > 0),
+       |bb AS (SELECT g, v, $bChain AS b FROM vv),
+       |bk AS (SELECT g, CASE WHEN v < 32 THEN v
+       |    ELSE 32 + (b-5)*16 + ((v >> (b-4)) & 15) END AS bucket FROM bb),
+       |sk AS (SELECT g, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |c AS (SELECT g, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY g) AS n FROM sk),
+       |l AS (SELECT g, cum, n,
+       |    CASE WHEN bucket < 32 THEN bucket
+       |    ELSE (16 + (bucket-32)%16)::BIGINT << ((bucket-32)//16 + 1)
+       |    END AS lb
+       |  FROM c),
+       |q AS (
+       |  SELECT g, 50 AS p, min(lb) AS est FROM l
+       |    WHERE cum*100 >= n*50 GROUP BY g
+       |  UNION ALL SELECT g, 90, min(lb) FROM l
+       |    WHERE cum*100 >= n*90 GROUP BY g
+       |  UNION ALL SELECT g, 99, min(lb) FROM l
+       |    WHERE cum*100 >= n*99 GROUP BY g)
+       |SELECT g AS l_returnflag, CAST(p AS BIGINT) AS p,
+       |  CAST(est AS BIGINT) AS est
+       |FROM q ORDER BY l_returnflag, p""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_loghist_quantiles" -> q151,
     "q150_skew_profile" -> q150,
     "q148_nfc_dedup" -> q148,
     "q124_winnow_candidates" -> q124,
@@ -779,6 +829,7 @@ object CorpusQueries {
     "q116_incremental_novelty" -> q116)
 
   val oracle: Map[String, String] = Map(
+    "q151_loghist_quantiles" -> q151Sql,
     "q150_skew_profile" -> q150Sql,
     "q148_nfc_dedup" -> q148Sql,
     "q124_winnow_candidates" -> q124Sql,

@@ -120,6 +120,40 @@ class NativeHashesSpec extends SparkSuite {
     assert(j.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("logHist sketch: shard merge == full scan; quantiles within the 1/16 relative bound") {
+    val li = Tables.lineitem(spark, sf)
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val whole = Sketches.logHistSketch(li, Seq("l_returnflag"), cents)
+    val merged = Sketches.logHistMerge(
+      Sketches.logHistSketch(li.filter(col("l_orderkey") % 2 === 0),
+          Seq("l_returnflag"), cents)
+        .unionByName(Sketches.logHistSketch(
+          li.filter(col("l_orderkey") % 2 =!= 0), Seq("l_returnflag"), cents)),
+      Seq("l_returnflag"))
+    assert(whole.exceptAll(merged).count() == 0 &&
+      merged.exceptAll(whole).count() == 0,
+      "shard sketches must merge to exactly the full-scan sketch")
+    // bucket count bounded by the value domain, not the row count
+    assert(whole.count() <= 600 * 3)
+
+    // every estimate brackets the exact percentile: est <= exact <= est*17/16
+    val est = Sketches.logHistQuantiles(whole, Seq("l_returnflag"),
+        Seq(50, 90, 99)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exact = li.select(col("l_returnflag").as("g"), cents.as("v"))
+      .collect().groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        val vs = rows.map(_.getLong(1)).sorted
+        g -> Seq(50, 90, 99).map(p =>
+          p -> vs((((vs.length.toLong * p) + 99) / 100 - 1).toInt.max(0))).toMap
+      }
+    for ((g, byP) <- exact; (p, ex) <- byP) {
+      val e = est((g, p.toLong))
+      assert(e <= ex && ex <= e + e / 16 + 1,
+        s"$g p$p: est $e must bracket exact $ex within 1/16")
+    }
+  }
+
   test("kmvJaccardMatrix is EXACT below k and tracks true Jaccard above it") {
     // below k: sets {a,b,c} vs {b,c,d} vs {x} — exact cells
     val small = Seq(
