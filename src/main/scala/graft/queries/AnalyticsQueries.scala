@@ -513,7 +513,58 @@ object AnalyticsQueries {
       |  CAST((matches * 1000000) // ucount AS BIGINT) AS jaccard_ppm
       |FROM t ORDER BY grp_a, grp_b""".stripMargin
 
+  // --------------------------------------------------------------- q152
+  /** Windowed streaming quantiles ([[graft.streaming.EventAnalytics
+    * .windowedValueSketch]], batch execution of the same plan that
+    * streams): per-hour p50/p95 of cent-scaled event values from the
+    * mergeable log-histogram sketch — bounded ~600-bucket state per
+    * window on an unbounded stream where `percentile_approx` buffers
+    * values. The oracle rebuilds every (hour, bucket) count and replays
+    * the quantile walk exactly (same machinery as q151, keyed by the
+    * event-time window); StreamingSpec pins stream == batch on the same
+    * operator.
+    */
+  val q152: Q = (s, dir) => {
+    val sk = graft.streaming.EventAnalytics
+      .windowedValueSketch(Tables.events(s, dir))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:00")
+        .as("bucket_hour"), col("bucket"), col("cnt"))
+    graft.operators.Sketches.logHistQuantiles(sk, Seq("bucket_hour"),
+        Seq(50, 95))
+      .orderBy("bucket_hour", "p")
+  }
+  val q152Sql: String = {
+    val bChain = (1 to 39)
+      .map(k => s"(CASE WHEN v >= ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH vv AS (SELECT strftime(date_trunc('hour', ts),
+       |      '%Y-%m-%d %H:00') AS g,
+       |    CAST(round(value*100) AS BIGINT) AS v
+       |  FROM events WHERE round(value*100) > 0),
+       |bb AS (SELECT g, v, $bChain AS b FROM vv),
+       |bk AS (SELECT g, CASE WHEN v < 32 THEN v
+       |    ELSE 32 + (b-5)*16 + ((v >> (b-4)) & 15) END AS bucket FROM bb),
+       |sk AS (SELECT g, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |c AS (SELECT g, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY g) AS n FROM sk),
+       |l AS (SELECT g, cum, n,
+       |    CASE WHEN bucket < 32 THEN bucket
+       |    ELSE (16 + (bucket-32)%16)::BIGINT << ((bucket-32)//16 + 1)
+       |    END AS lb
+       |  FROM c),
+       |q AS (
+       |  SELECT g, 50 AS p, min(lb) AS est FROM l
+       |    WHERE cum*100 >= n*50 GROUP BY g
+       |  UNION ALL SELECT g, 95, min(lb) FROM l
+       |    WHERE cum*100 >= n*95 GROUP BY g)
+       |SELECT g AS bucket_hour, CAST(p AS BIGINT) AS p,
+       |  CAST(est AS BIGINT) AS est
+       |FROM q ORDER BY bucket_hour, p""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q152_windowed_quantiles" -> q152,
     "q147_kmv_source_overlap" -> q147,
     "q143_label_propagation" -> q143,
     "q77_repetition_profile" -> q77,
@@ -530,6 +581,7 @@ object AnalyticsQueries {
     "q86_column_profile" -> q86)
 
   val oracle: Map[String, String] = Map(
+    "q152_windowed_quantiles" -> q152Sql,
     "q147_kmv_source_overlap" -> q147Sql,
     "q143_label_propagation" -> q143Sql,
     "q77_repetition_profile" -> q77Sql,

@@ -53,6 +53,28 @@ object EventAnalytics {
         Sketches.hllEstFromCols(p).as("est_users"))
   }
 
+  /** Windowed value-distribution sketch — the quantile counterpart of
+    * [[windowedDistinct]]'s cardinality: per hour window, the
+    * DDSketch-style integer log histogram
+    * ([[graft.operators.Sketches.logHistSketch]]) of cent-scaled event
+    * values. State per window is bounded by the ~600-bucket value
+    * domain regardless of traffic (a per-window `percentile_approx`
+    * buffers values), the (window, bucket) counts stream in the single
+    * stateful aggregation, and quantiles read off the sketch later with
+    * [[graft.operators.Sketches.logHistQuantiles]] — the p50/p95/p99
+    * latency-monitoring shape on an unbounded stream. Identical
+    * integers batch or streamed.
+    */
+  def windowedValueSketch(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    graft.operators.Sketches.logHistSketch(
+      events
+        .withWatermark("ts", watermark)
+        .select(window(col("ts"), windowLen).as("w"),
+          round(col("value") * 100).cast("long").as("v"))
+        .select(col("w.start").as("window_start"), col("v")),
+      Seq("window_start"), col("v"))
+
   /** Per-user session windows (gap-based). */
   def sessions(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =

@@ -73,6 +73,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowedValueSketch streams == batch (bounded per-window quantile state)") {
+    val batchEvents = Tables.events(spark, dir)
+    val expected = EventAnalytics.windowedValueSketch(batchEvents)
+      .orderBy("window_start", "bucket").collect().toSeq
+    assert(expected.nonEmpty)
+
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-quant-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamEvents = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(streamDir.toString), "ts")
+    val q = EventAnalytics.windowedValueSketch(streamEvents)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("quant_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("quant_out")
+        .orderBy("window_start", "bucket").collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("clickAttribution as a real stream-stream join matches its batch execution") {
     val batchEvents = Tables.events(spark, dir)
     val expected = EventAnalytics.clickAttribution(batchEvents)
