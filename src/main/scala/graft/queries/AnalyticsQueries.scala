@@ -124,7 +124,8 @@ object AnalyticsQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // no .distinct() here: Graph.symmetrized dedups after the union, so
+    // a query-level distinct is a redundant full shuffle of the edge set
     Graph.pageRank(edges, iters = 3).orderBy("node")
   }
   val q80Sql: String = {
@@ -164,7 +165,8 @@ object AnalyticsQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // no .distinct() here: Graph.symmetrized dedups after the union, so
+    // a query-level distinct is a redundant full shuffle of the edge set
     val seeds = Tables.customer(s, dir)
       .select((col("c_custkey") * 2).as("node"))
       .orderBy("node").limit(10)
@@ -423,7 +425,8 @@ object AnalyticsQueries {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
+    // no .distinct() here: Graph.symmetrized dedups after the union, so
+    // a query-level distinct is a redundant full shuffle of the edge set
     val seeds = Tables.customer(s, dir)
       .filter(col("c_custkey") % 10 === 0)
       .select((col("c_custkey") * 2).as("node"),
