@@ -98,12 +98,20 @@ object Sketches {
       valueCol: Column): DataFrame = {
     val base = df.select(groupCols.map(col) :+ valueCol.cast("long").as("v"): _*)
       .filter(col("v") > 0)
-    base.withColumn("b", floorLog2(col("v")))
-      .withColumn("bucket", when(col("v") < 32, col("v"))
-        .otherwise(lit(32) + (col("b") - 5) * 16 +
-          expr("(v div shiftleft(CAST(1 AS BIGINT), b - 4)) % 16")))
-      .groupBy((groupCols :+ "bucket").map(col): _*)
+    base.groupBy(groupCols.map(col) :+ logBucket(col("v")).as("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The [[logHistSketch]] bucket id for a positive Long `v`, as a
+    * single Column — exposed so streaming callers can group by
+    * (watermarked window struct, bucket) directly: projecting grouping
+    * keys BEFORE a stateful groupBy would drop the event-time
+    * watermark metadata and unbound the state.
+    */
+  def logBucket(v: Column): Column = {
+    val b = floorLog2(v)
+    when(v < 32, v).otherwise(lit(32) + (b - 5) * 16 +
+      (call_function("shiftright", v.cast("long"), b - lit(4)) % 16))
   }
 
   /** Merge log-histogram sketch frames (same bucketing): counts add. */

@@ -17,27 +17,86 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Inclusive running sum over a (group, v) VALUE-DOMAIN frame with NO
+    * unbounded window partition anywhere — the scale core under
+    * [[equiDepthHistogram]] / [[medianMad]] / [[weightedPercentiles]] /
+    * [[quantileNormalize]].
+    *
+    * A plain `sum(c) OVER (PARTITION BY g ORDER BY v)` funnels a
+    * group's ENTIRE value domain through one task (and with no group at
+    * all, Spark warns `No Partition Defined … moving all data to a
+    * single partition`) — correct at bench scale, a named scale-killer
+    * at 100 TB with a high-cardinality domain (prices in cents). Here
+    * the global prefix decomposes over a 3-level 16-bit radix hierarchy
+    * of the value (b1 = v≫16, b2 = v≫32, b3 = v≫48):
+    * per-level bucket totals are distributed aggregates, each
+    * exclusive-prefix window partitions by the PARENT bucket and so
+    * holds ≤ 2¹⁶ rows BY CONSTRUCTION — at every level, for any data
+    * size, any value distribution (arithmetic shift is floor division:
+    * order-preserving for negatives too). cum(v) = h3(b3) + p2(b2) +
+    * p1(b1) + in-bucket prefix. No driver collect, no action; the b3
+    * root level is one ≤ 65 536-row partition keyed by the group (or a
+    * constant when there is none — never an empty partition spec).
+    *
+    * Input: distinct (groups…, v) rows with a Long weight `cCol`.
+    * Output: input + `cum` (inclusive prefix of cCol within group by v)
+    * + `n` (group total, broadcast back from the root level).
+    */
+  private[graft] def valueDomainCum(counts0: DataFrame, gCols: Seq[String],
+      cCol: String = "c"): DataFrame = {
+    val (base, gNames) =
+      if (gCols.nonEmpty) (counts0, gCols)
+      else (counts0.withColumn("_g", lit(0)), Seq("_g"))
+    val g = gNames.map(col)
+    def ex(df: DataFrame, part: Seq[String], ord: String, c: String,
+        out: String): DataFrame =
+      df.withColumn(out, coalesce(sum(col(c)).over(
+        Window.partitionBy(part.map(col): _*).orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val counts = base.withColumn("_b1", shiftright(col("v"), 16))
+    val t1 = counts.groupBy(g :+ col("_b1"): _*)
+      .agg(sum(col(cCol)).as("_c1"))
+      .withColumn("_b2", shiftright(col("_b1"), 16))
+    val t2 = t1.groupBy(g :+ col("_b2"): _*)
+      .agg(sum(col("_c1")).as("_c2"))
+      .withColumn("_b3", shiftright(col("_b2"), 16))
+    val t3 = t2.groupBy(g :+ col("_b3"): _*)
+      .agg(sum(col("_c2")).as("_c3"))
+    val tot = t3.groupBy(g: _*).agg(sum(col("_c3")).as("n"))
+    val h3 = ex(t3, gNames, "_b3", "_c3", "_h3")
+      .select(g :+ col("_b3") :+ col("_h3"): _*)
+    val h2 = ex(t2.join(broadcast(h3), gNames :+ "_b3"),
+        gNames :+ "_b3", "_b2", "_c2", "_p2")
+      .select(g :+ col("_b2") :+ (col("_h3") + col("_p2")).as("_h2"): _*)
+    val h1 = ex(t1.join(broadcast(h2), gNames :+ "_b2"),
+        gNames :+ "_b2", "_b1", "_c1", "_p1")
+      .select(g :+ col("_b1") :+ (col("_h2") + col("_p1")).as("_h1"): _*)
+    counts.join(h1, gNames :+ "_b1")
+      .withColumn("cum", col("_h1") + sum(col(cCol)).over(
+        Window.partitionBy((gNames :+ "_b1").map(col): _*).orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot), gNames)
+      .drop((Seq("_b1", "_h1") ++ (if (gCols.isEmpty) Seq("_g") else Nil)): _*)
+  }
+
   /** Equi-depth histogram of an integer-valued column: `k` buckets with
     * (as near as ties allow) equal row counts. Rule: every distinct
     * value v lands WHOLLY in bucket `(cumBefore(v) · k) div N` (its
     * first row's 0-based position scaled to buckets) — deterministic,
     * tie-stable, and exactly replayable in SQL.
     *
-    * Plan: groupBy(value).count (distributed, map-side combined) → one
-    * cumulative-sum window over DISTINCT VALUES ordered by value (state
-    * bounded by the value domain, not the row count — the q36 histogram
-    * argument) → final per-bucket aggregate.
+    * Plan: groupBy(value).count (distributed, map-side combined) → the
+    * radix-decomposed cumulative sum over DISTINCT VALUES
+    * ([[valueDomainCum]]: every window partition ≤ 2¹⁶ rows, no
+    * single-partition WindowExec) → final per-bucket aggregate.
     * Output: (bucket, n_rows, n_values, v_min, v_max).
     */
   def equiDepthHistogram(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
     val counts = df.select(valueCol.cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
-    val cum = counts
-      .withColumn("cum", sum(col("c")).over(
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    valueDomainCum(counts, Nil)
       .withColumn("bucket", expr(s"((cum - c) * $k) div n"))
-    cum.groupBy("bucket")
+      .groupBy("bucket")
       .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_values"),
         min(col("v")).as("v_min"), max(col("v")).as("v_max"))
   }
@@ -75,17 +134,11 @@ object Stats {
       counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else counts0
     val cleanup = () => if (persist) { counts.unpersist(); () }
-    def lowerMedian(cts: DataFrame, out: String): DataFrame = {
-      val w = Window.partitionBy("g").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val n = Window.partitionBy("g")
-      cts
-        .withColumn("cum", sum(col("c")).over(w))
-        .withColumn("n", sum(col("c")).over(n))
+    def lowerMedian(cts: DataFrame, out: String): DataFrame =
+      valueDomainCum(cts, Seq("g"))
         .filter(col("cum") >= expr("(n + 1) div 2"))
         .groupBy("g")
         .agg(min(col("v")).as(out), max(col("n")).as("n"))
-    }
     val med = lowerMedian(counts, "median")
     val dev = counts.join(med, Seq("g"))
       .groupBy(col("g"), abs(col("v") - col("median")).as("v"))
@@ -125,11 +178,8 @@ object Stats {
     val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"),
         weightCol.cast("long").as("w"))
       .groupBy("g", "v").agg(sum(col("w")).as("wv"))
-    val cum = counts
-      .withColumn("cum", sum(col("wv")).over(
-        Window.partitionBy("g").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("wt", sum(col("wv")).over(Window.partitionBy("g")))
+    val cum = valueDomainCum(counts, Seq("g"), cCol = "wv")
+      .withColumnRenamed("n", "wt")
     val aggs = max(col("wt")).as("w_total") +:
       ps.map(p => min(when(col("cum") * 100 >= col("wt") * p, col("v")))
         .as(s"p_$p"))
@@ -193,12 +243,8 @@ object Stats {
       idCol: Column): DataFrame = {
     val rows = df.select(groupCol.as("g"), idCol.as("id"),
       valueCol.cast("long").as("v"))
-    val w = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val n = Window.partitionBy("g")
-    val q = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n", sum(col("c")).over(n))
+    val q = valueDomainCum(
+        rows.groupBy("g", "v").agg(count(lit(1)).as("c")), Seq("g"))
       .select(col("g"), col("v"),
         expr("(cum * 1000000) div n").as("cume_micro"))
     rows.join(q, Seq("g", "v"))
@@ -290,8 +336,14 @@ object Stats {
       .crossJoin(broadcast(tot))
       .select(explode(col("top")).as("t"), col("total"), col("n_keys"))
       .select(col("t.id").as("key"), col("t.score").as("cnt"),
-        expr("(t.score * 1000000) div total").as("share_ppm"),
-        expr("(t.score * n_keys * 1000) div total").as("skew_x1000"),
+        // 128-bit intermediates: cnt·n_keys·1000 exceeds Long at
+        // ~1e12 rows × ~1e9 keys; DECIMAL(38,0) keeps the products
+        // exact and `div` still emits bigint, so the schema (and the
+        // oracle) are unchanged.
+        expr("(CAST(t.score AS DECIMAL(38,0)) * 1000000) div total")
+          .as("share_ppm"),
+        expr("(CAST(t.score AS DECIMAL(38,0)) * n_keys * 1000) div total")
+          .as("skew_x1000"),
         col("total"), col("n_keys"))
   }
 

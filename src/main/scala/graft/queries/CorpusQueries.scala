@@ -163,7 +163,8 @@ object CorpusQueries {
       |    (sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
       |      * 1000000) // (sum(c) OVER (PARTITION BY g)) AS cume_micro
       |  FROM c)
-      |SELECT r.g AS lang, r.id AS doc_id, r.v, q.cume_micro
+      |SELECT r.g AS lang, r.id AS doc_id, r.v,
+      |  CAST(q.cume_micro AS BIGINT) AS cume_micro
       |FROM r JOIN q ON q.g = r.g AND q.v = r.v
       |ORDER BY lang, doc_id""".stripMargin
 
@@ -709,7 +710,10 @@ object CorpusQueries {
       .select(col("doc_id"), concat(col("text"), lit(" café")).as("t"))
       .unionByName(d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 4000000L).as("doc_id"),
-          concat(col("text"), lit(" café")).as("t")))
+          // DECOMPOSED form as an explicit escape (e + U+0301), so a
+          // source-file NFC normalization can never silently collapse
+          // it into the precomposed literal above.
+          concat(col("text"), lit(" cafe\u0301")).as("t")))
     corpus.select(col("doc_id"), md5(col("t")).as("raw_fp"),
         md5(NfcNormalize(col("t"))).as("nfc_fp"))
       .groupBy("nfc_fp")

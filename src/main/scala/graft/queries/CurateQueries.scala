@@ -308,7 +308,7 @@ object CurateQueries {
        |r AS (SELECT lang, doc_id,
        |    row_number() OVER (PARTITION BY lang ORDER BY $H48, doc_id) AS rk
        |  FROM documents)
-       |SELECT r.lang, r.doc_id, q.quota, q.n
+       |SELECT r.lang, r.doc_id, CAST(q.quota AS BIGINT) AS quota, q.n
        |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota
        |ORDER BY lang, doc_id""".stripMargin
 
@@ -367,7 +367,8 @@ object CurateQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |      AS cost_before
       |  FROM p)
-      |SELECT doc_id, pri, cost, cost_before FROM w
+      |SELECT doc_id, pri, cost, CAST(cost_before AS BIGINT) AS cost_before
+      |FROM w
       |WHERE cost_before < 10000 ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -198,7 +198,7 @@ object EventQueries {
       |  FROM pt JOIN iv ON pt.pt BETWEEN iv.s AND iv.e
       |  GROUP BY iv.incident_id)
       |SELECT iv.incident_id, coalesce(hits.n_errors, 0) AS n_errors,
-      |  coalesce(hits.err_value_c, 0) AS err_value_c
+      |  CAST(coalesce(hits.err_value_c, 0) AS BIGINT) AS err_value_c
       |FROM iv LEFT JOIN hits ON hits.incident_id = iv.incident_id
       |ORDER BY iv.incident_id""".stripMargin
 

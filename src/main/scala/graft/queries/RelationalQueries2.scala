@@ -288,10 +288,11 @@ object RelationalQueries2 {
         struct(lit("p").as("w"), col("p_c").as("v")))).as("e"))
       .select(col("l_returnflag"), col("e.w").as("w"), col("e.v").as("v"))
     val hist = ex.groupBy("l_returnflag", "w", "v").agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum", sum(col("c"))
-      .over(Window.partitionBy("l_returnflag", "w").orderBy("v")))
-    val tot = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-    val j = cum.join(tot, "l_returnflag")
+    // radix-decomposed cumulative sum (Stats.valueDomainCum): no window
+    // partition ever holds more than 2^16 histogram rows, and the
+    // per-(flag, w) total `n` comes back from the root level for free
+    val j = graft.operators.Stats.valueDomainCum(hist,
+      Seq("l_returnflag", "w"))
     // value at 0-based sorted index i = first histogram row with cum > i
     val lookups = ps.flatMap { case (nm, wv, p) =>
       val r = lit(p) * (col("n") - 1).cast("double")

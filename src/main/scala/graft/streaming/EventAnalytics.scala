@@ -66,14 +66,22 @@ object EventAnalytics {
     * integers batch or streamed.
     */
   def windowedValueSketch(events: DataFrame, windowLen: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
-    graft.operators.Sketches.logHistSketch(
-      events
-        .withWatermark("ts", watermark)
-        .select(window(col("ts"), windowLen).as("w"),
-          round(col("value") * 100).cast("long").as("v"))
-        .select(col("w.start").as("window_start"), col("v")),
-      Seq("window_start"), col("v"))
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Sketches
+    // Group by the window() struct itself, like [[windowedAgg]]: pulling
+    // window.start out BEFORE the stateful groupBy (GetStructField +
+    // Alias) drops the event-time watermark metadata, so the store would
+    // never evict closed windows and append mode would never finalize.
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), round(col("value") * 100).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .groupBy(window(col("ts"), windowLen),
+        Sketches.logBucket(col("v")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("bucket"),
+        col("cnt"))
+  }
 
   /** Per-user session windows (gap-based). */
   def sessions(events: DataFrame, gap: String = "30 minutes",

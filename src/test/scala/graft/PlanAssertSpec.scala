@@ -275,4 +275,23 @@ class PlanAssertSpec extends SparkSuite {
       l.contains("REPARTITION_BY_NUM") || l.contains("rangepartitioning")),
       s"unexpected exchange:\n${exchanges.mkString("\n")}")
   }
+
+  test("value-domain stats never plan a partition-less WindowExec") {
+    // Stats.valueDomainCum's radix decomposition exists precisely so no
+    // cumulative sum funnels a whole value domain through one task; a
+    // refactor that reintroduces Window.orderBy with an empty partition
+    // spec must fail here, not in the 100 TB run.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q36_percentiles", "q85_equidepth_hist",
+        "q88_median_mad", "q93_weighted_percentiles",
+        "q132_robust_outliers", "q137_quantile_normalize")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan
+      val bare = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$q has ${bare.size} partition-less WindowExec node(s)")
+    }
+  }
 }

@@ -73,6 +73,22 @@ def main():
             res = con.execute(oracles[name])
             duck_cols_raw = [d[0] for d in res.description]
             duck_rows = res.fetchall()
+            # Type lint: the driver's comparator hashes a DuckDB
+            # DECIMAL/HUGEINT (e.g. sum(BIGINT) or an integer-div of
+            # sums) differently from Spark's int64 even when values are
+            # equal — the q117/q126/q137/q142 trap. Fail loudly here so
+            # it can never reach the driver. Sibling of the "no
+            # array-typed final column" rule.
+            desc = con.execute(
+                f"DESCRIBE (SELECT * FROM ({oracles[name]}) LIMIT 0)"
+            ).fetchall()
+            bad = [(c, t) for c, t, *_ in desc
+                   if "DECIMAL" in t.upper() or "HUGEINT" in t.upper()]
+            if bad:
+                failures.append(name)
+                print(f"✗ {name}: oracle emits DECIMAL/HUGEINT column(s) "
+                      f"{bad} — CAST to BIGINT in the oracle SQL")
+                continue
         except Exception as e:
             failures.append(name)
             print(f"✗ {name}: oracle SQL failed: {e}")
