@@ -183,7 +183,18 @@ object Bench {
       // rediff: the per-comparison cost every repeated sync actually
       // pays — exchange-free by construction
       ("sync_bucketed_rediff", () => materialize(
-        graft.engine.BucketedSync.diff(spark, "bench_bk_prod", "bench_bk_backup")))
+        graft.engine.BucketedSync.diff(spark, "bench_bk_prod", "bench_bk_backup"))),
+      // the CLI --state steady state: fingerprint-gated snapshot reuse +
+      // Merkle changed-tables gate + full script assembly — the cost a
+      // nightly re-sync against unchanged dumps actually pays
+      ("sync_auto_rediff", () => {
+        graft.engine.BucketedSync.ensureSnapshot(spark, prodPath.toString, "bench_auto_prod")
+        graft.engine.BucketedSync.ensureSnapshot(spark, backupPath.toString, "bench_auto_backup")
+        val (_, script) = new SyncJob(spark).syncFromBucketed(
+          "bench_auto_prod", "bench_auto_backup", prodPath.toString, "bench")
+        Files.write(Paths.get(cacheDir, "sync_auto_out.sql"), script.getBytes("UTF-8"))
+        ()
+      })
     ).map { case (name, body) =>
       val (cold, warm, probe, loud) = runEntry(body)
       (name, cold, warm, probe, loud)
@@ -199,11 +210,20 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     val totalWarm = all.map(_._3).filter(_ >= 0).sum
+    // Probe-normalized totals: totals × (reference probe / this box's
+    // probe). ProbeRef is FIXED at the round-7 baseline box's
+    // probe_base_sec, so round-over-round comparisons read the
+    // normalized totals directly and box-speed drift (0.154 → 0.191 in
+    // round 8, a 24% apparent regression) stops confounding them.
+    val probeRef = 0.154
+    val norm = probeRef / probeBase
+    val totalNorm = total * norm
+    val totalWarmNorm = totalWarm * norm
     // FULL per-entry evidence → bench_out.json (COMMITTED since round 7;
     // the driver's capture keeps only a ~2000-char tail of stdout, so the
     // file is the round's reproducible full bench record).
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(all, _._2)},"warm":${jmap(all, _._3)},"total_warm":${r3(totalWarm)},"probe":${jmap(all, _._4)},"probe_base_sec":${r3(probeBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"n_entries":${all.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(all, _._2)},"warm":${jmap(all, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"probe_ref_sec":${r3(probeRef)},"probe":${jmap(all, _._4)},"probe_base_sec":${r3(probeBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"n_entries":${all.size},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full)
     // PRINTED line: must parse from the driver's 2000-char stdout tail
     // (BENCH_r06/r07 were parsed:null because the full map blew past it),
@@ -217,7 +237,7 @@ object Bench {
       "q80_pagerank", "q100_star_join", "q117_range_join_keyless")
     val head = all.filter(t => headline.contains(t._1))
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(head, _._2)},"warm":${jmap(head, _._3)},"total_warm":${r3(totalWarm)},"probe_base_sec":${r3(probeBase)},"noisy":$noisy,"n_entries":${all.size},"full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(head, _._2)},"warm":${jmap(head, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"probe_ref_sec":${r3(probeRef)},"probe_base_sec":${r3(probeBase)},"noisy":$noisy,"n_entries":${all.size},"full":"bench_out.json","sf":"$sfDir"}"""
     // stop BEFORE printing: shutdown logging can't land between the JSON
     // line and process exit, so the line stays inside any tail capture
     spark.stop()

@@ -20,6 +20,14 @@ import graft.report.SummaryReporter
   * to the driver — the at-scale path; concatenated sorted part files are
   * byte-identical to the single-file script.
   *
+  * `--state <dir>` enables the repeated-sync fast path: both dumps are
+  * snapshotted as bucketed tables under `<dir>` (fingerprint-gated, so
+  * an unchanged dump is never re-parsed), and the diff runs as the
+  * Merkle-gated changed-tables-only exchange-free rediff
+  * (engine.BucketedSync). The script is byte-identical to the default
+  * path; the second sync against the same dumps costs the digest scan,
+  * not the parse.
+  *
   * `--schema-diff` switches to report-only mode: print the column-level
   * schema evolution between the dumps (engine.SchemaDiff — columns
   * added/dropped/retyped, PK changes) and exit without generating a
@@ -91,8 +99,13 @@ object Main {
     val distributedOut =
       if (distIdx >= 0 && distIdx + 1 < rawArgs.length) Some(rawArgs(distIdx + 1))
       else None
-    val args0 = if (distIdx >= 0)
+    val args1 = if (distIdx >= 0)
       rawArgs.patch(distIdx, Nil, 2) else rawArgs
+    val stateIdx = args1.indexOf("--state")
+    val stateDir =
+      if (stateIdx >= 0 && stateIdx + 1 < args1.length) Some(args1(stateIdx + 1))
+      else None
+    val args0 = if (stateIdx >= 0) args1.patch(stateIdx, Nil, 2) else args1
     val schemaDiffOnly = args0.contains("--schema-diff")
     val args = args0.filterNot(_ == "--schema-diff")
 
@@ -107,14 +120,18 @@ object Main {
       }
     }
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-sync")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // --state: snapshots live under the state dir as the warehouse, so
+    // they survive across CLI invocations
+    val spark = stateDir.fold(builder)(d =>
+      builder.config("spark.sql.warehouse.dir",
+        Paths.get(d).toAbsolutePath.toString)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     try {
@@ -137,13 +154,29 @@ object Main {
       println(s"Comparing SQL dumps:\n  Production: $prodFile\n  Backup: $backupFile")
       val now = LocalDateTime.now.format(
         DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-      distributedOut match {
-        case Some(dir) =>
+      (distributedOut, stateDir) match {
+        case (Some(dir), _) =>
           val outcome = new SyncJob(spark).syncDistributed(
             prodFile, backupFile, dir, now)
           SummaryReporter.print(outcome)
           println(s"\n💾 Sync script parts written to: $dir")
-        case None =>
+        case (None, Some(_)) =>
+          // bucketed fast path: parse each dump at most once per content
+          // (fingerprint-gated snapshots in the state dir), then a
+          // Merkle-gated changed-tables-only exchange-free rediff —
+          // script byte-identical to the syncCollected path
+          val freshP = graft.engine.BucketedSync.ensureSnapshot(
+            spark, prodFile, "graft_state_prod")
+          val freshB = graft.engine.BucketedSync.ensureSnapshot(
+            spark, backupFile, "graft_state_backup")
+          println(s"  State: prod snapshot ${if (freshP) "written" else "reused"}, " +
+            s"backup snapshot ${if (freshB) "written" else "reused"}")
+          val (outcome, script) = new SyncJob(spark).syncFromBucketed(
+            "graft_state_prod", "graft_state_backup", prodFile, now)
+          SummaryReporter.print(outcome)
+          Files.write(Paths.get(outputFile), script.getBytes("UTF-8"))
+          println(s"\n💾 Sync script written to: $outputFile")
+        case (None, None) =>
           // executor-rendered single-file path: collects only the final
           // script lines, byte-identical to assemble(run(...), now)
           val (outcome, script) =

@@ -47,7 +47,8 @@ object BucketedSync {
     import spark.implicits._
     val job = new SyncJob(spark)
     val stmts = DumpSource.statements(spark, dumpPath)
-    val cat = job.catalog(stmts)
+    val info = job.catalogInfo(stmts)
+    val cat = info.metas
     val recs = job.records(stmts, cat).select(RecordCols.map(col): _*)
     if (dbuckets > 0)
       Colocate.bucketizeKeysPartitioned(
@@ -55,9 +56,141 @@ object BucketedSync {
         tableName, Seq("dbucket"), Seq("table", "pk"), buckets)
     else
       Colocate.bucketizeKeys(recs, tableName, Seq("table", "pk"), buckets)
-    cat.keys.toSeq.toDF("table").coalesce(1)
+    // Post-dedup row counts read back from the bucketed parquet (one
+    // column-pruned scan) — [[graft.engine.SyncJob.syncFromBucketed]]
+    // needs per-table counts for UNCHANGED tables without touching
+    // their data at rediff time.
+    val counts = spark.table(tableName).groupBy("table")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // Sidecar: the dump's full catalog in DDL order — enough to render
+    // UPDATE/DELETE/INSERT statements and the reference-quirk CREATE
+    // sections without re-parsing the dump. `ord` preserves the
+    // ListMap/DDL insertion order the script sections depend on.
+    cat.toSeq.zipWithIndex.map { case ((t, m), i) =>
+      SnapshotCatRow(i.toLong, t, m.columns, m.pkCols, m.createStmt,
+        m.colTypes, counts.getOrElse(t, 0L),
+        info.stmtEnd.get(t), info.firstCreatePos,
+        dumpFingerprint(dumpPath), buckets)
+    }.toDF().coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(catPath(spark, tableName))
+  }
+
+  /** One sidecar row per table (DDL order); snapshot-level fields
+    * (firstCreatePos, fingerprint, buckets) are repeated on every row —
+    * a handful of rows, and it keeps the sidecar a single flat frame.
+    */
+  private case class SnapshotCatRow(ord: Long, table: String,
+      columns: Seq[String], pkCols: Seq[String], createStmt: String,
+      colTypes: Seq[String], nRecords: Long, stmtEnd: Option[Long],
+      firstCreatePos: Option[Long], fingerprint: String, buckets: Int)
+
+  /** Path+size+mtime fingerprint of a dump file — the cheap staleness
+    * test [[ensureSnapshot]] uses to decide whether an existing snapshot
+    * can be reused for this dump (re-parsing to find out would cost the
+    * very parse the snapshot exists to amortize).
+    */
+  private def dumpFingerprint(dumpPath: String): String = {
+    val p = java.nio.file.Paths.get(dumpPath).toAbsolutePath
+    val sz = java.nio.file.Files.size(p)
+    val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
+    s"$p:$sz:$mt"
+  }
+
+  /** Snapshot `dumpPath` as `tableName` unless an up-to-date snapshot
+    * (matching path+size+mtime fingerprint) already exists. Returns true
+    * if a new snapshot was written. This is the CLI `--state` entry: the
+    * first sync pays the parse+shuffle, every later sync against an
+    * unchanged dump reuses the bucketed files for an exchange-free,
+    * changed-tables-only rediff.
+    *
+    * Snapshots survive JVM restarts: the bucketed files + sidecar live
+    * under the (state-dir) warehouse, and a fresh session that finds a
+    * current sidecar but no catalog entry re-registers the table as an
+    * external bucketed table over the existing files — metadata-only,
+    * no data touched.
+    */
+  def ensureSnapshot(spark: SparkSession, dumpPath: String,
+      tableName: String, buckets: Int = 32): Boolean = {
+    val sidecar: Option[(String, Int)] =
+      try {
+        spark.read.parquet(catPath(spark, tableName))
+          .select("fingerprint", "buckets").limit(1)
+          .collect().headOption
+          .map(r => (r.getString(0), r.getInt(1)))
+      } catch { case _: Exception => None }
+    sidecar match {
+      case Some((fp, bk)) if fp == dumpFingerprint(dumpPath) =>
+        if (!spark.catalog.tableExists(tableName))
+          registerExisting(spark, tableName, bk)
+        false
+      case _ =>
+        snapshot(spark, dumpPath, tableName, buckets)
+        true
+    }
+  }
+
+  /** Re-register an on-disk snapshot written by a previous session as an
+    * external bucketed table: the record schema is fixed
+    * ([[RecordCols]]), the files already follow the bucket-file naming
+    * `saveAsTable` produced, so a CLUSTERED BY declaration over the same
+    * location restores exchange-free diff plans without reading a byte.
+    */
+  private def registerExisting(spark: SparkSession, tableName: String,
+      buckets: Int): Unit = {
+    val loc = org.apache.spark.sql.graft.Bridge.tableLocation(spark, tableName)
+    spark.sql(
+      s"""CREATE TABLE `$tableName` (
+         |  `table` STRING, `pk` STRING, `ord_off` BIGINT,
+         |  `ord_row` INT, `vals` ARRAY<STRING>)
+         |USING PARQUET
+         |CLUSTERED BY (`table`, `pk`) SORTED BY (`table`, `pk`)
+         |INTO $buckets BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+  }
+
+  /** The sidecar catalog restored to the shape SyncJob renders from:
+    * DDL-ordered TableMeta map + the CREATE-section offsets.
+    */
+  private[engine] def catalogInfoOf(spark: SparkSession,
+      tableName: String): SyncJob.SnapshotCatalog = {
+    val rows = spark.read.parquet(catPath(spark, tableName))
+      .orderBy("ord").collect()
+    val metas = scala.collection.immutable.ListMap(rows.map { r =>
+      r.getAs[String]("table") -> graft.model.TableMeta(
+        r.getAs[String]("table"),
+        r.getAs[Seq[String]]("columns").toIndexedSeq,
+        r.getAs[Seq[String]]("pkCols").toIndexedSeq,
+        r.getAs[String]("createStmt"),
+        r.getAs[Seq[String]]("colTypes").toIndexedSeq)
+    }: _*)
+    val counts = rows.map(r =>
+      r.getAs[String]("table") -> r.getAs[Long]("nRecords")).toMap
+    val stmtEnd = rows.flatMap(r => Option(r.get(r.fieldIndex("stmtEnd")))
+      .map(e => r.getAs[String]("table") -> e.asInstanceOf[Long])).toMap
+    val firstCreate = rows.headOption.flatMap(r =>
+      Option(r.get(r.fieldIndex("firstCreatePos"))).map(_.asInstanceOf[Long]))
+    SyncJob.SnapshotCatalog(metas, counts, firstCreate, stmtEnd)
+  }
+
+  /** [[diffChanged]]'s joined frame plus the changed / common table
+    * lists — what [[SyncJob.syncFromBucketed]] needs to assemble a full
+    * script (stats for unchanged common tables come from the sidecar
+    * counts, never their data).
+    */
+  private[engine] def diffChangedInfo(spark: SparkSession, prodTable: String,
+      backupTable: String): (DataFrame, Seq[String], Seq[String]) = {
+    import spark.implicits._
+    val common = commonTables(spark, prodTable, backupTable)
+    def recs(t: String): DataFrame = spark.table(t)
+      .filter(col("table").isInCollection(common))
+    def rowCol = concat_ws("", col("pk"), col("vals"))
+    val changed = graft.operators.AntiEntropy
+      .changedBuckets(recs(prodTable), recs(backupTable), col("table"), rowCol)
+      .select("bucket").as[String].collect().toSeq
+    (diffOn(spark, prodTable, backupTable, changed), changed, common)
   }
 
   /** Digest-bucket partition key: a deterministic function of

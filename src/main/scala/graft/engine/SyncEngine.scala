@@ -520,4 +520,69 @@ class SyncJob(spark: SparkSession) {
       outcome.copy(ops = ops)
     } finally { joined.unpersist(); cleanup() }
   }
+
+  /** Full sync script straight from two [[BucketedSync]] snapshots —
+    * the repeated-sync fast path behind the CLI `--state` flag. Byte-
+    * identical to [[syncCollected]] on the same dump pair (the golden
+    * spec pins it), but the dumps are never re-parsed: catalogs, table
+    * counts, and CREATE-section offsets come from the snapshot
+    * sidecars; the row diff is the Merkle-gated changed-tables-only
+    * exchange-free bucket join ([[BucketedSync.diffChangedInfo]]).
+    * Unchanged tables contribute their sidecar counts to the stats tail
+    * without a single row read. `prodPath` is touched only to slice the
+    * reference-quirk CREATE text when the backup is missing a table.
+    */
+  def syncFromBucketed(prodTable: String, backupTable: String,
+      prodPath: String, now: String): (SyncOutcome, String) = {
+    val prodSnap = BucketedSync.catalogInfoOf(spark, prodTable)
+    val backupSnap = BucketedSync.catalogInfoOf(spark, backupTable)
+    val prodCat = prodSnap.metas
+    val backupCat = backupSnap.metas
+    val commonTables = prodCat.keys.filter(backupCat.contains).toSeq
+    val missingTables = prodCat.keys.filterNot(backupCat.contains).toSeq
+    val extraTables = backupCat.keys.filterNot(prodCat.contains).toSeq
+    val createSections = (prodSnap.firstCreatePos match {
+      case Some(start) => missingTables.flatMap { t =>
+        prodSnap.stmtEnd.get(t).map(end => t -> fileSlice(prodPath, start, end))
+      }
+      case None => Nil
+    }).toMap
+    val (joined0, _, _) =
+      BucketedSync.diffChangedInfo(spark, prodTable, backupTable)
+    val joined = joined0.cache()
+    try {
+      // op-type counts exist only for changed tables (the joined frame
+      // is diff rows of changed tables); totals come from the sidecars
+      val opStats = joined.groupBy("table").agg(
+        count(when(col("op") === Differ.OP_INSERT, 1)).as("missingCount"),
+        count(when(col("op") === Differ.OP_UPDATE, 1)).as("updatedCount"),
+        count(when(col("op") === Differ.OP_DELETE, 1)).as("deletedCount"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val stats = commonTables.map { t =>
+        val (mi, up, de) = opStats.getOrElse(t, (0L, 0L, 0L))
+        t -> TableStats(t, prodSnap.counts.getOrElse(t, 0L),
+          backupSnap.counts.getOrElse(t, 0L), mi, up, de)
+      }.toMap
+      val outcome = SyncOutcome(prodCat, backupCat, missingTables,
+        extraTables, commonTables, stats, Nil, createSections)
+      val lines = scriptLineFrame(joined, prodCat, backupCat,
+        commonTables, outcome, now).as[String].collect()
+      (outcome, lines.mkString("\n"))
+    } finally { joined.unpersist(); () }
+  }
+}
+
+object SyncJob {
+  /** A [[BucketedSync]] snapshot's sidecar restored for script
+    * assembly: DDL-ordered catalog, per-table post-dedup record counts,
+    * and the byte offsets that let [[SyncJob.syncFromBucketed]] emit
+    * the reference-quirk CREATE sections by slicing the original dump.
+    */
+  final case class SnapshotCatalog(
+      metas: ListMap[String, TableMeta],
+      counts: Map[String, Long],
+      firstCreatePos: Option[Long],
+      stmtEnd: Map[String, Long])
 }

@@ -122,4 +122,66 @@ class SyncJobSpec extends SparkSuite {
     val (_, collected) = job.syncCollected(prod.toString, backup.toString, now)
     assert(collected == got)
   }
+
+  test("--state fast path: snapshot-rediff script is byte-identical, snapshots reuse") {
+    import graft.engine.BucketedSync
+    def res(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/refdumps/$name")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val prod = tmpFile(res("prod_sf0.001.sql"))
+    val backup = tmpFile(res("backup_sf0.001.sql"))
+    val now = "STATE-TEST"
+    val (_, expected) = job.syncCollected(prod.toString, backup.toString, now)
+
+    // first sync: both snapshots written
+    assert(BucketedSync.ensureSnapshot(spark, prod.toString, "sjs_prod"))
+    assert(BucketedSync.ensureSnapshot(spark, backup.toString, "sjs_backup"))
+    val (o1, s1) = job.syncFromBucketed("sjs_prod", "sjs_backup",
+      prod.toString, now)
+    assert(s1 == expected)
+    assert(o1.ops.isEmpty) // fast path never collects per-op rows
+
+    // second sync, nothing changed: both snapshots reused, same bytes
+    assert(!BucketedSync.ensureSnapshot(spark, prod.toString, "sjs_prod"))
+    assert(!BucketedSync.ensureSnapshot(spark, backup.toString, "sjs_backup"))
+    val (_, s2) = job.syncFromBucketed("sjs_prod", "sjs_backup",
+      prod.toString, now)
+    assert(s2 == expected)
+
+    // a fresh session finding on-disk snapshots but no catalog entry
+    // (the CLI-restart case) re-registers over the existing files:
+    // simulate by copying the snapshot + sidecar to an unregistered name
+    val wh = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    def copyDir(from: String, to: String): Unit = {
+      val src = wh.resolve(from)
+      val dst = wh.resolve(to)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    copyDir("sjs_prod", "sjs_prod2")
+    copyDir("sjs_prod_cat", "sjs_prod2_cat")
+    assert(!spark.catalog.tableExists("sjs_prod2"))
+    assert(!BucketedSync.ensureSnapshot(spark, prod.toString, "sjs_prod2"))
+    assert(spark.catalog.tableExists("sjs_prod2"))
+    val (_, s3) = job.syncFromBucketed("sjs_prod2", "sjs_backup",
+      prod.toString, now)
+    assert(s3 == expected)
+
+    // a CHANGED dump re-snapshots and the rediff reflects it
+    val prod2 = tmpFile(res("prod_sf0.001.sql") +
+      "INSERT INTO `nation` (`n_nationkey`, `n_name`, `n_regionkey`) VALUES\n" +
+      "(999999, 'NEWLAND', 0);\n")
+    val (_, expected2) = job.syncCollected(prod2.toString, backup.toString, now)
+    assert(BucketedSync.ensureSnapshot(spark, prod2.toString, "sjs_prod"))
+    val (_, s4) = job.syncFromBucketed("sjs_prod", "sjs_backup",
+      prod2.toString, now)
+    assert(s4 == expected2)
+    assert(s4 != expected)
+  }
 }
