@@ -41,43 +41,155 @@ object Stats {
     * Input: distinct (groups…, v) rows with a Long weight `cCol`.
     * Output: input + `cum` (inclusive prefix of cCol within group by v)
     * + `n` (group total, broadcast back from the root level).
+    *
+    * The hierarchy's frames are referenced more than once in the DAG
+    * (tₖ feeds both the next level and its own prefix join), so the
+    * input-with-bucket frame and the level-1 totals are persisted —
+    * without that each reference re-derives the whole chain and the
+    * query re-scans its INPUT once per reference. [[valueDomainCum]]
+    * leaves the (value-domain-sized) caches to the session — the
+    * [[Graph.pageRank]] contract; use [[valueDomainCumManaged]] where
+    * a cleanup hook can be threaded through.
     */
   private[graft] def valueDomainCum(counts0: DataFrame, gCols: Seq[String],
-      cCol: String = "c"): DataFrame = {
-    val (base, gNames) =
-      if (gCols.nonEmpty) (counts0, gCols)
-      else (counts0.withColumn("_g", lit(0)), Seq("_g"))
+      cCol: String = "c"): DataFrame =
+    valueDomainCumManaged(counts0, gCols, cCol)._1
+
+  // ---- shared radix machinery --------------------------------------
+  // Uniform level schema (groups..., b, c): IDENTICAL column names at
+  // every level, so all per-level stages compile to the same
+  // whole-stage-codegen unit and hit the codegen cache. (A first
+  // version named columns per level — _b1/_c1/_b2/... — and paid one
+  // multi-hundred-ms compile per level per descent; compile time, not
+  // data, dominated the cold run.)
+
+  private def injectG(df: DataFrame, gCols: Seq[String])
+      : (DataFrame, Seq[String]) =
+    if (gCols.nonEmpty) (df, gCols)
+    else (df.withColumn("_g", lit(0)), Seq("_g"))
+
+  /** One 16-bit coarsening step: (g, b, c) -> (g, b>>16, sum c). */
+  private def up(df: DataFrame, gNames: Seq[String]): DataFrame =
+    df.select(gNames.map(col) :+ shiftright(col("b"), 16).as("b") :+
+        col("c"): _*)
+      .groupBy((gNames :+ "b").map(col): _*)
+      .agg(sum(col("c")).as("c"))
+
+  /** Exclusive prefix `p` of c over b within `part` — every partition
+    * holds <= 2^16 rows by radix construction (the root level spans the
+    * 2^16 possible values of v>>48).
+    */
+  private def exPrefix(df: DataFrame, part: Seq[String]): DataFrame =
+    df.withColumn("p", coalesce(sum(col("c")).over(
+      Window.partitionBy(part.map(col): _*).orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+
+  /** [[valueDomainCum]] plus the cleanup thunk releasing its internal
+    * caches (call after the consuming action). The normalized input and
+    * the level-1 totals are persisted: both feed two consumers, and the
+    * plan's broadcast subjobs run CONCURRENTLY — racing them on a lazy
+    * uncached parent recomputes it once per subjob (cache fills do not
+    * dedupe in-flight work), hence the eager count() before any
+    * consumer is built.
+    */
+  private[graft] def valueDomainCumManaged(counts0: DataFrame,
+      gCols: Seq[String], cCol: String = "c",
+      persistInput: Boolean = true): (DataFrame, () => Unit) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (in0, gNames) = injectG(counts0, gCols)
     val g = gNames.map(col)
-    def ex(df: DataFrame, part: Seq[String], ord: String, c: String,
-        out: String): DataFrame =
-      df.withColumn(out, coalesce(sum(col(c)).over(
-        Window.partitionBy(part.map(col): _*).orderBy(ord)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val counts = base.withColumn("_b1", shiftright(col("v"), 16))
-    val t1 = counts.groupBy(g :+ col("_b1"): _*)
-      .agg(sum(col(cCol)).as("_c1"))
-      .withColumn("_b2", shiftright(col("_b1"), 16))
-    val t2 = t1.groupBy(g :+ col("_b2"): _*)
-      .agg(sum(col("_c1")).as("_c2"))
-      .withColumn("_b3", shiftright(col("_b2"), 16))
-    val t3 = t2.groupBy(g :+ col("_b3"): _*)
-      .agg(sum(col("_c2")).as("_c3"))
-    val tot = t3.groupBy(g: _*).agg(sum(col("_c3")).as("n"))
-    val h3 = ex(t3, gNames, "_b3", "_c3", "_h3")
-      .select(g :+ col("_b3") :+ col("_h3"): _*)
-    val h2 = ex(t2.join(broadcast(h3), gNames :+ "_b3"),
-        gNames :+ "_b3", "_b2", "_c2", "_p2")
-      .select(g :+ col("_b2") :+ (col("_h3") + col("_p2")).as("_h2"): _*)
-    val h1 = ex(t1.join(broadcast(h2), gNames :+ "_b2"),
-        gNames :+ "_b2", "_b1", "_c1", "_p1")
-      .select(g :+ col("_b1") :+ (col("_h2") + col("_p1")).as("_h1"): _*)
-    counts.join(h1, gNames :+ "_b1")
-      .withColumn("cum", col("_h1") + sum(col(cCol)).over(
-        Window.partitionBy((gNames :+ "_b1").map(col): _*).orderBy("v")
+    // callers that already persist their counts frame pass
+    // persistInput=false: l0 is then a cheap projection of the cached
+    // parent and caching it again would only duplicate the bytes
+    val l0p = in0.select(g :+ col("v").cast("long").as("b") :+
+        col(cCol).cast("long").as("c"): _*)
+    val l0 = if (persistInput) l0p.persist(lvl) else l0p
+    val t1 = up(l0, gNames).persist(lvl)
+    t1.count()
+    val t2 = up(t1, gNames)
+    val t3 = up(t2, gNames)
+    val tot = t3.groupBy(g: _*).agg(sum(col("c")).as("n"))
+    val h3 = exPrefix(t3, gNames)
+      .select(g :+ col("b") :+ col("p").as("h"): _*)
+    def down(tk: DataFrame, hUp: DataFrame): DataFrame =
+      exPrefix(
+        tk.withColumn("bp", shiftright(col("b"), 16))
+          .join(broadcast(hUp.select(g :+ col("b").as("bp") :+
+            col("h").as("hp"): _*)), gNames :+ "bp"),
+        gNames :+ "bp")
+      .select(g :+ col("b") :+ (col("hp") + col("p")).as("h"): _*)
+    val h1 = down(t1, down(t2, h3))
+    val out = l0.withColumn("bp", shiftright(col("b"), 16))
+      .join(broadcast(h1.select(g :+ col("b").as("bp") :+
+        col("h").as("hp"): _*)), gNames :+ "bp")
+      .withColumn("cin", sum(col("c")).over(
+        Window.partitionBy((gNames :+ "bp").map(col): _*).orderBy("b")
           .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(g :+ col("b").as("v") :+ col("c").as(cCol) :+
+        (col("hp") + col("cin")).as("cum"): _*)
       .join(broadcast(tot), gNames)
-      .drop((Seq("_b1", "_h1") ++ (if (gCols.isEmpty) Seq("_g") else Nil)): _*)
+      .drop((if (gCols.isEmpty) Seq("_g") else Nil): _*)
+    (out, () => { if (persistInput) l0.unpersist(); t1.unpersist(); () })
   }
+
+  /** The smallest value whose inclusive running weight reaches a
+    * per-group target rank — the point-lookup sibling of
+    * [[valueDomainCum]]: instead of materializing the full cumulative
+    * sum over the domain, DESCEND the radix hierarchy. Per level, an
+    * exclusive-prefix window over the <= 2^16 child buckets of the
+    * (single) chosen parent bucket finds where the target rank crosses;
+    * after three descents only one level-1 bucket of actual values is
+    * scanned. Work is O(domain/2^16 + 4*2^16) rows per group versus the
+    * full-cum's O(domain) — the right shape when only a handful of
+    * ranks are needed (medians, MADs); every window partition stays
+    * <= 2^16 rows.
+    *
+    * `targetOf(n)` maps a group's total weight to the 1-based target
+    * rank (e.g. `(n+1) div 2` for the lower median); must be >= 1 and
+    * <= n. Output: (groups..., `out` = selected value, n).
+    */
+  private[graft] def rankSelect(counts0: DataFrame, gCols: Seq[String],
+      cCol: String, targetOf: Column => Column, out: String,
+      persistInput: Boolean = true): (DataFrame, () => Unit) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (in0, gNames) = injectG(counts0, gCols)
+    val g = gNames.map(col)
+    val l0p = in0.select(g :+ col("v").cast("long").as("b") :+
+        col(cCol).cast("long").as("c"): _*)
+    val l0 = if (persistInput) l0p.persist(lvl) else l0p
+    val t1 = up(l0, gNames).persist(lvl)
+    t1.count() // one parallel build before concurrent broadcasts race
+    val t2 = up(t1, gNames)
+    val t3 = up(t2, gNames)
+    val tgt = t3.groupBy(g: _*).agg(sum(col("c")).as("n"))
+      .withColumn("t", targetOf(col("n")))
+    // descend: keep the one bucket per group where the exclusive prefix
+    // crosses the target; prefixes are monotone over b, so min(struct)
+    // picks the first crossing
+    val s3 = exPrefix(t3.join(broadcast(tgt), gNames), gNames)
+      .filter(col("p") + col("c") >= col("t"))
+      .groupBy(g: _*)
+      .agg(min(struct(col("b"), col("p").as("h"), col("n"), col("t")))
+        .as("s"))
+      .select(g :+ col("s.b").as("bp") :+ col("s.h").as("h") :+
+        col("s.n").as("n") :+ col("s.t").as("t"): _*)
+    def step(tk: DataFrame, st: DataFrame): DataFrame =
+      exPrefix(
+        tk.withColumn("bp", shiftright(col("b"), 16))
+          .join(broadcast(st), gNames :+ "bp"),
+        gNames :+ "bp")
+      .filter(col("h") + col("p") + col("c") >= col("t"))
+      .groupBy(g: _*)
+      .agg(min(struct(col("b"), (col("h") + col("p")).as("h"), col("n"),
+        col("t"))).as("s"))
+      .select(g :+ col("s.b").as("bp") :+ col("s.h").as("h") :+
+        col("s.n").as("n") :+ col("s.t").as("t"): _*)
+    val s0 = step(l0, step(t1, step(t2, s3)))
+    val res = s0.select(g :+ col("bp").as(out) :+ col("n"): _*)
+      .drop((if (gCols.isEmpty) Seq("_g") else Nil): _*)
+    (res, () => { if (persistInput) l0.unpersist(); t1.unpersist(); () })
+  }
+
 
   /** Equi-depth histogram of an integer-valued column: `k` buckets with
     * (as near as ties allow) equal row counts. Rule: every distinct
@@ -128,31 +240,43 @@ object Stats {
     */
   def medianMadManaged(df: DataFrame, groupCol: Column, valueCol: Column,
       z: Int = 3, persist: Boolean = true): (DataFrame, () => Unit) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val counts0 = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
-    val counts = if (persist)
-      counts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else counts0
-    val cleanup = () => if (persist) { counts.unpersist(); () }
-    def lowerMedian(cts: DataFrame, out: String): DataFrame =
-      valueDomainCum(cts, Seq("g"))
-        .filter(col("cum") >= expr("(n + 1) div 2"))
-        .groupBy("g")
-        .agg(min(col("v")).as(out), max(col("n")).as("n"))
+    val counts = if (persist) counts0.persist(lvl) else counts0
+    val releases = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    if (persist) releases += (() => { counts.unpersist(); () })
+    // the O(groups) median/MAD frames each feed ≥ 2 downstream
+    // consumers; persisted (tiny) so each radix descent runs once,
+    // broadcast so the joins back onto the value-domain frames are
+    // map-only. rankSelect (a point lookup) beats the full cumulative
+    // sum here: a median needs ONE rank per group, not the whole
+    // distribution.
+    def lowerMedian(cts: DataFrame, out: String): DataFrame = {
+      val (m0, rel) = rankSelect(cts, Seq("g"), "c",
+        n => ((n + 1) / 2).cast("long"), out, persistInput = false)
+      releases += rel
+      val m = m0.persist(lvl)
+      m.count() // materialize before the broadcasts that consume it race
+      releases += (() => { m.unpersist(); () })
+      m
+    }
     val med = lowerMedian(counts, "median")
-    val dev = counts.join(med, Seq("g"))
+    val dev = counts.join(broadcast(med.select("g", "median")), Seq("g"))
       .groupBy(col("g"), abs(col("v") - col("median")).as("v"))
       .agg(sum(col("c")).as("c"))
+      .persist(lvl) // feeds the mad descent's level chain AND its leaf probe
+    releases += (() => { dev.unpersist(); () })
     val mad = lowerMedian(dev, "mad").drop("n")
     val stats = med.join(mad, Seq("g"))
-    val out = counts.join(stats, Seq("g"))
+    val out = counts.join(broadcast(stats), Seq("g"))
       .groupBy("g")
       .agg(max(col("n")).as("n"), max(col("median")).as("median"),
         max(col("mad")).as("mad"),
         coalesce(sum(when(
           abs(col("v") - col("median")) > col("mad") * z, col("c"))),
           lit(0L)).as("n_outliers"))
-    (out, cleanup)
+    (out, () => releases.foreach(_.apply()))
   }
 
   /** Exact weighted lower percentiles per group: for each requested
