@@ -101,11 +101,18 @@ object Graph {
     */
   private def symmetrized(edges: DataFrame,
       persist: Boolean): (DataFrame, () => Unit) = {
+    // ONE shuffle, keyed on src: repartition(src) then dedup in place —
+    // HashPartitioning(src) satisfies the (src, dst) clustering the
+    // dedup aggregate needs (subset rule), so no second exchange. The
+    // cached frame then carries src-partitioning into EVERY iteration's
+    // edge⋈score join, which would otherwise re-shuffle the (largest)
+    // edge frame once per round.
     val und0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .unionByName(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
     val und = if (persist) und0.persist(StorageLevel.MEMORY_AND_DISK) else und0
     (und, () => { if (persist) { und.unpersist(); () } })
   }
@@ -136,7 +143,12 @@ object Graph {
       // exactly once; exact-integer scores are unaffected. Round i's
       // checkpoint is the only thing referencing round i−1's, so the
       // older blocks are released the moment the newer ones materialize.
-      if (i < iters) {
+      // checkpoint every SECOND round: a non-checkpointed round is
+      // referenced twice by the next one, but its shuffle subtrees
+      // collapse via ReuseExchange inside the consuming job, while each
+      // eager checkpoint costs a full extra job — at 2 rounds of
+      // lineage the dedup wins, beyond that plan growth would compound
+      if (i < iters && i % 2 == 0) {
         val (cp, rel) = Lineage.checkpointTracked(sc)
         release()
         release = rel
@@ -206,7 +218,8 @@ object Graph {
         .withColumn("label", when(col("is_seed") === 1L, col("label"))
           .otherwise(coalesce(col("best_label"), col("label"))))
         .drop("best_label")
-      if (i < iters) {
+      // every-second-round checkpoint: see prRounds
+      if (i < iters && i % 2 == 0) {
         val (cp, rel) = Lineage.checkpointTracked(cur)
         release()
         release = rel
