@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.operators.Colocate
 import graft.sources.DumpSource
 
+/** One [[BucketedSync]] sidecar row per table (DDL order);
+  * snapshot-level fields (firstCreatePos, fingerprint, buckets) are
+  * repeated on every row — a handful of rows, and it keeps the sidecar
+  * a single flat frame. Top-level so the encoder derivation stays on
+  * the codegen path (a case class nested in an object trips the
+  * generated accessor lookup and falls back to interpreted).
+  */
+private[engine] case class SnapshotCatRow(ord: Long, table: String,
+    columns: Seq[String], pkCols: Seq[String], createStmt: String,
+    colTypes: Seq[String], nRecords: Long, stmtEnd: Option[Long],
+    firstCreatePos: Option[Long], fingerprint: String, buckets: Int)
+
 /** Bucketed sync fast-path: persist a dump's parsed+deduped record frame
   * as a catalog table bucketed AND sorted on (table, pk). The write pays
   * the record shuffle ONCE; every later diff between two such snapshots
@@ -77,15 +89,6 @@ object BucketedSync {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(catPath(spark, tableName))
   }
-
-  /** One sidecar row per table (DDL order); snapshot-level fields
-    * (firstCreatePos, fingerprint, buckets) are repeated on every row —
-    * a handful of rows, and it keeps the sidecar a single flat frame.
-    */
-  private case class SnapshotCatRow(ord: Long, table: String,
-      columns: Seq[String], pkCols: Seq[String], createStmt: String,
-      colTypes: Seq[String], nRecords: Long, stmtEnd: Option[Long],
-      firstCreatePos: Option[Long], fingerprint: String, buckets: Int)
 
   /** Path+size+mtime fingerprint of a dump file — the cheap staleness
     * test [[ensureSnapshot]] uses to decide whether an existing snapshot

@@ -771,12 +771,15 @@ object TextOps {
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val sh = Dedup.hashedShingleTable(df, idCol, textCol, n)
-    val singleton = sh.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
+    // a singleton gram's min(id) IS its only document, so the unique
+    // count per doc falls out of the frequency aggregate directly — no
+    // semi-join back onto the (token-sized) shingle table, which both
+    // re-derived it a third time and re-shuffled it on the gram key
+    val uniq = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"), min(col("id")).as("owner"))
       .filter(col("df") === 1)
-      .select("shingle")
-    val uniq = sh.join(singleton, Seq("shingle"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("unique_grams"))
+      .groupBy(col("owner").as("id"))
+      .agg(count(lit(1)).as("unique_grams"))
     val per = sh.groupBy("id").agg(count(lit(1)).as("n_grams"))
       .join(uniq, Seq("id"), "left")
       .select(col("id"), col("n_grams"),

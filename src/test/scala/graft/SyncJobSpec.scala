@@ -154,7 +154,15 @@ class SyncJobSpec extends SparkSuite {
     // simulate by copying the snapshot + sidecar to an unregistered name
     val wh = java.nio.file.Paths.get(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    def rmDir(d: String): Unit = {
+      val p = wh.resolve(d)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.delete(f); () })
+    }
     def copyDir(from: String, to: String): Unit = {
+      rmDir(to) // idempotent across test re-runs in one workspace
       val src = wh.resolve(from)
       val dst = wh.resolve(to)
       java.nio.file.Files.walk(src).forEach { p =>
@@ -164,6 +172,7 @@ class SyncJobSpec extends SparkSuite {
         else java.nio.file.Files.copy(p, t)
       }
     }
+    spark.sql("DROP TABLE IF EXISTS sjs_prod2")
     copyDir("sjs_prod", "sjs_prod2")
     copyDir("sjs_prod_cat", "sjs_prod2_cat")
     assert(!spark.catalog.tableExists("sjs_prod2"))
