@@ -292,9 +292,15 @@ object PipelineQueries {
       .select(explode(Portable.shingles(Portable.tokens(col("text")), 3)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("g").asc).limit(3)
-      .withColumn("phrase_id", row_number()
-        .over(Window.orderBy(col("df").desc, col("g").asc)).cast("long"))
-      .select(col("phrase_id"), col("g").as("phrase"))
+      // rank the ≤3 surviving rows with a bounded collect+sort instead
+      // of a partition-less ranking window (which plans a
+      // single-partition WindowExec and logs the scale warning even
+      // though the frame is limit-bounded)
+      .agg(sort_array(collect_list(struct((-col("df")).as("nd"), col("g"))))
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("p", "t")))
+      .select((col("p") + 1).cast("long").as("phrase_id"),
+        col("t.g").as("phrase"))
     TextOps.phraseSearch(docs, "doc_id", "text", phrases)
       .withColumnRenamed("id", "doc_id")
       .orderBy("phrase_id", "doc_id", "start")
@@ -328,9 +334,12 @@ object PipelineQueries {
     val bmRank = TextOps.bm25TopTerms(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("bm25_micro").desc, col("id"))
       .limit(100)
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("bm25_micro").desc, col("id"))).cast("long"))
-      .select("id", "rank")
+      // rank the ≤100 surviving rows — bounded collect+sort, same
+      // rationale as q139's phrase_id ranking
+      .agg(sort_array(collect_list(struct((-col("bm25_micro")).as("ns"),
+          col("id")))).as("top"))
+      .select(posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("t.id").as("id"), (col("p") + 1).cast("long").as("rank"))
     val cosRank = Similarity.cosineTopK(
         Tables.embeddings(s, dir),
         Tables.embeddings(s, dir).filter(col("vec_id") === 0),

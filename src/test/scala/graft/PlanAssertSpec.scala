@@ -282,9 +282,12 @@ class PlanAssertSpec extends SparkSuite {
     // refactor that reintroduces Window.orderBy with an empty partition
     // spec must fail here, not in the 100 TB run.
     import org.apache.spark.sql.execution.window.WindowExec
+    // q135/q139 rank limit-bounded (≤100-row) frames: their windows carry
+    // a literal partition key, so they too must never plan bare.
     for (q <- Seq("q36_percentiles", "q85_equidepth_hist",
         "q88_median_mad", "q93_weighted_percentiles",
-        "q132_robust_outliers", "q137_quantile_normalize")) {
+        "q132_robust_outliers", "q137_quantile_normalize",
+        "q135_rrf_fusion", "q139_phrase_search")) {
       val plan = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan
       val bare = plan.collect {
