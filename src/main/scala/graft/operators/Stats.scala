@@ -27,8 +27,10 @@ object Stats {
     * all, Spark warns `No Partition Defined … moving all data to a
     * single partition`) — correct at bench scale, a named scale-killer
     * at 100 TB with a high-cardinality domain (prices in cents). Here
-    * the global prefix decomposes over a 3-level 16-bit radix hierarchy
-    * of the value (b1 = v≫16, b2 = v≫32, b3 = v≫48):
+    * the global prefix decomposes over a 16-bit radix hierarchy of the
+    * value — [[nLevels]] levels deep, 3 for the full 64-bit worst case
+    * (b1 = v≫16, b2 = v≫32, b3 = v≫48), fewer when the caller supplies
+    * a tighter data-independent `domainBits` bound:
     * per-level bucket totals are distributed aggregates, each
     * exclusive-prefix window partitions by the PARENT bucket and so
     * holds ≤ 2¹⁶ rows BY CONSTRUCTION — at every level, for any data
@@ -52,8 +54,8 @@ object Stats {
     * a cleanup hook can be threaded through.
     */
   private[graft] def valueDomainCum(counts0: DataFrame, gCols: Seq[String],
-      cCol: String = "c"): DataFrame =
-    valueDomainCumManaged(counts0, gCols, cCol)._1
+      cCol: String = "c", domainBits: Int = 64): DataFrame =
+    valueDomainCumManaged(counts0, gCols, cCol, domainBits = domainBits)._1
 
   // ---- shared radix machinery --------------------------------------
   // Uniform level schema (groups..., b, c): IDENTICAL column names at
@@ -92,9 +94,27 @@ object Stats {
     * dedupe in-flight work), hence the eager count() before any
     * consumer is built.
     */
+  /** Number of 16-bit coarsening levels above the value level needed to
+    * bring the root to <= 2^16 buckets for values fitting in
+    * `domainBits` signed bits. 64-bit worst case -> 3 (the t1/t2/t3
+    * chain); a cents-valued price column (fits well inside 40 bits for
+    * any real currency amount — a DATA-INDEPENDENT bound, so it holds
+    * at 100 TB exactly as at bench scale) -> 2; a 32-bit domain -> 1.
+    * Every level that cannot distinguish any values (all buckets would
+    * be 0/-1) is pure stage overhead: one shuffle, one window, one
+    * broadcast, and — under AQE — one more re-planning barrier, which
+    * is where the wall time of a chain of sub-second stages actually
+    * goes.
+    */
+  private def nLevels(domainBits: Int): Int = {
+    require(domainBits >= 1 && domainBits <= 64, s"domainBits=$domainBits")
+    math.max(1, math.ceil((domainBits - 16) / 16.0).toInt)
+  }
+
   private[graft] def valueDomainCumManaged(counts0: DataFrame,
       gCols: Seq[String], cCol: String = "c",
-      persistInput: Boolean = true): (DataFrame, () => Unit) = {
+      persistInput: Boolean = true, domainBits: Int = 64)
+      : (DataFrame, () => Unit) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (in0, gNames) = injectG(counts0, gCols)
     val g = gNames.map(col)
@@ -106,10 +126,12 @@ object Stats {
     val l0 = if (persistInput) l0p.persist(lvl) else l0p
     val t1 = up(l0, gNames).persist(lvl)
     t1.count()
-    val t2 = up(t1, gNames)
-    val t3 = up(t2, gNames)
-    val tot = t3.groupBy(g: _*).agg(sum(col("c")).as("n"))
-    val h3 = exPrefix(t3, gNames)
+    // t1 .. t_n: each level 16 bits coarser; root has <= 2^16 buckets
+    val ts = Iterator.iterate(t1)(up(_, gNames)).take(nLevels(domainBits))
+      .toList
+    val root = ts.last
+    val tot = root.groupBy(g: _*).agg(sum(col("c")).as("n"))
+    val hRoot = exPrefix(root, gNames)
       .select(g :+ col("b") :+ col("p").as("h"): _*)
     def down(tk: DataFrame, hUp: DataFrame): DataFrame =
       exPrefix(
@@ -118,7 +140,7 @@ object Stats {
             col("h").as("hp"): _*)), gNames :+ "bp"),
         gNames :+ "bp")
       .select(g :+ col("b") :+ (col("hp") + col("p")).as("h"): _*)
-    val h1 = down(t1, down(t2, h3))
+    val h1 = ts.init.reverse.foldLeft(hRoot)((h, tk) => down(tk, h))
     val out = l0.withColumn("bp", shiftright(col("b"), 16))
       .join(broadcast(h1.select(g :+ col("b").as("bp") :+
         col("h").as("hp"): _*)), gNames :+ "bp")
@@ -150,7 +172,8 @@ object Stats {
     */
   private[graft] def rankSelect(counts0: DataFrame, gCols: Seq[String],
       cCol: String, targetOf: Column => Column, out: String,
-      persistInput: Boolean = true): (DataFrame, () => Unit) = {
+      persistInput: Boolean = true, domainBits: Int = 64)
+      : (DataFrame, () => Unit) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val (in0, gNames) = injectG(counts0, gCols)
     val g = gNames.map(col)
@@ -159,14 +182,15 @@ object Stats {
     val l0 = if (persistInput) l0p.persist(lvl) else l0p
     val t1 = up(l0, gNames).persist(lvl)
     t1.count() // one parallel build before concurrent broadcasts race
-    val t2 = up(t1, gNames)
-    val t3 = up(t2, gNames)
-    val tgt = t3.groupBy(g: _*).agg(sum(col("c")).as("n"))
+    val ts = Iterator.iterate(t1)(up(_, gNames)).take(nLevels(domainBits))
+      .toList
+    val root = ts.last
+    val tgt = root.groupBy(g: _*).agg(sum(col("c")).as("n"))
       .withColumn("t", targetOf(col("n")))
     // descend: keep the one bucket per group where the exclusive prefix
     // crosses the target; prefixes are monotone over b, so min(struct)
     // picks the first crossing
-    val s3 = exPrefix(t3.join(broadcast(tgt), gNames), gNames)
+    val sRoot = exPrefix(root.join(broadcast(tgt), gNames), gNames)
       .filter(col("p") + col("c") >= col("t"))
       .groupBy(g: _*)
       .agg(min(struct(col("b"), col("p").as("h"), col("n"), col("t")))
@@ -184,7 +208,8 @@ object Stats {
         col("t"))).as("s"))
       .select(g :+ col("s.b").as("bp") :+ col("s.h").as("h") :+
         col("s.n").as("n") :+ col("s.t").as("t"): _*)
-    val s0 = step(l0, step(t1, step(t2, s3)))
+    val s0 = step(l0, ts.init.reverse.foldLeft(sRoot)((st, tk) =>
+      step(tk, st)))
     val res = s0.select(g :+ col("bp").as(out) :+ col("n"): _*)
       .drop((if (gCols.isEmpty) Seq("_g") else Nil): _*)
     (res, () => { if (persistInput) l0.unpersist(); t1.unpersist(); () })
@@ -203,10 +228,11 @@ object Stats {
     * single-partition WindowExec) → final per-bucket aggregate.
     * Output: (bucket, n_rows, n_values, v_min, v_max).
     */
-  def equiDepthHistogram(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+  def equiDepthHistogram(df: DataFrame, valueCol: Column, k: Int,
+      domainBits: Int = 64): DataFrame = {
     val counts = df.select(valueCol.cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
-    valueDomainCum(counts, Nil)
+    valueDomainCum(counts, Nil, domainBits = domainBits)
       .withColumn("bucket", expr(s"((cum - c) * $k) div n"))
       .groupBy("bucket")
       .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_values"),
@@ -230,7 +256,8 @@ object Stats {
     * Output: (group, n, median, mad, n_outliers).
     */
   def medianMad(df: DataFrame, groupCol: Column, valueCol: Column,
-      z: Int = 3): DataFrame = medianMadManaged(df, groupCol, valueCol, z)._1
+      z: Int = 3, domainBits: Int = 64): DataFrame =
+    medianMadManaged(df, groupCol, valueCol, z, domainBits = domainBits)._1
 
   /** [[medianMad]] plus a cleanup thunk releasing the internal cache.
     * The (group, value) count frame feeds three consumers — the median
@@ -239,7 +266,8 @@ object Stats {
     * without it the input would be scanned and re-aggregated three times.
     */
   def medianMadManaged(df: DataFrame, groupCol: Column, valueCol: Column,
-      z: Int = 3, persist: Boolean = true): (DataFrame, () => Unit) = {
+      z: Int = 3, persist: Boolean = true, domainBits: Int = 64)
+      : (DataFrame, () => Unit) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val counts0 = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
@@ -253,8 +281,11 @@ object Stats {
     // sum here: a median needs ONE rank per group, not the whole
     // distribution.
     def lowerMedian(cts: DataFrame, out: String): DataFrame = {
+      // |v − median| spans at most the value domain, so the median's
+      // domainBits bound covers the MAD descent too
       val (m0, rel) = rankSelect(cts, Seq("g"), "c",
-        n => ((n + 1) / 2).cast("long"), out, persistInput = false)
+        n => ((n + 1) / 2).cast("long"), out, persistInput = false,
+        domainBits = domainBits)
       releases += rel
       val m = m0.persist(lvl)
       m.count() // materialize before the broadcasts that consume it race
@@ -296,13 +327,14 @@ object Stats {
     * Output: (g, w_total, p_<p1>, p_<p2>, ...).
     */
   def weightedPercentiles(df: DataFrame, groupCol: Column, valueCol: Column,
-      weightCol: Column, ps: Seq[Int]): DataFrame = {
+      weightCol: Column, ps: Seq[Int], domainBits: Int = 64): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
       s"percentiles $ps out of [1, 100]")
     val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"),
         weightCol.cast("long").as("w"))
       .groupBy("g", "v").agg(sum(col("w")).as("wv"))
-    val cum = valueDomainCum(counts, Seq("g"), cCol = "wv")
+    val cum = valueDomainCum(counts, Seq("g"), cCol = "wv",
+      domainBits = domainBits)
       .withColumnRenamed("n", "wt")
     val aggs = max(col("wt")).as("w_total") +:
       ps.map(p => min(when(col("cum") * 100 >= col("wt") * p, col("v")))
@@ -330,17 +362,19 @@ object Stats {
     * Output: (g, id, v, median, mad, dev).
     */
   def robustOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
-      idCol: Column, z: Int = 3): DataFrame =
-    robustOutliersManaged(df, groupCol, valueCol, idCol, z)._1
+      idCol: Column, z: Int = 3, domainBits: Int = 64): DataFrame =
+    robustOutliersManaged(df, groupCol, valueCol, idCol, z,
+      domainBits = domainBits)._1
 
   /** [[robustOutliers]] plus the cleanup thunk for the internal
     * median/MAD cache (same contract as [[medianMadManaged]]).
     */
   def robustOutliersManaged(df: DataFrame, groupCol: Column,
       valueCol: Column, idCol: Column, z: Int = 3,
-      persist: Boolean = true): (DataFrame, () => Unit) = {
+      persist: Boolean = true, domainBits: Int = 64)
+      : (DataFrame, () => Unit) = {
     val (stats, cleanup) =
-      medianMadManaged(df, groupCol, valueCol, z, persist)
+      medianMadManaged(df, groupCol, valueCol, z, persist, domainBits)
     val out = df
       .select(groupCol.as("g"), idCol.as("id"), valueCol.cast("long").as("v"))
       .join(broadcast(stats.select("g", "median", "mad")), Seq("g"))
@@ -364,11 +398,12 @@ object Stats {
     * the value domain. Output: (g, id, v, cume_micro).
     */
   def quantileNormalize(df: DataFrame, groupCol: Column, valueCol: Column,
-      idCol: Column): DataFrame = {
+      idCol: Column, domainBits: Int = 64): DataFrame = {
     val rows = df.select(groupCol.as("g"), idCol.as("id"),
       valueCol.cast("long").as("v"))
     val q = valueDomainCum(
-        rows.groupBy("g", "v").agg(count(lit(1)).as("c")), Seq("g"))
+        rows.groupBy("g", "v").agg(count(lit(1)).as("c")), Seq("g"),
+        domainBits = domainBits)
       .select(col("g"), col("v"),
         expr("(cum * 1000000) div n").as("cume_micro"))
     rows.join(q, Seq("g", "v"))

@@ -364,7 +364,10 @@ object AnalyticsQueries {
     */
   val q85: Q = (s, dir) =>
     Stats.equiDepthHistogram(Tables.lineitem(s, dir),
-        round(col("l_extendedprice") * 100).cast("long"), 16)
+        round(col("l_extendedprice") * 100).cast("long"), 16,
+        // single-item price in cents fits 32 signed bits (< $21M) — a
+        // data-independent bound, so one radix level suffices at any SF
+        domainBits = 32)
       .orderBy("bucket")
   val q85Sql: String =
     """WITH v AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v

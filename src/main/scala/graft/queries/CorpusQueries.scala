@@ -64,7 +64,8 @@ object CorpusQueries {
     */
   val q88: Q = (s, dir) =>
     Stats.medianMad(Tables.lineitem(s, dir), col("l_returnflag"),
-        round(col("l_extendedprice") * 100).cast("long"), z = 3)
+        round(col("l_extendedprice") * 100).cast("long"), z = 3,
+        domainBits = 32) // item cents < 2^31: data-independent (q85 note)
       .select(col("g").as("flag"), col("n"), col("median"), col("mad"),
         col("n_outliers"))
       .orderBy("flag")
@@ -105,7 +106,8 @@ object CorpusQueries {
   val q132: Q = (s, dir) =>
     Stats.robustOutliers(Tables.lineitem(s, dir), col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long"),
-        col("l_orderkey") * 10 + col("l_linenumber"), z = 2)
+        col("l_orderkey") * 10 + col("l_linenumber"), z = 2,
+        domainBits = 32)
       .select(col("g").as("flag"), col("id").as("line_id"), col("v"),
         col("median"), col("mad"), col("dev"))
       .orderBy("flag", "line_id")
@@ -151,7 +153,8 @@ object CorpusQueries {
     */
   val q137: Q = (s, dir) =>
     Stats.quantileNormalize(Tables.documents(s, dir), col("lang"),
-        col("n_chars"), col("doc_id"))
+        col("n_chars"), col("doc_id"),
+        domainBits = 32) // doc length in chars < 2^31 by construction
       .select(col("g").as("lang"), col("id").as("doc_id"), col("v"),
         col("cume_micro"))
       .orderBy("lang", "doc_id")
@@ -269,7 +272,8 @@ object CorpusQueries {
   val q93: Q = (s, dir) =>
     Stats.weightedPercentiles(Tables.lineitem(s, dir), col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long"),
-        round(col("l_quantity")).cast("long"), Seq(25, 50, 75, 90))
+        round(col("l_quantity")).cast("long"), Seq(25, 50, 75, 90),
+        domainBits = 32) // item cents < 2^31: data-independent (q85 note)
       .select(col("g").as("flag"), col("w_total"),
         col("p_25"), col("p_50"), col("p_75"), col("p_90"))
       .orderBy("flag")

@@ -292,7 +292,7 @@ object RelationalQueries2 {
     // partition ever holds more than 2^16 histogram rows, and the
     // per-(flag, w) total `n` comes back from the root level for free
     val j = graft.operators.Stats.valueDomainCum(hist,
-      Seq("l_returnflag", "w"))
+      Seq("l_returnflag", "w"), domainBits = 32) // item cents < 2^31
     // value at 0-based sorted index i = first histogram row with cum > i
     val lookups = ps.flatMap { case (nm, wv, p) =>
       val r = lit(p) * (col("n") - 1).cast("double")

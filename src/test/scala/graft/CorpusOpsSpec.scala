@@ -86,6 +86,24 @@ class CorpusOpsSpec extends SparkSuite {
     assert(out.toSeq == Seq(("g1", 8L, 4L, 2L, 1L), ("g2", 4L, 5L, 0L, 0L)))
   }
 
+  test("medianMad is invariant to the domainBits level count, negatives included") {
+    // straddle a 16-bit bucket boundary and include negatives so every
+    // level count exercises real bucket splits AND the arithmetic-shift
+    // ordering for v < 0; results must be bit-identical whether the
+    // radix hierarchy runs 1, 2, or 3 levels deep
+    val vs = Seq(-70000L, -1L, 0L, 1L, 65535L, 65536L, 65537L, 131071L,
+      500000L)
+    val df = vs.map(("g", _)).toDF("g", "v")
+    val ref = Stats.medianMad(df, col("g"), col("v"), z = 3, domainBits = 64)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    for (bits <- Seq(21, 32, 48)) {
+      val out = Stats.medianMad(df, col("g"), col("v"), z = 3,
+          domainBits = bits)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(out == ref, s"domainBits=$bits diverged: $out vs $ref")
+    }
+  }
+
   test("weightedPercentiles picks the smallest value reaching p% of total weight") {
     // g1: v=1 w=1, v=2 w=1, v=3 w=8 → W=10
     //   p25: cum(1)=1, cum(2)=2, cum(3)=10 → 2*100 < 10*25? 200<250 yes → p25=3? No:
