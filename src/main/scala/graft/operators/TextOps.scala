@@ -1005,4 +1005,179 @@ object TextOps {
         coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
         col("novelty_pm"))
   }
+
+  /** CCNet-style perplexity quality buckets (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): train a bigram LM on the `trainPred` reference
+    * subset, score EVERY document by its average per-bigram surprise,
+    * and assign each to the head / middle / tail corpus tertile —
+    * "keep head" is the standard LM-quality pre-filter for
+    * pre-training data.
+    *
+    * All-integer log-domain scoring, so any engine replays it exactly:
+    * the add-one-smoothed conditional p = (c2+1)/(c1+V) is scaled to
+    * p_micro = (1e6·(c2+1)) div (c1+V), clamped to ≥ 1 (events rarer
+    * than 1e-6 saturate — the logprob floor every real pipeline has),
+    * and surprise-in-bits is 21 − len(bin(p_micro)) ∈ [1, 20]:
+    * floor-log2 of an integer via its binary-string length, bit-exact
+    * everywhere, where a libm log() diverges in the last ulp right at
+    * bucket boundaries. c1(w) = Σ_w2 c2(w, w2) (predecessor counts),
+    * V = |{w1}| in the train set.
+    *
+    * Plan shape: bigram scoring joins at the (doc, bigram)-DISTINCT
+    * level with an occurrence multiplier (the [[bigramLmScore]]
+    * argument — join volume O(distinct bigrams), not O(tokens)); the
+    * tertile thresholds come from TWO [[Stats.rankSelect]] point
+    * lookups over the ≤ 20 001-value avg_millibits domain (domainBits
+    * = 16: one radix level, every window ≤ 2¹⁶ rows) and broadcast
+    * back — no global sort, no per-group row window, nothing about the
+    * threshold step grows with the corpus. Documents with < 2 tokens
+    * have no bigrams and are dropped (min-length gate, as in CCNet).
+    * Output: (id, n_bigrams, doc_bits, avg_millibits, bucket).
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), trainPred.as("is_t"),
+        Portable.tokens(col(textCol)).as("w")), "id")
+    val occ = base.select(col("id"), col("is_t"),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(0), size(col("w")) - 2),
+            i => struct(element_at(col("w"), i + 1).as("w1"),
+              element_at(col("w"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+      .select(col("id"), col("is_t"), col("b.w1").as("w1"),
+        col("b.w2").as("w2"))
+    val docBg = occ.groupBy("id", "is_t", "w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+    val c2 = docBg.filter(col("is_t"))
+      .groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("vv"))
+    val scored = docBg
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), col("cnt"),
+        greatest(
+          expr("(1000000 * (coalesce(c2, 0) + 1)) div (coalesce(c1, 0) + vv)"),
+          lit(1L)).as("pm"))
+      .select(col("id"), col("cnt"),
+        (lit(21L) - length(bin(col("pm")))).as("bits"))
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("bits")).as("doc_bits"))
+      .withColumn("avg_millibits", expr("(doc_bits * 1000) div n_bigrams"))
+      .persist(lvl) // feeds the tertile counts AND the final bucket map
+    // tertile thresholds: the ceil(n/3)-th and ceil(2n/3)-th smallest
+    // avg_millibits — two radix point lookups over a ≤ 20 001-value
+    // domain (bits/bigram ≤ 20 → millibits ≤ 20 000), session-cache
+    // contract as valueDomainCum
+    val counts = scored.select(col("avg_millibits").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .persist(lvl)
+    val (t1, _) = Stats.rankSelect(counts, Nil, "c",
+      n => ((n + 2) / 3).cast("long"), "tert1",
+      persistInput = false, domainBits = 16)
+    val (t2, _) = Stats.rankSelect(counts, Nil, "c",
+      n => ((n * 2 + 2) / 3).cast("long"), "tert2",
+      persistInput = false, domainBits = 16)
+    scored
+      .crossJoin(broadcast(t1.select("tert1")))
+      .crossJoin(broadcast(t2.select("tert2")))
+      .select(col("id"), col("n_bigrams"), col("doc_bits"),
+        col("avg_millibits"),
+        when(col("avg_millibits") <= col("tert1"), "head")
+          .when(col("avg_millibits") <= col("tert2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Token-level Aho–Corasick multi-pattern matcher — the blocklist /
+    * policy-filter primitive (Aho & Corasick 1975, "Efficient string
+    * matching: an aid to bibliographic search"): count every
+    * occurrence (all start positions) of every pattern phrase in every
+    * document, in ONE pass over each token stream.
+    *
+    * The scale argument versus [[phraseSearch]]'s positional-index
+    * join: postings fan out by Σ per-token posting lists of the
+    * pattern tokens — a blocklist of thousands of phrases touching hot
+    * tokens explodes the join. Here the patterns compile into one
+    * automaton BROADCAST to every executor and matching is map-only
+    * O(tokens · fail-chain) per document, independent of the pattern
+    * count — zero shuffle until the caller aggregates. The driver
+    * collect is bounded by the BLOCKLIST size (same class as the
+    * catalog/centroid collects), never by the corpus.
+    *
+    * Patterns are tokenized IN THE PLAN with the same
+    * [[Portable.tokens]] the documents use, so matcher and corpus
+    * agree on token boundaries by construction. Matches may overlap
+    * (automaton outputs fire at every match END state — the all-start-
+    * positions count). `patterns` must have (pattern_id, phrase).
+    * Output: (id, pattern_id, n_hits), hit rows only.
+    */
+  def blocklistCounts(df: DataFrame, idCol: String, textCol: String,
+      patterns: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pats: Array[(Long, Seq[String])] = patterns
+      .select(col("pattern_id").cast("long"),
+        Portable.tokens(col("phrase")))
+      .as[(Long, Seq[String])].collect()
+    require(pats.nonEmpty && pats.forall(_._2.nonEmpty),
+      "patterns must be non-empty phrases")
+    // goto trie over token strings + BFS fail links + per-state merged
+    // output lists (own pattern ends ++ fail state's outputs)
+    val goto = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.HashMap.empty[String, Int])
+    val ends = scala.collection.mutable.ArrayBuffer(List.empty[Long])
+    for ((pid, toks) <- pats) {
+      var st = 0
+      for (t <- toks) {
+        st = goto(st).getOrElseUpdate(t, {
+          goto += scala.collection.mutable.HashMap.empty[String, Int]
+          ends += Nil
+          goto.size - 1
+        })
+      }
+      ends(st) = pid :: ends(st)
+    }
+    val n = goto.size
+    val fail = Array.fill(n)(0)
+    val emit = Array.fill(n)(List.empty[Long])
+    emit(0) = ends(0)
+    val bfs = scala.collection.mutable.Queue.empty[Int]
+    for ((_, s) <- goto(0)) { fail(s) = 0; emit(s) = ends(s); bfs += s }
+    while (bfs.nonEmpty) {
+      val u = bfs.dequeue()
+      for ((t, s) <- goto(u)) {
+        var f = fail(u)
+        while (f != 0 && !goto(f).contains(t)) f = fail(f)
+        fail(s) = goto(f).get(t).filter(_ != s).getOrElse(0)
+        emit(s) = ends(s) ++ emit(fail(s))
+        bfs += s
+      }
+    }
+    val gotoArr: Array[Map[String, Int]] = goto.map(_.toMap).toArray
+    val bc = spark.sparkContext.broadcast((gotoArr, fail, emit))
+    val docs = Spread.ensure(
+        df.select(col(idCol).cast("long").as("id"),
+          Portable.tokens(col(textCol)).as("w")), "id")
+      .as[(Long, Seq[String])]
+    docs.mapPartitions { it =>
+      val (g, f, e) = bc.value
+      it.flatMap { case (id, toks) =>
+        val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+        var st = 0
+        for (t <- toks) {
+          while (st != 0 && !g(st).contains(t)) st = f(st)
+          st = g(st).getOrElse(t, 0)
+          for (pid <- e(st))
+            counts(pid) = counts.getOrElse(pid, 0L) + 1L
+        }
+        counts.iterator.map { case (pid, c) => (id, pid, c) }
+      }
+    }.toDF("id", "pattern_id", "n_hits")
+  }
 }

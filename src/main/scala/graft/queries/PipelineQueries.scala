@@ -919,7 +919,119 @@ object PipelineQueries {
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q153
+  /** CCNet-style perplexity tertiles ([[TextOps.perplexityBuckets]]):
+    * bigram LM trained on the src0 reference slice, every document
+    * scored by integer surprise bits (floor-log2 via binary-string
+    * length — no libm log anywhere), bucketed head/middle/tail at the
+    * corpus tertiles. The thresholds come from two radix point lookups
+    * over the ≤ 20 001-value milli-bits domain; the oracle replays the
+    * same ranks with a ROW_NUMBER over the per-doc averages.
+    */
+  val q153: Q = (s, dir) =>
+    TextOps.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val q153Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |occ AS (SELECT doc_id, source, w[i+1] AS w1, w[i+2] AS w2
+      |  FROM (SELECT doc_id, source, w, unnest(range(len(w)-1)) AS i
+      |        FROM t)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM occ
+      |  WHERE source = 'src0' GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |vv AS (SELECT count(*) AS vv FROM c1),
+      |sc AS (SELECT o.doc_id,
+      |    21 - length(format('{:b}',
+      |      greatest((1000000 * (coalesce(c2.c2, 0) + 1))
+      |                 // (coalesce(c1.c1, 0) + vv.vv), 1))) AS bits
+      |  FROM occ o LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |  CROSS JOIN vv),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+      |    CAST(sum(bits) AS BIGINT) AS bits FROM sc GROUP BY 1),
+      |av AS (SELECT doc_id, nb, bits,
+      |    CAST((bits * 1000) // nb AS BIGINT) AS av FROM agg),
+      |nn AS (SELECT count(*) AS n FROM av),
+      |r AS (SELECT av, row_number() OVER (ORDER BY av) AS rk FROM av),
+      |th AS (SELECT
+      |    max(CASE WHEN rk = (SELECT (n + 2) // 3 FROM nn) THEN av END)
+      |      AS t1,
+      |    max(CASE WHEN rk = (SELECT (2 * n + 2) // 3 FROM nn) THEN av END)
+      |      AS t2
+      |  FROM r)
+      |SELECT a.doc_id, a.nb AS n_bigrams, a.bits AS doc_bits,
+      |  a.av AS avg_millibits,
+      |  CASE WHEN a.av <= th.t1 THEN 'head'
+      |       WHEN a.av <= th.t2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM av a CROSS JOIN th ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q154
+  /** Broadcast Aho–Corasick blocklist matching
+    * ([[TextOps.blocklistCounts]]): the corpus' two most
+    * document-frequent word-2-grams AND word-3-grams compiled into ONE
+    * automaton, every occurrence of every pattern counted in a single
+    * map-only pass per document — the policy-filter shape that stays
+    * O(tokens) regardless of blocklist size, versus the per-pattern
+    * postings fan-out of q139. The oracle replays the O(docs ×
+    * positions × patterns) brute-force slice comparison per pattern
+    * length — a genuinely independent algorithm, so overlapping-match
+    * or fail-link bugs fail the hash.
+    */
+  val q154: Q = (s, dir) => {
+    import graft.functions.Portable
+    val docs = Tables.documents(s, dir)
+    def topGrams(n: Int, idOff: Int): DataFrame =
+      graft.operators.Spread.ensure(
+          docs.select(col("doc_id").as("id"), col("text")), "id")
+        .select(explode(
+          Portable.shingles(Portable.tokens(col("text")), n)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("g").asc).limit(2)
+        .agg(sort_array(collect_list(struct((-col("df")).as("nd"),
+          col("g")))).as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "t")))
+        .select((col("p") + 1 + idOff).cast("long").as("pattern_id"),
+          col("t.g").as("phrase"))
+    val pats = topGrams(2, 0).unionByName(topGrams(3, 2))
+    TextOps.blocklistCounts(docs, "doc_id", "text", pats)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("pattern_id", "doc_id")
+  }
+  val q154Sql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |g2 AS (SELECT unnest(list_distinct(CASE WHEN len(w) >= 2
+      |    THEN list_transform(range(len(w)-1),
+      |      i -> array_to_string(w[i+1:i+2], ' '))
+      |    ELSE [] END)) AS g FROM t),
+      |top2 AS (SELECT g, count(*) AS df FROM g2 GROUP BY g
+      |  ORDER BY df DESC, g ASC LIMIT 2),
+      |ph2 AS (SELECT row_number() OVER (ORDER BY df DESC, g ASC)
+      |    AS pattern_id, string_split_regex(g, '\s+') AS pw FROM top2),
+      |g3 AS (SELECT unnest(list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(range(len(w)-2),
+      |      i -> array_to_string(w[i+1:i+3], ' '))
+      |    ELSE [] END)) AS g FROM t),
+      |top3 AS (SELECT g, count(*) AS df FROM g3 GROUP BY g
+      |  ORDER BY df DESC, g ASC LIMIT 2),
+      |ph3 AS (SELECT 2 + row_number() OVER (ORDER BY df DESC, g ASC)
+      |    AS pattern_id, string_split_regex(g, '\s+') AS pw FROM top3),
+      |ph AS (SELECT * FROM ph2 UNION ALL SELECT * FROM ph3),
+      |m AS (SELECT p.pattern_id, t.doc_id, count(*) AS n_hits
+      |  FROM t, ph p,
+      |    unnest(range(0, greatest(len(t.w) - len(p.pw) + 1, 0))) AS u(s)
+      |  WHERE t.w[u.s+1:u.s+len(p.pw)] = p.pw
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, CAST(pattern_id AS BIGINT) AS pattern_id,
+      |  CAST(n_hits AS BIGINT) AS n_hits
+      |FROM m ORDER BY pattern_id, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q153_perplexity_buckets" -> q153,
+    "q154_blocklist_automaton" -> q154,
     "q149_chunk_reuse" -> q149,
     "q108_compaction_plan" -> q108,
     "q62_tfidf_topterms" -> q62,
@@ -944,6 +1056,8 @@ object PipelineQueries {
     "q76_dedup_survivors" -> q76)
 
   val oracle: Map[String, String] = Map(
+    "q153_perplexity_buckets" -> q153Sql,
+    "q154_blocklist_automaton" -> q154Sql,
     "q149_chunk_reuse" -> q149Sql,
     "q108_compaction_plan" -> q108Sql,
     "q62_tfidf_topterms" -> q62Sql,

@@ -273,6 +273,46 @@ class PipelineOpsSpec extends SparkSuite {
       (2L, 3L, 2L)), s"got $out")
   }
 
+  test("blocklistCounts: overlapping matches, suffix patterns via fail links") {
+    val docs = Seq(
+      (1L, "a a a b a a"), // "a a" at 0,1,4; "a b" at 2; "b a a" at 3
+      (2L, "a b c"),       // "a b c" at 0 AND its suffix "b c" at 1
+      (3L, "c c c")        // no hits at all → no rows
+    ).toDF("doc_id", "text")
+    val pats = Seq((1L, "a a"), (2L, "a b"), (3L, "b a a"),
+      (4L, "a b c"), (5L, "b c")).toDF("pattern_id", "phrase")
+    val out = TextOps.blocklistCounts(docs, "doc_id", "text", pats)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc2's "b c" hit only fires through the a b c state's fail chain —
+    // the emit-merging this test exists to pin
+    assert(out == Set((1L, 1L, 3L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 2L, 1L), (2L, 4L, 1L), (2L, 5L, 1L)), s"got $out")
+  }
+
+  test("perplexityBuckets: hand-computed bits, OOV smoothing, tertile cut") {
+    // train "x z x z": c2(x,z)=2, c2(z,x)=1; c1(x)=2, c1(z)=1; V=2
+    //   p(z|x) = 3/4 -> 750000 -> bin len 20 -> 1 bit
+    //   p(x|z) = 2/3 -> 666666 -> 1 bit
+    //   OOV (y,y): 1/2 -> 500000 -> bin len 19 -> 2 bits
+    val docs = Seq(
+      (10L, "x z x z", true),  // 3 bigrams, 3 bits, avg 1000
+      (11L, "x z x", false),   // 2 bigrams, 2 bits, avg 1000
+      (12L, "y y y", false),   // 2 bigrams, 4 bits, avg 2000
+      (13L, "x z", false),     // 1 bigram, 1 bit, avg 1000
+      (14L, "q", false)        // <2 tokens: dropped
+    ).toDF("id", "text", "is_train")
+    val out = TextOps.perplexityBuckets(docs, "id", "text", col("is_train"))
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // n=4 scored docs; tertile ranks ceil(4/3)=2 and ceil(8/3)=3 both
+    // land on avg 1000 -> the three 1000s are head, 2000 is tail
+    assert(out == Seq(
+      (10L, 3L, 3L, 1000L, "head"),
+      (11L, 2L, 2L, 1000L, "head"),
+      (12L, 2L, 4L, 2000L, "tail"),
+      (13L, 1L, 1L, 1000L, "head")), s"got $out")
+  }
+
   test("rrf: doc in both lists beats single-list docs; order within a list respected") {
     import graft.operators.Fusion
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
