@@ -350,4 +350,46 @@ object Curate {
         (col("cum_before") % capacity).as("bin_offset"),
         col("n_tok"))
   }
+
+  /** Per-document drop audit — which curation gate removed each
+    * document, in gate-priority order: the "why is my document gone"
+    * answer every production pipeline eventually needs for debugging
+    * recall complaints and filter regressions.
+    *
+    * Gate order (first failure wins): `quality` (Gopher rule score <
+    * `minGopher` — [[TextOps.gopherRules]]), `exact_dup` (another doc
+    * with a smaller id has byte-identical text — the q20 canonical-
+    * owner rule), `contaminated` (text byte-matches a benchmark doc —
+    * the q51 decontamination rule), else `pass`.
+    *
+    * The naive audit runs the pipeline once per gate (N corpus scans).
+    * Here ALL gate flags compute in a single scan: the Gopher columns
+    * and the md5 fingerprint are fused map-side expressions, the
+    * canonical-owner flag is one fingerprint-keyed aggregate joined
+    * back on the same key (one shuffle, reusing its own partitioning),
+    * and the benchmark membership is a broadcast left join on the
+    * fingerprint (benchmarks are small by nature). Verdict is a CASE
+    * over the flags — adding a gate adds a column, never a scan.
+    * Output: (id, gopher_score, verdict).
+    */
+  def dropAudit(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, minGopher: Int = 4): DataFrame = {
+    val base = Spread.ensure(
+        df.select(col(idCol).as("id"), col(textCol).as("text")), "id")
+      .select((col("id") +: TextOps.gopherRules(col("text")) :+
+        md5(col("text").cast("binary")).as("fp")): _*)
+      .select(col("id"), col("gopher_score"), col("fp"))
+    val owner = base.groupBy("fp").agg(min(col("id")).as("owner_id"))
+    val bench = benchmark.select(
+      md5(col(benchmark.columns.head).cast("string").cast("binary"))
+        .as("fp"), lit(1L).as("in_bench"))
+      .distinct()
+    base.join(owner, Seq("fp"))
+      .join(broadcast(bench), Seq("fp"), "left")
+      .select(col("id"), col("gopher_score"),
+        when(col("gopher_score") < minGopher, "quality")
+          .when(col("id") =!= col("owner_id"), "exact_dup")
+          .when(col("in_bench").isNotNull, "contaminated")
+          .otherwise("pass").as("verdict"))
+  }
 }

@@ -371,7 +371,56 @@ object CurateQueries {
       |FROM w
       |WHERE cost_before < 10000 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q155
+  /** Per-document drop audit ([[Curate.dropAudit]]): every document's
+    * verdict — pass, or the FIRST curation gate (quality / exact_dup /
+    * contaminated) that removes it — computed with all gate flags in a
+    * single corpus scan plus one fingerprint-keyed aggregate and one
+    * broadcast benchmark join; the "why was my document dropped"
+    * debugging surface. The doc_id % 97 slice doubles as a benchmark
+    * planted INSIDE the corpus, so the contamination gate provably
+    * fires. Oracle replays gopher rules (q101), the canonical-owner
+    * rule (q20), and the fingerprint semi-join (q51) in one CASE.
+    */
+  val q155: Q = (s, dir) => {
+    val d = graft.Tables.documents(s, dir)
+    val bench = d.filter(col("doc_id") % 97 === 0).select("text")
+    Curate.dropAudit(d, "doc_id", "text", bench, minGopher = 4)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  val q155Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id, md5(text) AS fp,
+      |    CAST((CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1 ELSE 0 END) +
+      |      (CASE WHEN wc >= len(w)*3 AND wc <= len(w)*10 THEN 1 ELSE 0 END) +
+      |      (CASE WHEN na*5 >= len(w)*4 THEN 1 ELSE 0 END) +
+      |      (CASE WHEN ns >= 2 THEN 1 ELSE 0 END) +
+      |      (CASE WHEN nd*10 <= len(w) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS gopher_score
+      |  FROM (
+      |    SELECT doc_id, text, w,
+      |      list_reduce(list_transform(w, t -> length(t)), (a,b) -> a+b) AS wc,
+      |      len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS na,
+      |      len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$'))) AS nd,
+      |      len(list_intersect(list_distinct(w),
+      |        ['the','a','of','and','to','in'])) AS ns
+      |    FROM (SELECT doc_id, text,
+      |            string_split_regex(lower(text), '\s+') AS w
+      |          FROM documents))),
+      |o AS (SELECT fp, min(doc_id) AS owner_id FROM g GROUP BY fp),
+      |b AS (SELECT DISTINCT md5(text) AS fp FROM documents
+      |      WHERE doc_id % 97 = 0)
+      |SELECT g.doc_id, g.gopher_score,
+      |  CASE WHEN g.gopher_score < 4 THEN 'quality'
+      |       WHEN g.doc_id != o.owner_id THEN 'exact_dup'
+      |       WHEN b.fp IS NOT NULL THEN 'contaminated'
+      |       ELSE 'pass' END AS verdict
+      |FROM g JOIN o USING (fp) LEFT JOIN b USING (fp)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q155_drop_audit" -> q155,
     "q126_budget_trim" -> q126,
     "q130_epoch_shuffle" -> q130,
     "q142_sqrt_balanced_quota" -> q142,
@@ -386,6 +435,7 @@ object CurateQueries {
     "q106_adaptive_quality" -> q106)
 
   val oracle: Map[String, String] = Map(
+    "q155_drop_audit" -> q155Sql,
     "q126_budget_trim" -> q126Sql,
     "q130_epoch_shuffle" -> q130Sql,
     "q142_sqrt_balanced_quota" -> q142Sql,

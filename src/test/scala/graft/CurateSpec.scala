@@ -261,4 +261,26 @@ class CurateSpec extends SparkSuite {
     out.groupBy(r => (r._1, r._2)).values.foreach(rows =>
       assert(rows.length < 100, s"skewed shard: ${rows.length}"))
   }
+
+  test("dropAudit: gate priority quality > exact_dup > contaminated > pass") {
+    val good = "the cat and the dog walked to a house in town today ok fine"
+    val bench = "a quick brown fox jumps over the lazy dog of the town in time"
+    val corpus = Seq(
+      (1L, good),        // pass (owner of its dup family)
+      (2L, good),        // exact_dup of doc 1
+      (3L, "x y z"),     // quality: too few tokens
+      (4L, bench),       // contaminated (matches the benchmark set)
+      (5L, "1 2 3 4 5 6 7 8 9 10 11 12")  // quality: all digits
+    ).toDF("doc_id", "text")
+    val out = Curate.dropAudit(corpus, "doc_id", "text",
+        Seq(bench).toDF("text"), minGopher = 4)
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(out.map(r => r._1 -> r._3) == Seq(1L -> "pass", 2L -> "exact_dup",
+      3L -> "quality", 4L -> "contaminated", 5L -> "quality"), s"got $out")
+    // a benchmark doc that ALSO fails quality reports quality (priority)
+    val out2 = Curate.dropAudit(corpus, "doc_id", "text",
+        Seq("x y z").toDF("text"), minGopher = 4)
+      .orderBy("id").as[(Long, Long, String)].collect().toSeq
+    assert(out2.find(_._1 == 3L).get._3 == "quality")
+  }
 }
