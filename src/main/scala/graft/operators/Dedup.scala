@@ -613,4 +613,64 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
     (pairs, cleanup)
   }
+
+  /** LSH banding calibration report — the tuning surface for
+    * [[minhashLshPairs]]'s (numHashes, bands) choice: per exact-Jaccard
+    * DECILE of the candidate pairs the banding actually surfaced, the
+    * observed pair count next to the S-curve catch probability
+    * 1 − (1 − s^r)^b at the decile midpoint. Read it before committing
+    * a parameter pair to a 100 TB run: a fat low-decile tail means the
+    * bands are too loose (wasted verify work), a theoretical catch
+    * probability ≪ 1 at the target threshold means they are too tight
+    * (missed near-dups).
+    *
+    * Everything observed is computed ONLY over band-collision
+    * candidates — the report never needs the all-pairs ground truth,
+    * so it scales exactly as far as the dedup pass itself. The decile
+    * is the exact integer `(inter·10) div union` (never the rounded
+    * double); the S-curve value is a one-shot IEEE chain of literal
+    * multiplications (no pow(), whose libm rounding varies across
+    * engines), micro-scaled to an exact Long.
+    * Output: (decile, n_pairs, catch_p_micro), observed deciles only.
+    */
+  def lshCalibration(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val rpb = numHashes / bands
+    require(rpb * bands == numHashes, s"bands=$bands must divide $numHashes")
+    val sh0 = hashedShingleTable(df, idCol, textCol, shingleN)
+    val sh = if (persist) sh0.persist(lvl) else sh0
+    val sigs = minhashSignaturesFrom(sh, df, idCol, textCol, numHashes,
+      alreadyHashed = true)
+    val bands0 = lshBandsFrom(sigs, numHashes, bands)
+    val bandsDf = if (persist) bands0.persist(lvl) else bands0
+    val cleanup = () => if (persist) { sh.unpersist(); bandsDf.unpersist(); () }
+    val cand = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "band_key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // IEEE chain with the same association order as the oracle SQL:
+    // s^r and (1-s^r)^b as left-assoc literal products
+    def powChain(base: Column, n: Int): Column =
+      (1 to n).map(_ => base).reduce(_ * _)
+    val mid = (col("decile") * 2 + 1).cast("double") / lit(20.0)
+    val sr = powChain(mid, rpb)
+    val qb = powChain(lit(1.0) - sr, bands)
+    val out = cand
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("decile", least(lit(9L),
+        expr("(inter * 10) div (sz_a + sz_b - inter)")))
+      .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("catch_p_micro",
+        floor((lit(1.0) - qb) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .select("decile", "n_pairs", "catch_p_micro")
+    (out, cleanup)
+  }
 }

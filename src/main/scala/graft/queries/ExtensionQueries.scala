@@ -257,6 +257,40 @@ object ExtensionQueries {
        |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q156
+  /** LSH banding calibration ([[Dedup.lshCalibration]]): the q22
+    * pipeline's candidate pairs histogrammed by exact-Jaccard decile
+    * next to the (16, 4)-banding S-curve catch probability at each
+    * decile midpoint — the parameter-tuning report read before
+    * committing a banding to a 100 TB dedup run. Observed counts come
+    * only from band collisions (never all-pairs ground truth), the
+    * decile is the exact integer (inter·10) div union, and the S-curve
+    * is a literal IEEE multiplication chain (no pow()) — so the whole
+    * report replays bit-for-bit from q22's oracle CTEs.
+    */
+  val q156: Q = (s, dir) =>
+    Dedup.lshCalibration(corpusNear(s, dir), "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4)._1
+      .orderBy("decile")
+  val q156Sql: String = {
+    val marker = "jac AS (SELECT id_a"
+    require(q22Sql.contains(marker), "q156 oracle derives from q22's replay")
+    q22Sql.substring(0, q22Sql.indexOf(marker)) +
+      """dec AS (SELECT c.id_a, c.id_b,
+        |    least(9, (inter * 10) // (sa.sz + sb.sz - inter)) AS decile
+        |  FROM inter c JOIN sz sa ON sa.id = c.id_a
+        |               JOIN sz sb ON sb.id = c.id_b),
+        |agg AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM dec GROUP BY 1),
+        |cal AS (SELECT decile, n_pairs,
+        |    CAST(decile*2+1 AS DOUBLE) / 20.0 AS s FROM agg)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_pairs,
+        |  CAST(floor((1.0 - (1.0-s*s*s*s)*(1.0-s*s*s*s)*(1.0-s*s*s*s)
+        |    *(1.0-s*s*s*s)) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS catch_p_micro
+        |FROM cal ORDER BY decile""".stripMargin
+  }
+
   // --------------------------------------------------------------- q104
   /** Incremental corpus dedup ([[Dedup.minhashLshPairsDeltaManaged]]):
     * the near-dup variants arrive as a FRESH batch against the original
@@ -1462,6 +1496,7 @@ object ExtensionQueries {
     "q127_random_projection" -> q127,
     "q134_nearest_prototype" -> q134,
     "q22_dedup_minhash_lsh" -> q22,
+    "q156_lsh_calibration" -> q156,
     "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
     "q24_embed_topk" -> q24,
@@ -1504,6 +1539,7 @@ object ExtensionQueries {
     "q127_random_projection" -> q127Sql,
     "q134_nearest_prototype" -> q134Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
+    "q156_lsh_calibration" -> q156Sql,
     "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,
     "q24_embed_topk" -> q24Sql,

@@ -64,6 +64,28 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(lsh.subsetOf(exact)) // verify step guarantees no false positives
   }
 
+  test("lshCalibration: deciles match exact pair Jaccards; S-curve is the literal chain") {
+    val corpus = Tables.documents(spark, dir).select("doc_id", "text").limit(200)
+    val (cal, cleanup) =
+      Dedup.lshCalibration(corpus, "doc_id", "text", 3, 16, 4)
+    val rows = cal.orderBy("decile").as[(Long, Long, Long)].collect().toSeq
+    cleanup()
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(rows.forall(_._2 > 0))
+    // total pairs across deciles == total candidate pairs at threshold 0
+    val all = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 4, 0.0)
+      .count()
+    assert(rows.map(_._2).sum == all, s"decile counts ${rows.map(_._2).sum} != $all")
+    // catch_p_micro replays the exact IEEE chain at the decile midpoint
+    for ((d, _, p) <- rows) {
+      val s = (d * 2 + 1).toDouble / 20.0
+      val sr = s * s * s * s
+      val q = 1.0 - sr
+      val expect = math.floor((1.0 - q * q * q * q) * 1000000.0 + 0.5).toLong
+      assert(p == expect, s"decile $d: $p != $expect")
+    }
+  }
+
   test("identical texts always collide in every LSH band") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .toDF("doc_id", "text")
