@@ -468,6 +468,26 @@ object Similarity {
       .groupBy("id", "mi").agg(min(col("sc")).as("best"))
       .select(col("id"), col("mi"), col("best.cell").as("code"))
 
+    /** (id, mi, code, sq_err): the encode argmin plus the EXACT integer
+      * squared reconstruction error ‖sub − c‖² = sub·sub + (c·c −
+      * 2·sub·c) of the chosen cell — the per-subspace distortion that
+      * [[Similarity.pqCalibration]] aggregates. Same single explode +
+      * broadcast-join + min-struct plan as [[encode]]; the ‖sub‖² term
+      * rides along as a constant per (id, mi).
+      */
+    def distortions(withQ: DataFrame): DataFrame = withQ
+      .select(col("id"), posexplode(subArr(col("q"))).as(Seq("mi", "sub")))
+      .join(broadcast(bookDf), "mi")
+      .select(col("id"), col("mi"), struct(
+        (col("cc") - Portable.dotQ(col("sub"), col("cvec")) * 2).as("ns"),
+        col("cell").as("cell")).as("sc"),
+        Portable.dotQ(col("sub"), col("sub")).as("ss"))
+      .groupBy("id", "mi")
+      .agg(min(col("sc")).as("best"), min(col("ss")).as("ss"))
+      .select(col("id"), col("mi").cast("long").as("mi"),
+        col("best.cell").as("code"),
+        (col("ss") + col("best.ns")).as("sq_err"))
+
     /** (query_id, mi, cell, dt): per-query ADC lookup tables over a frame
       * with (query_id, qq).
       */
@@ -597,5 +617,37 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** PQ distortion calibration — the ANN sibling of
+    * [[Dedup.lshCalibration]]: per subquantizer, how much signal the
+    * (m, ksub) compression actually destroys. Read it before
+    * committing a codebook to a 100 TB index: a subspace with
+    * mean_sq_err far above its peers carries structure the codebook
+    * cannot express (raise ksub or re-split dims); n_cells_used ≪ ksub
+    * means dead centroids (wasted codebook bits).
+    *
+    * The reconstruction error ‖sub − c‖² is EXACT integer arithmetic
+    * over the quantized vectors and trained integer centroids (the
+    * [[PqModel]] invariant), so the whole report replays bit-for-bit
+    * from the oracle's training chains. One explode + broadcast-join +
+    * two aggregates — the same cost as encoding the corpus once.
+    * Output: (mi, n_vecs, n_cells_used, total_sq_err,
+    * mean_sq_err_milli).
+    */
+  def pqCalibration(base: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, kmeansIters: Int = 3,
+      trainLimit: Int = 4096): DataFrame = {
+    val (qv, _) = quantized(col(vecCol))
+    val withQ = Spread.ensure(base, idCol)
+      .select(col(idCol).as("id"), qv.as("q"))
+    val pq = PqModel.fit(withQ, m, ksub, kmeansIters, trainLimit)
+    pq.distortions(withQ)
+      .groupBy("mi")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("code")).as("n_cells_used"),
+        sum(col("sq_err")).as("total_sq_err"))
+      .withColumn("mean_sq_err_milli",
+        expr("(total_sq_err * 1000) div n_vecs"))
   }
 }

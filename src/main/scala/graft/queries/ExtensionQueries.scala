@@ -805,6 +805,48 @@ object ExtensionQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q157
+  /** PQ distortion calibration ([[Similarity.pqCalibration]]): per
+    * subquantizer of the q55 codebook, the exact-integer reconstruction
+    * error and codebook-cell utilization — the ANN sibling of the q156
+    * LSH report: which subspaces the (16, 64) compression actually
+    * hurts, and whether any codebook has dead cells. The oracle reuses
+    * q55's per-subspace training chains verbatim and adds one error
+    * CTE per subspace; agreement proves codebooks, encode argmins, and
+    * the ‖sub − c‖² arithmetic all replay bit-for-bit.
+    */
+  val q157: Q = (s, dir) =>
+    Similarity.pqCalibration(Tables.embeddings(s, dir), "vec_id",
+      "embedding", m = 16, ksub = 64)
+      .orderBy("mi")
+  val q157Sql: String = {
+    val (m, ksub, iters, trainLimit, dsub) = (16, 64, 3, 4096, 4)
+    def sliceOf(v: String, mi: Int) =
+      s"$v[${mi * dsub + 1}:${(mi + 1) * dsub}]"
+    val errCtes = (0 until m).map { mi =>
+      s"""m${mi}err AS (
+         |  SELECT v.id, $mi AS mi, c.cell AS code,
+         |    list_dot_product(${sliceOf("v.q", mi)}, ${sliceOf("v.q", mi)})
+         |      + list_dot_product(c.v, c.v)
+         |      - 2*list_dot_product(${sliceOf("v.q", mi)}, c.v) AS sq_err
+         |  FROM vec v JOIN m${mi}code k ON v.id = k.id
+         |             JOIN m${mi}cent$iters c ON c.cell = k.code)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until m).map(mi => s"SELECT * FROM m${mi}err")
+      .mkString(" UNION ALL ")
+    s"""WITH ${pqVecTrainSql(trainLimit)},
+       |${pqSubspaceCtesSql(m, ksub, iters, dsub)},
+       |$errCtes,
+       |allerr AS ($unions)
+       |SELECT CAST(mi AS BIGINT) AS mi,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(DISTINCT code) AS BIGINT) AS n_cells_used,
+       |  CAST(sum(sq_err) AS BIGINT) AS total_sq_err,
+       |  CAST((CAST(sum(sq_err) AS BIGINT) * 1000) // count(*) AS BIGINT)
+       |    AS mean_sq_err_milli
+       |FROM allerr GROUP BY mi ORDER BY mi""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q56
   /** The full IVF+PQ ANN pipeline (Similarity.ivfPqTopK): coarse k-means
     * cells prune candidates, PQ ADC scores only the probed candidates
@@ -1497,6 +1539,7 @@ object ExtensionQueries {
     "q134_nearest_prototype" -> q134,
     "q22_dedup_minhash_lsh" -> q22,
     "q156_lsh_calibration" -> q156,
+    "q157_pq_calibration" -> q157,
     "q104_dedup_incremental" -> q104,
     "q23_simhash" -> q23,
     "q24_embed_topk" -> q24,
@@ -1540,6 +1583,7 @@ object ExtensionQueries {
     "q134_nearest_prototype" -> q134Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
     "q156_lsh_calibration" -> q156Sql,
+    "q157_pq_calibration" -> q157Sql,
     "q104_dedup_incremental" -> q104Sql,
     "q23_simhash" -> q23Sql,
     "q24_embed_topk" -> q24Sql,

@@ -74,6 +74,27 @@ class SkewAndIvfSpec extends SparkSuite {
     assert(pq == pq2)
   }
 
+  test("pqCalibration: errors non-negative, cells bounded by ksub, milli-mean exact") {
+    val e = Tables.embeddings(spark, dir)
+    val out = Similarity.pqCalibration(e, "vec_id", "embedding",
+        m = 16, ksub = 64)
+      .orderBy("mi").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val n = e.count()
+    assert(out.map(_._1) == (0L until 16L), s"mi set: ${out.map(_._1)}")
+    for ((mi, nv, cells, tot, milli) <- out) {
+      assert(nv == n, s"mi=$mi covered $nv of $n vectors")
+      assert(cells >= 1 && cells <= 64, s"mi=$mi cells=$cells")
+      assert(tot >= 0, s"mi=$mi negative total error")
+      assert(milli == tot * 1000 / nv, s"mi=$mi milli mean mismatch")
+    }
+    // a 1-cell codebook cannot beat a 64-cell one on the same data: the
+    // 64-cell fit includes the mean centroid in its reachable set
+    val coarse = Similarity.pqCalibration(e, "vec_id", "embedding",
+        m = 16, ksub = 1)
+      .orderBy("mi").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(coarse.map(_._4).sum >= out.map(_._4).sum)
+  }
+
   test("ivf+pq recall@5 rises monotonically with nprobe, reaching exhaustive at nprobe=nlist") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 20)
