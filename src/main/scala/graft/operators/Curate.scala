@@ -351,6 +351,29 @@ object Curate {
         col("n_tok"))
   }
 
+  /** Packing-quality report over a [[packSequences]] result: per
+    * utilization decile, how many bins landed there, how many documents
+    * they hold, and the tokens they carry — the "how much context
+    * window am I wasting" answer that decides whether the packing
+    * capacity/shard choice is production-ready. util_decile =
+    * (fill·10) div capacity clamped to 10: the 10 bucket holds bins at
+    * or over capacity (a document straddling a bin boundary stays in
+    * the bin where it started — [[packSequences]]' contract — so
+    * boundary bins legitimately overfill). Two hash aggregates (bin,
+    * then decile), both map-side combined; nothing holds per-bin state.
+    * Output: (util_decile, n_bins, n_docs, total_tokens).
+    */
+  def packingReport(packed: DataFrame, capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity=$capacity")
+    packed.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("fill"))
+      .withColumn("util_decile",
+        least(lit(10L), expr(s"(fill * 10) div ${capacity}L")))
+      .groupBy("util_decile")
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_docs")).as("n_docs"),
+        sum(col("fill")).as("total_tokens"))
+  }
+
   /** Per-document drop audit — which curation gate removed each
     * document, in gate-priority order: the "why is my document gone"
     * answer every production pipeline eventually needs for debugging

@@ -74,6 +74,40 @@ object CurateQueries {
        |  CAST(cum_before % 2048 AS BIGINT) AS bin_offset, n_tok
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q158
+  /** Packing-utilization report ([[Curate.packingReport]]) over q49's
+    * 2048-token × 8-shard packing: bins histogrammed by fill decile
+    * (clamped 10 bucket = at-or-over capacity, which boundary-
+    * straddling documents legitimately produce) with document and
+    * token totals — the context-window waste report. Two map-side-
+    * combined hash aggregates; the oracle extends q49's replay with
+    * the same two GROUP BYs.
+    */
+  val q158: Q = (s, dir) =>
+    Curate.packingReport(
+      Curate.packSequences(
+        graft.Tables.documents(s, dir), "doc_id",
+        size(graft.functions.Portable.tokens(col("text"))),
+        capacity = 2048L, shards = 8),
+      capacity = 2048L)
+      .orderBy("util_decile")
+  val q158Sql: String = {
+    val marker = "SELECT doc_id, shard,"
+    require(q49Sql.contains(marker), "q158 oracle derives from q49's replay")
+    q49Sql.substring(0, q49Sql.lastIndexOf(marker)).trim + ",\n" +
+      """p AS (SELECT
+        |    CAST(shard * 1000000 + cum_before // 2048 AS BIGINT) AS bin,
+        |    n_tok FROM c),
+        |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS fill FROM p GROUP BY bin)
+        |SELECT CAST(least(10, (fill * 10) // 2048) AS BIGINT)
+        |    AS util_decile,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY 1 ORDER BY util_decile""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q51
   /** Train/eval decontamination: on a corpus with planted duplicates
     * (every 10th doc copied under a new id), split 80/20 by key hash,
@@ -421,6 +455,7 @@ object CurateQueries {
 
   val queries: Map[String, Q] = Map(
     "q155_drop_audit" -> q155,
+    "q158_packing_report" -> q158,
     "q126_budget_trim" -> q126,
     "q130_epoch_shuffle" -> q130,
     "q142_sqrt_balanced_quota" -> q142,
@@ -436,6 +471,7 @@ object CurateQueries {
 
   val oracle: Map[String, String] = Map(
     "q155_drop_audit" -> q155Sql,
+    "q158_packing_report" -> q158Sql,
     "q126_budget_trim" -> q126Sql,
     "q130_epoch_shuffle" -> q130Sql,
     "q142_sqrt_balanced_quota" -> q142Sql,

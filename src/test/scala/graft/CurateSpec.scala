@@ -262,6 +262,30 @@ class CurateSpec extends SparkSuite {
       assert(rows.length < 100, s"skewed shard: ${rows.length}"))
   }
 
+  test("packingReport: decile accounting is exact; totals cover every doc") {
+    val packed = Curate.packSequences(docs, "doc_id",
+      size(graft.functions.Portable.tokens(col("text"))),
+      capacity = 2048L, shards = 8)
+    val rep = Curate.packingReport(packed, 2048L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep.forall(r => r._1 >= 0 && r._1 <= 10))
+    // every document and token lands in exactly one bin
+    val nDocs = docs.count()
+    val nTok = packed.agg(sum(col("n_tok"))).as[Long].head()
+    assert(rep.map(_._3).sum == nDocs)
+    assert(rep.map(_._4).sum == nTok)
+    // hand case: two docs of 3 tokens in one shard, capacity 4 -> the
+    // second doc STARTS in bin 0 (cum_before=3 < 4) so bin 0 overfills
+    // to 6 tokens (decile 10) — the straddle contract
+    val tiny = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+    val tp = Curate.packSequences(tiny, "doc_id",
+      size(graft.functions.Portable.tokens(col("text"))),
+      capacity = 4L, shards = 1)
+    val tr = Curate.packingReport(tp, 4L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(tr == Seq((10L, 1L, 2L, 6L)), s"got $tr")
+  }
+
   test("dropAudit: gate priority quality > exact_dup > contaminated > pass") {
     val good = "the cat and the dog walked to a house in town today ok fine"
     val bench = "a quick brown fox jumps over the lazy dog of the town in time"
