@@ -289,6 +289,20 @@ class PipelineOpsSpec extends SparkSuite {
       (2L, 2L, 1L), (2L, 4L, 1L), (2L, 5L, 1L)), s"got $out")
   }
 
+  test("blocklistCounts matching plans map-only: no exchange in the matcher") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val pats = Seq((1L, "b c")).toDF("pattern_id", "phrase")
+    val plan = TextOps.blocklistCounts(docs, "doc_id", "text", pats)
+      .queryExecution.executedPlan.toString
+    // the automaton travels by broadcast variable, matching is
+    // mapPartitions — a key-hash shuffle here would mean the postings
+    // shape crept back in; Spread.ensure's explicit REPARTITION_BY_NUM
+    // (single-row-group fan-out) is the one allowed exchange
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("REPARTITION_BY_NUM")),
+      s"unexpected exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("perplexityBuckets: hand-computed bits, OOV smoothing, tertile cut") {
     // train "x z x z": c2(x,z)=2, c2(z,x)=1; c1(x)=2, c1(z)=1; V=2
     //   p(z|x) = 3/4 -> 750000 -> bin len 20 -> 1 bit
