@@ -98,7 +98,18 @@ object Sketches {
       valueCol: Column): DataFrame = {
     val base = df.select(groupCols.map(col) :+ valueCol.cast("long").as("v"): _*)
       .filter(col("v") > 0)
-    base.groupBy(groupCols.map(col) :+ logBucket(col("v")).as("bucket"): _*)
+    // batch path: STAGE the floor-log2 into its own projection so the
+    // 39-comparison sum is evaluated once per row. [[logBucket]] inlines
+    // it twice inside one grouping expression — required for streaming
+    // (a pre-groupBy projection drops the watermark) but a measured 7×
+    // regression here when the duplicated tree lands in the agg key
+    // (q151 0.65 s → 4.8 s at sf0.1).
+    base.withColumn("b", floorLog2(col("v")))
+      .withColumn("bucket", when(col("v") < 32, col("v"))
+        .otherwise(lit(32) + (col("b") - 5) * 16 +
+          (call_function("shiftright", col("v").cast("long"),
+            col("b") - lit(4)) % 16)))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
@@ -264,7 +275,11 @@ object Sketches {
           org.apache.spark.unsafe.types.UTF8String.fromString(s"$k#$r"))
           % width).toInt)
     val p = probes.toDF("key", "r", "pos")
-    broadcast(p).join(sketch, Seq("r", "pos"), "left")
+    // broadcast the SKETCH: it is bounded at depth·width cells whatever
+    // the data size, and Spark only supports build-right for a LEFT
+    // outer join — a broadcast hint on the preserved probe side is
+    // ignored (HintErrorLogger) and the join degrades to a shuffle
+    p.join(broadcast(sketch), Seq("r", "pos"), "left")
       .groupBy("key")
       // a key hitting an empty cell has true count 0 in that row
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
