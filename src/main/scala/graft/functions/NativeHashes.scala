@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers called from both interpreted eval and generated Java
@@ -151,4 +151,39 @@ case class NfcNormalize(child: Expression)
 object NfcNormalize {
   def apply(c: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(c)))
+}
+
+/** Native codegen'd capped floor-log₂ for the log-histogram sketch
+  * family: EXACTLY the value of the 39-term comparison sum
+  * Σ_{k=1..39} [v ≥ 2^k] — 0 for v ≤ 1 (and for v ≤ 0, which the
+  * callers filter anyway), capped at 39 — but as ONE
+  * `numberOfLeadingZeros` instruction instead of a 39-branch CASE
+  * chain per row. Integer bit arithmetic, so it is bit-identical to
+  * the comparison sum on every Long (pinned in NativeHashesSpec); the
+  * float-log2 cross-engine divergence the comparison sum exists to
+  * avoid never enters.
+  */
+case class FloorLog2Capped(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Long]
+    if (v <= 0L) 0
+    else math.min(39, 63 - java.lang.Long.numberOfLeadingZeros(v))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"($c <= 0L) ? 0 : java.lang.Math.min(39, 63 - java.lang.Long.numberOfLeadingZeros($c))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FloorLog2Capped = copy(child = newChild)
+}
+
+object FloorLog2Capped {
+  def apply(c: Column): Column =
+    Bridge.column(FloorLog2Capped(Bridge.expression(c)))
 }

@@ -71,14 +71,17 @@ object Sketches {
       .select(groupCols.map(col) :+ estCol(k).as("est_distinct"): _*)
   }
 
-  /** floor(log₂ v) for positive Longs as a pure-integer comparison sum —
-    * NO log(): Java's `Math.log(x)/Math.log(2)` is not exact at powers
-    * of two, so a float log2 disagrees across engines exactly at bucket
-    * boundaries. 39 bits covers any cent-scaled money/length value.
+  /** floor(log₂ v) for positive Longs, capped at 39 (covers any
+    * cent-scaled money/length value) — NO float log(): Java's
+    * `Math.log(x)/Math.log(2)` is not exact at powers of two, so a
+    * float log2 disagrees across engines exactly at bucket boundaries.
+    * The native [[graft.functions.FloorLog2Capped]] expression computes
+    * it as one `numberOfLeadingZeros` instruction, bit-identical to the
+    * 39-term comparison sum Σ [v ≥ 2^k] that the DuckDB oracles replay
+    * (equivalence pinned exhaustively in NativeHashesSpec).
     */
   private def floorLog2(v: Column): Column =
-    (1 to 39).map(k => when(v >= lit(1L << k), lit(1)).otherwise(lit(0)))
-      .reduce(_ + _)
+    graft.functions.FloorLog2Capped(v)
 
   /** DDSketch-style MERGEABLE quantile sketch on a positive Long value
     * domain: values < 32 keep their own bucket (exact); larger values
@@ -149,13 +152,16 @@ object Sketches {
         .otherwise(expr(
           """shiftleft(CAST(16 AS BIGINT) + ((bucket - 32) % 16),
             |  CAST(((bucket - 32) div 16) + 1 AS INT))""".stripMargin)))
-    ps.map { p =>
-      cum.filter(col("cum") * 100 >= col("n") * p)
-        .groupBy(groupCols.map(col): _*)
-        .agg(min(col("lb")).as("est"))
-        .withColumn("p", lit(p.toLong))
-        .select(groupCols.map(col) :+ col("p") :+ col("est"): _*)
-    }.reduce(_ unionByName _)
+    // ONE pass for every requested percentile: explode the (bounded)
+    // percentile list against the ~600-bucket cumulative frame instead
+    // of a per-percentile union, which re-evaluates the upstream sketch
+    // aggregation once per p
+    cum.select(groupCols.map(col) ++ Seq(col("cum"), col("n"), col("lb"),
+        explode(array(ps.map(p => lit(p.toLong)): _*)).as("p")): _*)
+      .filter(col("cum") * 100 >= col("n") * col("p"))
+      .groupBy((groupCols :+ "p").map(col): _*)
+      .agg(min(col("lb")).as("est"))
+      .select(groupCols.map(col) :+ col("p") :+ col("est"): _*)
   }
 
   /** Pairwise KMV Jaccard matrix across groups: for every unordered

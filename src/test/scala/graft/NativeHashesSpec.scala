@@ -217,4 +217,27 @@ class NativeHashesSpec extends SparkSuite {
     assert(got.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("g", 2.0), ("h", 1.0)))
   }
+
+  test("FloorLog2Capped == the 39-term comparison sum on every edge and random Long") {
+    import graft.functions.FloorLog2Capped
+    val edges = Seq(Long.MinValue, -1L, 0L, 1L, 2L, 3L, 31L, 32L, 33L,
+      (1L << 39) - 1, 1L << 39, (1L << 39) + 1, 1L << 40, Long.MaxValue)
+    // deterministic pseudo-random longs (no Random: rerun-stable)
+    val rnd = Iterator.iterate(0x9E3779B97F4A7C15L) { h =>
+      var x = h; x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x
+    }.take(500).toSeq
+    val df = (edges ++ rnd).toDF("v")
+    val spec = (1 to 39)
+      .map(k => when(col("v") >= lit(1L << k), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val bad = df.select(col("v"), FloorLog2Capped(col("v")).as("native"),
+        spec.as("spec"))
+      .filter(col("native") =!= col("spec"))
+      .collect()
+    assert(bad.isEmpty, s"diverged: ${bad.take(5).mkString(",")}")
+    // interpreted eval path agrees with codegen (collect of a literal)
+    val one = df.filter(col("v") === 32L)
+      .select(FloorLog2Capped(col("v"))).as[Int].head()
+    assert(one == 5)
+  }
 }
