@@ -1164,6 +1164,47 @@ object ExtensionQueries {
       |  round(CAST(sum((x + y*3) % 256) AS DOUBLE) / (max(w)*max(h)), 4) AS mean_b
       |FROM px GROUP BY doc_id ORDER BY id""".stripMargin
 
+  // --------------------------------------------------------------- q159
+  /** REAL PCM/WAV audio decode through the driver gate
+    * ([[Multimodal.fixtureWav]] → [[Multimodal.audioFeatures]]):
+    * executors synthesize a deterministic integer-sawtooth WAV per doc
+    * id (16-bit PCM mono, 256-sample silent tail), the RIFF chunk walk
+    * parses it back, and framed absolute-energy features are emitted.
+    * The oracle replays the WAVEFORM FORMULA in closed form — it never
+    * sees the bytes — so a header off-by-one, an endianness slip, a
+    * sign-extension bug, or a frame-boundary error anywhere in the
+    * encode → parse → frame path fails the hash.
+    */
+  val q159: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val ids = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200).select("doc_id").as[java.lang.Long]
+    Multimodal.audioFeatures(Multimodal.fixtureWavCorpus(ids))
+      .toDF().withColumnRenamed("id", "doc_id").orderBy("doc_id")
+  }
+  val q159Sql: String =
+    """WITH par AS (SELECT doc_id, 32 + (doc_id % 7) * 16 AS p,
+      |    8000 + (doc_id % 11) * 1000 AS amp,
+      |    2048 + (doc_id % 5) * 512 AS n
+      |  FROM documents WHERE doc_id < 200),
+      |s AS (SELECT doc_id, n, u.t AS t,
+      |    CASE WHEN u.t >= n - 256 THEN 0
+      |         ELSE ((u.t % p) * 2 * amp) // p - amp END AS v
+      |  FROM par, unnest(range(n)) AS u(t)),
+      |fr AS (SELECT doc_id, t // 256 AS f, CAST(sum(abs(v)) AS BIGINT)
+      |    AS e FROM s GROUP BY 1, 2),
+      |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |    CAST(sum(e) AS BIGINT) AS total_abs,
+      |    CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS silent_frames
+      |  FROM fr GROUP BY 1),
+      |pk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+      |    CAST(max(abs(v)) AS BIGINT) AS peak FROM s GROUP BY 1)
+      |SELECT a.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  pk.n_samples, a.n_frames, a.total_abs, pk.peak, a.silent_frames
+      |FROM ag a JOIN pk USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q98
   /** Nearest-neighbor image RESIZE through the driver gate
     * ([[Multimodal.resizeImage]]): the gradient fixtures decode and
@@ -1527,6 +1568,7 @@ object ExtensionQueries {
     "q56_ann_ivfpq" -> q56,
     "q107_ann_index" -> q107,
     "q57_image_decode" -> q57,
+    "q159_audio_decode" -> q159,
     "q98_image_resize" -> q98,
     "q146_perceptual_dedup" -> q146,
     "q21_dedup_ngram_jaccard" -> q21,
@@ -1571,6 +1613,7 @@ object ExtensionQueries {
     "q56_ann_ivfpq" -> q56Sql,
     "q107_ann_index" -> q56Sql,
     "q57_image_decode" -> q57Sql,
+    "q159_audio_decode" -> q159Sql,
     "q98_image_resize" -> q98Sql,
     "q146_perceptual_dedup" -> q146Sql,
     "q21_dedup_ngram_jaccard" -> q21Sql,

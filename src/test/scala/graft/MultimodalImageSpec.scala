@@ -128,4 +128,38 @@ class MultimodalImageSpec extends SparkSuite {
     assert(Multimodal.resizeFeatures(media, 2, 2).collect().map(_.id).toSeq
       == Seq(1L))
   }
+
+  test("decodeWav round-trips the fixture samples exactly; rejects non-PCM") {
+    val bytes = Multimodal.fixtureWav(3L)
+    val Some((sr, s)) = Multimodal.decodeWav(bytes)
+    assert(sr == 8000)
+    val p = 32L + 3 % 7 * 16; val amp = 8000L + 3 % 11 * 1000
+    val n = 2048 + (3 % 5) * 512
+    assert(s.length == n)
+    (0 until n).foreach { t =>
+      val expect = if (t >= n - 256) 0L else ((t % p) * 2 * amp) / p - amp
+      assert(s(t).toLong == expect, s"t=$t")
+    }
+    // negative samples survive the int16 little-endian round trip
+    assert(s.exists(_ < 0))
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    // stereo (channels=2) is rejected, not mis-parsed
+    val stereo = bytes.clone(); stereo(22) = 2
+    assert(Multimodal.decodeWav(stereo).isEmpty)
+  }
+
+  test("audioFeatures: silent tail frame counted; undecodable clips drop") {
+    val media = Seq(
+      MediaRecord(7L, Multimodal.fixtureWav(7L), "audio/wav", 8000L),
+      MediaRecord(8L, Array[Byte](9, 9), "audio/wav", 0L)).toDS()
+    val out = Multimodal.audioFeatures(media).collect()
+    assert(out.map(_.id).toSeq == Seq(7L))
+    val f = out.head
+    val n = 2048 + (7 % 5) * 512
+    assert(f.n_samples == n && f.n_frames == n / 256)
+    // exactly the one zeroed tail frame is silent (sawtooth frames all
+    // carry energy)
+    assert(f.silent_frames == 1L, s"silent=${f.silent_frames}")
+    assert(f.peak > 0 && f.total_abs > f.peak)
+  }
 }
