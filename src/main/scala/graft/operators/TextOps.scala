@@ -1094,6 +1094,35 @@ object TextOps {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Per-group tokenizer fertility and token-share accounting — the
+    * mixture report a multilingual pipeline prints before fixing
+    * sampling weights: for each group (language, source, …), document
+    * and token totals under BOTH tokenizations ([[tokenCounts]]'
+    * whitespace and BPE-ish regex), the fertility ratio
+    * `(bpe·1000) div ws` (how many subword tokens a "word" costs —
+    * the classic per-language tokenizer-efficiency metric), and the
+    * group's share of the corpus' BPE tokens in ppm. ONE map-side-
+    * combined aggregate over the corpus plus a broadcast 1-row total —
+    * nothing grows with the data but the group count.
+    * Output: (g, n_docs, ws_tokens, bpe_tokens, fertility_milli,
+    * share_ppm).
+    */
+  def tokenizerFertility(df: DataFrame, idCol: String, textCol: String,
+      groupCol: Column): DataFrame = {
+    val counted = Spread.ensure(
+        df.select(col(idCol).as("id"), groupCol.as("g"), col(textCol)), "id")
+      .select(col("id") +: col("g") +: tokenCounts(col(textCol)): _*)
+    val per = counted.groupBy("g")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_tokens")).as("bpe_tokens"))
+    val tot = per.agg(sum(col("bpe_tokens")).as("bpe_total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("g"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        expr("(bpe_tokens * 1000) div ws_tokens").as("fertility_milli"),
+        expr("(bpe_tokens * 1000000) div bpe_total").as("share_ppm"))
+  }
+
   /** Token-level Aho–Corasick multi-pattern matcher — the blocklist /
     * policy-filter primitive (Aho & Corasick 1975, "Efficient string
     * matching: an aid to bibliographic search"): count every

@@ -1029,7 +1029,39 @@ object PipelineQueries {
       |  CAST(n_hits AS BIGINT) AS n_hits
       |FROM m ORDER BY pattern_id, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q160
+  /** Tokenizer fertility / token-share accounting
+    * ([[TextOps.tokenizerFertility]]) per language: the mixture report
+    * that decides multilingual sampling weights — BPE-per-word
+    * fertility in milli units and each language's ppm share of corpus
+    * tokens, from one map-side-combined aggregate + a broadcast total.
+    */
+  val q160: Q = (s, dir) =>
+    TextOps.tokenizerFertility(Tables.documents(s, dir), "doc_id", "text",
+        col("lang"))
+      .withColumnRenamed("g", "lang")
+      .orderBy("lang")
+  val q160Sql: String =
+    """WITH t AS (SELECT lang,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+      |      AS ws,
+      |    CAST(len(regexp_extract_all(lower(text),
+      |      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe
+      |  FROM documents),
+      |per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(ws) AS BIGINT) AS ws_tokens,
+      |    CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(bpe_tokens) AS BIGINT) AS bpe_total
+      |  FROM per)
+      |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+      |  CAST((bpe_tokens * 1000) // ws_tokens AS BIGINT)
+      |    AS fertility_milli,
+      |  CAST((bpe_tokens * 1000000) // bpe_total AS BIGINT) AS share_ppm
+      |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q160_tokenizer_fertility" -> q160,
     "q153_perplexity_buckets" -> q153,
     "q154_blocklist_automaton" -> q154,
     "q149_chunk_reuse" -> q149,
@@ -1056,6 +1088,7 @@ object PipelineQueries {
     "q76_dedup_survivors" -> q76)
 
   val oracle: Map[String, String] = Map(
+    "q160_tokenizer_fertility" -> q160Sql,
     "q153_perplexity_buckets" -> q153Sql,
     "q154_blocklist_automaton" -> q154Sql,
     "q149_chunk_reuse" -> q149Sql,
