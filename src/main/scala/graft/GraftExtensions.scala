@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash48, LongArrayDot, NfcNormalize, RollingHash}
+import graft.functions.{FloorLog2Capped, Hash48, LongArrayDot, NfcNormalize, RollingHash}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users (and JDBC/Thrift
@@ -43,6 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"nfc_normalize expects 1 argument, got ${children.size}")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("floor_log2"),
+      new ExpressionInfo(classOf[FloorLog2Capped].getName, "floor_log2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"floor_log2 expects 1 argument, got ${children.size}")
+        FloorLog2Capped(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),

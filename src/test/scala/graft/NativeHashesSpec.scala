@@ -72,6 +72,9 @@ class NativeHashesSpec extends SparkSuite {
     assert(r.getLong(2) == exp.getLong(1))
     val n = s2.sql("SELECT nfc_normalize('café') AS a").collect().head
     assert(n.getString(0) == "café", "SQL nfc must compose e+U+0301")
+    val fl = s2.sql(
+      "SELECT floor_log2(1024L) AS a, floor_log2(0L) AS b").collect().head
+    assert(fl.getInt(0) == 10 && fl.getInt(1) == 0)
   }
 
   test("NfcNormalize composes decomposed forms, keeps NFC text byte-identical") {
