@@ -60,6 +60,11 @@ object AnnIndex {
     val cells = withQ.withColumn("cell",
       element_at(Similarity.rankedCells(coarse, col("q"), 1), 1))
     pq.encode(withQ).join(cells.select("id", "cell"), "id")
+      // cluster by cell BEFORE the partitioned write: otherwise every
+      // shuffle task writes a sliver of every cell — tasks × nlist tiny
+      // files (≈500 here) whose listing+footer reads then tax every
+      // probe; clustered, the layout is one file per cell
+      .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$indexDir/encoded")
     java.nio.file.Files.write(java.nio.file.Paths.get(indexDir, "META"),
@@ -126,6 +131,7 @@ object AnnIndex {
     val cells = withQ.withColumn("cell",
       element_at(Similarity.rankedCells(coarse, col("q"), 1), 1))
     pq.encode(withQ).join(cells.select("id", "cell"), "id")
+      .repartition(col("cell")) // one file per touched cell (see build)
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$indexDir/encoded")
   }
