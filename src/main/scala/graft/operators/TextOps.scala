@@ -1037,11 +1037,24 @@ object TextOps {
     */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       trainPred: Column): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docBg = bigramDocCounts(df, idCol, textCol, trainPred)
+    val c2 = docBg.filter(col("is_t"))
+      .groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("vv"))
+    perplexityFromCounts(docBg, c2, c1, vocab)
+  }
+
+  /** (id, is_t, w1, w2, cnt): per-document DISTINCT bigram counts with
+    * the train flag — the shared front end of [[perplexityBuckets]]
+    * and the [[LmStore]] train/score paths.
+    */
+  private def bigramDocCounts(df: DataFrame, idCol: String,
+      textCol: String, trainPred: Column): DataFrame = {
     val base = Spread.ensure(
       df.select(col(idCol).as("id"), trainPred.as("is_t"),
         Portable.tokens(col(textCol)).as("w")), "id")
-    val occ = base.select(col("id"), col("is_t"),
+    base.select(col("id"), col("is_t"),
         explode(when(size(col("w")) >= 2,
           transform(sequence(lit(0), size(col("w")) - 2),
             i => struct(element_at(col("w"), i + 1).as("w1"),
@@ -1050,12 +1063,17 @@ object TextOps {
           .as("b"))
       .select(col("id"), col("is_t"), col("b.w1").as("w1"),
         col("b.w2").as("w2"))
-    val docBg = occ.groupBy("id", "is_t", "w1", "w2")
+      .groupBy("id", "is_t", "w1", "w2")
       .agg(count(lit(1)).as("cnt"))
-    val c2 = docBg.filter(col("is_t"))
-      .groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
-    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val vocab = c1.agg(count(lit(1)).as("vv"))
+  }
+
+  /** Score + tertile-bucket a (id, w1, w2, cnt) frame against LM count
+    * frames c2 (w1, w2, c2), c1 (w1, c1), vocab (1-row vv) — the back
+    * half shared by the one-shot and stored-LM paths.
+    */
+  private def perplexityFromCounts(docBg: DataFrame, c2: DataFrame,
+      c1: DataFrame, vocab: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val scored = docBg
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
@@ -1121,6 +1139,45 @@ object TextOps {
       .select(col("g"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
         expr("(bpe_tokens * 1000) div ws_tokens").as("fertility_milli"),
         expr("(bpe_tokens * 1000000) div bpe_total").as("share_ppm"))
+  }
+
+  /** Persisted bigram-LM artifact — the [[AnnIndex]] pattern applied to
+    * the text-quality pipeline: train the [[perplexityBuckets]] LM once
+    * (offline, on the reference slice), store its count frames as
+    * parquet, and score any later batch from the stored artifact alone.
+    * `scoreFrom(corpus)` over the training corpus is IDENTICAL to the
+    * one-shot `perplexityBuckets` (q161's oracle is q153's SQL
+    * verbatim), so drift between the stored and in-line paths fails the
+    * driver hash, exactly like the q56/q107 index pair.
+    *
+    * Layout: `dir/c2` (w1, w2, c2), `dir/c1` (w1, c1), `dir/meta`
+    * (1-row vv). The stored frames are count tables — mergeable by
+    * addition, so incremental re-training is a groupBy-sum union away.
+    */
+  object LmStore {
+    def save(df: DataFrame, idCol: String, textCol: String,
+        trainPred: Column, dir: String): Unit = {
+      import org.apache.spark.sql.SaveMode
+      val docBg = bigramDocCounts(df, idCol, textCol, trainPred)
+      val c2 = docBg.filter(col("is_t"))
+        .groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
+      c2.write.mode(SaveMode.Overwrite).parquet(s"$dir/c2")
+      val spark = df.sparkSession
+      val c2s = spark.read.parquet(s"$dir/c2")
+      c2s.groupBy("w1").agg(sum(col("c2")).as("c1"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/c1")
+      spark.read.parquet(s"$dir/c1").agg(count(lit(1)).as("vv"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    }
+
+    def scoreFrom(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+        idCol: String, textCol: String, dir: String): DataFrame = {
+      val docBg = bigramDocCounts(df, idCol, textCol, lit(false))
+      perplexityFromCounts(docBg,
+        spark.read.parquet(s"$dir/c2"),
+        spark.read.parquet(s"$dir/c1"),
+        spark.read.parquet(s"$dir/meta"))
+    }
   }
 
   /** Token-level Aho–Corasick multi-pattern matcher — the blocklist /

@@ -1060,7 +1060,28 @@ object PipelineQueries {
       |  CAST((bpe_tokens * 1000000) // bpe_total AS BIGINT) AS share_ppm
       |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q161
+  /** The PERSISTED form of q153 ([[TextOps.LmStore]]): train the bigram
+    * LM on the src0 slice and WRITE it (c2/c1/meta parquet), then score
+    * the corpus from the stored artifact alone — identical arithmetic
+    * end to end, so the oracle is q153's SQL verbatim; any drift
+    * between the stored and one-shot paths fails the hash (the
+    * q56/q107 ANN-index contract, applied to the text pipeline).
+    */
+  val q161: Q = (s, dir) => {
+    val store = "/tmp/graft_lm_store_" +
+      java.nio.file.Paths.get(dir).getFileName.toString
+    val docs = Tables.documents(s, dir)
+    TextOps.LmStore.save(docs, "doc_id", "text",
+      col("source") === "src0", store)
+    TextOps.LmStore.scoreFrom(s, docs, "doc_id", "text", store)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+  val q161Sql: String = q153Sql
+
   val queries: Map[String, Q] = Map(
+    "q161_lm_store" -> q161,
     "q160_tokenizer_fertility" -> q160,
     "q153_perplexity_buckets" -> q153,
     "q154_blocklist_automaton" -> q154,
@@ -1088,6 +1109,7 @@ object PipelineQueries {
     "q76_dedup_survivors" -> q76)
 
   val oracle: Map[String, String] = Map(
+    "q161_lm_store" -> q161Sql,
     "q160_tokenizer_fertility" -> q160Sql,
     "q153_perplexity_buckets" -> q153Sql,
     "q154_blocklist_automaton" -> q154Sql,

@@ -327,6 +327,21 @@ class PipelineOpsSpec extends SparkSuite {
       (13L, 1L, 1L, 1000L, "head")), s"got $out")
   }
 
+  test("LmStore: stored-LM scoring equals the one-shot path exactly") {
+    val docs = Seq(
+      (10L, "x z x z", true), (11L, "x z x", false),
+      (12L, "y y y", false), (13L, "x z", false)
+    ).toDF("id", "text", "is_train")
+    val dir = "/tmp/graft_lm_store_spec"
+    TextOps.LmStore.save(docs, "id", "text", col("is_train"), dir)
+    val stored = TextOps.LmStore.scoreFrom(spark, docs, "id", "text", dir)
+      .orderBy("id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    val oneShot = TextOps.perplexityBuckets(docs, "id", "text",
+        col("is_train"))
+      .orderBy("id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(stored == oneShot, s"stored $stored vs one-shot $oneShot")
+  }
+
   test("rrf: doc in both lists beats single-list docs; order within a list respected") {
     import graft.operators.Fusion
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
