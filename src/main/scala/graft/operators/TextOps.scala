@@ -1178,6 +1178,33 @@ object TextOps {
         spark.read.parquet(s"$dir/c1"),
         spark.read.parquet(s"$dir/meta"))
     }
+
+    /** [[save]] only when the stored artifact does not already match
+      * the TRAIN SLICE's content fingerprint (row count + id sum +
+      * order-free content-hash sum — one cheap map-side-combined
+      * aggregate; a length sum would miss equal-length edits), the
+      * [[graft.engine.BucketedSync.ensureSnapshot]] contract: repeated
+      * pipelines pay the train+write once, re-scores hit the store,
+      * and a regenerated corpus forces a retrain instead of silently
+      * scoring against a stale LM.
+      */
+    def ensure(df: DataFrame, idCol: String, textCol: String,
+        trainPred: Column, dir: String): Unit = {
+      val fp = df.filter(trainPred)
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col(idCol)).cast("long").as("si"),
+          sum(Portable.hash48(col(textCol))).cast("long").as("sh"))
+        .collect().head
+      val tag = s"${fp.getLong(0)},${fp.getLong(1)},${fp.getLong(2)}"
+      val fpPath = java.nio.file.Paths.get(dir, "FINGERPRINT")
+      val fresh = java.nio.file.Files.exists(fpPath) &&
+        new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == tag
+      if (!fresh) {
+        save(df, idCol, textCol, trainPred, dir)
+        java.nio.file.Files.createDirectories(fpPath.getParent)
+        java.nio.file.Files.write(fpPath, tag.getBytes("UTF-8"))
+      }
+    }
   }
 
   /** Token-level Aho–Corasick multi-pattern matcher — the blocklist /

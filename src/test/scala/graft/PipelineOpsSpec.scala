@@ -342,6 +342,28 @@ class PipelineOpsSpec extends SparkSuite {
     assert(stored == oneShot, s"stored $stored vs one-shot $oneShot")
   }
 
+  test("LmStore.ensure retrains on a changed train slice, skips when unchanged") {
+    import java.nio.file.{Files, Paths}
+    val dir = "/tmp/graft_lm_store_ensure_spec"
+    val d1 = Seq((1L, "x z x z", true), (2L, "x z", false))
+      .toDF("id", "text", "is_train")
+    TextOps.LmStore.ensure(d1, "id", "text", col("is_train"), dir)
+    val t1 = Files.getLastModifiedTime(Paths.get(dir, "FINGERPRINT"))
+    TextOps.LmStore.ensure(d1, "id", "text", col("is_train"), dir)
+    assert(Files.getLastModifiedTime(Paths.get(dir, "FINGERPRINT")) == t1,
+      "unchanged train slice must not retrain")
+    // changed train text -> fingerprint differs -> retrain with new counts
+    val d2 = Seq((1L, "y y y y", true), (2L, "x z", false))
+      .toDF("id", "text", "is_train")
+    TextOps.LmStore.ensure(d2, "id", "text", col("is_train"), dir)
+    val stored = TextOps.LmStore.scoreFrom(spark, d2, "id", "text", dir)
+      .orderBy("id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    val oneShot = TextOps.perplexityBuckets(d2, "id", "text",
+        col("is_train"))
+      .orderBy("id").as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(stored == oneShot, "post-retrain store must match one-shot")
+  }
+
   test("rrf: doc in both lists beats single-list docs; order within a list respected") {
     import graft.operators.Fusion
     val a = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
