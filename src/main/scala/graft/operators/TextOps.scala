@@ -1141,6 +1141,89 @@ object TextOps {
         expr("(bpe_tokens * 1000000) div bpe_total").as("share_ppm"))
   }
 
+  /** Stupid-backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE web-scale LM
+    * recipe: no discounting to estimate, counts only, a fixed 0.4
+    * back-off multiplier, which is exactly what makes it replayable as
+    * integer arithmetic): every document's trigrams score
+    * S(w3|w1w2) = c123/c12, backing off to 0.4·c23/c2• then to
+    * 0.4²·c3/N, all in exact micro units — (1e6·c123) div c12,
+    * (4e5·c23) div c2•, (1.6e5·c3) div N — with the count of trigrams
+    * resolved at each back-off level reported alongside (the
+    * model-coverage diagnostic: a corpus scoring mostly at the unigram
+    * level isn't covered by the reference LM at all).
+    *
+    * Same plan scale-shape as [[perplexityBuckets]]: counting joins at
+    * the (doc, trigram)-DISTINCT level with occurrence multipliers;
+    * the count tables are train-slice aggregates broadcast or
+    * shuffle-joined by Catalyst's choice; nothing is driver-side.
+    * Documents with < 3 tokens have no trigrams and drop (min-length
+    * gate). Output: (id, n_trigrams, n_tri, n_bi, n_uni,
+    * sb_micro_sum) — higher sum = more reference-like.
+    */
+  def stupidBackoffScore(df: DataFrame, idCol: String, textCol: String,
+      trainPred: Column): DataFrame = {
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), trainPred.as("is_t"),
+        Portable.tokens(col(textCol)).as("w")), "id")
+    def grams(n: Int): DataFrame = {
+      val names = (1 to n).map(i => s"w$i")
+      base.select(col("id"), col("is_t"),
+          explode(when(size(col("w")) >= n,
+            transform(sequence(lit(0), size(col("w")) - n),
+              i => struct(names.zipWithIndex.map { case (nm, j) =>
+                element_at(col("w"), i + j + 1).as(nm)
+              }: _*)))
+            .otherwise(array().cast(
+              s"array<struct<${names.map(_ + ":string").mkString(",")}>>")))
+            .as("g"))
+        .select(col("id") +: col("is_t") +:
+          names.map(nm => col(s"g.$nm").as(nm)): _*)
+        .groupBy((Seq("id", "is_t") ++ names).map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val doc3 = grams(3)
+    val tri = doc3.filter(col("is_t"))
+      .groupBy("w1", "w2", "w3").agg(sum(col("cnt")).as("c123"))
+    val tri12 = tri.groupBy("w1", "w2").agg(sum(col("c123")).as("c12"))
+    val bi = grams(2).filter(col("is_t"))
+      .groupBy(col("w1").as("w2"), col("w2").as("w3"))
+      .agg(sum(col("cnt")).as("c23"))
+    val bi2 = bi.groupBy("w2").agg(sum(col("c23")).as("c2s"))
+    val uni = base.filter(col("is_t"))
+      .select(explode(col("w")).as("w3"))
+      .groupBy("w3").agg(count(lit(1)).as("c3"))
+    val n = uni.agg(sum(col("c3")).as("nn"))
+    doc3
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(tri12, Seq("w1", "w2"), "left")
+      .join(bi, Seq("w2", "w3"), "left")
+      .join(bi2, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("cnt"),
+        when(coalesce(col("c123"), lit(0L)) > 0, lit(3))
+          .when(coalesce(col("c23"), lit(0L)) > 0, lit(2))
+          .when(coalesce(col("c3"), lit(0L)) > 0, lit(1))
+          .otherwise(lit(0)).as("lvl"),
+        when(coalesce(col("c123"), lit(0L)) > 0,
+            expr("(1000000 * c123) div c12"))
+          .when(coalesce(col("c23"), lit(0L)) > 0,
+            expr("(400000 * c23) div c2s"))
+          .when(coalesce(col("c3"), lit(0L)) > 0,
+            expr("(160000 * c3) div nn"))
+          .otherwise(lit(0L)).as("s"))
+      .groupBy("id")
+      .agg(sum(col("cnt")).as("n_trigrams"),
+        coalesce(sum(when(col("lvl") === 3, col("cnt"))), lit(0L))
+          .as("n_tri"),
+        coalesce(sum(when(col("lvl") === 2, col("cnt"))), lit(0L))
+          .as("n_bi"),
+        coalesce(sum(when(col("lvl") === 1, col("cnt"))), lit(0L))
+          .as("n_uni"),
+        sum(col("cnt") * col("s")).as("sb_micro_sum"))
+  }
+
   /** Persisted bigram-LM artifact — the [[AnnIndex]] pattern applied to
     * the text-quality pipeline: train the [[perplexityBuckets]] LM once
     * (offline, on the reference slice), store its count frames as

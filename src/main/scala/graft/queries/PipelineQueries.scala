@@ -1084,7 +1084,69 @@ object PipelineQueries {
   }
   val q161Sql: String = q153Sql
 
+  // --------------------------------------------------------------- q162
+  /** Stupid-backoff trigram scoring ([[TextOps.stupidBackoffScore]]):
+    * the src0-trained web-scale LM recipe (counts only, fixed 0.4
+    * back-off — hence exactly replayable in integers) scoring every
+    * document, with per-level resolution counts as the model-coverage
+    * diagnostic. Oracle replays trigram/bigram/unigram counting, the
+    * back-off CASE, and the micro arithmetic verbatim.
+    */
+  val q162: Q = (s, dir) =>
+    TextOps.stupidBackoffScore(Tables.documents(s, dir), "doc_id", "text",
+        col("source") === "src0")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  val q162Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |o3 AS (SELECT doc_id, source, w[i+1] AS w1, w[i+2] AS w2,
+      |    w[i+3] AS w3
+      |  FROM (SELECT doc_id, source, w, unnest(range(len(w)-2)) AS i
+      |        FROM t)),
+      |d3 AS (SELECT doc_id, w1, w2, w3, count(*) AS cnt FROM o3
+      |  GROUP BY 1, 2, 3, 4),
+      |tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+      |  FROM o3 WHERE source = 'src0' GROUP BY 1, 2, 3),
+      |t12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+      |  FROM tri GROUP BY 1, 2),
+      |o2 AS (SELECT source, w[i+1] AS w2, w[i+2] AS w3
+      |  FROM (SELECT source, w, unnest(range(len(w)-1)) AS i FROM t)),
+      |bi AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS c23 FROM o2
+      |  WHERE source = 'src0' GROUP BY 1, 2),
+      |b2 AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2s FROM bi
+      |  GROUP BY 1),
+      |u AS (SELECT w3, CAST(count(*) AS BIGINT) AS c3 FROM
+      |  (SELECT unnest(w) AS w3 FROM t WHERE source = 'src0') GROUP BY 1),
+      |nv AS (SELECT CAST(sum(c3) AS BIGINT) AS nn FROM u),
+      |sc AS (SELECT d.doc_id, d.cnt,
+      |    CASE WHEN coalesce(tri.c123, 0) > 0 THEN 3
+      |         WHEN coalesce(bi.c23, 0) > 0 THEN 2
+      |         WHEN coalesce(u.c3, 0) > 0 THEN 1 ELSE 0 END AS lvl,
+      |    CASE WHEN coalesce(tri.c123, 0) > 0
+      |           THEN (1000000 * tri.c123) // t12.c12
+      |         WHEN coalesce(bi.c23, 0) > 0
+      |           THEN (400000 * bi.c23) // b2.c2s
+      |         WHEN coalesce(u.c3, 0) > 0
+      |           THEN (160000 * u.c3) // nv.nn
+      |         ELSE 0 END AS s
+      |  FROM d3 d LEFT JOIN tri USING (w1, w2, w3)
+      |            LEFT JOIN t12 USING (w1, w2)
+      |            LEFT JOIN bi USING (w2, w3)
+      |            LEFT JOIN b2 USING (w2)
+      |            LEFT JOIN u USING (w3) CROSS JOIN nv)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+      |  CAST(coalesce(sum(CASE WHEN lvl = 3 THEN cnt END), 0) AS BIGINT)
+      |    AS n_tri,
+      |  CAST(coalesce(sum(CASE WHEN lvl = 2 THEN cnt END), 0) AS BIGINT)
+      |    AS n_bi,
+      |  CAST(coalesce(sum(CASE WHEN lvl = 1 THEN cnt END), 0) AS BIGINT)
+      |    AS n_uni,
+      |  CAST(sum(cnt * s) AS BIGINT) AS sb_micro_sum
+      |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q162_stupid_backoff" -> q162,
     "q161_lm_store" -> q161,
     "q160_tokenizer_fertility" -> q160,
     "q153_perplexity_buckets" -> q153,
@@ -1113,6 +1175,7 @@ object PipelineQueries {
     "q76_dedup_survivors" -> q76)
 
   val oracle: Map[String, String] = Map(
+    "q162_stupid_backoff" -> q162Sql,
     "q161_lm_store" -> q161Sql,
     "q160_tokenizer_fertility" -> q160Sql,
     "q153_perplexity_buckets" -> q153Sql,

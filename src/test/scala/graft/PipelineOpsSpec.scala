@@ -327,6 +327,30 @@ class PipelineOpsSpec extends SparkSuite {
       (13L, 1L, 1L, 1000L, "head")), s"got $out")
   }
 
+  test("stupidBackoffScore: hand-computed scores at every backoff level") {
+    // train "a b c a b d": c123 each 1; c12(a,b)=2,(b,c)=1,(c,a)=1;
+    // c23 ab=2,bc=1,ca=1,bd=1; c2s a=2,b=2,c=1; unigrams a2 b2 c1 d1 N=6
+    val docs = Seq(
+      (1L, "a b c a b d", true),
+      (2L, "a b c", false),  // trigram hit: 1e6*1//2 = 500000
+      (3L, "b c x", false),  // unseen at every level -> 0
+      (4L, "x b d", false),  // bigram hit: 4e5*1//2 = 200000
+      (5L, "x y d", false),  // unigram hit: 1.6e5*1//6 = 26666
+      (6L, "a b", false)     // <3 tokens: dropped
+    ).toDF("id", "text", "is_train")
+    val out = TextOps.stupidBackoffScore(docs, "id", "text",
+        col("is_train"))
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // train doc: abc 500000, bca 1000000, cab 1000000, abd 500000
+      (1L, 4L, 4L, 0L, 0L, 3000000L),
+      (2L, 1L, 1L, 0L, 0L, 500000L),
+      (3L, 1L, 0L, 0L, 0L, 0L),
+      (4L, 1L, 0L, 1L, 0L, 200000L),
+      (5L, 1L, 0L, 0L, 1L, 26666L)), s"got $out")
+  }
+
   test("LmStore: stored-LM scoring equals the one-shot path exactly") {
     val docs = Seq(
       (10L, "x z x z", true), (11L, "x z x", false),
