@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.RankingQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.AuditQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.RankingQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
-      graft.queries.CorpusQueries.oracle
+      graft.queries.CorpusQueries.oracle ++
+      graft.queries.AuditQueries.oracle
 }

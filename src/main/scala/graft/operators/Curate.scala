@@ -415,4 +415,47 @@ object Curate {
           .when(col("in_bench").isNotNull, "contaminated")
           .otherwise("pass").as("verdict"))
   }
+
+  /** Classifier-calibration report: per equi-depth score bucket (the
+    * [[graft.operators.Stats]] equi-depth rule — a distinct score v
+    * lands wholly in bucket `(cumBefore(v)·k) div N`), how often an
+    * INDEPENDENT quality signal (`passCol`, e.g. the full gopher-rule
+    * battery) agrees — the audit run before trusting a learned quality
+    * filter to gate a 100 TB corpus: a well-calibrated classifier shows
+    * pass_ppm rising monotonically across buckets; a flat profile means
+    * the score is noise.
+    *
+    * Shape: ONE score-keyed aggregate collapses the corpus to ≤
+    * |score domain| rows carrying (count, passes); the cumulative rank
+    * each bucket needs comes from the radix-decomposed
+    * [[Stats.valueDomainCum]] (every window partition ≤ 2¹⁶ rows by
+    * construction — no single-partition WindowExec at any scale); the
+    * final aggregate is ≤ k rows. `domainBits` is the a-priori bound on
+    * the score's signed bit width (see Stats: a wrong bound only widens
+    * window partitions, never changes results). Scores may be negative.
+    * Output: (bucket, n_docs, n_pass, pass_ppm, v_min, v_max).
+    */
+  def scoreCalibration(scored: DataFrame, scoreCol: String,
+      passCol: String, k: Int = 10, domainBits: Int = 64): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // session-cache contract as Stats.valueDomainCum: counts feeds the
+    // radix levels AND the final join; eager count before the
+    // broadcast subjobs race on an uncached parent
+    val counts = scored
+      .groupBy(col(scoreCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(col(passCol).cast("long")).as("np"))
+      .persist(lvl)
+    counts.count()
+    val cum = Stats.valueDomainCum(counts.select("v", "c"), Nil,
+      domainBits = domainBits)
+    counts.join(cum.select(col("v"),
+        expr(s"((cum - c) * $k) div n").as("bucket")), Seq("v"))
+      .groupBy("bucket")
+      .agg(sum(col("c")).as("n_docs"), sum(col("np")).as("n_pass"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .select(col("bucket"), col("n_docs"), col("n_pass"),
+        expr("(n_pass * 1000000) div n_docs").as("pass_ppm"),
+        col("v_min"), col("v_max"))
+  }
 }

@@ -673,4 +673,97 @@ object Dedup {
       .select("decile", "n_pairs", "catch_p_micro")
     (out, cleanup)
   }
+
+  /** Duplicate-cluster size distribution: component sizes from a
+    * [[connectedComponents]] labeling histogrammed into (size,
+    * n_components, n_docs, docs_ppm), with the UNclustered remainder of
+    * the corpus reported as size-1 "components" — the how-duplicated-
+    * is-my-corpus report that decides whether dedup is worth a full
+    * pass and whether one pathological cluster (a boilerplate template,
+    * a mirror site) dominates the duplicate mass.
+    *
+    * Shape: one comp-keyed count, one size-keyed count, two 1-row
+    * scalar aggregates broadcast for the singleton row and the ppm
+    * denominator. Output rows are bounded by the number of DISTINCT
+    * cluster sizes — a heavy-tail handful at any corpus scale.
+    * `corpusIds`' first column is the document id; `comps` is the
+    * (id, comp) labeling (clustered docs only, as
+    * [[connectedComponents]] emits).
+    */
+  /** Persisted MinHash signature index — the [[graft.operators.AnnIndex]]
+    * / [[TextOps.LmStore]] artifact contract applied to near-dup
+    * detection: build the standing corpus' (id, shingle-hash) and
+    * (id, band, band_key) frames ONCE, write them as parquet, and run
+    * every later ingest batch's delta dedup against the stored index
+    * alone — the production steady state at 100 TB, where re-shingling
+    * the corpus per batch is the dominant (and avoidable) cost.
+    * [[ContentGate]]-fingerprinted: a regenerated corpus forces a
+    * rebuild instead of silently deduping against a stale index.
+    *
+    * [[deltaPairs]] computes the FRESH side's frames in-plan and feeds
+    * [[minhashLshPairsFromFrames]] — identical candidate/verify
+    * semantics to [[minhashLshPairsDeltaManaged]], so a store-backed
+    * run returns byte-identical pairs to the recompute-everything run
+    * (q171's oracle is q104's SQL verbatim for exactly this reason).
+    * Short (un-shingle-able) corpus docs follow the same convention as
+    * the batch path: absent from the shingle frame, they band via the
+    * whole-text fallback at BUILD time and drop out at verify.
+    */
+  object SigStore {
+    def save(df: DataFrame, idCol: String, textCol: String,
+        shingleN: Int, numHashes: Int, bands: Int, dir: String): Unit = {
+      import org.apache.spark.sql.SaveMode
+      hashedShingleTable(df, idCol, textCol, shingleN)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/sh")
+      val spark = df.sparkSession
+      lshBandsFrom(
+        minhashSignaturesFrom(spark.read.parquet(s"$dir/sh"), df, idCol,
+          textCol, numHashes, alreadyHashed = true), numHashes, bands)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
+    }
+
+    def ensure(df: DataFrame, idCol: String, textCol: String,
+        shingleN: Int, numHashes: Int, bands: Int, dir: String): Unit =
+      ContentGate.ensure(dir,
+        s"$shingleN,$numHashes,$bands;" +
+          ContentGate.tag(df, idCol, textCol, lit(true))) {
+        save(df, idCol, textCol, shingleN, numHashes, bands, dir)
+      }
+
+    /** Near-dup pairs of a fresh batch against the stored index (plus
+      * fresh×fresh) — session-cache contract: the fresh frames are
+      * persisted for their multiple verify-side uses and left to the
+      * session.
+      */
+    def deltaPairs(spark: org.apache.spark.sql.SparkSession,
+        fresh: DataFrame, idCol: String, textCol: String, shingleN: Int,
+        numHashes: Int, bands: Int, threshold: Double, dir: String)
+        : DataFrame = {
+      val lvl = StorageLevel.MEMORY_AND_DISK
+      val shF = hashedShingleTable(fresh, idCol, textCol, shingleN)
+        .persist(lvl)
+      val bandsF = lshBandsFrom(
+        minhashSignaturesFrom(shF, fresh, idCol, textCol, numHashes,
+          alreadyHashed = true), numHashes, bands)
+      minhashLshPairsFromFrames(spark.read.parquet(s"$dir/sh"),
+        spark.read.parquet(s"$dir/bands"), shF, bandsF, threshold)
+    }
+  }
+
+  def componentSizeProfile(corpusIds: DataFrame, comps: DataFrame)
+      : DataFrame = {
+    val total = corpusIds.agg(count(lit(1)).as("n_total"))
+    val clustered = comps.agg(count(lit(1)).as("n_clustered"))
+    val hist = comps.groupBy("comp").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .unionByName(total.crossJoin(broadcast(clustered))
+        .select(lit(1L).as("csize"),
+          (col("n_total") - col("n_clustered")).as("n_components")))
+      .groupBy("csize").agg(sum(col("n_components")).as("n_components"))
+    hist.crossJoin(broadcast(total))
+      .select(col("csize"), col("n_components"),
+        (col("csize") * col("n_components")).as("n_docs"),
+        expr("(csize * n_components * 1000000) div n_total")
+          .as("docs_ppm"))
+  }
 }

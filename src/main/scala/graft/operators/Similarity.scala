@@ -650,4 +650,51 @@ object Similarity {
       .withColumn("mean_sq_err_milli",
         expr("(total_sq_err * 1000) div n_vecs"))
   }
+
+  /** Pairwise cosine between per-label integer CENTROIDS — the
+    * source/topic embedding-drift matrix ("are src3's vectors
+    * collapsing onto src7's?") that decides mixture weights and flags
+    * label leakage, computed without ever comparing row pairs: the
+    * corpus collapses to labels × dims partial sums in one map-side-
+    * combined aggregate, and the pair arithmetic runs on the ≤
+    * |labels|² centroid grid.
+    *
+    * Determinism: component sums of quantized (×1000, round) vectors
+    * are exact Longs; the centroid component is a FLOOR division made
+    * portable for negative sums by offsetting — `(sx + n·10⁶) div n −
+    * 10⁶` — because Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors, and embedding sums are routinely negative. Cosine is
+    * the same exact-integer-dot / IEEE-sqrt form as [[cosineTopK]].
+    * Output: (label_a, label_b, n_a, n_b, cos) for label_a < label_b.
+    */
+  def labelCentroidMatrix(df: DataFrame, vecCol: String,
+      labelCol: String, digits: Int = 6): DataFrame = {
+    val per = df
+      .select(col(labelCol).cast("long").as("lab"),
+        posexplode(Portable.quantize(col(vecCol), Scale))
+          .as(Seq("d", "x")))
+      .groupBy("lab", "d")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    // session-cache + eager count: the ≤|labels|-row centroid frame
+    // feeds both matrix sides and one is a broadcast — uncached, the
+    // broadcast subjob re-explodes the whole corpus
+    val cents = per
+      .select(col("lab"), col("n"), struct(col("d"),
+        expr("((sx + n * 1000000) div n) - 1000000").as("cx")).as("dc"))
+      .groupBy("lab")
+      .agg(max(col("n")).as("n"),
+        transform(sort_array(collect_list(col("dc"))),
+          s => s.getField("cx")).as("cvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cents.count()
+    val a = cents.select(col("lab").as("label_a"), col("n").as("n_a"),
+      col("cvec").as("va"))
+    val b = cents.select(col("lab").as("label_b"), col("n").as("n_b"),
+      col("cvec").as("vb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        Portable.cosineQ(Portable.dotQ(col("va"), col("vb")),
+          Portable.dotQ(col("va"), col("va")),
+          Portable.dotQ(col("vb"), col("vb")), digits).as("cos"))
+  }
 }

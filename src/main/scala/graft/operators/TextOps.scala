@@ -741,17 +741,24 @@ object TextOps {
     *
     * Output: (idCol, n_tokens, score, keep ∈ {0,1}).
     */
-  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
-      dim: Int = 4096): DataFrame = {
-    val toks = Portable.tokens(col(textCol))
+  /** The [[hashedLinearScore]] weight sum as a bare column, so callers
+    * fusing it with other per-document signals (e.g. the calibration
+    * report's gopher flags) keep everything in ONE corpus scan.
+    */
+  def hashedScore(text: Column, dim: Int = 4096): Column = {
+    val toks = Portable.tokens(text)
     def weight(t: Column): Column =
       Portable.hash48(concat(lit("w_"),
         (Portable.hash48(t) % dim).cast("string"))) % 16 - 8
-    df.select(col(idCol),
-      size(toks).cast("long").as("n_tokens"),
-      aggregate(toks, lit(0L), (acc, t) => acc + weight(t)).as("score"))
-      .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
+    aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
   }
+
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 4096): DataFrame =
+    df.select(col(idCol),
+      size(Portable.tokens(col(textCol))).cast("long").as("n_tokens"),
+      hashedScore(col(textCol), dim).as("score"))
+      .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
 
   /** Per-document n-gram NOVELTY — the inverse signal of
     * [[duplicateSpans]]: what fraction of a document's distinct n-grams
@@ -1080,7 +1087,11 @@ object TextOps {
       .crossJoin(broadcast(vocab))
       .select(col("id"), col("cnt"),
         greatest(
-          expr("(1000000 * (coalesce(c2, 0) + 1)) div (coalesce(c1, 0) + vv)"),
+          // greatest(...,1): a no-op whenever the LM is non-empty
+          // (vv ≥ 1), but an EMPTY store (legitimate before the first
+          // ingest batch lands) would otherwise hit ANSI div-by-zero
+          expr("(1000000 * (coalesce(c2, 0) + 1)) " +
+            "div greatest(coalesce(c1, 0) + vv, 1)"),
           lit(1L)).as("pm"))
       .select(col("id"), col("cnt"),
         (lit(21L) - length(bin(col("pm")))).as("bits"))
@@ -1238,20 +1249,56 @@ object TextOps {
     * addition, so incremental re-training is a groupBy-sum union away.
     */
   object LmStore {
-    def save(df: DataFrame, idCol: String, textCol: String,
-        trainPred: Column, dir: String): Unit = {
+    /** Write the store layout (c2 → derived c1 → derived meta) from a
+      * (w1, w2, c2) count frame — shared by [[save]] (counts from a
+      * train slice) and [[merge]] (counts summed across part stores).
+      */
+    private def writeCounts(c2: DataFrame, dir: String): Unit = {
       import org.apache.spark.sql.SaveMode
-      val docBg = bigramDocCounts(df, idCol, textCol, trainPred)
-      val c2 = docBg.filter(col("is_t"))
-        .groupBy("w1", "w2").agg(sum(col("cnt")).as("c2"))
       c2.write.mode(SaveMode.Overwrite).parquet(s"$dir/c2")
-      val spark = df.sparkSession
+      val spark = c2.sparkSession
       val c2s = spark.read.parquet(s"$dir/c2")
       c2s.groupBy("w1").agg(sum(col("c2")).as("c1"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/c1")
       spark.read.parquet(s"$dir/c1").agg(count(lit(1)).as("vv"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
     }
+
+    def save(df: DataFrame, idCol: String, textCol: String,
+        trainPred: Column, dir: String): Unit = {
+      val docBg = bigramDocCounts(df, idCol, textCol, trainPred)
+      writeCounts(docBg.filter(col("is_t"))
+        .groupBy("w1", "w2").agg(sum(col("cnt")).as("c2")), dir)
+    }
+
+    /** Merge part stores by ADDING their bigram counts — the
+      * incremental-retrain path: train each ingest batch's counts once,
+      * merge into the serving store, never re-touch old batches' text.
+      * Counts are additive over disjoint document sets, so a merge of
+      * slice stores is bit-identical to one train over the union
+      * (spec-pinned); c1/meta re-derive from the merged c2 exactly as
+      * [[save]] derives them.
+      */
+    def merge(spark: org.apache.spark.sql.SparkSession,
+        parts: Seq[String], outDir: String): Unit = {
+      require(parts.nonEmpty, "merge needs at least one part store")
+      writeCounts(parts.map(p => spark.read.parquet(s"$p/c2"))
+        .reduce(_.unionByName(_))
+        .groupBy("w1", "w2").agg(sum(col("c2")).as("c2")), outDir)
+    }
+
+    /** [[merge]] only when the merged artifact's fingerprint (the
+      * concatenation of the part stores' FINGERPRINT tags, which
+      * [[ensure]] wrote) does not already match — the same gate as
+      * [[ensure]], lifted to the merge: steady-state pipelines re-merge
+      * only when some part store retrained.
+      */
+    def ensureMerged(spark: org.apache.spark.sql.SparkSession,
+        parts: Seq[String], outDir: String): Unit =
+      ContentGate.ensure(outDir,
+        parts.map(ContentGate.recordedTag).mkString("|")) {
+        merge(spark, parts, outDir)
+      }
 
     def scoreFrom(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
         idCol: String, textCol: String, dir: String): DataFrame = {
@@ -1263,31 +1310,18 @@ object TextOps {
     }
 
     /** [[save]] only when the stored artifact does not already match
-      * the TRAIN SLICE's content fingerprint (row count + id sum +
-      * order-free content-hash sum — one cheap map-side-combined
-      * aggregate; a length sum would miss equal-length edits), the
+      * the TRAIN SLICE's content fingerprint ([[ContentGate]]), the
       * [[graft.engine.BucketedSync.ensureSnapshot]] contract: repeated
       * pipelines pay the train+write once, re-scores hit the store,
       * and a regenerated corpus forces a retrain instead of silently
       * scoring against a stale LM.
       */
     def ensure(df: DataFrame, idCol: String, textCol: String,
-        trainPred: Column, dir: String): Unit = {
-      val fp = df.filter(trainPred)
-        .agg(count(lit(1)).cast("long").as("n"),
-          sum(col(idCol)).cast("long").as("si"),
-          sum(Portable.hash48(col(textCol))).cast("long").as("sh"))
-        .collect().head
-      val tag = s"${fp.getLong(0)},${fp.getLong(1)},${fp.getLong(2)}"
-      val fpPath = java.nio.file.Paths.get(dir, "FINGERPRINT")
-      val fresh = java.nio.file.Files.exists(fpPath) &&
-        new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == tag
-      if (!fresh) {
+        trainPred: Column, dir: String): Unit =
+      ContentGate.ensure(dir, ContentGate.tag(df, idCol, textCol,
+        trainPred)) {
         save(df, idCol, textCol, trainPred, dir)
-        java.nio.file.Files.createDirectories(fpPath.getParent)
-        java.nio.file.Files.write(fpPath, tag.getBytes("UTF-8"))
       }
-    }
   }
 
   /** Token-level Aho–Corasick multi-pattern matcher — the blocklist /
@@ -1375,5 +1409,196 @@ object TextOps {
         counts.iterator.map { case (pid, c) => (id, pid, c) }
       }
     }.toDF("id", "pattern_id", "n_hits")
+  }
+
+  /** Zipf / heavy-tail profile of the corpus vocabulary: token types and
+    * occurrences histogrammed by floor-log2 of the type's corpus
+    * frequency — the rank-frequency report that sizes tokenizer vocabs
+    * and predicts how much of the token mass a top-k vocabulary covers.
+    *
+    * The bucket is `length(bin(c)) - 1` (binary-string length), NOT the
+    * capped native floor_log2: a hot token's corpus frequency at 100 TB
+    * can exceed 2³⁹ and the cap would silently merge the hottest
+    * buckets. The string allocation runs once per TYPE post-aggregate,
+    * never per occurrence. Shape: one explode → one map-side-combined
+    * frequency aggregate → one ≤ 64-row bucket aggregate + a broadcast
+    * 1-row total; output is bounded by 64 buckets at any corpus size.
+    * Output: (freq_bucket, n_types, n_occurrences, occ_ppm, types_ppm).
+    */
+  def zipfProfile(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), col(textCol).as("t")), "id")
+    // session-cache + eager count: the ≤ 64-bucket frame feeds the
+    // broadcast total AND the final projection — uncached, the
+    // broadcast subjob would re-run the corpus frequency aggregate
+    val bucketed = base
+      .select(explode(Portable.tokens(col("t"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select((length(bin(col("c"))) - 1).cast("long").as("freq_bucket"),
+        col("c"))
+      .groupBy("freq_bucket")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occurrences"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bucketed.count()
+    val tot = bucketed.agg(sum(col("n_occurrences")).as("occ_total"),
+      sum(col("n_types")).as("types_total"))
+    bucketed.crossJoin(broadcast(tot))
+      .select(col("freq_bucket"), col("n_types"), col("n_occurrences"),
+        expr("(n_occurrences * 1000000) div occ_total").as("occ_ppm"),
+        expr("(n_types * 1000000) div types_total").as("types_ppm"))
+  }
+
+  /** Adjacent-bigram collocations ranked by integer PMI-bits — the
+    * multi-word-expression miner that feeds tokenizer vocab and phrase
+    * lists ("new york" deserves one token; "of the" does not). The
+    * document-level sibling [[cooccurrenceLift]] asks "which tokens
+    * share documents"; this asks "which tokens ABUT".
+    *
+    * PMI = log2(N·c2/(cx·cy)) is approximated in integer bits as
+    * fl2(c2) + fl2(N) − fl2(cx) − fl2(cy) (fl2 = binary-string length
+    * − 1). The sum-of-logs form — NOT fl2(c2·N) − fl2(cx·cy) — is
+    * deliberate: c2·N at 100 TB (N ~ 10¹³) overflows Long; four
+    * per-factor fl2s never can, and the ±1-bit error vs the true
+    * quotient is irrelevant to a ranking gate. Everything is exact
+    * integers, so ties break deterministically on (c2, w1, w2).
+    *
+    * Shape: one bigram explode → frequency aggregate, one token explode
+    * → frequency aggregate, two key-hash joins of the GATED (c2 ≥
+    * minCount) bigram frame against the unigram counts, one bounded
+    * top-k (TakeOrdered — per-partition heads + driver merge of k rows,
+    * never a global sort shuffle).
+    * Output: top-k (w1, w2, c2, cx, cy, pmi_bits).
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, k: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), col(textCol).as("t")), "id")
+    val toks = Portable.tokens(col("t"))
+    // session-cache contract: c2 feeds the broadcast total AND the
+    // gated main path (eager count — broadcast subjobs race an
+    // uncached parent); c1 feeds two shuffle joins
+    val c2 = base
+      .select(explode(when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => struct(element_at(toks, i + 1).as("w1"),
+              element_at(toks, i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .persist(lvl)
+    c2.count()
+    val c1 = base.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+      .persist(lvl)
+    val n2 = c2.agg(sum(col("c2")).as("n2"))
+    def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+    c2.filter(col("c2") >= minCount)
+      .join(c1.select(col("tok").as("w1"), col("c1").as("cx")), Seq("w1"))
+      .join(c1.select(col("tok").as("w2"), col("c1").as("cy")), Seq("w2"))
+      .crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c2"), col("cx"), col("cy"),
+        (fl2(col("c2")) + fl2(col("n2")) - fl2(col("cx")) - fl2(col("cy")))
+          .as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("c2").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Inter-document sentence dedup savings: every normalized sentence
+    * belongs to its first document (min id); later documents count each
+    * repeated-sentence instance and its characters as REMOVABLE — the
+    * per-document transfer/storage savings estimate for sentence-level
+    * dedup, and the accounting complement of [[boilerplateProfile]]
+    * (which flags recurrence but prices nothing).
+    *
+    * Shape: [[sentenceTable]] explode → one norm-keyed min aggregate →
+    * one norm-keyed join back → one per-doc aggregate; a final left
+    * join restores sentence-less documents. Hot norms stay linear (the
+    * ownership frame has one row per norm), never pair-quadratic.
+    * Documents with zero sentence characters get a NULL savings_ppm.
+    * Output: (id, n_sents, n_removed, chars_total, chars_removed,
+    * savings_ppm).
+    */
+  /** Vocabulary growth (Heaps-curve) profile across ordered ingest
+    * batches: per batch, how many token TYPES appear for the first time
+    * (min-batch ownership), how many distinct types and occurrences the
+    * batch contains, and the cumulative vocabulary after it — the
+    * crawl-saturation report ("is source k still adding vocabulary, or
+    * only mass?") that decides when further ingestion stops paying.
+    *
+    * Shape: one explode → one (batch, token) aggregate → one token-keyed
+    * min → two batch-keyed aggregates. The cumulative sum runs as a
+    * bounded |batches|² self-join on the ≤ |batches|-row report frame —
+    * NOT a window: a partition-less running sum is banned engine-wide,
+    * and at ≤ tens of batches the triangle join is free.
+    * Output: (batch, new_types, seen_types, n_occurrences, cum_types,
+    * new_types_ppm).
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      batchCol: Column): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), batchCol.as("batch"),
+        col(textCol).as("t")), "id")
+    // session-cache contract (as Stats.valueDomainCum): the (batch,
+    // token) counts feed TWO aggregates (first-seen min, per-batch
+    // totals) — uncached, each would re-tokenize the corpus; the tiny
+    // report frame feeds three consumers incl. broadcasts, and
+    // concurrent broadcast subjobs RACE on an uncached parent, hence
+    // the eager counts
+    val perBatchTok = base
+      .select(col("batch"), explode(Portable.tokens(col("t"))).as("tok"))
+      .groupBy("batch", "tok").agg(count(lit(1)).as("c"))
+      .persist(lvl)
+    perBatchTok.count()
+    val newPer = perBatchTok.groupBy("tok").agg(min(col("batch")).as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("new_types"))
+    val joined = perBatchTok.groupBy("batch")
+      .agg(count(lit(1)).as("seen_types"), sum(col("c")).as("n_occurrences"))
+      .join(newPer, Seq("batch"), "left")
+      .select(col("batch"), coalesce(col("new_types"), lit(0L)).as("new_types"),
+        col("seen_types"), col("n_occurrences"))
+      .persist(lvl)
+    joined.count()
+    val cum = joined.as("a")
+      .join(broadcast(joined.as("b")), col("b.batch") <= col("a.batch"))
+      .groupBy(col("a.batch").as("batch"))
+      .agg(sum(col("b.new_types")).as("cum_types"))
+    joined.join(broadcast(cum), Seq("batch"))
+      .select(col("batch"), col("new_types"), col("seen_types"),
+        col("n_occurrences"), col("cum_types"),
+        expr("(new_types * 1000000) div seen_types").as("new_types_ppm"))
+  }
+
+  def sentenceDedupSavings(df: DataFrame, idCol: String, textCol: String,
+      boundary: String = SentenceBoundary): DataFrame = {
+    // session-cache: the corpus-scale sentence frame feeds the
+    // ownership aggregate AND the join back — uncached, the corpus is
+    // split twice (both consumers are shuffle-side, no broadcast race,
+    // so no eager count needed)
+    val sents = sentenceTable(df, idCol, textCol, boundary)
+      .select(col("id"), col("norm"),
+        length(col("sentence")).cast("long").as("chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val owner = sents.groupBy("norm").agg(min(col("id")).as("owner"))
+    val perDoc = sents.join(owner, Seq("norm"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sents"),
+        coalesce(sum(when(col("owner") < col("id"), lit(1L))), lit(0L))
+          .as("n_removed"),
+        sum(col("chars")).as("chars_total"),
+        coalesce(sum(when(col("owner") < col("id"), col("chars"))),
+          lit(0L)).as("chars_removed"))
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_sents"), lit(0L)).as("n_sents"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("chars_total"), lit(0L)).as("chars_total"),
+        coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
+        expr("(chars_removed * 1000000) div nullif(chars_total, 0)")
+          .as("savings_ppm"))
   }
 }

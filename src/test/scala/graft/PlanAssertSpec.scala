@@ -287,7 +287,8 @@ class PlanAssertSpec extends SparkSuite {
     for (q <- Seq("q36_percentiles", "q85_equidepth_hist",
         "q88_median_mad", "q93_weighted_percentiles",
         "q132_robust_outliers", "q137_quantile_normalize",
-        "q135_rrf_fusion", "q139_phrase_search")) {
+        "q135_rrf_fusion", "q139_phrase_search",
+        "q164_classifier_calibration")) {
       val plan = SparkEntry.queries(q)(spark, dir)
         .queryExecution.executedPlan
       val bare = plan.collect {
