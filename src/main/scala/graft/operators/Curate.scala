@@ -435,6 +435,39 @@ object Curate {
     * window partitions, never changes results). Scores may be negative.
     * Output: (bucket, n_docs, n_pass, pass_ppm, v_min, v_max).
     */
+  /** Quality-threshold sweep: for each candidate cutoff, what the
+    * corpus retains — documents, weight (tokens), and their ppm shares
+    * — if every row scoring BELOW the cutoff is dropped. The
+    * "pick the gate" decision table printed before committing a
+    * quality threshold to a 100 TB pass: the whole Pareto front in one
+    * report instead of one trial pipeline per candidate.
+    *
+    * ONE corpus scan: a score-keyed aggregate collapses the data to
+    * ≤ |score domain| rows, then each cutoff's retention is a triangle
+    * join over the (tiny, broadcast) per-score frame — never a rescan
+    * per cutoff, never a window. Output: (cutoff, n_docs, total_weight,
+    * docs_ppm, weight_ppm).
+    */
+  def thresholdSweep(scored: DataFrame, scoreCol: String,
+      weightCol: String, cutoffs: Seq[Int]): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val per = scored
+      .groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("nd"), sum(col(weightCol)).as("nw"))
+      .persist(lvl)
+    per.count() // feeds the broadcast total AND the triangle join
+    val tot = per.agg(sum(col("nd")).as("td"), sum(col("nw")).as("tw"))
+    per.select(explode(array(cutoffs.map(c => lit(c.toLong)): _*))
+        .as("cutoff"), col("s"), col("nd"), col("nw"))
+      .filter(col("s") >= col("cutoff"))
+      .groupBy("cutoff")
+      .agg(sum(col("nd")).as("n_docs"), sum(col("nw")).as("total_weight"))
+      .crossJoin(broadcast(tot))
+      .select(col("cutoff"), col("n_docs"), col("total_weight"),
+        expr("(n_docs * 1000000) div td").as("docs_ppm"),
+        expr("(total_weight * 1000000) div tw").as("weight_ppm"))
+  }
+
   def scoreCalibration(scored: DataFrame, scoreCol: String,
       passCol: String, k: Int = 10, domainBits: Int = 64): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -499,4 +499,57 @@ object Sketches {
       .agg(count(lit(1)).as("n_kept"), max("h").as("kth"))
       .select(groupCols.map(col) :+ est.as("est_distinct"): _*)
   }
+
+  /** Sketch-vs-exact quantile error audit — the calibration report for
+    * the [[logHistSketch]] family (the quantile sibling of the LSH
+    * S-curve and PQ distortion reports): for each group × percentile,
+    * the sketch's estimate next to the EXACT quantile and the relative
+    * error in ppm, plus the membership check of the sketch's
+    * guaranteed band est ≤ exact ≤ est·17/16. This is what turns
+    * "≤ 6.25% by construction" into a measured number a pipeline can
+    * alert on.
+    *
+    * One data scan total: the per-(group, value) counts frame feeds a
+    * WEIGHTED sketch aggregation (identical bucketing to
+    * [[logHistSketch]] — count(*) becomes sum(c)) AND the exact side's
+    * [[Stats.rankSelect]] radix descents (one per percentile, each a
+    * point lookup over the shared counts — never a full sort, never a
+    * partition-less window). The exact rank target mirrors the
+    * sketch's crossing test: smallest v with cum·100 ≥ n·p ⟺ rank
+    * ceil(n·p/100). Output: (groups..., p, est, exact, err_ppm,
+    * within_bound).
+    */
+  def logHistErrorAudit(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, ps: Seq[Int], domainBits: Int = 64): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // session-cache + eager count: counts feeds the sketch AND every
+    // rankSelect descent (whose broadcasts race an uncached parent)
+    val counts = df
+      .select(groupCols.map(col) :+ valueCol.cast("long").as("v"): _*)
+      .filter(col("v") > 0)
+      .groupBy((groupCols :+ "v").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .persist(lvl)
+    counts.count()
+    val sk = counts.withColumn("b", floorLog2(col("v")))
+      .withColumn("bucket", when(col("v") < 32, col("v"))
+        .otherwise(lit(32) + (col("b") - 5) * 16 +
+          (call_function("shiftright", col("v").cast("long"),
+            col("b") - lit(4)) % 16)))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(sum(col("c")).as("cnt"))
+    val est = logHistQuantiles(sk, groupCols, ps)
+    val exact = ps.map { p =>
+      Stats.rankSelect(counts, groupCols, "c",
+        n => ((n * p + 99L) / 100L).cast("long"), "exact",
+        persistInput = false, domainBits = domainBits)._1
+        .select(groupCols.map(col) :+ lit(p.toLong).as("p") :+
+          col("exact"): _*)
+    }.reduce(_.unionByName(_))
+    est.join(exact, groupCols :+ "p")
+      .select(groupCols.map(col) ++ Seq(col("p"), col("est"), col("exact"),
+        expr("((exact - est) * 1000000) div exact").as("err_ppm"),
+        (col("est") <= col("exact") && col("exact") * 16 <= col("est") * 17)
+          .cast("long").as("within_bound")): _*)
+  }
 }

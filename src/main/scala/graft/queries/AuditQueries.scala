@@ -374,9 +374,112 @@ object AuditQueries {
   }
   val q171Sql: String = ExtensionQueries.q104Sql
 
+  // --------------------------------------------------------------- q172
+  /** Quantile-sketch error audit ([[graft.operators.Sketches
+    * .logHistErrorAudit]]): q151's log-histogram p50/p90/p99 estimates
+    * next to the EXACT quantiles (radix rank lookups over the shared
+    * value counts — one data scan total), relative error in ppm, and
+    * the est ≤ exact ≤ est·17/16 band check — the measured-error
+    * calibration report completing the q156 (LSH) / q157 (PQ) family.
+    * Prices fit 32 signed bits by a data-independent bound (cents,
+    * same argument as q132).
+    */
+  val q172: Q = (s, dir) =>
+    graft.operators.Sketches.logHistErrorAudit(Tables.lineitem(s, dir),
+        Seq("l_returnflag"), round(col("l_extendedprice") * 100)
+          .cast("long"), Seq(50, 90, 99), domainBits = 32)
+      .orderBy("l_returnflag", "p")
+  val q172Sql: String = {
+    val bChain = (1 to 39)
+      .map(k => s"(CASE WHEN v >= ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH vv AS (SELECT l_returnflag AS g,
+       |    CAST(round(l_extendedprice*100) AS BIGINT) AS v
+       |  FROM lineitem WHERE round(l_extendedprice*100) > 0),
+       |bb AS (SELECT g, v, $bChain AS b FROM vv),
+       |bk AS (SELECT g, CASE WHEN v < 32 THEN v
+       |    ELSE 32 + (b-5)*16 + ((v >> (b-4)) & 15) END AS bucket FROM bb),
+       |sk AS (SELECT g, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |c AS (SELECT g, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+       |    sum(cnt) OVER (PARTITION BY g) AS n FROM sk),
+       |l AS (SELECT g, cum, n,
+       |    CASE WHEN bucket < 32 THEN bucket
+       |    ELSE (16 + (bucket-32)%16)::BIGINT << ((bucket-32)//16 + 1)
+       |    END AS lb
+       |  FROM c),
+       |pp AS (SELECT unnest([50, 90, 99]) AS p),
+       |q AS (SELECT g, p, min(lb) AS est FROM l CROSS JOIN pp
+       |  WHERE cum*100 >= n*p GROUP BY 1, 2),
+       |vc AS (SELECT g, v, count(*) AS cv FROM vv GROUP BY 1, 2),
+       |cc AS (SELECT g, v,
+       |    sum(cv) OVER (PARTITION BY g ORDER BY v) AS cum,
+       |    sum(cv) OVER (PARTITION BY g) AS n FROM vc),
+       |ex AS (SELECT g, p, min(v) AS exact FROM cc CROSS JOIN pp
+       |  WHERE cum*100 >= n*p GROUP BY 1, 2)
+       |SELECT q.g AS l_returnflag, CAST(q.p AS BIGINT) AS p,
+       |  CAST(q.est AS BIGINT) AS est, CAST(ex.exact AS BIGINT) AS exact,
+       |  CAST(((ex.exact - q.est) * 1000000) // ex.exact AS BIGINT)
+       |    AS err_ppm,
+       |  CAST(CASE WHEN q.est <= ex.exact AND ex.exact*16 <= q.est*17
+       |    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+       |FROM q JOIN ex ON q.g = ex.g AND q.p = ex.p
+       |ORDER BY l_returnflag, p""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q173
+  /** Quality-threshold sweep ([[Curate.thresholdSweep]]): for every
+    * gopher-score cutoff 0..5, the documents and tokens the corpus
+    * retains and their ppm shares — the Pareto decision table read
+    * before committing a gate to a full pass. One corpus scan; each
+    * cutoff is a triangle join over the ≤ 6-row per-score frame.
+    */
+  val q173: Q = (s, dir) => {
+    val docs = Spread.ensure(Tables.documents(s, dir), "doc_id")
+    val scored = docs
+      .select(TextOps.gopherRules(col("text")): _*)
+      .select(col("gopher_score"), col("n_tokens"))
+    Curate.thresholdSweep(scored, "gopher_score", "n_tokens",
+        cutoffs = 0 to 5)
+      .orderBy("cutoff")
+  }
+  val q173Sql: String =
+    """WITH w AS (SELECT string_split_regex(lower(text), '\s+') AS w
+      |  FROM documents),
+      |f AS (SELECT CAST(len(w) AS BIGINT) AS n_tokens,
+      |    (CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN wc >= len(w)*3 AND wc <= len(w)*10 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN na*5 >= len(w)*4 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN ns >= 2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN nd*10 <= len(w) THEN 1 ELSE 0 END) AS s
+      |  FROM (SELECT w,
+      |      list_reduce(list_transform(w, t -> length(t)), (a,b) -> a+b)
+      |        AS wc,
+      |      len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS na,
+      |      len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$'))) AS nd,
+      |      len(list_intersect(list_distinct(w),
+      |        ['the','a','of','and','to','in'])) AS ns
+      |    FROM w)),
+      |per AS (SELECT s, CAST(count(*) AS BIGINT) AS nd2,
+      |    CAST(sum(n_tokens) AS BIGINT) AS nw FROM f GROUP BY s),
+      |tot AS (SELECT CAST(sum(nd2) AS BIGINT) AS td,
+      |    CAST(sum(nw) AS BIGINT) AS tw FROM per),
+      |cu AS (SELECT unnest(range(6)) AS cutoff)
+      |SELECT CAST(cu.cutoff AS BIGINT) AS cutoff,
+      |  CAST(sum(per.nd2) AS BIGINT) AS n_docs,
+      |  CAST(sum(per.nw) AS BIGINT) AS total_weight,
+      |  CAST((sum(per.nd2) * 1000000) // tot.td AS BIGINT) AS docs_ppm,
+      |  CAST((sum(per.nw) * 1000000) // tot.tw AS BIGINT) AS weight_ppm
+      |FROM per CROSS JOIN cu CROSS JOIN tot
+      |WHERE per.s >= cu.cutoff
+      |GROUP BY cu.cutoff, tot.td, tot.tw
+      |ORDER BY cutoff""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q170_vocab_growth" -> q170,
     "q171_minhash_store" -> q171,
+    "q172_sketch_error_audit" -> q172,
+    "q173_threshold_sweep" -> q173,
     "q163_dup_cluster_sizes" -> q163,
     "q164_classifier_calibration" -> q164,
     "q165_centroid_matrix" -> q165,
@@ -388,6 +491,8 @@ object AuditQueries {
   def oracle: Map[String, String] = Map(
     "q170_vocab_growth" -> q170Sql,
     "q171_minhash_store" -> q171Sql,
+    "q172_sketch_error_audit" -> q172Sql,
+    "q173_threshold_sweep" -> q173Sql,
     "q163_dup_cluster_sizes" -> q163Sql,
     "q164_classifier_calibration" -> q164Sql,
     "q165_centroid_matrix" -> q165Sql,

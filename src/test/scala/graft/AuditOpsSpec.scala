@@ -179,6 +179,32 @@ class AuditOpsSpec extends SparkSuite {
       "a band-count change must rebuild the index")
   }
 
+  test("logHistErrorAudit: est/exact/band agree with hand-computed buckets") {
+    import graft.operators.Sketches
+    val df = (1L to 100L).map(v => ("g", v)).toDF("grp", "v")
+    val out = Sketches.logHistErrorAudit(df, Seq("grp"), col("v"),
+        Seq(50, 99), domainBits = 17)
+      .orderBy("p")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // p50: v=50 has b=5, bucket 41, lb (16+9)<<1 = 50 — exact hit.
+    assert(out(0) == (("g", 50L, 50L, 50L, 0L, 1L)))
+    // p99: exact 99; bucket(99)=56 → lb 24<<2 = 96; err = 3e6/99.
+    assert(out(1) == (("g", 99L, 96L, 99L, 30303L, 1L)))
+  }
+
+  test("thresholdSweep: retention table over one per-score frame") {
+    val scored = Seq((0L, 10L), (1L, 20L), (1L, 30L), (3L, 40L))
+      .toDF("score", "w")
+    val out = Curate.thresholdSweep(scored, "score", "w", Seq(0, 1, 2, 3))
+      .orderBy("cutoff")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (0L, 4L, 100L, 1000000L, 1000000L),
+      (1L, 3L, 90L, 750000L, 900000L),
+      (2L, 1L, 40L, 250000L, 400000L),
+      (3L, 1L, 40L, 250000L, 400000L)))
+  }
+
   test("LmStore.ensure tolerates an empty train slice") {
     val dir = java.nio.file.Files.createTempDirectory("lmempty").toString
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
