@@ -448,6 +448,33 @@ object Curate {
     * per cutoff, never a window. Output: (cutoff, n_docs, total_weight,
     * docs_ppm, weight_ppm).
     */
+  /** Shard-assignment balance audit: hash-assign every row to one of
+    * `nShards` output shards and report each shard's row count, weight
+    * (bytes/tokens), and load as a per-mille multiple of the ideal
+    * equal share — the pre-write check that the layout a 100 TB export
+    * is about to commit to is actually balanced (hash sharding is
+    * balanced in EXPECTATION; a skewed weight column still produces
+    * fat shards, and this is where that shows up before the writers
+    * straggle). One map-side-combined aggregate to ≤ nShards rows plus
+    * a broadcast 1-row total. Output: (shard, n_docs, weight,
+    * load_x1000 — 1000 = perfectly even).
+    */
+  def shardBalance(df: DataFrame, keyCol: Column, weightCol: Column,
+      nShards: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val per = df
+      .select(hashBucket(keyCol, nShards).as("shard"),
+        weightCol.cast("long").as("w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("weight"))
+      .persist(lvl)
+    per.count() // feeds the broadcast total AND the final projection
+    val tot = per.agg(sum(col("weight")).as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("weight"),
+        expr(s"(weight * $nShards * 1000) div tw").as("load_x1000"))
+  }
+
   def thresholdSweep(scored: DataFrame, scoreCol: String,
       weightCol: String, cutoffs: Seq[Int]): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

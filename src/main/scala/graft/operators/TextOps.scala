@@ -1506,6 +1506,104 @@ object TextOps {
       .limit(k)
   }
 
+  /** Vocabulary-budget coverage sweep: for each candidate vocab size k,
+    * the frequency floor `f_min` (the smallest corpus frequency whose
+    * at-or-above types fit the budget: min f with |{types: freq ≥ f}|
+    * ≤ k), the types the vocab actually holds, and the out-of-vocab
+    * types/occurrences/ppm that budget strands — the "what does a 4k
+    * vs 16k vocab cost in OOV mass" decision table read next to the
+    * [[zipfProfile]] before fixing tokenizer size. A budget smaller
+    * than the type count tied at the top frequency is infeasible under
+    * the frequency-floor rule and yields no row.
+    *
+    * Shape: one corpus explode → one type-frequency aggregate → one
+    * (frequency value → type count) aggregate bounded by the distinct-
+    * frequency domain → TWO radix cumulative sums over that domain
+    * ([[Stats.valueDomainCum]], type- and occurrence-weighted — no
+    * partition-less window) → per-budget min-crossing selection over
+    * the bounded frame. Output: (k, f_min, vocab_types, oov_types,
+    * oov_occurrences, oov_ppm).
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      budgets: Seq[Int], domainBits: Int = 64): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = Spread.ensure(
+      df.select(col(idCol).as("id"), col(textCol).as("t")), "id")
+    // session-cache + eager counts: the frequency-domain frame feeds
+    // two radix cums; the merged cum frame feeds the per-budget
+    // selection AND the join back
+    val counts = base.select(explode(Portable.tokens(col("t"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy(col("c").as("v")).agg(count(lit(1)).as("nt"))
+      .withColumn("occ", col("v") * col("nt"))
+      .persist(lvl)
+    counts.count()
+    val cumT = Stats.valueDomainCum(
+      counts.select(col("v"), col("nt").as("c")), Nil,
+      domainBits = domainBits)
+    val cumO = Stats.valueDomainCum(
+      counts.select(col("v"), col("occ").as("c")), Nil,
+      domainBits = domainBits)
+    val cum = cumT.select(col("v"), col("c").as("nt"),
+        col("cum").as("cumt"), col("n").as("tt"))
+      .join(cumO.select(col("v"), col("c").as("occ"),
+        col("cum").as("cumo"), col("n").as("toc")), Seq("v"))
+      .persist(lvl)
+    cum.count()
+    // f_k = min v with types-strictly-below(v) ≥ T − k; min(struct)
+    // carries the crossing row's cum columns along
+    cum.select(explode(array(budgets.map(k => lit(k.toLong)): _*))
+        .as("k"), col("v"), col("nt"), col("cumt"), col("occ"),
+        col("cumo"), col("tt"), col("toc"))
+      .filter(col("cumt") - col("nt") >= col("tt") - col("k"))
+      .groupBy("k")
+      .agg(min(struct(col("v"), col("nt"), col("cumt"), col("occ"),
+        col("cumo"), col("tt"), col("toc"))).as("s"))
+      .select(col("k"), col("s.v").as("f_min"),
+        (col("s.tt") - (col("s.cumt") - col("s.nt"))).as("vocab_types"),
+        (col("s.cumt") - col("s.nt")).as("oov_types"),
+        (col("s.cumo") - col("s.occ")).as("oov_occurrences"),
+        expr("((s.cumo - s.occ) * 1000000) div s.toc").as("oov_ppm"))
+  }
+
+  /** Benchmark-contamination depth profile: for each n-gram width n,
+    * how many corpus documents share at least one verbatim n-gram with
+    * the benchmark set, and how many (doc, gram) hits there are — the
+    * sweep that decides how aggressive decontamination must be (8-gram
+    * overlap is the common published gate; this measures what 5 vs 8
+    * vs 13 would each flag on THIS corpus before running the real
+    * pass). Corpus docs are tokenized ONCE (the array frame persists
+    * across widths); per width: benchmark grams distinct → one
+    * gram-keyed LEFT SEMI-shaped join (hot grams stay linear) → one
+    * bounded aggregate. Output: (n, contaminated_docs, gram_hits,
+    * docs_ppm).
+    */
+  def contaminationDepth(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, ns: Seq[Int]): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = Spread.ensure(
+        corpus.select(col(idCol).as("id"), col(textCol).as("t")), "id")
+      .select(col("id"), Portable.tokens(col("t")).as("w"))
+      .persist(lvl)
+    val bw = bench.select(Portable.tokens(col(textCol)).as("w"))
+      .persist(lvl)
+    val total = base.agg(count(lit(1)).as("n_corpus"))
+    val perN = ns.map { n =>
+      val bg = bw.select(explode(Portable.shingles(col("w"), n)).as("g"))
+        .distinct()
+      base.select(col("id"),
+          explode(Portable.shingles(col("w"), n)).as("g"))
+        .join(bg, Seq("g"), "left_semi")
+        .agg(countDistinct(col("id")).as("contaminated_docs"),
+          count(lit(1)).as("gram_hits"))
+        .select(lit(n.toLong).as("n"), col("contaminated_docs"),
+          col("gram_hits"))
+    }.reduce(_.unionByName(_))
+    perN.crossJoin(broadcast(total))
+      .select(col("n"), col("contaminated_docs"), col("gram_hits"),
+        expr("(contaminated_docs * 1000000) div n_corpus").as("docs_ppm"))
+  }
+
   /** Inter-document sentence dedup savings: every normalized sentence
     * belongs to its first document (min id); later documents count each
     * repeated-sentence instance and its characters as REMOVABLE — the

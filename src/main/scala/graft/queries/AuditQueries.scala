@@ -475,11 +475,115 @@ object AuditQueries {
       |GROUP BY cu.cutoff, tot.td, tot.tw
       |ORDER BY cutoff""".stripMargin
 
+  // --------------------------------------------------------------- q174
+  /** Vocabulary-budget coverage sweep ([[TextOps.vocabCoverage]]): for
+    * vocab sizes 10/100/1000, the frequency floor, retained types, and
+    * stranded OOV types/occurrences/ppm — the tokenizer-size decision
+    * table next to q167's Zipf profile. Two radix cumulative sums over
+    * the distinct-frequency domain; no partition-less window.
+    */
+  val q174: Q = (s, dir) =>
+    TextOps.vocabCoverage(Tables.documents(s, dir), "doc_id", "text",
+        budgets = Seq(10, 100, 1000))
+      .orderBy("k")
+  val q174Sql: String =
+    """WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+      |    AS tok FROM documents),
+      |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok
+      |  GROUP BY tok),
+      |vc AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS nt,
+      |    CAST(c * count(*) AS BIGINT) AS occ FROM f GROUP BY c),
+      |cc AS (SELECT v, nt, occ,
+      |    CAST(sum(nt) OVER (ORDER BY v) AS BIGINT) AS cumt,
+      |    CAST(sum(occ) OVER (ORDER BY v) AS BIGINT) AS cumo,
+      |    CAST(sum(nt) OVER () AS BIGINT) AS tt,
+      |    CAST(sum(occ) OVER () AS BIGINT) AS toc
+      |  FROM vc),
+      |kk AS (SELECT unnest([10, 100, 1000]) AS k),
+      |sel AS (SELECT k, min(v) AS f_min FROM cc CROSS JOIN kk
+      |  WHERE cumt - nt >= tt - k GROUP BY k)
+      |SELECT CAST(sel.k AS BIGINT) AS k,
+      |  CAST(sel.f_min AS BIGINT) AS f_min,
+      |  CAST(cc.tt - (cc.cumt - cc.nt) AS BIGINT) AS vocab_types,
+      |  CAST(cc.cumt - cc.nt AS BIGINT) AS oov_types,
+      |  CAST(cc.cumo - cc.occ AS BIGINT) AS oov_occurrences,
+      |  CAST(((cc.cumo - cc.occ) * 1000000) // cc.toc AS BIGINT)
+      |    AS oov_ppm
+      |FROM sel JOIN cc ON cc.v = sel.f_min ORDER BY k""".stripMargin
+
+  // --------------------------------------------------------------- q175
+  /** Shard-assignment balance audit ([[Curate.shardBalance]]): docs
+    * hash-assigned to 32 shards by doc_id, weighted by n_chars — each
+    * shard's load as a per-mille multiple of the even share, the
+    * pre-write check before a large export commits to a layout.
+    */
+  val q175: Q = (s, dir) =>
+    Curate.shardBalance(Tables.documents(s, dir), col("doc_id"),
+        col("n_chars"), nShards = 32)
+      .orderBy("shard")
+  val q175Sql: String =
+    """WITH a AS (SELECT
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,12))::BIGINT % 32
+      |      AS shard,
+      |    n_chars AS w
+      |  FROM documents),
+      |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(w) AS BIGINT) AS weight FROM a GROUP BY shard),
+      |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM per)
+      |SELECT shard, n_docs, weight,
+      |  CAST((weight * 32 * 1000) // tw AS BIGINT) AS load_x1000
+      |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
+
+  // --------------------------------------------------------------- q176
+  /** Contamination depth profile ([[TextOps.contaminationDepth]]):
+    * every 50th document plays the benchmark set (and leaves the
+    * corpus); for n-gram widths 5/8/13, how many remaining documents a
+    * width-n decontamination gate would flag and how many (doc, gram)
+    * hits fire — the sweep that picks the published 8-gram-style gate's
+    * width on THIS corpus before the real pass.
+    */
+  val q176: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    TextOps.contaminationDepth(d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        ns = Seq(5, 8, 13))
+      .orderBy("n")
+  }
+  val q176Sql: String = {
+    def block(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS n,
+         |  CAST(count(DISTINCT cg.doc_id) AS BIGINT) AS contaminated_docs,
+         |  CAST(count(*) AS BIGINT) AS gram_hits
+         |FROM (SELECT doc_id, unnest(CASE WHEN len(w) >= $n
+         |    THEN list_distinct(list_transform(range(len(w)-${n - 1}),
+         |      i -> array_to_string(w[i+1:i+$n], ' ')))
+         |    ELSE []::VARCHAR[] END) AS g FROM cw) cg
+         |WHERE cg.g IN (SELECT g FROM (
+         |  SELECT unnest(CASE WHEN len(w) >= $n
+         |    THEN list_distinct(list_transform(range(len(w)-${n - 1}),
+         |      i -> array_to_string(w[i+1:i+$n], ' ')))
+         |    ELSE []::VARCHAR[] END) AS g FROM bw))""".stripMargin
+    s"""WITH cw AS (SELECT doc_id,
+       |    string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents WHERE doc_id % 50 <> 0),
+       |bw AS (SELECT string_split_regex(lower(text), '\\s+') AS w
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM cw),
+       |hits AS (${block(5)} UNION ALL ${block(8)} UNION ALL ${block(13)})
+       |SELECT n, contaminated_docs, gram_hits,
+       |  CAST((contaminated_docs * 1000000) // n_corpus AS BIGINT)
+       |    AS docs_ppm
+       |FROM hits CROSS JOIN tot ORDER BY n""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q170_vocab_growth" -> q170,
     "q171_minhash_store" -> q171,
     "q172_sketch_error_audit" -> q172,
     "q173_threshold_sweep" -> q173,
+    "q174_vocab_coverage" -> q174,
+    "q175_shard_balance" -> q175,
+    "q176_contamination_depth" -> q176,
     "q163_dup_cluster_sizes" -> q163,
     "q164_classifier_calibration" -> q164,
     "q165_centroid_matrix" -> q165,
@@ -493,6 +597,9 @@ object AuditQueries {
     "q171_minhash_store" -> q171Sql,
     "q172_sketch_error_audit" -> q172Sql,
     "q173_threshold_sweep" -> q173Sql,
+    "q174_vocab_coverage" -> q174Sql,
+    "q175_shard_balance" -> q175Sql,
+    "q176_contamination_depth" -> q176Sql,
     "q163_dup_cluster_sizes" -> q163Sql,
     "q164_classifier_calibration" -> q164Sql,
     "q165_centroid_matrix" -> q165Sql,

@@ -205,6 +205,57 @@ class AuditOpsSpec extends SparkSuite {
       (3L, 1L, 40L, 250000L, 400000L)))
   }
 
+  test("vocabCoverage: frequency-floor rule, OOV accounting, infeasible budget") {
+    // freqs: a×6, b×4, c×4, d×1, e×1 → domain {1:(2 types,2 occ),
+    // 4:(2,8), 6:(1,6)}; T=5 types, 16 occurrences.
+    val docs = Seq((1L, "a a a a a a b b b b c c c c d e"))
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, "doc_id", "text",
+        budgets = Seq(1, 2, 3, 5), domainBits = 17)
+      .orderBy("k")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // k=1: need types-at-or-above ≤ 1 → f=6 ('a' alone): below are
+    // 4 types / 10 occ. k=2: f=4 keeps {a,b,c}=3 types? no — 3 > 2,
+    // so f=6 again (floor rule may under-fill). k=3: f=4 keeps 3.
+    // k=5: f=1 keeps all.
+    assert(out.toSeq == Seq(
+      (1L, 6L, 1L, 4L, 10L, 625000L),
+      (2L, 6L, 1L, 4L, 10L, 625000L),
+      (3L, 4L, 3L, 2L, 2L, 125000L),
+      (5L, 1L, 5L, 0L, 0L, 0L)))
+  }
+
+  test("shardBalance: exact shard loads and even-share multiples") {
+    val df = (1L to 40L).map(i => (i, 100L)).toDF("doc_id", "n_chars")
+    val out = Curate.shardBalance(df, col("doc_id"), col("n_chars"), 4)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == 40L, "every row lands in exactly one shard")
+    assert(out.map(_._3).sum == 4000L)
+    // equal weights: load_x1000 = n_docs*4*1000/40 = n_docs*100
+    out.foreach { case (_, nd, w, load) =>
+      assert(w == nd * 100 && load == nd * 100L)
+    }
+  }
+
+  test("contaminationDepth: wider grams flag no more docs than narrower") {
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "totally unrelated words with zero benchmark overlap here"),
+      (3L, "one two three four five unrelated tail words here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val out = TextOps.contaminationDepth(corpus, bench, "doc_id", "text",
+        Seq(5, 8))
+      .orderBy("n")
+      .as[(Long, Long, Long, Long)].collect()
+    // n=5: doc1 shares grams 1-4 (4 hits), doc3 shares "one..five" (1).
+    assert(out(0) == ((5L, 2L, 5L, 666666L)))
+    // n=8: only doc1's first 8-gram matches.
+    assert(out(1) == ((8L, 1L, 1L, 333333L)))
+  }
+
   test("LmStore.ensure tolerates an empty train slice") {
     val dir = java.nio.file.Files.createTempDirectory("lmempty").toString
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
