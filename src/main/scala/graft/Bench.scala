@@ -77,6 +77,36 @@ object Bench {
     val probeBase = median((1 to 5).map(_ => entryProbe()))
     val noisyFactor = 1.5
 
+    // I/O probe: re-read a fixed 32 MiB window of the largest input
+    // file through the page cache. The CPU spin is blind to I/O
+    // stalls — a co-tenant evicting the page cache or saturating the
+    // host disk slows every parquet scan while the spin stays quiet
+    // (the round-9 signature: one entry at 25 s warm, clean CPU
+    // probes, back to 1.5 s an hour later). This probe reads exactly
+    // the bytes the queries read, so that contamination mode lands in
+    // `noisy` instead of the artifact.
+    val ioFile = new java.io.File(sfDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).maxBy(_.length)
+    val ioLen = math.min(ioFile.length(), 32L << 20)
+    def ioProbe(): Double = time {
+      val ch = java.nio.channels.FileChannel.open(ioFile.toPath)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var pos = 0L
+        while (pos < ioLen) {
+          buf.clear()
+          val r = ch.read(buf, pos)
+          if (r <= 0) pos = ioLen else pos += r
+        }
+      } finally ch.close()
+    }
+    ioProbe() // prime the page cache before the baseline
+    val ioBase = math.max(median((1 to 5).map(_ => ioProbe())), 0.001)
+    // I/O latency is far spikier than CPU: flag only multi-x
+    // sustained slowdowns, with an absolute floor so a microsecond
+    // baseline doesn't flag millisecond jitter.
+    def ioNoisy(p: Double): Boolean = p > ioBase * 4 + 0.05
+
     // Full materialization (all output columns through the noop sink), so
     // expensive final projections aren't pruned the way .count() allows.
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
@@ -114,8 +144,9 @@ object Bench {
     // with honest noisy marks instead of tripling its runtime.
     var retryBudget = 30
     def runEntry(body: () => Unit): (Double, Double, Double, Boolean) = {
-      def attempt(): (Double, Seq[Double], Double) = {
+      def attempt(): (Double, Seq[Double], Double, Double) = {
         val p0 = entryProbe()
+        val io0 = ioProbe()
         spark.catalog.clearCache()
         val cold = try time(body()) catch { case _: Throwable => -1.0 }
         val warms =
@@ -123,18 +154,20 @@ object Bench {
           else (1 to 3).map(_ =>
             try time(body()) catch { case _: Throwable => -1.0 })
         val p1 = entryProbe()
-        (cold, warms, math.max(p0, p1))
+        val io1 = ioProbe()
+        (cold, warms, math.max(p0, p1), math.max(io0, io1))
       }
-      def noisy(a: (Double, Seq[Double], Double)): Boolean = {
-        val (cold, warms, probe) = a
+      def noisy(a: (Double, Seq[Double], Double, Double)): Boolean = {
+        val (cold, warms, probe, ioP) = a
         val ok = warms.filter(_ >= 0)
         if (cold < 0 || ok.isEmpty) false
         else probe > probeBase * noisyFactor ||
+          ioNoisy(ioP) ||
           median(ok) > ok.min * 1.5 + 0.2 ||
           median(ok) > cold * 1.5 + 0.5 ||
           cold > median(ok) * 4.0 + 1.0
       }
-      def score(a: (Double, Seq[Double], Double)): Double = {
+      def score(a: (Double, Seq[Double], Double, Double)): Double = {
         val ok = a._2.filter(_ >= 0)
         a._1 + (if (ok.isEmpty) 0.0 else median(ok))
       }
@@ -147,10 +180,10 @@ object Bench {
         if (score(next) < score(best)) best = next
         tries += 1
       }
-      val (cold, warms, probe) = best
+      val (cold, warms, probe, ioP) = best
       val ok = warms.filter(_ >= 0)
       val warm = if (ok.isEmpty) -1.0 else median(ok)
-      (cold, warm, probe, noisy(best))
+      (cold, warm, math.max(probe, ioP), noisy(best))
     }
 
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -223,7 +256,7 @@ object Bench {
     // the driver's capture keeps only a ~2000-char tail of stdout, so the
     // file is the round's reproducible full bench record).
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(all, _._2)},"warm":${jmap(all, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"probe_ref_sec":${r3(probeRef)},"probe":${jmap(all, _._4)},"probe_base_sec":${r3(probeBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"n_entries":${all.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(all, _._2)},"warm":${jmap(all, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"probe_ref_sec":${r3(probeRef)},"probe":${jmap(all, _._4)},"probe_base_sec":${r3(probeBase)},"io_probe_base_sec":${r3(ioBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"n_entries":${all.size},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full)
     // PRINTED line: must parse from the driver's 2000-char stdout tail
     // (BENCH_r06/r07 were parsed:null because the full map blew past it),

@@ -1348,8 +1348,29 @@ object TextOps {
     * Output: (id, pattern_id, n_hits), hit rows only.
     */
   def blocklistCounts(df: DataFrame, idCol: String, textCol: String,
+      patterns: DataFrame): DataFrame =
+    blocklistCountsOn(Spread.ensure(
+      df.select(col(idCol).cast("long").as("id"),
+        Portable.tokens(col(textCol)).as("w")), "id"), patterns)
+
+  /** [[blocklistCounts]] over an unbounded STREAM: the automaton is
+    * compiled from the (batch) pattern frame at plan time and the
+    * matching stage is STATELESS (per-document, no watermark, no
+    * store), so the same map-only pass runs under Structured Streaming
+    * unchanged — policy filtering at ingest. Only the
+    * [[Spread.ensure]] spreading step is dropped (it inspects the
+    * planned RDD, which an unbounded plan does not have; a stream's
+    * parallelism comes from its source partitions).
+    */
+  def blocklistCountsStream(stream: DataFrame, idCol: String,
+      textCol: String, patterns: DataFrame): DataFrame =
+    blocklistCountsOn(
+      stream.select(col(idCol).cast("long").as("id"),
+        Portable.tokens(col(textCol)).as("w")), patterns)
+
+  private def blocklistCountsOn(docs0: DataFrame,
       patterns: DataFrame): DataFrame = {
-    val spark = df.sparkSession
+    val spark = docs0.sparkSession
     import spark.implicits._
     val pats: Array[(Long, Seq[String])] = patterns
       .select(col("pattern_id").cast("long"),
@@ -1391,10 +1412,7 @@ object TextOps {
     }
     val gotoArr: Array[Map[String, Int]] = goto.map(_.toMap).toArray
     val bc = spark.sparkContext.broadcast((gotoArr, fail, emit))
-    val docs = Spread.ensure(
-        df.select(col(idCol).cast("long").as("id"),
-          Portable.tokens(col(textCol)).as("w")), "id")
-      .as[(Long, Seq[String])]
+    val docs = docs0.as[(Long, Seq[String])]
     docs.mapPartitions { it =>
       val (g, f, e) = bc.value
       it.flatMap { case (id, toks) =>

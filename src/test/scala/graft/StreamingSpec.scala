@@ -209,4 +209,31 @@ class StreamingSpec extends SparkSuite {
       assert(got == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("blocklist automaton streams == batch (stateless policy filter)") {
+    import graft.operators.TextOps
+    val rows = Seq((1L, "alpha beta gamma alpha beta"),
+      (2L, "nothing to see here"), (3L, "beta gamma beta gamma beta"))
+    val pats = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("pattern_id", "phrase")
+    val expected = TextOps.blocklistCounts(rows.toDF("doc_id", "text"),
+        "doc_id", "text", pats)
+      .orderBy("id", "pattern_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1: "alpha beta"×2 (pos 0, 3), "beta gamma"×1; doc2 clean
+    // (hit rows only); doc3: "beta gamma"×2 (pos 0, 2)
+    assert(expected == Seq((1L, 1L, 2L), (1L, 2L, 1L), (3L, 2L, 2L)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = TextOps.blocklistCountsStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", pats)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bl_out").start()
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("bl_out").orderBy("id", "pattern_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == expected, "stream must emit the batch counts exactly")
+    } finally q.stop()
+  }
 }
