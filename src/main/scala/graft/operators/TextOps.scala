@@ -1524,6 +1524,48 @@ object TextOps {
       .limit(k)
   }
 
+  /** Cross-document chunk-store dedup savings: every content-defined
+    * chunk ([[contentDefinedChunks]]) is STORED once corpus-wide (the
+    * first instance by (doc, chunk) order owns it); per group (source,
+    * partition, …), the instances and tokens that deduplicate away —
+    * the chunk-level storage/transfer savings estimate that decides
+    * whether a content-addressed chunk store pays for a corpus (the
+    * cross-DOCUMENT sibling of the cross-VERSION reuse report, and the
+    * sub-document complement of exact doc dedup: shared boilerplate
+    * runs dedup at chunk granularity even when no two docs are equal).
+    *
+    * Ownership is min(id·100000 + chunk_id) per chunk hash — one
+    * integer key so Spark and the oracle order identically (requires
+    * per-document chunk counts < 100000, i.e. docs under 100k tokens —
+    * an a-priori corpus bound, not data-tuned). Shape: chunk explode →
+    * one hash-keyed min aggregate → one hash-keyed join back → one
+    * id-keyed group join → one bounded per-group aggregate.
+    * Output: (g, n_chunks, n_tokens, n_dedup, tok_dedup, savings_ppm).
+    */
+  def chunkDedupSavings(df: DataFrame, idCol: String, textCol: String,
+      groupCol: Column): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // session-cache: the chunk frame feeds the ownership aggregate AND
+    // the join back (both shuffle-side — no broadcast race)
+    val ch = contentDefinedChunks(df, idCol, textCol)
+      .select(col("id"), col("chunk_id"), col("n_tok"), col("chunk_h"),
+        (col("id") * 100000L + col("chunk_id")).as("ikey"))
+      .persist(lvl)
+    val owner = ch.groupBy("chunk_h").agg(min(col("ikey")).as("okey"))
+    ch.join(owner, Seq("chunk_h"))
+      .select(col("id"), col("n_tok"),
+        (col("ikey") =!= col("okey")).cast("long").as("dup"))
+      .join(df.select(col(idCol).as("id"), groupCol.as("g")), Seq("id"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("dup")).as("n_dedup"),
+        coalesce(sum(when(col("dup") === 1, col("n_tok"))), lit(0L))
+          .as("tok_dedup"))
+      .select(col("g"), col("n_chunks"), col("n_tokens"), col("n_dedup"),
+        col("tok_dedup"),
+        expr("(tok_dedup * 1000000) div n_tokens").as("savings_ppm"))
+  }
+
   /** Vocabulary-budget coverage sweep: for each candidate vocab size k,
     * the frequency floor `f_min` (the smallest corpus frequency whose
     * at-or-above types fit the budget: min f with |{types: freq ≥ f}|

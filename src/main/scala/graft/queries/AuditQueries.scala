@@ -576,7 +576,52 @@ object AuditQueries {
        |FROM hits CROSS JOIN tot ORDER BY n""".stripMargin
   }
 
+  // --------------------------------------------------------------- q177
+  /** Chunk-store dedup savings per source ([[TextOps
+    * .chunkDedupSavings]]): content-defined chunks stored once
+    * corpus-wide (min-(doc,chunk) ownership), per source the instances
+    * and tokens that deduplicate away — the content-addressed-store
+    * sizing estimate at sub-document granularity. The oracle replays
+    * the q149 chunk chain over the single corpus version plus the
+    * integer ownership key.
+    */
+  val q177: Q = (s, dir) =>
+    TextOps.chunkDedupSavings(Tables.documents(s, dir), "doc_id",
+        "text", col("source"))
+      .withColumnRenamed("g", "source")
+      .orderBy("source")
+  val q177Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |p AS (SELECT doc_id, w, unnest(range(len(w))) AS pos FROM t),
+      |c AS (SELECT doc_id, pos, w[pos+1] AS tok,
+      |    CASE WHEN pos > 0 AND pos + 3 <= len(w)
+      |      AND ('0x'||substr(md5(array_to_string(w[pos+1:pos+3], ' ')),1,12))::BIGINT % 64 = 0
+      |    THEN 1 ELSE 0 END AS cut FROM p),
+      |k AS (SELECT doc_id, pos, tok, sum(cut) OVER (
+      |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+      |    AS chunk_id FROM c),
+      |h AS (SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    ('0x'||substr(md5(string_agg(tok, ' ' ORDER BY pos)),1,12))::BIGINT
+      |      AS chunk_h,
+      |    CAST(doc_id * 100000 + chunk_id AS BIGINT) AS ikey
+      |  FROM k GROUP BY doc_id, chunk_id),
+      |o AS (SELECT chunk_h, min(ikey) AS okey FROM h GROUP BY chunk_h),
+      |j AS (SELECT d.source AS g, h.n_tok,
+      |    CASE WHEN h.ikey <> o.okey THEN 1 ELSE 0 END AS dup
+      |  FROM h JOIN o USING (chunk_h)
+      |  JOIN documents d ON d.doc_id = h.doc_id)
+      |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(dup) AS BIGINT) AS n_dedup,
+      |  CAST(coalesce(sum(CASE WHEN dup = 1 THEN n_tok END), 0) AS BIGINT)
+      |    AS tok_dedup,
+      |  CAST((coalesce(sum(CASE WHEN dup = 1 THEN n_tok END), 0) * 1000000)
+      |    // sum(n_tok) AS BIGINT) AS savings_ppm
+      |FROM j GROUP BY g ORDER BY source""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q177_chunk_dedup_savings" -> q177,
     "q170_vocab_growth" -> q170,
     "q171_minhash_store" -> q171,
     "q172_sketch_error_audit" -> q172,
@@ -593,6 +638,7 @@ object AuditQueries {
     "q169_lm_merge" -> q169)
 
   def oracle: Map[String, String] = Map(
+    "q177_chunk_dedup_savings" -> q177Sql,
     "q170_vocab_growth" -> q170Sql,
     "q171_minhash_store" -> q171Sql,
     "q172_sketch_error_audit" -> q172Sql,

@@ -256,6 +256,30 @@ class AuditOpsSpec extends SparkSuite {
     assert(out(1) == ((8L, 1L, 1L, 333333L)))
   }
 
+  test("chunkDedupSavings: min-owner accounting on a planted duplicate doc") {
+    val shared = ("alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey xray yankee zulu one two " +
+      "three four").trim // 30 tokens
+    val other = "red green blue cyan magenta yellow black white " +
+      "gray pink olive teal navy maroon lime aqua" // 16 tokens
+    val docs = Seq((1L, "a", shared), (2L, "b", shared), (3L, "b", other))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.chunkDedupSavings(docs, "doc_id", "text",
+        col("source"))
+      .orderBy("g").as[(String, Long, Long, Long, Long, Long)].collect()
+    val (a, b) = (out(0), out(1))
+    assert(a._1 == "a" && b._1 == "b")
+    assert(a._3 == 30L && b._3 == 46L, "token totals must be exact")
+    assert(a._4 == 0L && a._5 == 0L && a._6 == 0L,
+      "doc1 owns every chunk (smallest ids)")
+    // doc2 repeats doc1 verbatim → ALL its chunks dedup away; doc3 is
+    // unique. So group b's dup chunks == group a's chunk count and its
+    // dedup'd tokens == all 30 of doc2's.
+    assert(b._4 == a._2 && b._5 == 30L)
+    assert(b._6 == 30L * 1000000L / 46L)
+  }
+
   test("LmStore.ensure tolerates an empty train slice") {
     val dir = java.nio.file.Files.createTempDirectory("lmempty").toString
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
