@@ -164,18 +164,52 @@ object Similarity {
     * identical matrix.
     * Output: (i, j, s_xy) for 0 ≤ i ≤ j < d.
     */
-  def gramMatrix(df: DataFrame, vecCol: String, scale: Int = 1000): DataFrame =
+  def gramMatrix(df: DataFrame, vecCol: String, scale: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Per-partition accumulator instead of the equivalent per-row
+    // upper-triangle explode → hash aggregate: the explode materializes
+    // rows × 2080 structs through Generate and probes the agg hash map
+    // once per cell term, which measured 3.2 s warm at sf0.1 — all
+    // overhead, no arithmetic. Here each task folds its rows into ONE
+    // d(d+1)/2 Long array (250M JIT'd multiply-adds run at memory
+    // bandwidth) and emits 2080 partial rows per PARTITION; the final
+    // aggregate touches partitions × 2080 rows. This is the documented
+    // legitimate mapPartitions case — per-partition imperative state no
+    // Column expression can hold. Identical exact-Long arithmetic, so
+    // the oracle (and the q127 PCA consumers) see the same matrix.
     df.select(expr(s"transform($vecCol, x -> " +
         s"CAST(floor(CAST(x AS DOUBLE) * ${scale}.0d + 0.5d) AS BIGINT))")
         .as("v"))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(v)-1), i ->
-             transform(sequence(i, size(v)-1), j ->
-               struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                 element_at(v, i+1) * element_at(v, j+1) AS xy))))"""))
-        .as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(sum(col("c.xy")).as("s_xy"))
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        var acc: Array[Long] = null
+        var d = 0
+        it.foreach { v =>
+          if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
+          require(v.length == d, s"mixed vector dims: ${v.length} vs $d")
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            val vi = v(i)
+            var j = i
+            while (j < d) { acc(idx) += vi * v(j); idx += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else {
+          var idx = 0
+          (0 until d).iterator.flatMap { i =>
+            (i until d).iterator.map { j =>
+              val t = (i.toLong, j.toLong, acc(idx)); idx += 1; t
+            }
+          }
+        }
+      }
+      .toDF("i", "j", "s_xy")
+      .groupBy("i", "j").agg(sum(col("s_xy")).as("s_xy"))
+  }
 
   /** Johnson–Lindenstrauss random projection: each quantized vector is
     * reduced to `k` exact-Long coordinates ⟨v, plane_p⟩ against the
