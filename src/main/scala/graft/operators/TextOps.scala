@@ -909,20 +909,50 @@ object TextOps {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 2, "need k >= 1 and w >= 2")
-    df.select(col(idCol).as("doc_id"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    // The k-gram hashes stay IN the plan (same Portable.hash48 the
+    // oracle replays); only the per-window rightmost-min selection
+    // moves to a per-document monotonic deque. The previous
+    // formulation folded an O(w) higher-order `aggregate` per position
+    // — HOF lambdas evaluate interpreted, so positions × w interpreted
+    // steps dominated the 2.4 s warm entry. The deque is the classic
+    // O(positions) sliding-minimum; selections are non-decreasing in
+    // position (the window slides right), so consecutive-repeat
+    // suppression equals the old array_distinct exactly. Ties keep the
+    // RIGHTMOST minimum in both forms (the fold's `<=` overwrite ⟺
+    // popping `>=` values before pushing).
+    df.select(col(idCol).cast("long").as("doc_id"),
         Portable.tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= k + w - 1)
-      .withColumn("_hs", transform(
+      .select(col("doc_id"), transform(
         expr(s"transform(sequence(0, size(_toks) - $k), " +
           s"i -> concat_ws(' ', slice(_toks, i + 1, $k)))"),
-        g => Portable.hash48(g)))
-      .withColumn("pos", explode(expr(
-        s"""array_distinct(transform(sequence(0, size(_hs) - $w),
-           i -> aggregate(sequence(i + 1, i + $w - 1), i, (acc, j) ->
-             IF(element_at(_hs, j + 1) <= element_at(_hs, acc + 1),
-                j, acc))))""")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        expr("element_at(_hs, pos + 1)").as("fp"))
+        g => Portable.hash48(g)).as("_hs"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, hs) =>
+          val n = hs.length
+          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          val dq = new java.util.ArrayDeque[Int]()
+          var lastPos = -1
+          var j = 0
+          var i = 0
+          while (i <= n - w) {
+            while (j < i + w) {
+              while (!dq.isEmpty && hs(dq.peekLast) >= hs(j)) dq.pollLast()
+              dq.addLast(j)
+              j += 1
+            }
+            while (dq.peekFirst < i) dq.pollFirst()
+            val p = dq.peekFirst
+            if (p != lastPos) { res += ((id, p.toLong, hs(p))); lastPos = p }
+            i += 1
+          }
+          res.iterator
+        }
+      }
+      .toDF("doc_id", "pos", "fp")
   }
 
   /** Copy-candidate pairs from winnowed fingerprints: documents sharing
