@@ -24,11 +24,18 @@ object ContentGate {
     * `pred`, as a stable tag string.
     */
   def tag(df: DataFrame, idCol: String, textCol: String,
+      pred: Column): String =
+    tag(df, col(idCol), col(textCol), pred)
+
+  /** Column-expression form, for artifacts keyed on derived content
+    * (e.g. a sketch store fingerprinting its value expression).
+    */
+  def tag(df: DataFrame, idCol: Column, contentCol: Column,
       pred: Column): String = {
     val fp = df.filter(pred)
       .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(col(idCol)), lit(0L)).cast("long").as("si"),
-        coalesce(sum(Portable.hash48(col(textCol))), lit(0L))
+        coalesce(sum(idCol), lit(0L)).cast("long").as("si"),
+        coalesce(sum(Portable.hash48(contentCol)), lit(0L))
           .cast("long").as("sh"))
       .collect().head
     s"${fp.getLong(0)},${fp.getLong(1)},${fp.getLong(2)}"

@@ -500,6 +500,47 @@ object Sketches {
       .select(groupCols.map(col) :+ est.as("est_distinct"): _*)
   }
 
+  /** Persisted mergeable quantile-sketch store — the artifact contract
+    * (LmStore / SigStore / AnnIndex) applied to [[logHistSketch]]: each
+    * shard/day/source builds its ≤ ~600-bucket sketch ONCE, writes it
+    * as parquet behind a [[ContentGate]] fingerprint, and any later
+    * reader merges whatever stores it needs by adding counts — the
+    * monitoring shape where per-day latency sketches roll up to
+    * weekly/monthly quantiles without ever re-touching the raw data.
+    * Count addition is exact, so quantiles from merged part stores
+    * equal the full-scan sketch BIT-FOR-BIT (q178's oracle is q151's
+    * SQL verbatim; the spec pins store == one-shot).
+    */
+  object SketchStore {
+    def save(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+        dir: String): Unit =
+      logHistSketch(df, groupCols, valueCol)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/sketch")
+
+    /** [[save]] gated on the slice's content fingerprint (`idCol` +
+      * the value expression itself, so a changed value FORMULA also
+      * rebuilds).
+      */
+    def ensure(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+        idCol: Column, dir: String): Unit =
+      ContentGate.ensure(dir,
+        ContentGate.tag(df, idCol, valueCol, lit(true))) {
+        save(df, groupCols, valueCol, dir)
+      }
+
+    /** Quantiles over the MERGE of any set of part stores. */
+    def quantilesFrom(spark: org.apache.spark.sql.SparkSession,
+        dirs: Seq[String], groupCols: Seq[String], ps: Seq[Int])
+        : DataFrame = {
+      require(dirs.nonEmpty, "need at least one part store")
+      logHistQuantiles(
+        logHistMerge(dirs.map(d => spark.read.parquet(s"$d/sketch"))
+          .reduce(_.unionByName(_)), groupCols),
+        groupCols, ps)
+    }
+  }
+
   /** Sketch-vs-exact quantile error audit — the calibration report for
     * the [[logHistSketch]] family (the quantile sibling of the LSH
     * S-curve and PQ distortion reports): for each group × percentile,

@@ -620,7 +620,36 @@ object AuditQueries {
       |    // sum(n_tok) AS BIGINT) AS savings_ppm
       |FROM j GROUP BY g ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q178
+  /** Persisted sketch-store rollup ([[graft.operators.Sketches
+    * .SketchStore]]): q151's per-returnflag price quantiles, but the
+    * corpus arrives as two order-parity shards each sketched into its
+    * own fingerprint-gated store; the read path merges the stored
+    * sketches by count addition — the per-day-roll-up-to-monthly
+    * monitoring shape. Count merges are exact, so the oracle is q151's
+    * SQL VERBATIM: any drift between merged part stores and the
+    * full-scan sketch fails the driver hash.
+    */
+  val q178: Q = (s, dir) => {
+    val store = "/tmp/graft_sketch_store_" +
+      java.nio.file.Paths.get(dir).getFileName.toString
+    val li = Tables.lineitem(s, dir)
+    val v = round(col("l_extendedprice") * 100).cast("long")
+    graft.operators.Sketches.SketchStore.ensure(
+      li.filter(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), v,
+      col("l_orderkey"), s"$store/even")
+    graft.operators.Sketches.SketchStore.ensure(
+      li.filter(col("l_orderkey") % 2 === 1), Seq("l_returnflag"), v,
+      col("l_orderkey"), s"$store/odd")
+    graft.operators.Sketches.SketchStore.quantilesFrom(s,
+        Seq(s"$store/even", s"$store/odd"), Seq("l_returnflag"),
+        Seq(50, 90, 99))
+      .orderBy("l_returnflag", "p")
+  }
+  val q178Sql: String = CorpusQueries.q151Sql
+
   def queries: Map[String, Q] = Map(
+    "q178_sketch_store_rollup" -> q178,
     "q177_chunk_dedup_savings" -> q177,
     "q170_vocab_growth" -> q170,
     "q171_minhash_store" -> q171,
@@ -638,6 +667,7 @@ object AuditQueries {
     "q169_lm_merge" -> q169)
 
   def oracle: Map[String, String] = Map(
+    "q178_sketch_store_rollup" -> q178Sql,
     "q177_chunk_dedup_savings" -> q177Sql,
     "q170_vocab_growth" -> q170Sql,
     "q171_minhash_store" -> q171Sql,

@@ -280,6 +280,36 @@ class AuditOpsSpec extends SparkSuite {
     assert(b._6 == 30L * 1000000L / 46L)
   }
 
+  test("SketchStore: merged part stores equal the one-shot full-scan sketch") {
+    import graft.operators.Sketches
+    val dir = java.nio.file.Files.createTempDirectory("sketchstore").toString
+    val df = (1L to 4000L).map(i => (i, (i % 7).toString, i * 3 % 997 + 1))
+      .toDF("id", "g", "v")
+    Sketches.SketchStore.ensure(df.filter(col("id") % 2 === 0),
+      Seq("g"), col("v"), col("id"), s"$dir/even")
+    Sketches.SketchStore.ensure(df.filter(col("id") % 2 === 1),
+      Seq("g"), col("v"), col("id"), s"$dir/odd")
+    val merged = Sketches.SketchStore.quantilesFrom(spark,
+        Seq(s"$dir/even", s"$dir/odd"), Seq("g"), Seq(50, 95))
+      .orderBy("g", "p").collect().toSeq
+    val oneShot = Sketches.logHistQuantiles(
+        Sketches.logHistSketch(df, Seq("g"), col("v")), Seq("g"),
+        Seq(50, 95))
+      .orderBy("g", "p").collect().toSeq
+    assert(merged == oneShot, "count addition must be exact")
+    // the gate: an unchanged shard must not rebuild; a changed value
+    // formula must
+    val fp = java.nio.file.Paths.get(s"$dir/even", "FINGERPRINT")
+    val before = java.nio.file.Files.getLastModifiedTime(fp)
+    Sketches.SketchStore.ensure(df.filter(col("id") % 2 === 0),
+      Seq("g"), col("v"), col("id"), s"$dir/even")
+    assert(java.nio.file.Files.getLastModifiedTime(fp) == before)
+    Sketches.SketchStore.ensure(df.filter(col("id") % 2 === 0),
+      Seq("g"), col("v") * 2, col("id"), s"$dir/even")
+    assert(java.nio.file.Files.getLastModifiedTime(fp) != before,
+      "a changed value expression must rebuild the store")
+  }
+
   test("LmStore.ensure tolerates an empty train slice") {
     val dir = java.nio.file.Files.createTempDirectory("lmempty").toString
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
