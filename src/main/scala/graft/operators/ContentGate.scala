@@ -29,13 +29,24 @@ object ContentGate {
 
   /** Column-expression form, for artifacts keyed on derived content
     * (e.g. a sketch store fingerprinting its value expression).
+    *
+    * Summands are reduced mod 1e8+7 BEFORE the sum: a raw
+    * `sum(hash48(...))` carries ~2⁴⁸ per row and overflows Long (ANSI
+    * throws) beyond ~32k rows — the fingerprint must survive any slice
+    * size. The modular sum stays order-free and duplicate-count-
+    * sensitive, overflows only past ~9·10¹⁰ rows per slice (no single
+    * fingerprinted shard is that big — shard first), and two of the
+    * three components colliding simultaneously on an edit is what the
+    * count+id+content triple exists to prevent.
     */
   def tag(df: DataFrame, idCol: Column, contentCol: Column,
       pred: Column): String = {
+    val m = lit(100000007L)
     val fp = df.filter(pred)
       .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(idCol), lit(0L)).cast("long").as("si"),
-        coalesce(sum(Portable.hash48(contentCol)), lit(0L))
+        coalesce(sum(pmod(idCol.cast("long"), m)), lit(0L))
+          .cast("long").as("si"),
+        coalesce(sum(pmod(Portable.hash48(contentCol), m)), lit(0L))
           .cast("long").as("sh"))
       .collect().head
     s"${fp.getLong(0)},${fp.getLong(1)},${fp.getLong(2)}"
