@@ -85,27 +85,38 @@ object Bench {
     // probes, back to 1.5 s an hour later). This probe reads exactly
     // the bytes the queries read, so that contamination mode lands in
     // `noisy` instead of the artifact.
-    val ioFile = new java.io.File(sfDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).maxBy(_.length)
-    val ioLen = math.min(ioFile.length(), 32L << 20)
-    def ioProbe(): Double = time {
-      val ch = java.nio.channels.FileChannel.open(ioFile.toPath)
-      try {
-        val buf = java.nio.ByteBuffer.allocate(1 << 20)
-        var pos = 0L
-        while (pos < ioLen) {
-          buf.clear()
-          val r = ch.read(buf, pos)
-          if (r <= 0) pos = ioLen else pos += r
+    // Guarded selection: listFiles() is null on a bad sfDir, parquet
+    // inputs may be directory-shaped, or there may be no top-level
+    // .parquet at all — in every such case SKIP the I/O probe (emit
+    // -1, never flag) rather than crash the whole bench on a probe.
+    val ioFileOpt = Option(new java.io.File(sfDir).listFiles())
+      .map(_.filter(f => f.isFile && f.getName.endsWith(".parquet")))
+      .filter(_.nonEmpty).map(_.maxBy(_.length))
+    def ioProbe(): Double = ioFileOpt match {
+      case None => -1.0
+      case Some(ioFile) =>
+        val ioLen = math.min(ioFile.length(), 32L << 20)
+        time {
+          val ch = java.nio.channels.FileChannel.open(ioFile.toPath)
+          try {
+            val buf = java.nio.ByteBuffer.allocate(1 << 20)
+            var pos = 0L
+            while (pos < ioLen) {
+              buf.clear()
+              val r = ch.read(buf, pos)
+              if (r <= 0) pos = ioLen else pos += r
+            }
+          } finally ch.close()
         }
-      } finally ch.close()
     }
     ioProbe() // prime the page cache before the baseline
     val ioBase = math.max(median((1 to 5).map(_ => ioProbe())), 0.001)
     // I/O latency is far spikier than CPU: flag only multi-x
     // sustained slowdowns, with an absolute floor so a microsecond
-    // baseline doesn't flag millisecond jitter.
-    def ioNoisy(p: Double): Boolean = p > ioBase * 4 + 0.05
+    // baseline doesn't flag millisecond jitter. A skipped probe
+    // (-1) never flags.
+    def ioNoisy(p: Double): Boolean =
+      ioFileOpt.nonEmpty && p > ioBase * 4 + 0.05
 
     // Full materialization (all output columns through the noop sink), so
     // expensive final projections aren't pruned the way .count() allows.
@@ -143,7 +154,8 @@ object Bench {
     // loaded that everything flags, the bench degrades to single-attempt
     // with honest noisy marks instead of tripling its runtime.
     var retryBudget = 30
-    def runEntry(body: () => Unit): (Double, Double, Double, Boolean) = {
+    def runEntry(body: () => Unit)
+        : (Double, Double, Double, Double, Boolean) = {
       def attempt(): (Double, Seq[Double], Double, Double) = {
         val p0 = entryProbe()
         val io0 = ioProbe()
@@ -183,12 +195,14 @@ object Bench {
       val (cold, warms, probe, ioP) = best
       val ok = warms.filter(_ >= 0)
       val warm = if (ok.isEmpty) -1.0 else median(ok)
-      (cold, warm, math.max(probe, ioP), noisy(best))
+      // CPU and I/O probes are incommensurate baselines — emit each
+      // against its own base rather than folding max() into one number.
+      (cold, warm, probe, ioP, noisy(best))
     }
 
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (cold, warm, probe, loud) = runEntry(() => materialize(fn(spark, sfDir)))
-      (name, cold, warm, probe, loud)
+      val (cold, warm, probe, ioP, loud) = runEntry(() => materialize(fn(spark, sfDir)))
+      (name, cold, warm, probe, ioP, loud)
     }
 
     // Sync core end-to-end (dump generation cached, not timed).
@@ -229,17 +243,18 @@ object Bench {
         ()
       })
     ).map { case (name, body) =>
-      val (cold, warm, probe, loud) = runEntry(body)
-      (name, cold, warm, probe, loud)
+      val (cold, warm, probe, ioP, loud) = runEntry(body)
+      (name, cold, warm, probe, ioP, loud)
     }
 
     val all = queryTimes ++ syncEntries
     def r3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
-    def jmap(entries: Seq[(String, Double, Double, Double, Boolean)],
-        f: ((String, Double, Double, Double, Boolean)) => Double): String =
-      entries.map { case t @ (k, _, _, _, _) => "\"" + k + "\":" + r3(f(t)) }
+    def jmap(entries: Seq[(String, Double, Double, Double, Double, Boolean)],
+        f: ((String, Double, Double, Double, Double, Boolean)) => Double)
+        : String =
+      entries.map { case t @ (k, _, _, _, _, _) => "\"" + k + "\":" + r3(f(t)) }
         .mkString("{", ",", "}")
-    val noisy = all.filter(_._5).map(_._1)
+    val noisy = all.filter(_._6).map(_._1)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).filter(_ >= 0).sum
     val totalWarm = all.map(_._3).filter(_ >= 0).sum
@@ -256,7 +271,7 @@ object Bench {
     // the driver's capture keeps only a ~2000-char tail of stdout, so the
     // file is the round's reproducible full bench record).
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(all, _._2)},"warm":${jmap(all, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"probe_ref_sec":${r3(probeRef)},"probe":${jmap(all, _._4)},"probe_base_sec":${r3(probeBase)},"io_probe_base_sec":${r3(ioBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"n_entries":${all.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(all, _._2)},"warm":${jmap(all, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"probe_ref_sec":${r3(probeRef)},"probe":${jmap(all, _._4)},"io_probe":${jmap(all, _._5)},"probe_base_sec":${r3(probeBase)},"io_probe_base_sec":${r3(ioBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"n_entries":${all.size},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full)
     // PRINTED line: must parse from the driver's 2000-char stdout tail
     // (BENCH_r06/r07 were parsed:null because the full map blew past it),

@@ -177,13 +177,21 @@ object Main {
           Files.write(Paths.get(outputFile), script.getBytes("UTF-8"))
           println(s"\n💾 Sync script written to: $outputFile")
         case (None, None) =>
-          // executor-rendered single-file path: collects only the final
-          // script lines, byte-identical to assemble(run(...), now)
-          val (outcome, script) =
-            new SyncJob(spark).syncCollected(prodFile, backupFile, now)
+          // size-routed default: executor-rendered script either way;
+          // small diffs collect to the single file (reference parity),
+          // diffs past SyncJob.DefaultMaxCollectedOps auto-route to the
+          // distributed text sink at <output>.parts so the driver never
+          // holds a diff-sized script
+          val (outcome, partsDir) =
+            new SyncJob(spark).syncAuto(prodFile, backupFile, outputFile, now)
           SummaryReporter.print(outcome)
-          Files.write(Paths.get(outputFile), script.getBytes("UTF-8"))
-          println(s"\n💾 Sync script written to: $outputFile")
+          partsDir match {
+            case Some(dir) => println(
+              s"\n💾 Sync script parts written to: $dir (op count above " +
+                s"${SyncJob.DefaultMaxCollectedOps}; concatenate sorted " +
+                "parts for the single-file script)")
+            case None => println(s"\n💾 Sync script written to: $outputFile")
+          }
       }
     } finally spark.stop()
   }

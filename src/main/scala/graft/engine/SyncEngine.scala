@@ -1,5 +1,7 @@
 package graft.engine
 
+import java.nio.file.{Files, Paths}
+
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -297,6 +299,42 @@ class SyncJob(spark: SparkSession) {
     } finally { joined.unpersist(); cleanup() }
   }
 
+  /** Size-routed sink: one diff (summarize's per-table stats are
+    * O(tables) and already computed for the report), then the SAME
+    * cached frame feeds either the collected single-file script (small
+    * diffs — the reference-parity shape) or the distributed text sink
+    * at `outPath + ".parts"` (op count above `maxCollectedOps` — the
+    * 100 TB path, where collecting the script would bottleneck the
+    * driver). Returns the outcome and, when distributed, the parts
+    * directory; the script bytes are identical either way
+    * (DistributedSinkSpec pins the concatenated parts against
+    * assemble).
+    */
+  def syncAuto(prodPath: String, backupPath: String, outPath: String,
+      now: String, maxCollectedOps: Long = SyncJob.DefaultMaxCollectedOps)
+      : (SyncOutcome, Option[String]) = {
+    val (joined0, prodInfo, backupCat, commonTables, cleanup) =
+      diffFrameInfo(prodPath, backupPath)
+    val joined = joined0.cache()
+    try {
+      val outcome = summarize(joined, prodInfo, backupCat, commonTables, prodPath)
+      val nOps = outcome.stats.valuesIterator
+        .map(s => s.missingCount + s.updatedCount + s.deletedCount).sum
+      val lineFrame = scriptLineFrame(joined, prodInfo.metas, backupCat,
+        commonTables, outcome, now)
+      if (nOps <= maxCollectedOps) {
+        val lines = lineFrame.as[String].collect()
+        Files.write(Paths.get(outPath),
+          lines.mkString("\n").getBytes("UTF-8"))
+        (outcome, None)
+      } else {
+        val partsDir = outPath + ".parts"
+        lineFrame.write.mode("overwrite").text(partsDir)
+        (outcome, Some(partsDir))
+      }
+    } finally { joined.unpersist(); cleanup() }
+  }
+
   /** The non-statement lines of the full script (header, section banners,
     * per-table comments, stats tail) with their global sort keys —
     * line-for-line the same emission logic as SyncSqlGenerator.assemble.
@@ -575,6 +613,15 @@ class SyncJob(spark: SparkSession) {
 }
 
 object SyncJob {
+  /** Collected-script routing threshold for [[SyncJob.syncAuto]]: above
+    * this many classified ops the script goes through the distributed
+    * text sink instead of a driver collect. 1M ops ≈ tens of MB of
+    * script bytes — comfortably a driver string, while anything
+    * larger is the at-scale regime where the single-file contract
+    * stops being the point.
+    */
+  val DefaultMaxCollectedOps: Long = 1000000L
+
   /** A [[BucketedSync]] snapshot's sidecar restored for script
     * assembly: DDL-ordered catalog, per-table post-dedup record counts,
     * and the byte offsets that let [[SyncJob.syncFromBucketed]] emit

@@ -54,12 +54,21 @@ object ContentGate {
 
   /** Run `build` only when `dir/FINGERPRINT` does not already hold
     * `tag`; record the tag after a successful build.
+    *
+    * The stale tag is DELETED before `build` runs: if the JVM dies
+    * after a successful build but before the tag write, the artifact
+    * would otherwise hold new data under the old tag — and a later
+    * source revert to the previously-fingerprinted content would
+    * report fresh and silently serve the wrong artifact. With the
+    * delete-first ordering a crash window can only cost an extra
+    * rebuild, never a stale-fresh match.
     */
   def ensure(dir: String, tag: String)(build: => Unit): Unit = {
     val fpPath = java.nio.file.Paths.get(dir, "FINGERPRINT")
     val fresh = java.nio.file.Files.exists(fpPath) &&
       new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == tag
     if (!fresh) {
+      java.nio.file.Files.deleteIfExists(fpPath)
       build
       java.nio.file.Files.createDirectories(fpPath.getParent)
       java.nio.file.Files.write(fpPath, tag.getBytes("UTF-8"))

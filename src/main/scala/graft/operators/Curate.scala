@@ -491,8 +491,8 @@ object Curate {
       .agg(sum(col("nd")).as("n_docs"), sum(col("nw")).as("total_weight"))
       .crossJoin(broadcast(tot))
       .select(col("cutoff"), col("n_docs"), col("total_weight"),
-        expr("(n_docs * 1000000) div td").as("docs_ppm"),
-        expr("(total_weight * 1000000) div tw").as("weight_ppm"))
+        expr("(cast(n_docs as decimal(38,0)) * 1000000) div td").as("docs_ppm"),
+        expr("(cast(total_weight as decimal(38,0)) * 1000000) div tw").as("weight_ppm"))
   }
 
   def scoreCalibration(scored: DataFrame, scoreCol: String,
@@ -515,7 +515,7 @@ object Curate {
       .agg(sum(col("c")).as("n_docs"), sum(col("np")).as("n_pass"),
         min(col("v")).as("v_min"), max(col("v")).as("v_max"))
       .select(col("bucket"), col("n_docs"), col("n_pass"),
-        expr("(n_pass * 1000000) div n_docs").as("pass_ppm"),
+        expr("(cast(n_pass as decimal(38,0)) * 1000000) div n_docs").as("pass_ppm"),
         col("v_min"), col("v_max"))
   }
 }

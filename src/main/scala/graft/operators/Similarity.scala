@@ -99,11 +99,16 @@ object Similarity {
   /** Embedding near-duplicate pairs (cos ≥ minCos). With `blockCol` the
     * pair generation joins on the blocking key (label, coarse cluster,
     * LSH bucket, …) — the practical path at scale; without it, brute
-    * all-pairs (small corpora only).
+    * all-pairs, which is GUARDED: a caller must either stay under
+    * `bruteForceCeiling` rows (checked with one count before the join)
+    * or pass `allowBruteForce = true` explicitly, so nobody goes
+    * quadratic by accident where [[nearDupPairsLsh]]/[[semDeDup]] were
+    * the intended path.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCos: Double, blockCol: Option[String] = None,
-      digits: Int = 6): DataFrame = {
+      digits: Int = 6, allowBruteForce: Boolean = false,
+      bruteForceCeiling: Long = 100000L): DataFrame = {
     val (qv, qn) = quantized(col(vecCol))
     val s = Spread.ensure(df, idCol)
       .select(Seq(col(idCol).as("id"), qv.as("q"), qn.as("n")) ++
@@ -111,7 +116,17 @@ object Similarity {
     val paired = blockCol match {
       case Some(_) => s.as("a").join(s.as("b"),
         col("a.block") === col("b.block"))
-      case None => s.as("a").crossJoin(s.as("b"))
+      case None =>
+        if (!allowBruteForce) {
+          val n = df.count()
+          require(n <= bruteForceCeiling,
+            s"nearDupPairs without a blocking column is all-pairs " +
+              s"(O(n²)): $n rows exceeds the $bruteForceCeiling-row " +
+              "brute-force ceiling. Pass a blockCol, use " +
+              "nearDupPairsLsh/semDeDup, or opt in with " +
+              "allowBruteForce = true.")
+        }
+        s.as("a").crossJoin(s.as("b"))
     }
     paired
       .filter(col("a.id") < col("b.id"))

@@ -581,8 +581,12 @@ object Sketches {
       .agg(sum(col("c")).as("cnt"))
     val est = logHistQuantiles(sk, groupCols, ps)
     val exact = ps.map { p =>
+      // integral `div`, not float `/` + cast: double rounding keeps
+      // ceil(n·p/100) exact only while n·p+99 < ~2⁵³; past that the
+      // truncation can come out off by one and silently shift the
+      // 'exact' quantile this audit compares against
       Stats.rankSelect(counts, groupCols, "c",
-        n => ((n * p + 99L) / 100L).cast("long"), "exact",
+        n => call_function("div", n * p + lit(99L), lit(100L)), "exact",
         persistInput = false, domainBits = domainBits)._1
         .select(groupCols.map(col) :+ lit(p.toLong).as("p") :+
           col("exact"): _*)

@@ -1179,7 +1179,7 @@ object TextOps {
     per.crossJoin(broadcast(tot))
       .select(col("g"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
         expr("(bpe_tokens * 1000) div ws_tokens").as("fertility_milli"),
-        expr("(bpe_tokens * 1000000) div bpe_total").as("share_ppm"))
+        expr("(cast(bpe_tokens as decimal(38,0)) * 1000000) div bpe_total").as("share_ppm"))
   }
 
   /** Stupid-backoff trigram scoring (Brants et al. 2007, "Large
@@ -1493,8 +1493,8 @@ object TextOps {
       sum(col("n_types")).as("types_total"))
     bucketed.crossJoin(broadcast(tot))
       .select(col("freq_bucket"), col("n_types"), col("n_occurrences"),
-        expr("(n_occurrences * 1000000) div occ_total").as("occ_ppm"),
-        expr("(n_types * 1000000) div types_total").as("types_ppm"))
+        expr("(cast(n_occurrences as decimal(38,0)) * 1000000) div occ_total").as("occ_ppm"),
+        expr("(cast(n_types as decimal(38,0)) * 1000000) div types_total").as("types_ppm"))
   }
 
   /** Adjacent-bigram collocations ranked by integer PMI-bits — the
@@ -1577,9 +1577,18 @@ object TextOps {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // session-cache: the chunk frame feeds the ownership aggregate AND
     // the join back (both shuffle-side — no broadcast race)
+    // assert_true yields NULL when the bound holds (coalesced to +0,
+    // value unchanged) and THROWS on a >100k-chunk document — the
+    // a-priori key bound fails loudly instead of silently corrupting
+    // first-instance ownership (the oracle replays the same key, so a
+    // silent wrap would pass the cross-engine gate undetected).
     val ch = contentDefinedChunks(df, idCol, textCol)
       .select(col("id"), col("chunk_id"), col("n_tok"), col("chunk_h"),
-        (col("id") * 100000L + col("chunk_id")).as("ikey"))
+        (col("id") * 100000L + col("chunk_id") +
+          coalesce(assert_true(col("chunk_id") < 100000L,
+            lit("chunkDedupSavings: per-document chunk count exceeded " +
+              "the 100000 ownership-key bound")).cast("long"), lit(0L)))
+          .as("ikey"))
       .persist(lvl)
     val owner = ch.groupBy("chunk_h").agg(min(col("ikey")).as("okey"))
     ch.join(owner, Seq("chunk_h"))
@@ -1593,7 +1602,7 @@ object TextOps {
           .as("tok_dedup"))
       .select(col("g"), col("n_chunks"), col("n_tokens"), col("n_dedup"),
         col("tok_dedup"),
-        expr("(tok_dedup * 1000000) div n_tokens").as("savings_ppm"))
+        expr("(cast(tok_dedup as decimal(38,0)) * 1000000) div n_tokens").as("savings_ppm"))
   }
 
   /** Vocabulary-budget coverage sweep: for each candidate vocab size k,
@@ -1653,7 +1662,7 @@ object TextOps {
         (col("s.tt") - (col("s.cumt") - col("s.nt"))).as("vocab_types"),
         (col("s.cumt") - col("s.nt")).as("oov_types"),
         (col("s.cumo") - col("s.occ")).as("oov_occurrences"),
-        expr("((s.cumo - s.occ) * 1000000) div s.toc").as("oov_ppm"))
+        expr("(cast(s.cumo - s.occ as decimal(38,0)) * 1000000) div s.toc").as("oov_ppm"))
   }
 
   /** Benchmark-contamination depth profile: for each n-gram width n,
@@ -1691,7 +1700,7 @@ object TextOps {
     }.reduce(_.unionByName(_))
     perN.crossJoin(broadcast(total))
       .select(col("n"), col("contaminated_docs"), col("gram_hits"),
-        expr("(contaminated_docs * 1000000) div n_corpus").as("docs_ppm"))
+        expr("(cast(contaminated_docs as decimal(38,0)) * 1000000) div n_corpus").as("docs_ppm"))
   }
 
   /** Inter-document sentence dedup savings: every normalized sentence
@@ -1757,7 +1766,7 @@ object TextOps {
     joined.join(broadcast(cum), Seq("batch"))
       .select(col("batch"), col("new_types"), col("seen_types"),
         col("n_occurrences"), col("cum_types"),
-        expr("(new_types * 1000000) div seen_types").as("new_types_ppm"))
+        expr("(cast(new_types as decimal(38,0)) * 1000000) div seen_types").as("new_types_ppm"))
   }
 
   def sentenceDedupSavings(df: DataFrame, idCol: String, textCol: String,
@@ -1786,7 +1795,7 @@ object TextOps {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("chars_total"), lit(0L)).as("chars_total"),
         coalesce(col("chars_removed"), lit(0L)).as("chars_removed"),
-        expr("(chars_removed * 1000000) div nullif(chars_total, 0)")
+        expr("(cast(chars_removed as decimal(38,0)) * 1000000) div nullif(chars_total, 0)")
           .as("savings_ppm"))
   }
 }

@@ -159,4 +159,25 @@ class SkewAndIvfSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(sem.subsetOf(brute))
   }
+
+  test("nearDupPairs guards the unblocked all-pairs path") {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    // over the ceiling without a blocking column → refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.98,
+        bruteForceCeiling = 3L).count()
+    }
+    assert(e.getMessage.contains("allowBruteForce"))
+    // explicit opt-in bypasses the ceiling
+    val n = Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.98,
+      bruteForceCeiling = 3L, allowBruteForce = true).count()
+    assert(n >= 0)
+    // blocked path never counts, whatever the size
+    val blocked = Similarity.nearDupPairs(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"),
+        col("label")),
+      "vec_id", "embedding", 0.98, Some("label"), bruteForceCeiling = 0L)
+    assert(blocked.count() >= 0)
+  }
 }

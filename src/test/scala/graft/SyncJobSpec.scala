@@ -193,4 +193,37 @@ class SyncJobSpec extends SparkSuite {
     assert(s4 == expected2)
     assert(s4 != expected)
   }
+
+  test("syncAuto routes by op count: collected small, distributed large, same bytes") {
+    def res(name: String): String = {
+      val in = getClass.getResourceAsStream(s"/refdumps/$name")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val prod = tmpFile(res("prod_sf0.001.sql"))
+    val backup = tmpFile(res("backup_sf0.001.sql"))
+    val now = "AUTO-TEST"
+    val (_, expected) = job.syncCollected(prod.toString, backup.toString, now)
+
+    val outDir = Files.createTempDirectory("graft-auto")
+    val outSmall = outDir.resolve("small.sql")
+    // default threshold: this diff is tiny → single-file path
+    val (_, parts1) = job.syncAuto(prod.toString, backup.toString,
+      outSmall.toString, now)
+    assert(parts1.isEmpty)
+    assert(new String(Files.readAllBytes(outSmall), "UTF-8") == expected)
+
+    // threshold 0: every op routes to the distributed parts sink;
+    // sorted-part concatenation is byte-identical (modulo the text
+    // sink's trailing newline)
+    val outBig = outDir.resolve("big.sql")
+    val (_, parts2) = job.syncAuto(prod.toString, backup.toString,
+      outBig.toString, now, maxCollectedOps = 0L)
+    assert(parts2.contains(outBig.toString + ".parts"))
+    assert(!Files.exists(outBig))
+    val partFiles = new java.io.File(parts2.get).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val joined = partFiles.map(f =>
+      new String(Files.readAllBytes(f.toPath), "UTF-8")).mkString
+    assert(joined == expected + "\n")
+  }
 }
