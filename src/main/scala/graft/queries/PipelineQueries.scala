@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curate, Linkage, Similarity, TextOps}
+import graft.operators.{Curate, Dedup, Linkage, Similarity, TextOps}
 
 /** Round-6 training-data-pipeline operators: TF-IDF key-term extraction,
   * overlapping chunking, PII redaction, weighted (PPS) sampling, repeated
@@ -1145,7 +1145,214 @@ object PipelineQueries {
       |  CAST(sum(cnt * s) AS BIGINT) AS sb_micro_sum
       |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q179
+  /** The FULL curation DAG in one entry — the six-stage recipe a
+    * production pretraining pipeline actually runs, chained end to end
+    * so cache lifetimes, aliasing, and null conventions are pinned
+    * ACROSS operator families (q71 pins a 3-stage chain; this is the
+    * whole product workload):
+    *
+    *   1. Gopher quality gate  (score ≥ 4 of 5 — [[TextOps.gopherRules]])
+    *   2. exact dedup          (min doc_id per md5 fingerprint)
+    *   3. MinHash LSH pairs    ([[Dedup.minhashLshPairs]], q22 params)
+    *   4. leakage-aware split  (near-dup clusters never straddle —
+    *                            [[Curate.leakageAwareSplit]] keyed on
+    *                            the LSH pairs from stage 3: exact dups
+    *                            are REMOVED, near-dups are CO-ASSIGNED)
+    *   5. mixture to budget    ([[Curate.mixToBudget]] {1,1,8}/100 on
+    *                            the train split)
+    *   6. sequence packing     (epoch copies materialized, 2048-token
+    *                            bins — [[Curate.packSequences]] +
+    *                            [[Curate.packingReport]])
+    *
+    * Output is the long-format (stage, k, v) stats frame — one row per
+    * stage cardinality plus the full packing-utilization histogram — so
+    * the oracle hash pins EVERY stage's row count, the split sizes, the
+    * copy totals, and the final bin histogram in one comparison. Each
+    * intermediate is session-cached with an eager count (the broadcast
+    * subjobs in stages 5-6 must never race an uncached parent). Shape:
+    * map-only gate → one dedup window → the banded LSH candidate join
+    * (never all-pairs) → component rounds on the pair graph (bounded by
+    * cluster diameter) → two broadcast joins → one 8-shard packing
+    * window; nothing here collects to the driver.
+    */
+  val q179: Q = (s, dir) => {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+    val gated = docs
+      .select(col("doc_id"), col("text"), col("source"),
+        TextOps.gopherRules(col("text")).last)
+      .filter(col("gopher_score") >= 4).drop("gopher_score")
+      .persist(lvl)
+    gated.count()
+    val exact = gated
+      .withColumn("keeper", min(col("doc_id"))
+        .over(Window.partitionBy(md5(col("text").cast("binary")))))
+      .filter(col("doc_id") === col("keeper")).drop("keeper")
+      .persist(lvl)
+    exact.count()
+    val pairs = Dedup.minhashLshPairs(exact, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").persist(lvl)
+    pairs.count()
+    val split = Curate.leakageAwareSplit(exact, col("doc_id"), pairs,
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .persist(lvl)
+    split.count()
+    val train = split.filter(col("split") === "train")
+      .select("doc_id", "text", "source")
+    val mixed = Curate.mixToBudget(train, "source", col("doc_id"),
+        weights = Seq("src0" -> 1L, "src1" -> 1L, "src2" -> 8L),
+        budget = 100L, shards = 64)
+      .persist(lvl)
+    mixed.count()
+    // copies ≤ per-source target ≤ 80 < 1000, so mid = id·1000 + copy
+    // is collision-free a priori
+    val stream = mixed
+      .join(train.select(col("doc_id"),
+        size(graft.functions.Portable.tokens(col("text"))).as("n_tok")),
+        Seq("doc_id"))
+      .withColumn("copy", explode(sequence(lit(1L), col("copies"))))
+      .select((col("doc_id") * 1000L + col("copy")).as("mid"), col("n_tok"))
+    val report = Curate.packingReport(
+      Curate.packSequences(stream, "mid", col("n_tok"),
+        capacity = 2048L, shards = 8),
+      capacity = 2048L)
+    def stat(stage: String, k: String, v: org.apache.spark.sql.Column,
+        from: DataFrame): DataFrame =
+      from.agg(v.cast("long").as("v"))
+        .select(lit(stage).as("stage"), lit(k).as("k"), col("v"))
+    val parts = Seq(
+      stat("1_gate", "n_docs", count(lit(1)), gated),
+      stat("2_exact_dedup", "n_docs", count(lit(1)), exact),
+      stat("3_lsh_pairs", "n_pairs", count(lit(1)), pairs),
+      split.groupBy("split").agg(count(lit(1)).cast("long").as("v"))
+        .select(lit("4_split").as("stage"), col("split").as("k"), col("v")),
+      stat("5_mixture", "n_docs", count(lit(1)), mixed),
+      stat("5_mixture", "total_copies", sum(col("copies")), mixed),
+      report.select(lit("6_packing").as("stage"), col("util_decile"),
+          expr("stack(3, 'bins', n_bins, 'docs', n_docs, " +
+            "'tokens', total_tokens)").as(Seq("m", "v")))
+        .select(col("stage"),
+          format_string("d%02d_%s", col("util_decile"), col("m")).as("k"),
+          col("v")))
+    parts.reduce(_.unionByName(_)).orderBy("stage", "k")
+  }
+  val q179Sql: String =
+    """WITH RECURSIVE
+      |g AS (SELECT doc_id, text, source FROM (
+      |  SELECT doc_id, text, source,
+      |    (CASE WHEN len(w) BETWEEN 10 AND 5000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN wc >= len(w)*3 AND wc <= len(w)*10 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN na*5 >= len(w)*4 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN ns >= 2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN nd*10 <= len(w) THEN 1 ELSE 0 END) AS score
+      |  FROM (
+      |    SELECT doc_id, text, source, w,
+      |      list_reduce(list_transform(w, t -> length(t)), (a,b) -> a+b) AS wc,
+      |      len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS na,
+      |      len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$'))) AS nd,
+      |      len(list_intersect(list_distinct(w),
+      |        ['the','a','of','and','to','in'])) AS ns
+      |    FROM (SELECT doc_id, text, source,
+      |        string_split_regex(lower(text), '\s+') AS w FROM documents)))
+      |  WHERE score >= 4),
+      |e AS (SELECT doc_id, text, source FROM (
+      |    SELECT doc_id, text, source,
+      |      min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM g)
+      |  WHERE doc_id = keeper),
+      |corpus AS (SELECT doc_id AS id, text FROM e),
+      |words AS (SELECT id, text, string_split_regex(lower(text), '\s+') AS w FROM corpus),
+      |sh AS (SELECT DISTINCT id, unnest(CASE WHEN len(w) >= 3
+      |  THEN list_distinct(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')))
+      |  ELSE []::VARCHAR[] END) AS shingle FROM words),
+      |shh AS (SELECT id, ('0x'||substr(md5(shingle),1,12))::BIGINT AS shingle FROM sh),
+      |sz AS (SELECT id, count(*) AS sz FROM shh GROUP BY id),
+      |hl_t AS (SELECT id, list(shingle % 1000000007) AS hl FROM shh GROUP BY id),
+      |fb AS (SELECT id, [('0x'||substr(md5(lower(text)),1,12))::BIGINT % 1000000007] AS hl
+      |  FROM corpus WHERE id NOT IN (SELECT id FROM shh)),
+      |hs AS (SELECT * FROM hl_t UNION ALL SELECT * FROM fb),
+      |sig AS (SELECT id, list_transform(range(16),
+      |    i -> list_min(list_transform(hl, h -> ((i*2+1)*h + 12289*i) % 1000000007))) AS sig FROM hs),
+      |bands AS (SELECT id, band,
+      |    array_to_string(sig[band*4+1:band*4+4], '_') AS band_key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bs),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+      |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+      |  FROM cand c JOIN shh a ON a.id = c.id_a
+      |              JOIN shh b ON b.id = c.id_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2),
+      |jac AS (SELECT id_a, id_b,
+      |    round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jac
+      |  FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b),
+      |pairs AS (SELECT id_a, id_b FROM jac WHERE jac >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, x.dst FROM reach r JOIN edges x ON r.dst = x.src),
+      |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS comp
+      |  FROM reach GROUP BY src),
+      |rep AS (SELECT e.doc_id, e.text, e.source,
+      |    coalesce(k.comp, e.doc_id) AS rep
+      |  FROM e LEFT JOIN comp k ON k.doc_id = e.doc_id),
+      |sp AS (SELECT doc_id, text, source,
+      |  CASE WHEN ('0x'||substr(md5(CAST(rep AS VARCHAR)),1,12))::BIGINT % 100 < 80 THEN 'train'
+      |       WHEN ('0x'||substr(md5(CAST(rep AS VARCHAR)),1,12))::BIGINT % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM rep),
+      |train AS (SELECT doc_id, text, source FROM sp WHERE split = 'train'),
+      |wmix(source, wt) AS (VALUES ('src0', CAST(1 AS BIGINT)),
+      |    ('src1', CAST(1 AS BIGINT)), ('src2', CAST(8 AS BIGINT))),
+      |tgt AS (SELECT source, (wt * 100) // 10 AS target FROM wmix),
+      |dmix AS (SELECT source, doc_id AS id,
+      |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,12))::BIGINT AS h
+      |  FROM train),
+      |rmix AS (SELECT source, id, h,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY h % 64, h, id) AS BIGINT) AS rnk,
+      |    count(*) OVER (PARTITION BY source) AS avail
+      |  FROM dmix),
+      |cmix AS (SELECT rmix.source, rmix.id, (t.target // rmix.avail) +
+      |    CASE WHEN rmix.rnk <= t.target % rmix.avail THEN 1 ELSE 0 END AS copies
+      |  FROM rmix JOIN tgt t USING (source)),
+      |mixed AS (SELECT source, id AS doc_id, copies FROM cmix WHERE copies >= 1),
+      |tok AS (SELECT doc_id,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM train),
+      |streamx AS (SELECT m.doc_id * 1000 + unnest(range(1, m.copies + 1)) AS mid,
+      |    tok.n_tok
+      |  FROM mixed m JOIN tok USING (doc_id)),
+      |pk AS (SELECT mid, n_tok,
+      |    ('0x'||substr(md5(CAST(mid AS VARCHAR)),1,12))::BIGINT % 8 AS shard
+      |  FROM streamx),
+      |cum AS (SELECT mid, shard, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY shard ORDER BY mid) - n_tok AS cum_before
+      |  FROM pk),
+      |bins AS (SELECT shard * 1000000 + cum_before // 2048 AS bin, n_tok FROM cum),
+      |bagg AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS fill FROM bins GROUP BY bin),
+      |deciles AS (SELECT least(10, (fill * 10) // 2048) AS util_decile,
+      |    CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |    CAST(sum(fill) AS BIGINT) AS total_tokens
+      |  FROM bagg GROUP BY 1),
+      |stats AS (
+      |  SELECT '1_gate' AS stage, 'n_docs' AS k, CAST(count(*) AS BIGINT) AS v FROM g
+      |  UNION ALL SELECT '2_exact_dedup', 'n_docs', count(*) FROM e
+      |  UNION ALL SELECT '3_lsh_pairs', 'n_pairs', count(*) FROM pairs
+      |  UNION ALL SELECT '4_split', split, count(*) FROM sp GROUP BY split
+      |  UNION ALL SELECT '5_mixture', 'n_docs', count(*) FROM mixed
+      |  UNION ALL SELECT '5_mixture', 'total_copies', sum(copies) FROM mixed
+      |  UNION ALL SELECT '6_packing', printf('d%02d_bins', util_decile), n_bins FROM deciles
+      |  UNION ALL SELECT '6_packing', printf('d%02d_docs', util_decile), n_docs FROM deciles
+      |  UNION ALL SELECT '6_packing', printf('d%02d_tokens', util_decile), total_tokens FROM deciles)
+      |SELECT stage, k, CAST(v AS BIGINT) AS v FROM stats ORDER BY stage, k""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q179_curation_dag" -> q179,
     "q162_stupid_backoff" -> q162,
     "q161_lm_store" -> q161,
     "q160_tokenizer_fertility" -> q160,
@@ -1175,6 +1382,7 @@ object PipelineQueries {
     "q76_dedup_survivors" -> q76)
 
   val oracle: Map[String, String] = Map(
+    "q179_curation_dag" -> q179Sql,
     "q162_stupid_backoff" -> q162Sql,
     "q161_lm_store" -> q161Sql,
     "q160_tokenizer_fertility" -> q160Sql,

@@ -69,4 +69,28 @@ class JdbcSyncSpec extends SparkSuite {
       .as[(Int, Int, String)].collect().sortBy(_._1).toSeq
     assert(state == Seq((1, 150, "al'ice`s"), (2, 200, "bob"), (4, 400, "dave")))
   }
+
+  test("partitioned jdbc read pushes filters and prunes columns to the source") {
+    exec("CREATE TABLE events_j (id INT PRIMARY KEY, kind VARCHAR(20), v INT)")
+    exec((1 to 50).map(i =>
+      s"INSERT INTO events_j VALUES ($i, 'k${i % 3}', ${i * 10})"): _*)
+    val df = JdbcSync.load(spark, url, "events_j",
+        partition = Some(("id", 1L, 50L, 4)))
+      .filter(col("id") > 40)
+      .select("v")
+    // the filter must reach the JDBC source as a pushed predicate (it
+    // becomes part of the remote WHERE clause), and the select list
+    // must prune to the requested columns — a JDBC scan that ships
+    // every row/column of a remote table defeats the partitioned read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(ID,40)"),
+      s"filter not pushed to JDBC source:\n$plan")
+    assert(plan.contains("ReadSchema: struct<V: int") ||
+      !plan.contains("KIND"),
+      s"column pruning missed (KIND still read):\n$plan")
+    // range partitioning holds through the pushdown
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.as[Int].collect().sorted.toSeq == (41 to 50).map(_ * 10))
+  }
 }

@@ -426,4 +426,29 @@ class PipelineOpsSpec extends SparkSuite {
     // by the pear idf must beat doc 1's saturated apple despite dl=10
     assert(out(3L)._2 > out(1L)._2)
   }
+
+  test("q179 curation DAG: stage cardinalities compose consistently") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.PipelineQueries
+      .queries("q179_curation_dag")(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    val m = rows.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val gate = m("1_gate")("n_docs")
+    val exact = m("2_exact_dedup")("n_docs")
+    // each stage only removes documents
+    assert(gate >= exact && exact > 0)
+    // the split partitions the exact-dedup survivors exactly
+    assert(m("4_split").values.sum == exact,
+      s"split sums ${m("4_split").values.sum} != $exact")
+    // mixture: every selected doc is a train doc; copies ≥ docs
+    val mixDocs = m("5_mixture")("n_docs")
+    val copies = m("5_mixture")("total_copies")
+    assert(mixDocs <= m("4_split").getOrElse("train", 0L))
+    assert(copies >= mixDocs)
+    // packing conserves every copy: histogram doc total == Σcopies
+    val packDocs = m("6_packing").collect {
+      case (k, v) if k.endsWith("_docs") => v }.sum
+    assert(packDocs == copies, s"packing lost copies: $packDocs != $copies")
+  }
 }
