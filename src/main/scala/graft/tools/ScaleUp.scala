@@ -39,36 +39,33 @@ object ScaleUp {
   private def shifted(df: DataFrame, i: Int, keys: String*): DataFrame =
     keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Off)))
 
-  /** Tokens sorted by a hash salted with the replica AND the document's
-    * own content hash (ties by position then token so the order is
-    * total and deterministic). The content-hash salt matters: salting
-    * by replica alone canonicalizes token order corpus-wide, so any
-    * two documents sharing vocabulary share long shingle RUNS — the
-    * first ScaleBench run measured a 26× blowup in LSH candidate
-    * pairs from exactly that artifact. With per-document salts,
-    * identical texts still reorder identically (within-replica dup
-    * structure survives) while distinct documents get uncorrelated
-    * orders (cross-doc shingle overlap vanishes instead of being
-    * manufactured).
+  /** Replica-distinct text via token RENAMING, not reordering: every
+    * token except the six Gopher stopwords and pure-digit words gets a
+    * per-replica suffix (`…q3` for replica 3). Natural token ORDER is
+    * preserved, so within-replica n-gram statistics, collocations,
+    * winnowing fingerprints, planted exact AND near duplicates all
+    * behave exactly like the source corpus — while across replicas both
+    * the shingle sets (MinHash/Jaccard) and the token BAG (SimHash,
+    * which is order-insensitive) become disjoint except for stopwords.
     *
-    * The sort key also folds in the token's POSITION: keying on the
-    * token alone groups a document's repeated tokens into runs
-    * ("the the the …"), whose 3-gram shingles are shared by nearly
-    * every reordered document — the second ScaleBench run measured a
-    * 2000× LSH candidate blowup from band-0 bucketing on exactly those
-    * universal run-shingles. With (token, position) keys repeats
-    * scatter, identical docs still reorder identically, and a
-    * near-dup's common prefix keeps its relative order.
+    * Two rejected designs, kept as a warning: (1) hash-SORTING tokens
+    * with a replica salt canonicalizes order corpus-wide — docs sharing
+    * vocabulary share long shingle runs (measured 26× LSH candidate
+    * blowup); (2) per-document-salted sorting fixes that but groups
+    * repeated tokens into "the the the" runs whose shingles are shared
+    * by nearly every doc (measured 2000× candidate blowup), and any
+    * multiset-preserving reorder leaves every replica a bag-of-words
+    * DUPLICATE of its source — SimHash-family entries then verify
+    * C(10,2) pairs per document. Renaming has none of these modes.
+    * Stopwords/digit-words keep the Gopher r_stop and r_digit rules
+    * (and so gate selectivity) intact per replica.
     */
-  private def reorderText(c: org.apache.spark.sql.Column, i: Int) =
+  private def renameTokens(c: org.apache.spark.sql.Column, i: Int) =
     array_join(
-      transform(
-        array_sort(transform(split(c, " "),
-          (t, j) => struct(
-            xxhash64(concat_ws("#", t, j.cast("string")),
-              xxhash64(c, lit(i))).as("h"),
-            j.as("j"), t.as("t")))),
-        s => s("t")),
+      transform(split(c, " "), t =>
+        when(lower(t).isin("the", "a", "of", "and", "to", "in") ||
+            t.rlike("^[0-9]+$") || t === "", t)
+          .otherwise(concat(t, lit(s"q$i")))),
       " ")
 
   private def flipSigns(c: org.apache.spark.sql.Column, i: Int) =
@@ -115,7 +112,8 @@ object ScaleUp {
     tile("documents", 32) { (d, i) =>
       val s = shifted(d, i, "doc_id")
       if (i == 0) s
-      else s.withColumn("text", reorderText(col("text"), i))
+      else s.withColumn("text", renameTokens(col("text"), i))
+        .withColumn("n_chars", length(col("text")))
     }
     tile("embeddings", 16) { (d, i) =>
       val s = shifted(d, i, "vec_id")
