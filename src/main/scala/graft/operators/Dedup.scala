@@ -259,9 +259,10 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, digits: Int = 4,
-      persist: Boolean = true): DataFrame =
+      persist: Boolean = true,
+      maxBucket: Option[Long] = None): DataFrame =
     minhashLshPairsManaged(df, idCol, textCol, shingleN, numHashes, bands,
-      threshold, digits, persist)._1
+      threshold, digits, persist, maxBucket)._1
 
   /** [[minhashLshPairs]] plus a cleanup thunk unpersisting the internal
     * shingle + band caches — call after the consuming action (see
@@ -270,15 +271,34 @@ object Dedup {
   def minhashLshPairsManaged(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, digits: Int = 4,
-      persist: Boolean = true): (DataFrame, () => Unit) = {
+      persist: Boolean = true,
+      maxBucket: Option[Long] = None): (DataFrame, () => Unit) = {
     val lvl = StorageLevel.MEMORY_AND_DISK
     val sh0 = hashedShingleTable(df, idCol, textCol, shingleN)
     val sh = if (persist) sh0.persist(lvl) else sh0
     val sigs = minhashSignaturesFrom(sh, df, idCol, textCol, numHashes,
       alreadyHashed = true)
     val bands0 = lshBandsFrom(sigs, numHashes, bands)
-    val bandsDf = if (persist) bands0.persist(lvl) else bands0
-    val cleanup = () => if (persist) { sh.unpersist(); bandsDf.unpersist(); () }
+    val bandsAll = if (persist) bands0.persist(lvl) else bands0
+    val cleanup = () => if (persist) { sh.unpersist(); bandsAll.unpersist(); () }
+    // Hot-bucket cap: a band bucket of n docs contributes C(n,2)
+    // candidates, so one pathologically shared band key (boilerplate
+    // suffix, template page, degenerate signature) turns the candidate
+    // join quadratic in that bucket's size — the round-10 scale run
+    // measured exactly this mode on a hot shared 3-gram. With
+    // `maxBucket`, buckets past the cap are SKIPPED (one bounded
+    // aggregate + a broadcast-able anti-join): a true near-dup pair is
+    // lost only if EVERY one of its band buckets is hot, the standard
+    // recall trade every production LSH dedup makes. None = off
+    // (bit-identical to the uncapped operator).
+    val bandsDf = maxBucket match {
+      case Some(cap) =>
+        val hot = bandsAll.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+          .select("band", "band_key")
+        bandsAll.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      case None => bandsAll
+    }
     val cand = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

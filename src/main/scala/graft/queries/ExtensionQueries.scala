@@ -257,6 +257,50 @@ object ExtensionQueries {
        |SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q180
+  /** Hot-bucket-capped MinHash LSH ([[Dedup.minhashLshPairs]] with
+    * `maxBucket`): band buckets larger than the cap are SKIPPED before
+    * the candidate self-join. One shared band key (boilerplate suffix,
+    * template page, degenerate signature) makes the candidate join
+    * quadratic in that bucket's size — the round-10 scale run measured
+    * this mode live (docs/SCALE.md); the cap is the standard production
+    * recall trade that bounds per-bucket fan-out a priori. Fixture
+    * plants 4 extra EXACT copies of every 25th doc: a 5-member
+    * identical cluster collides in ALL four bands, so cap=4 drops it
+    * everywhere (deliberate, visible recall loss) while ordinary
+    * variant pairs (bucket size 2) are untouched. The oracle is q22's
+    * replay over the extended corpus with the same HAVING-cap filter.
+    */
+  val q180: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val hot = (2 to 5).map(k => d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + k * 1000000L).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+    Dedup.minhashLshPairs(corpusNear(s, dir).unionByName(hot),
+        "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+        threshold = 0.5, maxBucket = Some(4L))
+      .orderBy("id_a", "id_b")
+  }
+  val q180Sql: String = {
+    val marker = "cand AS (SELECT DISTINCT"
+    val joinSrc = "FROM bands a JOIN bands b"
+    require(q22Sql.contains(marker) && q22Sql.contains(joinSrc),
+      "q180 oracle derives from q22's replay")
+    val corpusExt = corpusNearSql + (2 to 5).map(k =>
+      s"\nUNION ALL SELECT doc_id+${k}000000 AS id, text FROM documents WHERE doc_id%25=0")
+      .mkString
+    q22Sql
+      .replace(corpusNearSql, corpusExt)
+      .replace(marker,
+        """hotb AS (SELECT band, band_key FROM bands
+          |  GROUP BY 1, 2 HAVING count(*) > 4),
+          |bands2 AS (SELECT b.* FROM bands b WHERE NOT EXISTS (
+          |  SELECT 1 FROM hotb h
+          |  WHERE h.band = b.band AND h.band_key = b.band_key)),
+          |cand AS (SELECT DISTINCT""".stripMargin)
+      .replace(joinSrc, "FROM bands2 a JOIN bands2 b")
+  }
+
   // --------------------------------------------------------------- q156
   /** LSH banding calibration ([[Dedup.lshCalibration]]): the q22
     * pipeline's candidate pairs histogrammed by exact-Jaccard decile
@@ -1580,6 +1624,7 @@ object ExtensionQueries {
     "q127_random_projection" -> q127,
     "q134_nearest_prototype" -> q134,
     "q22_dedup_minhash_lsh" -> q22,
+    "q180_lsh_hot_bucket_cap" -> q180,
     "q156_lsh_calibration" -> q156,
     "q157_pq_calibration" -> q157,
     "q104_dedup_incremental" -> q104,
@@ -1625,6 +1670,7 @@ object ExtensionQueries {
     "q127_random_projection" -> q127Sql,
     "q134_nearest_prototype" -> q134Sql,
     "q22_dedup_minhash_lsh" -> q22Sql,
+    "q180_lsh_hot_bucket_cap" -> q180Sql,
     "q156_lsh_calibration" -> q156Sql,
     "q157_pq_calibration" -> q157Sql,
     "q104_dedup_incremental" -> q104Sql,

