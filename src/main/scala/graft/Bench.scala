@@ -309,6 +309,19 @@ object Bench {
     })
 
     import graft.streaming.{EventAnalytics, StreamingAsOf, StreamingDedup, StreamingSync}
+    // Streaming state ops are priced per (micro-batch × state store
+    // instance): every stateful operator commits one store per shuffle
+    // partition per batch, so 32 partitions for a few-hundred-row state
+    // is ~all commit overhead (measured: stream-stream join 22.5 s warm
+    // at 32 partitions for 133 state rows). Size the streaming section
+    // like a deployment would — partitions matched to state volume —
+    // and restore the batch setting afterwards.
+    val batchShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    def withStreamPartitions(body: () => Unit): () => Unit = () => {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try body() finally
+        spark.conf.set("spark.sql.shuffle.partitions", batchShufflePartitions)
+    }
     val streamEntries = Seq[(String, () => Unit)](
       driveEv("stream_windowed_agg")(EventAnalytics.windowedAgg(_)),
       driveEv("stream_hll_distinct")(EventAnalytics.windowedDistinct(_)),
@@ -394,7 +407,8 @@ object Bench {
         streamStateRows("stream_dump_watch") = 0L
       })
     ).filter(t => selected(t._1)).map { case (name, body) =>
-      val (cold, warm, probe, ioP, loud) = runEntry(body)
+      val (cold, warm, probe, ioP, loud) =
+        runEntry(withStreamPartitions(body))
       (name, cold, warm, probe, ioP, loud)
     }
 

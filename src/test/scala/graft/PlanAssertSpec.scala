@@ -298,4 +298,30 @@ class PlanAssertSpec extends SparkSuite {
         s"$q has ${bare.size} partition-less WindowExec node(s)")
     }
   }
+
+  test("q180 hot-bucket cap screens with a broadcast anti-join; no cartesian") {
+    val p = executed("q180_lsh_hot_bucket_cap")
+    // the hot-bucket list is bounded (distinct over-cap keys), so the
+    // anti-join must broadcast it over the band frame, and the candidate
+    // generation must stay a hash join on (band, band_key)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "hot-bucket screen lost its broadcast anti-join:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "cartesian appeared in the capped LSH plan:\n" + p.take(3000))
+  }
+
+  test("q179 curation DAG: no cartesian pair generation, no bare windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q179_curation_dag")(spark, dir)
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    // the only nested-loop joins allowed are the broadcast single-row
+    // stat/total joins; candidate generation must never be cartesian
+    assert(!s.contains("CartesianProduct"),
+      "cartesian in the curation DAG:\n" + s.take(3000))
+    val bare = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty, s"${bare.size} partition-less WindowExec node(s)")
+  }
 }
