@@ -466,6 +466,28 @@ object Sketches {
     expr(s"(${alphaM2(p)}L * ${scale}L) div (${terms.mkString(" + ")})")
   }
 
+  /** The single-UDAF register aggregation — same integers as
+    * [[hllRegCols]] but ONE aggregate expression producing the m-int
+    * register array, so the streaming plan that is re-optimized every
+    * micro-batch stays constant-size (the m-column form costs seconds
+    * of planner time per batch at p = 7).
+    */
+  def hllRegsAgg(p: Int = 7): Column = {
+    require(p >= 7 && p <= 10, s"p must be in [7, 10] for the column form, got $p")
+    udaf(new graft.functions.HllRegsAggregator(1 << p))
+      .apply(col("__b"), col("__r"))
+  }
+
+  /** The integer estimate from the register-ARRAY column (register 0 =
+    * never hit = the full 2^(48−p+1) term) — one `aggregate()` fold,
+    * bit-identical to [[hllEstFromCols]]'s m-term sum.
+    */
+  def hllEstFromRegs(regsCol: String, p: Int = 7): Column = {
+    val shift = 48 - p + 1
+    expr(s"(${alphaM2(p)}L * ${1L << shift}L) div aggregate($regsCol, " +
+      s"CAST(0 AS BIGINT), (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), $shift - x))")
+  }
+
   /** Merge register frames (same p) into per-group estimates: register
     * max is associative and idempotent, so per-shard/per-day sketches
     * combine into EXACTLY the registers a full rescan would build — a

@@ -34,23 +34,27 @@ object EventAnalytics {
     * exact `countDistinct` state grows with the number of distinct
     * users per window, while the sketch state is a FIXED 2^p registers
     * per window regardless of traffic. Structured Streaming permits
-    * one stateful aggregation per query, so this uses the
-    * register-COLUMNS formulation ([[graft.operators.Sketches.hllPrep]]
-    * / `hllRegCols` / `hllEstFromCols`): bucket+rank projected per
-    * event, 2^p conditional maxes in the single grouped agg, estimate
-    * folded map-side after it. Identical integers batch or streamed.
+    * one stateful aggregation per query, so this uses the single-UDAF
+    * register formulation ([[graft.operators.Sketches.hllPrep]] /
+    * `hllRegsAgg` / `hllEstFromRegs`): bucket+rank projected per event,
+    * ONE typed aggregate building the 2^p-register array, estimate
+    * folded map-side after it. Identical integers batch or streamed
+    * (and bit-identical to the row-formulation sketch — spec-pinned).
+    * The plan is constant-size, which matters because streaming
+    * re-optimizes per micro-batch: the earlier 2^p-aggregate-COLUMN
+    * form (`hllRegCols`) measured 20.9 s warm for a 4-batch drive with
+    * 3 state rows — all planner time.
     */
   def windowedDistinct(events: DataFrame, windowLen: String = "1 hour",
       watermark: String = "2 hours", p: Int = 7): DataFrame = {
     import graft.operators.Sketches
-    val regs = Sketches.hllRegCols(p)
     events
       .withWatermark("ts", watermark)
       .select(col("ts") +: Sketches.hllPrep(col("user_id"), p): _*)
       .groupBy(window(col("ts"), windowLen))
-      .agg(regs.head, regs.tail: _*)
+      .agg(Sketches.hllRegsAgg(p).as("__regs"))
       .select(col("window.start").as("window_start"),
-        Sketches.hllEstFromCols(p).as("est_users"))
+        Sketches.hllEstFromRegs("__regs", p).as("est_users"))
   }
 
   /** Windowed value-distribution sketch — the quantile counterpart of
