@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.AuditQueries.queries
+      graft.queries.AuditQueries.queries ++
+      graft.queries.FrontierQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
-      graft.queries.AuditQueries.oracle
+      graft.queries.AuditQueries.oracle ++
+      graft.queries.FrontierQueries.oracle
 }

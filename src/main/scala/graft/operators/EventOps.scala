@@ -148,4 +148,43 @@ object EventOps {
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
+
+  /** Time-weighted average of a gauge-style value per key — the correct
+    * mean for irregularly-sampled signals (a value holds until the next
+    * event, so averaging raw samples over-weights bursty periods):
+    * TWA = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first), piecewise-constant
+    * (last-observation-carried-forward) interpolation.
+    *
+    * Exact integers end to end: microsecond timestamps, cent-quantized
+    * values, Long weighted sum (cents·µs ≈ 1e14 per segment — ~4 orders
+    * below Long overflow even for year-long per-key spans), one integer
+    * division at the end. `value` must be non-negative (integer `div`
+    * vs floor-div disagree on negatives; asserted cheaply upstream by
+    * the caller if in doubt). Keys with a single event (span 0) are
+    * excluded — there is no interval to average over.
+    *
+    * One window (lead) plus one aggregate, both keyed on `keyCol`: the
+    * sort is per-key within the exchange the aggregate reuses, never a
+    * global sort.
+    *
+    * Output: (key, n_events, span_sec, twa_cents), ordered by nothing —
+    * callers order.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("us"), col(tieCol))
+    val seg = events
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("us"),
+        round(col(valueCol) * 100).cast("long").as("vc"), col(tieCol))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+    seg.groupBy("key")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("nxt").isNull, 0L)
+          .otherwise(col("vc") * (col("nxt") - col("us")))).as("wsum"),
+        (max("us") - min("us")).as("span"))
+      .filter(col("span") > 0)
+      .select(col("key"), col("n_events"),
+        expr("span div 1000000").as("span_sec"),
+        expr("wsum div span").as("twa_cents"))
+  }
 }

@@ -286,4 +286,57 @@ object Graph {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Bounded-round k-core peel: `rounds` synchronous rounds of "drop
+    * every node with degree < k (and its edges)" over the symmetrized
+    * graph — the dense-subgraph filter that strips crawl-graph fringe
+    * (leaf pages, one-off citers) before expensive per-node analytics.
+    * The true k-core is this peel run to fixpoint; a fixed unroll is
+    * (a) the budgeted form an iterate-until-converged cluster job uses
+    * per checkpoint window and (b) exactly replayable as a CTE chain by
+    * the oracle. Synchronous rounds are partitioning-independent: each
+    * round's degrees come from the previous round's edge set only.
+    *
+    * Per round: one degree aggregate (keyed on src) + two semi-screens
+    * of the edge frame against the surviving-node set — no row
+    * explosion anywhere, edges only shrink. Each round's frame is
+    * persisted and the previous round's released (the [[pageRank]]
+    * lifecycle discipline).
+    *
+    * Output: (node, deg) for nodes alive after `rounds` peels, with deg
+    * measured in the surviving subgraph (deg may sit below k again —
+    * that residue is what the NEXT round would peel; deg ≥ k for all
+    * rows iff the peel has converged).
+    */
+  def kCoreManaged(edges: DataFrame, k: Int,
+      rounds: Int): (DataFrame, () => Unit) = {
+    require(k >= 1 && rounds >= 1, s"need k ≥ 1 and rounds ≥ 1, got ($k, $rounds)")
+    val (und0, release0) = symmetrized(edges, persist = true)
+    var und = und0
+    var release = release0
+    for (_ <- 1 to rounds) {
+      val alive = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("src")
+      val next = und
+        .join(alive, Seq("src"))
+        .join(alive.withColumnRenamed("src", "dst"), Seq("dst"))
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the parent
+      release()
+      und = next
+      release = () => { next.unpersist(); () }
+    }
+    val out = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    (out, release)
+  }
+
+  /** [[kCoreManaged]] without the cleanup handle — the final round's
+    * cached edge frame stays live until session cache eviction (same
+    * convenience/lifecycle trade as [[pageRank]] vs [[pageRankManaged]]).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreManaged(edges, k, rounds)._1
 }

@@ -96,6 +96,66 @@ object Similarity {
       .drop("q_q", "q_n", "n_q", "n_n")
   }
 
+  /** SQ8 scalar quantization + recall audit: each dimension of the
+    * (already ×1000-integer-quantized) corpus is linearly mapped to an
+    * 8-bit code via the per-dimension [lo, hi] range observed on the
+    * BASE corpus — 4 bytes/dim → 1 byte/dim, the standard memory-scale
+    * path (FAISS SQ8) that keeps scoring a plain integer dot product
+    * (vs PQ's codebook lookups; q55). Queries must come from the base's
+    * value envelope (here: a base subset), keeping codes in [0, 255].
+    *
+    * Returns the audit a deployment reads before switching the fleet to
+    * compressed vectors: per query, how many of the exact cosine top-k
+    * the SQ8 top-k retains (`n_hit`, `recall_pct`).
+    *
+    * Scale: the per-dim envelope is one agg to `dims` rows (collected —
+    * bounded by the dimensionality, not the corpus); coding is a
+    * map-only projection; scoring/top-k is the [[cosineTopK]] shape
+    * (broadcast queries, bounded per-query top-k). Integer end-to-end:
+    * the code mapping is `((x − lo)·255) div span` on exact longs, so
+    * any engine reproduces identical codes, ranks, and recalls.
+    */
+  def sq8Recall(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = Portable.quantize(col(vecCol), Scale)
+    val b = Spread.ensure(base, idCol)
+      .select(col(idCol).as("neighbor_id"), q.as("bq"))
+    val qs = queries.select(col(idCol).as("query_id"), q.as("qq"))
+
+    // per-dimension envelope over the base: dims rows, collected (the
+    // bounded-collect pattern — k·dims scale, never corpus scale)
+    val env = b.select(posexplode(col("bq")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min("x").as("lo"), greatest(max("x") - min("x"), lit(1L)).as("span"))
+      .orderBy("d").collect()
+    val loArr = array(env.map(r => lit(r.getLong(1))): _*)
+    val spanArr = array(env.map(r => lit(r.getLong(2))): _*)
+
+    def coded(df: DataFrame, vc: String) = df
+      .withColumn("__lo", loArr).withColumn("__span", spanArr)
+      .withColumn("code",
+        expr(s"transform($vc, (x, i) -> ((x - __lo[i]) * 255) div __span[i])"))
+      .drop("__lo", "__span", vc)
+    val approx = coded(b, "bq")
+      .crossJoin(broadcast(coded(qs, "qq").withColumnRenamed("code", "qcode")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", Portable.dotQ(col("qcode"), col("code")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    val approxTop = approx
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    val exactTop = cosineTopK(base, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id").as("exact_id"))
+    approxTop.join(exactTop,
+        approxTop("query_id") === exactTop("query_id") &&
+          approxTop("neighbor_id") === exactTop("exact_id"), "left")
+      .groupBy(approxTop("query_id"))
+      .agg(count(col("exact_id")).as("n_hit"))
+      .withColumn("recall_pct", expr(s"(100 * n_hit) div $k"))
+  }
+
   /** Embedding near-duplicate pairs (cos ≥ minCos). With `blockCol` the
     * pair generation joins on the blocking key (label, coarse cluster,
     * LSH bucket, …) — the practical path at scale; without it, brute

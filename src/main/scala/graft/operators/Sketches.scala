@@ -291,6 +291,33 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Join-cardinality estimation from two count-min sketches — the
+    * planner statistic that decides join strategy BEFORE running the
+    * join: |A ⋈_key B| = Σ_v cntA(v)·cntB(v), estimated per sketch row
+    * as the inner product of the two counter arrays and taken as the
+    * MIN over the depth rows (collisions only add cross terms, so every
+    * row's inner product ≥ the true size — the AMS/count-min
+    * upper-bound estimator). Cost is two bounded sketch builds (one
+    * hash agg each, ≤ depth·width cells whatever the input size) plus a
+    * join of two tiny counter frames: at 100 TB this replaces running a
+    * possibly-exploding join to learn it explodes.
+    *
+    * Output: one row, `est_pairs`. Both sketches must share (depth,
+    * width) — positions come from the same deterministic hash48 family,
+    * so any engine reproduces the identical estimate, collisions and
+    * all.
+    */
+  def cmsJoinSize(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      depth: Int, width: Int): DataFrame = {
+    val sa = countMin(a, aKey, depth, width)
+    val sb = countMin(b, bKey, depth, width)
+    // inner join on the cell: a cell empty on either side contributes 0
+    sa.as("sa").join(sb.as("sb"), Seq("r", "pos"))
+      .groupBy(col("r"))
+      .agg(sum(col("sa.cnt") * col("sb.cnt")).as("ip"))
+      .agg(min(col("ip")).as("est_pairs"))
+  }
+
   /** EXACT heavy hitters without shuffling the full term universe:
     * per-partition Misra-Gries summaries nominate candidates, a
     * broadcast semi-screen + exact count verifies them. The pigeonhole

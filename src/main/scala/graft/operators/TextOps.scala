@@ -1798,4 +1798,50 @@ object TextOps {
         expr("(cast(chars_removed as decimal(38,0)) * 1000000) div nullif(chars_total, 0)")
           .as("savings_ppm"))
   }
+
+  /** Token-distribution drift between two corpus slices — the 2×2
+    * chi-square statistic per token, the audit run when a new crawl
+    * snapshot (or a re-filtered corpus) replaces the slice a model was
+    * tuned on: which words' frequencies moved, and by how much beyond
+    * sampling noise. For token t with counts o1/o2 in slices of n1/n2
+    * total tokens,
+    *
+    *   χ² = (o1·n2 − o2·n1)² · (n1+n2) / ((o1+o2)·(n1−o1+n2−o2)·n1·n2)
+    *
+    * (the standard 2×2 form with marginals (o1+o2) and its complement).
+    * Every count is cast to double BEFORE any multiply (exact while the
+    * counts are < 2⁵³; no ANSI Long-overflow cliff at extreme scale,
+    * where the statistic degrades gracefully instead of throwing), and
+    * the multiplies/divides run in a FIXED order mirrored verbatim by
+    * the oracle, so the rounded statistic is engine-independent.
+    *
+    * Scale: one token-count aggregate keyed on (term, slice), pivoted
+    * by a conditional sum — a single shuffle on the term; totals are a
+    * broadcast single row. `minCount` drops the long tail where χ² is
+    * meaningless (and keeps the report bounded).
+    *
+    * Output: (term, o1, o2, chi2_6dp) for tokens with o1+o2 ≥ minCount.
+    */
+  def tokenDrift(docs: DataFrame, sliceCol: Column, textCol: String,
+      minCount: Long): DataFrame = {
+    val toks = docs.select(sliceCol.cast("long").as("half"),
+        explode(graft.functions.Portable.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val per = toks.groupBy("term")
+      .agg(coalesce(sum(when(col("half") === 0, 1L)), lit(0L)).as("o1"),
+        coalesce(sum(when(col("half") =!= 0, 1L)), lit(0L)).as("o2"))
+    val tot = per.agg(sum("o1").as("n1"), sum("o2").as("n2"))
+    per.filter(col("o1") + col("o2") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("chi2_6dp", expr(
+        """round((((cast(o1 as double) * cast(n2 as double)
+          |     - cast(o2 as double) * cast(n1 as double))
+          |   * (cast(o1 as double) * cast(n2 as double)
+          |     - cast(o2 as double) * cast(n1 as double)))
+          |  * cast(n1 + n2 as double))
+          |  / cast(o1 + o2 as double)
+          |  / cast((n1 - o1) + (n2 - o2) as double)
+          |  / cast(n1 as double) / cast(n2 as double), 6)""".stripMargin))
+      .select("term", "o1", "o2", "chi2_6dp")
+  }
 }

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{EventOps, Graph, Similarity, Sketches, TextOps}
+
+/** Round-10 frontier wave: the planning/compression/audit operators a
+  * 100 TB deployment reaches for NEXT — join-size estimation before an
+  * exploding join runs ([[q181]]), SQ8 vector compression with its
+  * recall audit ([[q182]]), time-weighted gauge averaging ([[q183]]),
+  * k-core graph peeling ([[q184]]), and token-distribution drift
+  * between corpus snapshots ([[q185]]). Same cross-engine determinism
+  * rules as everywhere else: exact integers (hash48 sketch cells,
+  * ×1000-quantized vectors, µs timestamps, cent values) or
+  * fixed-order IEEE doubles mirrored verbatim in the oracle SQL.
+  */
+object FrontierQueries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // --------------------------------------------------------------- q181
+  /** Join-cardinality estimation from count-min sketches
+    * ([[Sketches.cmsJoinSize]]): the self-join size of lineitem on
+    * l_partkey (= Σ_part cnt², the F₂ moment — the statistic that
+    * decides whether a partkey join is safe to run) estimated from a
+    * depth-4 × width-2048 sketch, next to the exact value. est ≥ true
+    * by construction; the oracle rebuilds the identical counters, so
+    * even the collision-inflated estimate hash-matches.
+    */
+  val q181: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir).select("l_partkey")
+    val est = Sketches.cmsJoinSize(li, col("l_partkey"), li,
+      col("l_partkey"), depth = 4, width = 2048)
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("true_pairs"))
+    est.crossJoin(exact).select("est_pairs", "true_pairs")
+  }
+  val q181Sql: String = {
+    val pos = "('0x'||substr(md5(CAST(l_partkey AS VARCHAR)||'#'||" +
+      "CAST(r AS VARCHAR)),1,12))::BIGINT % 2048"
+    s"""WITH rs AS (SELECT unnest(range(4)) AS r),
+       |ctr AS (SELECT r, $pos AS pos, count(*) AS cnt
+       |  FROM lineitem CROSS JOIN rs GROUP BY r, pos),
+       |ip AS (SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+       |  FROM ctr a JOIN ctr b ON a.r = b.r AND a.pos = b.pos GROUP BY a.r),
+       |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS true_pairs
+       |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+       |SELECT (SELECT CAST(min(ip) AS BIGINT) FROM ip) AS est_pairs,
+       |  ex.true_pairs FROM ex""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q182
+  /** SQ8 scalar-quantization recall audit ([[Similarity.sq8Recall]]):
+    * per-dimension [lo, hi] envelope over the corpus → 8-bit codes →
+    * integer-dot top-5, scored against the exact cosine top-5 (q24's
+    * ranking) — the report read before switching a fleet to 4×-smaller
+    * vectors.
+    */
+  val q182: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.sq8Recall(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id")
+  }
+  val q182Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings),
+      |e AS (SELECT vec_id, d, q[CAST(d AS INT)+1] AS x
+      |  FROM v CROSS JOIN (SELECT unnest(range(64)) AS d)),
+      |mm AS (SELECT d, min(x) AS lo, greatest(max(x) - min(x), 1) AS span
+      |  FROM e GROUP BY d),
+      |codes AS (SELECT vec_id, d, ((x - lo) * 255) // span AS c
+      |  FROM e JOIN mm USING (d)),
+      |ad AS (SELECT qc.vec_id AS query_id, bc.vec_id AS neighbor_id,
+      |    CAST(sum(qc.c * bc.c) AS BIGINT) AS dot
+      |  FROM codes bc JOIN codes qc USING (d)
+      |  WHERE qc.vec_id < 10 AND bc.vec_id <> qc.vec_id
+      |  GROUP BY 1, 2),
+      |ax AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank FROM ad)
+      |  WHERE rank <= 5),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.q, b.q) /
+      |      (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(b.q, b.q))), 6) AS cos
+      |  FROM v b CROSS JOIN v q
+      |  WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id),
+      |ex AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+      |  WHERE rank <= 5)
+      |SELECT ax.query_id, CAST(count(ex.neighbor_id) AS BIGINT) AS n_hit,
+      |  CAST((100 * count(ex.neighbor_id)) // 5 AS BIGINT) AS recall_pct
+      |FROM ax LEFT JOIN ex ON ax.query_id = ex.query_id
+      |  AND ax.neighbor_id = ex.neighbor_id
+      |GROUP BY ax.query_id ORDER BY ax.query_id""".stripMargin
+
+  // --------------------------------------------------------------- q183
+  /** Time-weighted average event value per user
+    * ([[EventOps.timeWeightedAvg]]): last-observation-carried-forward
+    * integration over each user's event timeline — the correct mean for
+    * irregularly-sampled gauges, exact in (µs × cents) Longs.
+    */
+  val q183: Q = (s, dir) =>
+    EventOps.timeWeightedAvg(Tables.events(s, dir),
+        "user_id", "ts", "value", tieCol = "event_id")
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id")
+  val q183Sql: String =
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS vc,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(CASE WHEN nxt IS NULL THEN 0
+      |      ELSE vc * (nxt - us) END) AS BIGINT) AS wsum,
+      |    max(us) - min(us) AS span
+      |  FROM o GROUP BY user_id)
+      |SELECT user_id, n_events, CAST(span // 1000000 AS BIGINT) AS span_sec,
+      |  CAST(wsum // span AS BIGINT) AS twa_cents
+      |FROM a WHERE span > 0 ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------- q184
+  /** Bounded-round k-core peel ([[Graph.kCore]], k = 3, 4 rounds) over
+    * the q80 customer–supplier graph: the dense-subgraph filter that
+    * strips graph fringe before per-node analytics. The oracle unrolls
+    * the four synchronous peel rounds as a CTE chain.
+    */
+  val q184: Q = (s, dir) => {
+    val edges = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    // convenience form: the final round's cached frame stays live until
+    // session eviction — the q80/pageRank lifecycle trade
+    Graph.kCore(edges, k = 3, rounds = 4).orderBy("node")
+  }
+  val q184Sql: String = {
+    def round(prev: String, i: Int) =
+      s"""d$i AS (SELECT src, count(*) AS deg FROM $prev GROUP BY src),
+         |k$i AS (SELECT src FROM d$i WHERE deg >= 3),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+         |  JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)""".stripMargin
+    s"""WITH ed AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS MATERIALIZED (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+       |${round("e0", 1)},
+       |${round("e1", 2)},
+       |${round("e2", 3)},
+       |${round("e3", 4)}
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM e4
+       |GROUP BY src ORDER BY node""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q185
+  /** Token-distribution drift between the even and odd corpus halves
+    * ([[TextOps.tokenDrift]]): 2×2 chi-square per token with ≥ 200
+    * occurrences — the snapshot-to-snapshot composition audit. The
+    * synthetic halves are exchangeable, so the observed χ² values ARE
+    * the null distribution — the calibration read.
+    */
+  val q185: Q = (s, dir) =>
+    TextOps.tokenDrift(Tables.documents(s, dir),
+        col("doc_id") % 2, "text", minCount = 200L)
+      .orderBy("term")
+  val q185Sql: String =
+    """WITH toks AS (SELECT doc_id % 2 AS half,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS term
+      |  FROM documents),
+      |per AS (SELECT term,
+      |    CAST(coalesce(sum(CASE WHEN half = 0 THEN 1 END), 0) AS BIGINT) AS o1,
+      |    CAST(coalesce(sum(CASE WHEN half <> 0 THEN 1 END), 0) AS BIGINT) AS o2
+      |  FROM toks WHERE term <> '' GROUP BY term),
+      |tot AS (SELECT CAST(sum(o1) AS BIGINT) AS n1,
+      |    CAST(sum(o2) AS BIGINT) AS n2 FROM per)
+      |SELECT term, o1, o2,
+      |  round((((CAST(o1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |       - CAST(o2 AS DOUBLE) * CAST(n1 AS DOUBLE))
+      |     * (CAST(o1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |       - CAST(o2 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+      |    * CAST(n1 + n2 AS DOUBLE))
+      |    / CAST(o1 + o2 AS DOUBLE)
+      |    / CAST((n1 - o1) + (n2 - o2) AS DOUBLE)
+      |    / CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS chi2_6dp
+      |FROM per CROSS JOIN tot
+      |WHERE o1 + o2 >= 200
+      |ORDER BY term""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q181_cms_join_size" -> q181,
+    "q182_sq8_recall" -> q182,
+    "q183_time_weighted_avg" -> q183,
+    "q184_kcore" -> q184,
+    "q185_token_drift" -> q185)
+
+  def oracle: Map[String, String] = Map(
+    "q181_cms_join_size" -> q181Sql,
+    "q182_sq8_recall" -> q182Sql,
+    "q183_time_weighted_avg" -> q183Sql,
+    "q184_kcore" -> q184Sql,
+    "q185_token_drift" -> q185Sql)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventOps, Graph, Similarity, Sketches, TextOps}
+
+/** Round-10 frontier operators: CMS join-size estimation, SQ8
+  * quantization recall, time-weighted averages, k-core peeling, and
+  * chi-square token drift (q181-q185). Each test pins the semantic
+  * contract the DuckDB oracle replays.
+  */
+class FrontierOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cmsJoinSize upper-bounds the true join size and is exact sans collisions") {
+    // keys with counts 3, 2, 1 → self-join size 9 + 4 + 1 = 14; width
+    // 1024 with 3 keys makes collisions (same hash48 cell in all 4
+    // rows) essentially impossible, so the estimate is exact
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val est = Sketches.cmsJoinSize(df, col("k"), df, col("k"), 4, 1024)
+      .as[Long].head()
+    assert(est == 14L)
+    // disjoint key sets → every cell product pairs a zero → estimate 0
+    // (unless a collision inflates it; impossible here for the same
+    // reason); inner join on cells yields NO rows → min over empty is
+    // null-safe only if groupBy(r) produced rows — assert the join form
+    val other = Seq("x", "y").toDF("k")
+    val cross = Sketches.cmsJoinSize(df, col("k"), other, col("k"), 4, 1024)
+      .as[Option[Long]].collect()
+    assert(cross.isEmpty || cross.head.forall(_ == 0L),
+      "disjoint sides must estimate 0 pairs (or produce no cells at all)")
+  }
+
+  test("sq8Recall is 100% when quantization preserves the ranking") {
+    // orthogonal-ish integer vectors whose SQ8 codes keep the exact
+    // order: base of 6, queries = first 2; with k=2 the approx and
+    // exact top-2 coincide because dot-product gaps are huge vs the
+    // 255-level quantization error
+    val rows = Seq(
+      (0L, Array(10.0f, 0.0f, 0.0f)),
+      (1L, Array(9.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 10.0f, 0.0f)),
+      (3L, Array(0.0f, 9.0f, 1.0f)),
+      (4L, Array(0.0f, 0.0f, 10.0f)),
+      (5L, Array(1.0f, 0.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sq8Recall(rows, rows.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 2)
+      .orderBy("query_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L, 100L), (1L, 2L, 100L)))
+  }
+
+  test("timeWeightedAvg integrates last-observation-carried-forward") {
+    // user 1: value 1.00 for 10s then 3.00 for 30s over a 40s span →
+    // TWA = (100·10e6 + 300·30e6) / 40e6 = 250 cents; the final event's
+    // value never contributes (no interval after it)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val e = Seq(
+      (1L, ts(0), 1.00, 10L), (1L, ts(10), 3.00, 11L), (1L, ts(40), 9.99, 12L),
+      (2L, ts(0), 5.00, 20L) // single event → no span → excluded
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = EventOps.timeWeightedAvg(e, "user_id", "ts", "value", "event_id")
+      .orderBy("key").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 40L, 250L)))
+  }
+
+  test("kCore peels low-degree fringe round by round") {
+    // a 4-clique (1-2-3-4, degree 3 each) with a pendant path 4-5-6:
+    // round 1 drops 6 (deg 1) — 5 keeps deg 2 < 3 → dropped too;
+    // round 2: clique intact, all degree 3 (edge 4-5 gone)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)
+    ).toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 3, rounds = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("tokenDrift computes the 2x2 chi-square on closed-form counts") {
+    // slice 0: "a a b"  → o(a)=2, o(b)=1, n1=3
+    // slice 1: "a b b b" → o(a)=1, o(b)=3, n2=4
+    val docs = Seq((0L, "a a b"), (1L, "a b b b")).toDF("doc_id", "text")
+    val out = TextOps.tokenDrift(docs, col("doc_id") % 2, "text", minCount = 1L)
+      .orderBy("term").as[(String, Long, Long, Double)].collect().toSeq
+    // chi2(a): d = 2*4 - 1*3 = 5; 5*5*7 / 3 / 4 / 3 / 4 = 175/144
+    val expA = BigDecimal(5.0 * 5.0 * 7.0 / 3.0 / 4.0 / 3.0 / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._1) == Seq("a", "b"))
+    assert(out(0)._2 == 2L && out(0)._3 == 1L)
+    assert(math.abs(out(0)._4 - expA) < 1e-9)
+    // the 2x2 statistic is symmetric in the token's complement: same χ²
+    assert(math.abs(out(0)._4 - out(1)._4) < 1e-9)
+  }
+}
