@@ -187,4 +187,94 @@ object EventOps {
         expr("span div 1000000").as("span_sec"),
         expr("wsum div span").as("twa_cents"))
   }
+
+  /** Event-rate anomaly z-scores: hourly event counts per key, each
+    * standardized against the key's own observed-hour distribution —
+    * the traffic-monitoring read ("which hours are a burst/outage for
+    * this event type"). Buckets with zero events are NOT zero-filled
+    * (a gauge over observed hours; zero-filling needs the calendar,
+    * which is a reporting choice, not an operator one) — documented so
+    * the baseline is per-key observed hours.
+    *
+    * Determinism: counts are exact longs, summed exactly; the mean /
+    * population-variance / z combination runs on doubles cast from
+    * exact integer sums in a FIXED operation order the oracle mirrors —
+    * no double is ever summed across rows. z = (c − Σc/n) / √var with
+    * var = (n·Σc² − (Σc)²)/n², population form.
+    *
+    * One aggregate to the (key, hour) domain, one more to per-key
+    * moments (broadcast back) — bounded by keys × observed hours, not
+    * by events.
+    *
+    * Output: (key, bucket, n_in_bucket, z_6dp) for keys with ≥ 2
+    * observed buckets and positive variance.
+    */
+  def rateAnomaly(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val hourly = events
+      .select(col(keyCol).as("key"),
+        date_format(date_trunc("hour", col(tsCol)), "yyyy-MM-dd HH:00")
+          .as("bucket"))
+      .groupBy("key", "bucket").agg(count(lit(1)).as("c"))
+    val moments = hourly.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("sc"),
+        // per-row square stays a safe Long (hourly counts ≪ 3e9);
+        // the cross-hour SUM is decimal — exact and cliff-free
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"))
+      .filter(col("n") >= 2)
+    hourly.join(broadcast(moments), Seq("key"))
+      .withColumn("z_6dp", expr(
+        """round((cast(c as double) - cast(sc as double) / cast(n as double))
+          |  / sqrt((cast(n as double) * cast(sc2 as double)
+          |      - cast(sc as double) * cast(sc as double))
+          |    / (cast(n as double) * cast(n as double))), 6)""".stripMargin))
+      // positive variance only; the compare runs in doubles (identical
+      // IEEE both engines, no integer-overflow cliff)
+      .filter(expr("cast(n as double) * cast(sc2 as double) " +
+        "> cast(sc as double) * cast(sc as double)"))
+      .select(col("key"), col("bucket"), col("c").as("n_in_bucket"),
+        col("z_6dp"))
+  }
+
+  /** Per-key least-squares trend of a value over time — "is this event
+    * type's value drifting, and how fast": OLS slope in cents/second
+    * over (seconds-since-corpus-start, cent-value) points.
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * Determinism + overflow: x and y are exact longs (seconds rebased
+    * to the GLOBAL min timestamp — one broadcast row — so x² stays
+    * small); the four sums accumulate as decimal(38,0) (exact,
+    * order-free, no ANSI Long cliff — Σx² at 100 TB exceeds int64); the
+    * final combination is fixed-order IEEE doubles cast from those
+    * exact sums, mirrored verbatim by the oracle.
+    *
+    * Output: (key, n_events, slope_6dp) for keys with ≥ 2 distinct x
+    * (positive denominator), ordered by nothing — callers order.
+    */
+  def valueTrend(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val pts0 = events.select(col(keyCol).as("key"),
+      expr(s"unix_micros($tsCol) div 1000000").as("xs"),
+      round(col(valueCol) * 100).cast("long").as("y"))
+    val t0 = pts0.agg(min("xs").as("x0"))
+    val pts = pts0.crossJoin(broadcast(t0))
+      .select(col("key"), (col("xs") - col("x0")).as("x"), col("y"))
+    pts.groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sx2"))
+      // positive denominator; double compare — no decimal-precision cap
+      .filter(expr("cast(n as double) * cast(sx2 as double) " +
+        "> cast(sx as double) * cast(sx as double)"))
+      .select(col("key"), col("n").as("n_events"), expr(
+        """round((cast(n as double) * cast(sxy as double)
+          |    - cast(sx as double) * cast(sy as double))
+          |  / (cast(n as double) * cast(sx2 as double)
+          |    - cast(sx as double) * cast(sx as double)), 6)""".stripMargin)
+        .as("slope_6dp"))
+  }
 }

@@ -96,55 +96,70 @@ object Similarity {
       .drop("q_q", "q_n", "n_q", "n_n")
   }
 
-  /** SQ8 scalar quantization + recall audit: each dimension of the
-    * (already ×1000-integer-quantized) corpus is linearly mapped to an
-    * 8-bit code via the per-dimension [lo, hi] range observed on the
-    * BASE corpus — 4 bytes/dim → 1 byte/dim, the standard memory-scale
-    * path (FAISS SQ8) that keeps scoring a plain integer dot product
-    * (vs PQ's codebook lookups; q55). Queries must come from the base's
-    * value envelope (here: a base subset), keeping codes in [0, 255].
+  /** SQ8 coding shared by [[sq8TopK]]/[[sq8Recall]]/[[sq8Rerank]]: each
+    * dimension of the (already ×1000-integer-quantized) corpus is
+    * linearly mapped to an 8-bit code via the per-dimension [lo, hi]
+    * range observed on the BASE corpus — 4 bytes/dim → 1 byte/dim, the
+    * standard memory-scale path (FAISS SQ8) that keeps scoring a plain
+    * integer dot product (vs PQ's codebook lookups; q55). Queries must
+    * come from the base's value envelope (here: typically a base
+    * subset), keeping codes in [0, 255].
     *
-    * Returns the audit a deployment reads before switching the fleet to
-    * compressed vectors: per query, how many of the exact cosine top-k
-    * the SQ8 top-k retains (`n_hit`, `recall_pct`).
+    * The per-dim envelope is one agg to `dims` rows (collected — the
+    * bounded-collect pattern, dimensionality-scale never corpus-scale);
+    * coding is a map-only projection. Integer end-to-end: the code
+    * mapping is `((x − lo)·255) div span` on exact longs, so any engine
+    * reproduces identical codes and ranks.
     *
-    * Scale: the per-dim envelope is one agg to `dims` rows (collected —
-    * bounded by the dimensionality, not the corpus); coding is a
-    * map-only projection; scoring/top-k is the [[cosineTopK]] shape
-    * (broadcast queries, bounded per-query top-k). Integer end-to-end:
-    * the code mapping is `((x − lo)·255) div span` on exact longs, so
-    * any engine reproduces identical codes, ranks, and recalls.
+    * Returns (codedBase(neighbor_id, code), codedQueries(query_id,
+    * qcode)).
     */
-  def sq8Recall(base: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+  private def sq8Coded(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, DataFrame) = {
     val q = Portable.quantize(col(vecCol), Scale)
     val b = Spread.ensure(base, idCol)
       .select(col(idCol).as("neighbor_id"), q.as("bq"))
     val qs = queries.select(col(idCol).as("query_id"), q.as("qq"))
-
-    // per-dimension envelope over the base: dims rows, collected (the
-    // bounded-collect pattern — k·dims scale, never corpus scale)
     val env = b.select(posexplode(col("bq")).as(Seq("d", "x")))
       .groupBy("d")
       .agg(min("x").as("lo"), greatest(max("x") - min("x"), lit(1L)).as("span"))
       .orderBy("d").collect()
     val loArr = array(env.map(r => lit(r.getLong(1))): _*)
     val spanArr = array(env.map(r => lit(r.getLong(2))): _*)
-
     def coded(df: DataFrame, vc: String) = df
       .withColumn("__lo", loArr).withColumn("__span", spanArr)
       .withColumn("code",
         expr(s"transform($vc, (x, i) -> ((x - __lo[i]) * 255) div __span[i])"))
       .drop("__lo", "__span", vc)
-    val approx = coded(b, "bq")
-      .crossJoin(broadcast(coded(qs, "qq").withColumnRenamed("code", "qcode")))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dot", Portable.dotQ(col("qcode"), col("code")))
+    (coded(b, "bq"),
+      coded(qs, "qq").withColumnRenamed("code", "qcode"))
+  }
+
+  /** SQ8 approximate top-k: integer dot product over the 8-bit codes,
+    * [[cosineTopK]] plan shape (broadcast queries, map-only scoring,
+    * bounded per-query top-k). Output: (query_id, neighbor_id, rank,
+    * dot).
+    */
+  def sq8TopK(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val (cb, cq) = sq8Coded(base, queries, idCol, vecCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
-    val approxTop = approx
-      .withColumn("rank", row_number().over(w))
+    cb.crossJoin(broadcast(cq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", Portable.dotQ(col("qcode"), col("code")))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dot")
+  }
+
+  /** SQ8 recall audit — the report a deployment reads before switching
+    * the fleet to compressed vectors: per query, how many of the exact
+    * cosine top-k the SQ8 top-k retains (`n_hit`, `recall_pct`).
+    */
+  def sq8Recall(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val approxTop = sq8TopK(base, queries, idCol, vecCol, k)
       .select("query_id", "neighbor_id")
     val exactTop = cosineTopK(base, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id").as("exact_id"))
@@ -154,6 +169,39 @@ object Similarity {
       .groupBy(approxTop("query_id"))
       .agg(count(col("exact_id")).as("n_hit"))
       .withColumn("recall_pct", expr(s"(100 * n_hit) div $k"))
+  }
+
+  /** Two-stage retrieve-then-rerank — the production ANN serving shape:
+    * a cheap SQ8 integer-dot screen nominates `screenK` candidates per
+    * query (compressed codes, 4× less memory traffic than the raw
+    * vectors), then ONLY those candidates are re-scored with the exact
+    * quantized cosine and the top `k` kept. At 100 TB the screen is the
+    * full-corpus scan and the rerank touches `screenK` rows per query —
+    * the full-precision vectors are fetched for ~0.1% of the corpus
+    * instead of all of it.
+    *
+    * Output: (query_id, neighbor_id, rank, cos) — q24's shape, so the
+    * recall loss of a given (screenK, k) setting is directly visible
+    * against the exact ranking.
+    */
+  def sq8Rerank(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, screenK: Int, digits: Int = 6): DataFrame = {
+    require(screenK >= k, s"screenK ($screenK) must be ≥ k ($k)")
+    val cand = sq8TopK(base, queries, idCol, vecCol, screenK)
+      .select("query_id", "neighbor_id")
+    val (bq, bn) = quantized(col(vecCol))
+    def side(df: DataFrame, role: String) = df.select(
+      col(idCol).as(s"${role}_id"), bq.as(s"${role.head}_q"), bn.as(s"${role.head}_n"))
+    val rescored = cand
+      .join(side(Spread.ensure(base, idCol), "neighbor"), Seq("neighbor_id"))
+      .join(broadcast(side(queries, "query")), Seq("query_id"))
+      .withColumn("cos", Portable.cosineQ(
+        Portable.dotQ(col("q_q"), col("n_q")), col("q_n"), col("n_n"), digits))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
   }
 
   /** Embedding near-duplicate pairs (cos ≥ minCos). With `blockCol` the

@@ -517,4 +517,41 @@ object Stats {
         .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_ unionByName _)
+
+  /** Contingency-table standardized residuals between two categorical
+    * columns — "is the corpus composition independent in (lang ×
+    * source), and which cells drive the dependence": for each observed
+    * cell, the expected count under independence e = rowTotal·colTotal/N
+    * and the Pearson residual (o − e)/√e (|resid| ≳ 2 ⇒ the cell is
+    * over/under-represented beyond sampling noise). The per-cell form
+    * deliberately stops short of the χ² TOTAL: a total would sum doubles
+    * across cells, which is partition-order-dependent — per-cell values
+    * are each a fixed-order IEEE combination of exact integer counts,
+    * so any engine reproduces them bit-for-bit.
+    *
+    * One aggregate to the (a, b) cell domain, two marginal aggregates
+    * over the cells, one broadcast single-row total — bounded by the
+    * category-domain product, never by the rows.
+    *
+    * Output: (a, b, n_obs, e_6dp, resid_6dp).
+    */
+  def contingencyResiduals(df: DataFrame, aCol: Column,
+      bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("a"), bCol.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_obs"))
+    val rowT = cells.groupBy("a").agg(sum("n_obs").as("ra"))
+    val colT = cells.groupBy("b").agg(sum("n_obs").as("cb"))
+    val tot = cells.agg(sum("n_obs").as("nn"))
+    cells.join(broadcast(rowT), Seq("a"))
+      .join(broadcast(colT), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e_6dp", expr(
+        "round(cast(ra as double) * cast(cb as double) / cast(nn as double), 6)"))
+      .withColumn("resid_6dp", expr(
+        """round((cast(n_obs as double)
+          |    - cast(ra as double) * cast(cb as double) / cast(nn as double))
+          |  / sqrt(cast(ra as double) * cast(cb as double)
+          |    / cast(nn as double)), 6)""".stripMargin))
+      .select("a", "b", "n_obs", "e_6dp", "resid_6dp")
+  }
 }

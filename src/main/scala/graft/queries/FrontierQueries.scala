@@ -189,17 +189,150 @@ object FrontierQueries {
       |WHERE o1 + o2 >= 200
       |ORDER BY term""".stripMargin
 
+  // --------------------------------------------------------------- q186
+  /** Two-stage retrieve-then-rerank ([[Similarity.sq8Rerank]]): SQ8
+    * integer-dot screen nominates 20 candidates per query, exact
+    * quantized cosine reranks to the final top-5 — the production ANN
+    * serving shape (compressed-scan screen, full-precision fetch for
+    * ~0.1% of the corpus). Output is q24's exact shape, so recall loss
+    * of the (20, 5) setting is directly visible.
+    */
+  val q186: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.sq8Rerank(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, screenK = 20)
+      .orderBy("query_id", "rank")
+  }
+  val q186Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings),
+      |e AS (SELECT vec_id, d, q[CAST(d AS INT)+1] AS x
+      |  FROM v CROSS JOIN (SELECT unnest(range(64)) AS d)),
+      |mm AS (SELECT d, min(x) AS lo, greatest(max(x) - min(x), 1) AS span
+      |  FROM e GROUP BY d),
+      |codes AS (SELECT vec_id, d, ((x - lo) * 255) // span AS c
+      |  FROM e JOIN mm USING (d)),
+      |ad AS (SELECT qc.vec_id AS query_id, bc.vec_id AS neighbor_id,
+      |    CAST(sum(qc.c * bc.c) AS BIGINT) AS dot
+      |  FROM codes bc JOIN codes qc USING (d)
+      |  WHERE qc.vec_id < 10 AND bc.vec_id <> qc.vec_id
+      |  GROUP BY 1, 2),
+      |ax AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank FROM ad)
+      |  WHERE rank <= 20),
+      |rr AS (SELECT ax.query_id, ax.neighbor_id,
+      |    round(list_dot_product(q.q, b.q) /
+      |      (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(b.q, b.q))), 6) AS cos
+      |  FROM ax JOIN v q ON q.vec_id = ax.query_id
+      |    JOIN v b ON b.vec_id = ax.neighbor_id)
+      |SELECT query_id, neighbor_id, rank, cos FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rank FROM rr)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- q187
+  /** Hourly event-rate anomaly z-scores per event type
+    * ([[EventOps.rateAnomaly]]) — which hours are a burst or outage for
+    * each type, standardized against the type's own observed-hour
+    * distribution. Exact integer counts; fixed-order IEEE combination.
+    */
+  val q187: Q = (s, dir) =>
+    EventOps.rateAnomaly(Tables.events(s, dir), "event_type", "ts")
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type", "bucket")
+  val q187Sql: String =
+    """WITH h AS (SELECT event_type AS key,
+      |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT key, CAST(count(*) AS BIGINT) AS n, sum(c) AS sc,
+      |    sum(c * c) AS sc2
+      |  FROM h GROUP BY key HAVING count(*) >= 2)
+      |SELECT h.key AS event_type, h.bucket, h.c AS n_in_bucket,
+      |  round((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sc2 AS DOUBLE)
+      |        - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS z_6dp
+      |FROM h JOIN m USING (key)
+      |WHERE CAST(n AS DOUBLE) * CAST(sc2 AS DOUBLE)
+      |  > CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+      |ORDER BY event_type, bucket""".stripMargin
+
+  // --------------------------------------------------------------- q188
+  /** Per-type OLS value trend ([[EventOps.valueTrend]]): cents/second
+    * drift of event value over the corpus time span — decimal-exact
+    * sums, one fixed-order IEEE slope per type.
+    */
+  val q188: Q = (s, dir) =>
+    EventOps.valueTrend(Tables.events(s, dir), "event_type", "ts", "value")
+      .withColumnRenamed("key", "event_type")
+      .orderBy("event_type")
+  val q188Sql: String =
+    """WITH p0 AS (SELECT event_type AS key, epoch_us(ts) // 1000000 AS xs,
+      |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |t0 AS (SELECT min(xs) AS x0 FROM p0),
+      |p AS (SELECT key, xs - x0 AS x, y FROM p0 CROSS JOIN t0),
+      |s AS (SELECT key, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+      |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sx2
+      |  FROM p GROUP BY key)
+      |SELECT key AS event_type, n AS n_events,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope_6dp
+      |FROM s
+      |WHERE CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |  > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q189
+  /** Corpus-composition independence audit
+    * ([[graft.operators.Stats.contingencyResiduals]]): per (lang,
+    * source) cell, the expected count under independence and the
+    * Pearson standardized residual — which language/source combinations
+    * are over/under-represented beyond sampling noise.
+    */
+  val q189: Q = (s, dir) =>
+    graft.operators.Stats.contingencyResiduals(
+        Tables.documents(s, dir), col("lang"), col("source"))
+      .select(col("a").as("lang"), col("b").as("source"),
+        col("n_obs"), col("e_6dp"), col("resid_6dp"))
+      .orderBy("lang", "source")
+  val q189Sql: String =
+    """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS n_obs
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT a, sum(n_obs) AS ra FROM cells GROUP BY a),
+      |ct AS (SELECT b, sum(n_obs) AS cb FROM cells GROUP BY b),
+      |tot AS (SELECT sum(n_obs) AS nn FROM cells)
+      |SELECT a AS lang, b AS source, CAST(n_obs AS BIGINT) AS n_obs,
+      |  round(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE), 6)
+      |    AS e_6dp,
+      |  round((CAST(n_obs AS DOUBLE)
+      |      - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE))
+      |    / sqrt(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+      |      / CAST(nn AS DOUBLE)), 6) AS resid_6dp
+      |FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+      |ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q181_cms_join_size" -> q181,
     "q182_sq8_recall" -> q182,
     "q183_time_weighted_avg" -> q183,
     "q184_kcore" -> q184,
-    "q185_token_drift" -> q185)
+    "q185_token_drift" -> q185,
+    "q186_sq8_rerank" -> q186,
+    "q187_rate_anomaly" -> q187,
+    "q188_value_trend" -> q188,
+    "q189_composition_residuals" -> q189)
 
   def oracle: Map[String, String] = Map(
     "q181_cms_join_size" -> q181Sql,
     "q182_sq8_recall" -> q182Sql,
     "q183_time_weighted_avg" -> q183Sql,
     "q184_kcore" -> q184Sql,
-    "q185_token_drift" -> q185Sql)
+    "q185_token_drift" -> q185Sql,
+    "q186_sq8_rerank" -> q186Sql,
+    "q187_rate_anomaly" -> q187Sql,
+    "q188_value_trend" -> q188Sql,
+    "q189_composition_residuals" -> q189Sql)
 }

@@ -79,6 +79,73 @@ class FrontierOpsSpec extends SparkSuite {
     assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("sq8Rerank reproduces the exact ranking when the screen keeps it") {
+    // screenK = full corpus → the rerank IS the exact cosine ranking
+    val rows = Seq(
+      (0L, Array(10.0f, 0.0f, 0.0f)),
+      (1L, Array(9.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 10.0f, 0.0f)),
+      (3L, Array(8.0f, 2.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val qs = rows.filter(col("vec_id") === 0)
+    val exact = Similarity.cosineTopK(rows, qs, "vec_id", "embedding", 3)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect().toSeq
+    val two = Similarity.sq8Rerank(rows, qs, "vec_id", "embedding",
+        k = 3, screenK = 4)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(two == exact,
+      "with screenK covering the corpus, rerank must equal the exact top-k")
+  }
+
+  test("rateAnomaly standardizes against the key's own hour distribution") {
+    // type A: counts 1, 1, 4 over three hours → mean 2, pop-var 2 →
+    // z = (c-2)/sqrt(2); type B: constant counts → zero variance → dropped
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:30:00")
+    def ts(h: Int, i: Int) =
+      new java.sql.Timestamp(base.getTime + h * 3600000L + i * 1000L)
+    val rows = (Seq.tabulate(1)(i => ("A", ts(0, i))) ++
+      Seq.tabulate(1)(i => ("A", ts(1, i))) ++
+      Seq.tabulate(4)(i => ("A", ts(2, i))) ++
+      Seq.tabulate(2)(i => ("B", ts(0, i))) ++
+      Seq.tabulate(2)(i => ("B", ts(1, i)))).toDF("event_type", "ts")
+    val out = EventOps.rateAnomaly(rows, "event_type", "ts")
+      .orderBy("key", "bucket")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out.map(_._1).forall(_ == "A"), "zero-variance keys are dropped")
+    val z = (c: Long) => BigDecimal((c - 2.0) / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(r => (r._3, r._4)) == Seq((1L, z(1)), (1L, z(1)), (4L, z(4))))
+  }
+
+  test("valueTrend recovers an exact linear slope") {
+    // y = 2.00 + 0.50·x cents over x = 0, 10, 20 seconds → slope 0.5
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val e = Seq(
+      ("A", ts(0), 0.02), ("A", ts(10), 0.07), ("A", ts(20), 0.12),
+      ("B", ts(0), 1.00) // single point → no slope → dropped
+    ).toDF("event_type", "ts", "value")
+    val out = EventOps.valueTrend(e, "event_type", "ts", "value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("A", 3L, 0.5)))
+  }
+
+  test("contingencyResiduals matches the closed-form 2x2 expectations") {
+    // cells: (x,p)=2 (x,q)=1 (y,p)=1 → ra(x)=3, ra(y)=1, cb(p)=3,
+    // cb(q)=1, N=4; e(x,p)=9/4=2.25, resid=(2-2.25)/sqrt(2.25)=-1/6
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"))
+      .toDF("lang", "source")
+    val out = graft.operators.Stats
+      .contingencyResiduals(df, col("lang"), col("source"))
+      .orderBy("a", "b")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(out.head == (("x", "p", 2L, 2.25,
+      BigDecimal(-0.25 / 1.5).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(out.map(t => (t._1, t._2)) == Seq(("x", "p"), ("x", "q"), ("y", "p")))
+  }
+
   test("tokenDrift computes the 2x2 chi-square on closed-form counts") {
     // slice 0: "a a b"  → o(a)=2, o(b)=1, n1=3
     // slice 1: "a b b b" → o(a)=1, o(b)=3, n2=4
