@@ -223,7 +223,10 @@ object EventOps {
         // the cross-hour SUM is decimal — exact and cliff-free
         sum((col("c") * col("c")).cast("decimal(38,0)")).as("sc2"))
       .filter(col("n") >= 2)
-    hourly.join(broadcast(moments), Seq("key"))
+    // no broadcast hint: moments is bounded by KEY cardinality, which
+    // is small for event types but unbounded for, say, per-user keys —
+    // AQE broadcasts when the runtime size allows
+    hourly.join(moments, Seq("key"))
       .withColumn("z_6dp", expr(
         """round((cast(c as double) - cast(sc as double) / cast(n as double))
           |  / sqrt((cast(n as double) * cast(sc2 as double)

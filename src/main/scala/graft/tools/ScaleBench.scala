@@ -73,18 +73,30 @@ object ScaleBench {
       println(f"[scale] $name%-32s small=$tSmall%8.2fs big=$tBig%8.2fs ratio=$ratio%6.2f")
     }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      entry(name, dir => materialize(fn(spark, dir)))
-    }
+    // SPARK_GRAFT_BENCH_ONLY (same contract as Bench): comma-separated
+    // name prefixes — run only matching entries, e.g. for scale-checking
+    // a new query wave without re-timing the whole suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted(name) }
+      .foreach { case (name, fn) =>
+        entry(name, dir => materialize(fn(spark, dir)))
+      }
 
     // sync core: full dump diff at both SFs (dump generation untimed)
-    val (ps, bs) = dumps(smallDir)
-    val (pb, bb) = dumps(bigDir)
-    entry("sync_dump_diff", dir => {
-      val (p, b) = if (dir == smallDir) (ps, bs) else (pb, bb)
-      new SyncJob(spark).syncCollected(p, b, "scale")
-      ()
-    })
+    if (wanted("sync_dump_diff")) {
+      val (ps, bs) = dumps(smallDir)
+      val (pb, bb) = dumps(bigDir)
+      entry("sync_dump_diff", dir => {
+        val (p, b) = if (dir == smallDir) (ps, bs) else (pb, bb)
+        new SyncJob(spark).syncCollected(p, b, "scale")
+        ()
+      })
+    }
 
     def r3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     val entries = results.toSeq
@@ -100,7 +112,11 @@ object ScaleBench {
     val totalBig = entries.map(_._2._2).filter(_ >= 0).sum
     val full =
       s"""{"metric":"scale_ratio_median","value":${r3(med)},"factor":$factor,"total_small_sec":${r3(totalSmall)},"total_big_sec":${r3(totalBig)},"n_entries":${entries.size},"small":"$smallDir","big":"$bigDir","entries":$json}"""
-    Files.writeString(Paths.get("scale_bench.json"), full)
+    // a filtered run must not clobber the full artifact — land it in a
+    // sidecar for the caller to merge (tools/merge_scale_bench.py)
+    val outFile =
+      if (only.isDefined) "scale_bench_partial.json" else "scale_bench.json"
+    Files.writeString(Paths.get(outFile), full)
     spark.stop()
     println(full.take(300))
     println(s"[scale] median ratio $med over ${okRatios.size} entries (factor $factor); full detail in scale_bench.json")
