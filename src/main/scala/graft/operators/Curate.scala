@@ -518,4 +518,67 @@ object Curate {
         expr("(cast(n_pass as decimal(38,0)) * 1000000) div n_docs").as("pass_ppm"),
         col("v_min"), col("v_max"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns — the
+    * privacy-release gate run before publishing a corpus or its
+    * metadata: every equivalence class (distinct quasi-identifier
+    * combination) with fewer than k members re-identifies its members
+    * by intersection with outside knowledge. Reports each class with
+    * its size and whether it fails the threshold; the caller suppresses
+    * or generalizes failing classes (the standard Samarati/Sweeney
+    * workflow).
+    *
+    * One aggregate to the class domain (bounded by the quasi-identifier
+    * value product, not the rows). Exact counts only.
+    *
+    * Output: (quasi cols…, n_members, below_k ∈ {0, 1}).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[Column], k: Long): DataFrame =
+    df.groupBy(quasiCols: _*)
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("below_k",
+        when(col("n_members") < k, lit(1L)).otherwise(lit(0L)))
+
+  /** Temporal train/embargo/test split accounting — the time-series
+    * leakage control (financial-ML "purged" split): train takes the
+    * first `trainTenths`/10 of the corpus time span, test starts after
+    * an embargo gap of `embargoTwentieths`/20 of the span, and nothing
+    * in between is used. Reports the three partition sizes plus the
+    * KEY-overlap between train and test (entities active on both sides
+    * — the residual leakage channel a per-row time split cannot close;
+    * if it must be zero, follow with [[hashSplit]] on the key).
+    *
+    * Boundaries are exact integer µs arithmetic on the observed span —
+    * deterministic in any engine; two aggregates (global span, one
+    * grouped pass) plus one distinct-key intersection.
+    *
+    * Output: one row (n_train, n_embargo, n_test, keys_in_both).
+    */
+  def temporalSplit(df: DataFrame, tsCol: Column, keyCol: Column,
+      trainTenths: Int = 6, embargoTwentieths: Int = 1): DataFrame = {
+    require(trainTenths >= 1 && trainTenths <= 9, s"trainTenths: $trainTenths")
+    require(embargoTwentieths >= 0 && embargoTwentieths <= 10,
+      s"embargoTwentieths: $embargoTwentieths")
+    val base = df.select(unix_micros(tsCol).as("us"), keyCol.as("key"))
+    val span = base.agg(min("us").as("t0"), max("us").as("t3"))
+      .select(col("t0"),
+        expr(s"t0 + ((t3 - t0) * $trainTenths) div 10").as("t1"),
+        expr(s"t0 + ((t3 - t0) * $trainTenths) div 10" +
+          s" + ((t3 - t0) * $embargoTwentieths) div 20").as("t2"))
+    val tagged = base.crossJoin(broadcast(span))
+      .withColumn("part",
+        when(col("us") < col("t1"), "train")
+          .when(col("us") < col("t2"), "embargo")
+          .otherwise("test"))
+    val counts = tagged.groupBy()
+      .agg(sum(when(col("part") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("part") === "embargo", 1L).otherwise(0L)).as("n_embargo"),
+        sum(when(col("part") === "test", 1L).otherwise(0L)).as("n_test"))
+    val overlap = tagged.filter(col("part") === "train")
+      .select("key").distinct()
+      .join(tagged.filter(col("part") === "test")
+        .select("key").distinct(), Seq("key"), "left_semi")
+      .agg(count(lit(1)).as("keys_in_both"))
+    counts.crossJoin(overlap)
+  }
 }

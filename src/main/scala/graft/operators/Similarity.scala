@@ -204,6 +204,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Label-noise screening by neighborhood voting (confident-learning
+    * lite): for each query row, the fraction of its k exact-cosine
+    * nearest neighbors carrying a DIFFERENT label — rows whose
+    * neighborhoods outvote their own label are the mislabeled-candidate
+    * review queue. The audit shape is a FIXED query batch against the
+    * full corpus (a reviewer's slice, a fresh annotation delta), so the
+    * scan is corpus-linear however large the base grows; auditing an
+    * entire 100 TB corpus at once composes this scorer with an ANN
+    * screen ([[sq8Rerank]], q107's IVF index) instead of the exact scan.
+    *
+    * Output: (query_id, query_label, n_diff, disagree_pct), integer
+    * end-to-end.
+    */
+  def labelNoise(base: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nbrs = cosineTopK(base, queries, idCol, vecCol, k)
+    val labels = base.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    val qLabels = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"))
+    nbrs.join(labels, Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .groupBy("query_id", "query_label")
+      .agg(sum(when(col("neighbor_label") =!= col("query_label"), 1L)
+        .otherwise(0L)).as("n_diff"))
+      .withColumn("disagree_pct", expr(s"(100 * n_diff) div $k"))
+  }
+
   /** Embedding near-duplicate pairs (cos ≥ minCos). With `blockCol` the
     * pair generation joins on the blocking key (label, coarse cluster,
     * LSH bucket, …) — the practical path at scale; without it, brute

@@ -314,6 +314,123 @@ object FrontierQueries {
       |FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
       |ORDER BY lang, source""".stripMargin
 
+  // --------------------------------------------------------------- q190
+  /** Corpus snapshot diff — the sync-core diff operator
+    * ([[graft.engine.Differ.diffOps]], the reference's flagship) applied
+    * to a PARQUET corpus instead of a SQL dump: current crawl vs a
+    * synthesized prior snapshot (every 7th doc not yet crawled → INSERT,
+    * every 10th doc's text since edited → UPDATE, planted prior-only
+    * docs → DELETE), rolled up to per-op counts. One full-outer PK join
+    * + null-safe struct compare — identical plan at any corpus size.
+    */
+  val q190: Q = (s, dir) => {
+    val cur = Tables.documents(s, dir).select("doc_id", "text")
+    val prior = cur.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" [stale]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(cur.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    graft.engine.Differ.diffOps(cur, prior, Seq("doc_id"))
+      .groupBy("op").agg(count(lit(1)).as("n"))
+      .orderBy("op")
+  }
+  val q190Sql: String =
+    """WITH prod AS (SELECT doc_id, text FROM documents),
+      |prior AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+      |      THEN text || ' [stale]' ELSE text END AS text
+      |    FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL SELECT doc_id + 5000000, text
+      |    FROM documents WHERE doc_id % 13 = 0),
+      |d AS (SELECT CASE WHEN b.doc_id IS NULL THEN 'INSERT'
+      |    WHEN p.doc_id IS NULL THEN 'DELETE'
+      |    WHEN p.text IS DISTINCT FROM b.text THEN 'UPDATE' END AS op
+      |  FROM prod p FULL OUTER JOIN prior b ON p.doc_id = b.doc_id)
+      |SELECT op, CAST(count(*) AS BIGINT) AS n FROM d
+      |WHERE op IS NOT NULL GROUP BY op ORDER BY op""".stripMargin
+
+  // --------------------------------------------------------------- q191
+  /** k-anonymity audit ([[graft.operators.Curate.kAnonymity]]) over the
+    * (lang, source, 500-char length bucket) quasi-identifiers — the
+    * privacy-release gate: equivalence classes under 10 members
+    * re-identify their documents by intersection with outside knowledge.
+    */
+  val q191: Q = (s, dir) =>
+    graft.operators.Curate.kAnonymity(
+        Tables.documents(s, dir).select(col("lang"), col("source"),
+          expr("n_chars div 500").as("len_bucket")),
+        Seq(col("lang"), col("source"), col("len_bucket")), k = 10L)
+      .orderBy("lang", "source", "len_bucket")
+  val q191Sql: String =
+    """SELECT lang, source, n_chars // 500 AS len_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(CASE WHEN count(*) < 10 THEN 1 ELSE 0 END AS BIGINT) AS below_k
+      |FROM documents GROUP BY 1, 2, 3
+      |ORDER BY lang, source, len_bucket""".stripMargin
+
+  // --------------------------------------------------------------- q192
+  /** Temporal train/embargo/test split accounting
+    * ([[graft.operators.Curate.temporalSplit]]): first 6/10 of the event
+    * span trains, a 1/20-span embargo gap is discarded, the rest tests —
+    * plus the user overlap between train and test, the residual leakage
+    * channel a row-time split cannot close.
+    */
+  val q192: Q = (s, dir) =>
+    graft.operators.Curate.temporalSplit(Tables.events(s, dir),
+      col("ts"), col("user_id"), trainTenths = 6, embargoTwentieths = 1)
+  val q192Sql: String =
+    """WITH b AS (SELECT epoch_us(ts) AS us, user_id AS key FROM events),
+      |s AS (SELECT min(us) AS t0, max(us) AS t3 FROM b),
+      |sp AS (SELECT t0 + ((t3 - t0) * 6) // 10 AS t1,
+      |    t0 + ((t3 - t0) * 6) // 10 + ((t3 - t0) * 1) // 20 AS t2 FROM s),
+      |t AS (SELECT us, key, CASE WHEN us < t1 THEN 'train'
+      |    WHEN us < t2 THEN 'embargo' ELSE 'test' END AS part
+      |  FROM b CROSS JOIN sp),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_train,
+      |    CAST(sum(CASE WHEN part = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_embargo,
+      |    CAST(sum(CASE WHEN part = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_test
+      |  FROM t),
+      |o AS (SELECT CAST(count(*) AS BIGINT) AS keys_in_both FROM (
+      |  SELECT DISTINCT key FROM t WHERE part = 'train'
+      |  INTERSECT SELECT DISTINCT key FROM t WHERE part = 'test'))
+      |SELECT c.n_train, c.n_embargo, c.n_test, o.keys_in_both
+      |FROM c CROSS JOIN o""".stripMargin
+
+  // --------------------------------------------------------------- q193
+  /** Label-noise screening ([[Similarity.labelNoise]]): a fixed review
+    * batch (first 100 vectors) scored by 5-nearest-neighbor label
+    * disagreement against the full corpus — the mislabeled-candidate
+    * queue of confident-learning, corpus-linear by construction.
+    */
+  val q193: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.labelNoise(e, e.filter(col("vec_id") < 100),
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy("query_id")
+  }
+  val q193Sql: String =
+    """WITH v AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, q.label AS qlab, b.vec_id AS nid,
+      |    b.label AS nlab,
+      |    round(list_dot_product(q.q, b.q) /
+      |      (sqrt(list_dot_product(q.q, q.q)) * sqrt(list_dot_product(b.q, b.q))), 6) AS cos
+      |  FROM v b CROSS JOIN v q
+      |  WHERE q.vec_id < 100 AND b.vec_id <> q.vec_id),
+      |top AS (SELECT * FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, nid) AS rank FROM scored)
+      |  WHERE rank <= 5)
+      |SELECT query_id, qlab AS query_label,
+      |  CAST(sum(CASE WHEN nlab <> qlab THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+      |  CAST((100 * sum(CASE WHEN nlab <> qlab THEN 1 ELSE 0 END)) // 5 AS BIGINT)
+      |    AS disagree_pct
+      |FROM top GROUP BY query_id, qlab ORDER BY query_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q181_cms_join_size" -> q181,
     "q182_sq8_recall" -> q182,
@@ -323,7 +440,11 @@ object FrontierQueries {
     "q186_sq8_rerank" -> q186,
     "q187_rate_anomaly" -> q187,
     "q188_value_trend" -> q188,
-    "q189_composition_residuals" -> q189)
+    "q189_composition_residuals" -> q189,
+    "q190_corpus_diff" -> q190,
+    "q191_k_anonymity" -> q191,
+    "q192_temporal_split" -> q192,
+    "q193_label_noise" -> q193)
 
   def oracle: Map[String, String] = Map(
     "q181_cms_join_size" -> q181Sql,
@@ -334,5 +455,9 @@ object FrontierQueries {
     "q186_sq8_rerank" -> q186Sql,
     "q187_rate_anomaly" -> q187Sql,
     "q188_value_trend" -> q188Sql,
-    "q189_composition_residuals" -> q189Sql)
+    "q189_composition_residuals" -> q189Sql,
+    "q190_corpus_diff" -> q190Sql,
+    "q191_k_anonymity" -> q191Sql,
+    "q192_temporal_split" -> q192Sql,
+    "q193_label_noise" -> q193Sql)
 }

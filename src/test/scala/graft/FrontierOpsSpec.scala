@@ -146,6 +146,47 @@ class FrontierOpsSpec extends SparkSuite {
     assert(out.map(t => (t._1, t._2)) == Seq(("x", "p"), ("x", "q"), ("y", "p")))
   }
 
+  test("kAnonymity flags equivalence classes under k") {
+    val df = Seq(("en", "web"), ("en", "web"), ("en", "web"),
+      ("en", "book"), ("fr", "web")).toDF("lang", "source")
+    val out = graft.operators.Curate
+      .kAnonymity(df, Seq(col("lang"), col("source")), k = 2L)
+      .orderBy("lang", "source")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(("en", "book", 1L, 1L), ("en", "web", 3L, 0L),
+      ("fr", "web", 1L, 1L)))
+  }
+
+  test("temporalSplit cuts the span exactly and counts key overlap") {
+    // span = 100 s: train < 60 s, embargo [60, 65), test >= 65 s.
+    // key 1 is train-only, key 2 spans train and test, key 3 test-only,
+    // key 4 embargo-only (contributes to no overlap)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val e = Seq((1L, ts(0)), (2L, ts(30)), (4L, ts(62)), (2L, ts(70)),
+      (3L, ts(100))).toDF("user_id", "ts")
+    val out = graft.operators.Curate
+      .temporalSplit(e, col("ts"), col("user_id"), 6, 1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((2L, 1L, 2L, 1L)))
+  }
+
+  test("labelNoise counts neighborhood label disagreement") {
+    // three tight "a" vectors + two tight "b" vectors; query the "a"
+    // outlier relabeled "b": its k=2 neighbors are both "a" → 2 diff
+    val rows = Seq(
+      (0L, Array(10.0f, 0.0f), "b"), // mislabeled: sits in the a-cluster
+      (1L, Array(9.8f, 0.2f), "a"),
+      (2L, Array(9.9f, 0.1f), "a"),
+      (3L, Array(0.0f, 10.0f), "b"),
+      (4L, Array(0.1f, 9.9f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelNoise(rows, rows.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "label", k = 2)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, "b", 2L, 100L)))
+  }
+
   test("tokenDrift computes the 2x2 chi-square on closed-form counts") {
     // slice 0: "a a b"  → o(a)=2, o(b)=1, n1=3
     // slice 1: "a b b b" → o(a)=1, o(b)=3, n2=4
