@@ -324,4 +324,46 @@ class PlanAssertSpec extends SparkSuite {
     }
     assert(bare.isEmpty, s"${bare.size} partition-less WindowExec node(s)")
   }
+
+  test("q181 CMS join-size: the cell join never shuffles the input rows") {
+    // both sides of the inner-product join are depth×width-bounded
+    // counter frames — the exchanges after the two sketch aggregates
+    // must operate on the CELL frames, and nothing in the plan may
+    // re-shuffle raw lineitem rows beyond the two sketch builds
+    val p = executed("q181_cms_join_size")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "unexpected cartesian in the CMS estimate plan:\n" + p.take(3000))
+    // the final min-over-rows aggregate is a single-row reduce — the
+    // plan must collapse to one partition only AFTER the cell join
+    assert(p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
+  test("q186 SQ8 rerank broadcasts the query side in both stages") {
+    val p = executed("q186_sq8_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side not broadcast in the SQ8 screen:\n" + p.take(3000))
+    // rerank joins candidates back by id — the bounded candidate frame
+    // must never trigger a cartesian against the base
+    assert(!p.contains("CartesianProduct"),
+      "cartesian in the rerank stage:\n" + p.take(3000))
+  }
+
+  test("q190 corpus diff reuses the q06 shape: full-outer join, bounded exchanges") {
+    val p = executed("q190_corpus_diff")
+    assert(p.contains("FullOuter"), "diff lost its full-outer join:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("new frontier aggregates keep windows partitioned") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q183_time_weighted_avg", "q187_rate_anomaly",
+        "q188_value_trend", "q193_label_noise")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val bare = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$q has ${bare.size} partition-less WindowExec node(s)")
+    }
+  }
 }
