@@ -280,4 +280,42 @@ object EventOps {
           |    - cast(sx as double) * cast(sx as double)), 6)""".stripMargin)
         .as("slope_6dp"))
   }
+
+  /** Multi-touch LINEAR attribution: each conversion splits one unit of
+    * credit equally across ALL the user's touch events inside the
+    * lookback window (vs [[graft.streaming.EventAnalytics
+    * .clickAttribution]]'s raw pairs / last-touch reads) — the
+    * channel-budget report marketing actually allocates by. Credit is
+    * integer ppm (`1e6 div n_touches` per touch, remainder dropped —
+    * deterministic in any engine; a conversion with no in-window touch
+    * contributes nothing).
+    *
+    * Shape: one user-keyed equi-join (hash join on the user, time-range
+    * as a post-filter) — per-user fan-out is bounded by per-user
+    * activity in the window, the same scale envelope as the q89
+    * co-occurrence join; then two aggregates (per-conversion touch
+    * count, per-channel rollup).
+    *
+    * Output: (channel, n_touches, credit_ppm) — credit_ppm sums to
+    * ~1e6 × conversions-with-touches (minus division remainders).
+    */
+  def linearAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, convType: String,
+      windowUs: Long): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("cts"),
+        col("event_id").as("conv_id"))
+    val touch = events.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("u"), col(typeCol).as("channel"),
+        unix_micros(col(tsCol)).as("tts"), col("event_id").as("touch_id"))
+    val pairs = conv.join(touch, Seq("u"))
+      .filter(col("tts") <= col("cts") &&
+        col("tts") >= col("cts") - windowUs)
+    val perConv = pairs.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_touches_conv"))
+    pairs.join(perConv, Seq("conv_id"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(expr("1000000 div n_touches_conv")).as("credit_ppm"))
+  }
 }

@@ -285,6 +285,52 @@ object Multimodal {
     media.mapPartitions(_.flatMap(perceptualHash))
   }
 
+  /** Difference-hash (dHash) perceptual fingerprint — [[perceptualHash]]'s
+    * gradient-based sibling (and the standard second vote in a
+    * perceptual-dedup ensemble: aHash thresholds against the global
+    * mean, dHash against the horizontal NEIGHBOR, so they fail on
+    * different image classes): 9×8 nearest-neighbor downsample with the
+    * exact integer mapping `sx = (x·srcW) div 9`, integer luma, bit
+    * (y·8+x) set iff luma(x+1, y) > luma(x, y). Same pure-integer
+    * contract — an oracle replays decode→downsample→compare in closed
+    * form on the gradient fixtures.
+    */
+  def differenceHash(m: MediaRecord): Option[PerceptualHash] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map { im =>
+      val (sw, sh) = (im.getWidth, im.getHeight)
+      def luma(x: Int, y: Int): Long = {
+        val p = im.getRGB(x * sw / 9, y * sh / 8)
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+      }
+      var hi = 0L; var lo = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(x + 1, y) > luma(x, y)) {
+            val i = y * 8 + x
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      PerceptualHash(m.id, hi, lo)
+    }
+  }
+
+  /** Partition-batched [[differenceHash]] — same shape as
+    * [[perceptualHashes]].
+    */
+  def differenceHashes(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(differenceHash))
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class MediaFrame(
       id: Long, frame_idx: Long, n_bytes: Long, frame_md5: String)

@@ -590,6 +590,45 @@ object Sketches {
     }
   }
 
+  /** Persisted mergeable count-min store — the artifact contract
+    * (LmStore / SigStore / [[SketchStore]]) applied to [[countMin]]:
+    * each shard/day/source builds its depth×width counter frame ONCE,
+    * writes it behind a [[ContentGate]] fingerprint, and any later
+    * reader merges whatever stores it needs by CELL-WISE ADDITION —
+    * exact, so frequency estimates from merged part stores equal the
+    * full-rescan sketch bit-for-bit (the q61 oracle formula holds
+    * verbatim over the merged cells). The heavy-hitter / frequency
+    * surface this buys at 100 TB: per-day token counters roll up to
+    * arbitrary date ranges without re-tokenizing anything.
+    */
+  object CmsStore {
+    def save(df: DataFrame, keyCol: Column, depth: Int, width: Int,
+        dir: String): Unit =
+      countMin(df, keyCol, depth, width)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/cms")
+
+    /** [[save]] gated on the slice's content fingerprint (`idCol` +
+      * the key expression, so a changed key FORMULA also rebuilds).
+      */
+    def ensure(df: DataFrame, keyCol: Column, idCol: Column, depth: Int,
+        width: Int, dir: String): Unit =
+      ContentGate.ensure(dir, ContentGate.tag(df, idCol, keyCol, lit(true))) {
+        save(df, keyCol, depth, width, dir)
+      }
+
+    /** Point estimates for `keys` over the MERGE of any part stores. */
+    def estimateFrom(spark: org.apache.spark.sql.SparkSession,
+        dirs: Seq[String], keys: Seq[String], depth: Int,
+        width: Int): DataFrame = {
+      require(dirs.nonEmpty, "need at least one part store")
+      val merged = dirs.map(d => spark.read.parquet(s"$d/cms"))
+        .reduce(_.unionByName(_))
+        .groupBy("r", "pos").agg(sum("cnt").as("cnt"))
+      countMinEstimate(merged, keys, depth, width)
+    }
+  }
+
   /** Sketch-vs-exact quantile error audit — the calibration report for
     * the [[logHistSketch]] family (the quantile sibling of the LSH
     * S-curve and PQ distortion reports): for each group × percentile,

@@ -431,6 +431,156 @@ object FrontierQueries {
       |    AS disagree_pct
       |FROM top GROUP BY query_id, qlab ORDER BY query_id""".stripMargin
 
+  // --------------------------------------------------------------- q194
+  /** Persisted mergeable count-min store
+    * ([[graft.operators.Sketches.CmsStore]]): the even- and odd-doc
+    * halves each build their token-frequency sketch ONCE behind a
+    * content fingerprint; estimates probe the CELL-WISE SUM of the two
+    * part stores. Addition of counters is exact, so the merged-store
+    * estimates equal the full-corpus sketch bit-for-bit — the oracle is
+    * q61's SQL VERBATIM, and any merge drift fails the driver hash.
+    * Same output shape as q61: (term, cms_est, true_count).
+    */
+  val q194: Q = (s, dir) => {
+    val store = "/tmp/graft_cms_store_" +
+      java.nio.file.Paths.get(dir).getFileName.toString
+    val depth = 4; val width = 1024
+    val docs = graft.operators.Spread.ensure(Tables.documents(s, dir), "doc_id")
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        explode(graft.functions.Portable.tokens(col("text"))).as("term"))
+    graft.operators.Sketches.CmsStore.ensure(
+      toks(docs.filter(col("doc_id") % 2 === 0)), col("term"),
+      col("doc_id"), depth, width, s"$store/even")
+    graft.operators.Sketches.CmsStore.ensure(
+      toks(docs.filter(col("doc_id") % 2 === 1)), col("term"),
+      col("doc_id"), depth, width, s"$store/odd")
+    val probeTerms = graft.operators.TextOps.EnStopwords :+ "zzzznotaword"
+    val est = graft.operators.Sketches.CmsStore.estimateFrom(s,
+      Seq(s"$store/even", s"$store/odd"), probeTerms, depth, width)
+    val exact = toks(docs).filter(col("term").isInCollection(probeTerms))
+      .groupBy(col("term").as("key")).agg(count(lit(1)).as("true_count"))
+    est.join(exact, Seq("key"), "left")
+      .select(col("key").as("term"), col("est").as("cms_est"),
+        coalesce(col("true_count"), lit(0L)).as("true_count"))
+      .orderBy("term")
+  }
+  val q194Sql: String = ExtensionQueries.q61Sql
+
+  // --------------------------------------------------------------- q195
+  /** Multi-touch linear attribution
+    * ([[graft.operators.EventOps.linearAttribution]]): every purchase
+    * splits one unit of ppm credit equally across the user's touches in
+    * the prior hour — the channel-budget allocation report, exact
+    * integer credit.
+    */
+  val q195: Q = (s, dir) =>
+    EventOps.linearAttribution(Tables.events(s, dir), "user_id",
+        "event_type", "ts", convType = "purchase",
+        windowUs = 3600L * 1000000L)
+      .orderBy("channel")
+  val q195Sql: String =
+    """WITH conv AS (SELECT user_id AS u, epoch_us(ts) AS cts,
+      |    event_id AS conv_id FROM events WHERE event_type = 'purchase'),
+      |touch AS (SELECT user_id AS u, event_type AS channel,
+      |    epoch_us(ts) AS tts FROM events WHERE event_type <> 'purchase'),
+      |p AS (SELECT conv_id, channel FROM conv JOIN touch USING (u)
+      |  WHERE tts <= cts AND tts >= cts - 3600000000),
+      |pc AS (SELECT conv_id, count(*) AS n FROM p GROUP BY conv_id)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(sum(1000000 // n) AS BIGINT) AS credit_ppm
+      |FROM p JOIN pc USING (conv_id)
+      |GROUP BY channel ORDER BY channel""".stripMargin
+
+  // --------------------------------------------------------------- q196
+  /** Two-vote perceptual dedup ensemble: candidate pairs come from
+    * q146's banded aHash join (the SELECTIVE hash — global-mean
+    * threshold), then each candidate is VERIFIED by dHash distance
+    * ([[graft.operators.Multimodal.differenceHash]] — horizontal
+    * neighbor threshold, which fails on different image classes than
+    * aHash) as a map-side filter. Candidates always come from the more
+    * selective signal; the second vote never generates pairs — the
+    * standard production ensemble shape (dHash alone is degenerate on
+    * these monotone-gradient fixtures: every image's luma ascends in x,
+    * so ALL pairs sit within dHash radius — measured 19 900/19 900,
+    * which is exactly why it must be the verifier, not the generator).
+    * Output pins BOTH distances, so the full decode→9×8
+    * downsample→neighbor-compare dHash path is oracle-checked
+    * bit-for-bit.
+    */
+  val q196: Q = (s, dir) => {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    import s.implicits._
+    val ids = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200).select("doc_id").as[java.lang.Long]
+    val corpus = graft.operators.Multimodal.fixtureImageCorpus(ids)
+    val aHashes = graft.operators.Multimodal.perceptualHashes(corpus)
+      .toDF().select(col("id"), col("ph_hi").as("hi"), col("ph_lo").as("lo"))
+    val (cand, _) = graft.operators.Dedup
+      .hammingPairs64(aHashes, maxHamming = 2, persist = false)
+    val dHashes = graft.operators.Multimodal.differenceHashes(corpus)
+      .toDF().select(col("id"), col("ph_hi").as("d_hi"), col("ph_lo").as("d_lo"))
+    cand
+      .join(dHashes.select(col("id").as("id_a"), col("d_hi").as("a_hi"),
+        col("d_lo").as("a_lo")), Seq("id_a"))
+      .join(dHashes.select(col("id").as("id_b"), col("d_hi").as("b_hi"),
+        col("d_lo").as("b_lo")), Seq("id_b"))
+      .withColumn("d_hamming",
+        (bit_count(expr("a_hi ^ b_hi")) + bit_count(expr("a_lo ^ b_lo")))
+          .cast("long"))
+      .filter(col("d_hamming") <= 2)
+      .select(col("id_a"), col("id_b"), col("hamming").as("a_hamming"),
+        col("d_hamming"))
+      .orderBy("id_a", "id_b")
+  }
+  val q196Sql: String =
+    """WITH d AS (SELECT doc_id, 16 + doc_id % 8 AS sw, 9 + doc_id % 5 AS sh
+      |    FROM documents WHERE doc_id < 200),
+      |apx AS (SELECT doc_id, (x.x * sw) // 8 AS sx, (y.y * sh) // 8 AS sy,
+      |    y.y*8 + x.x AS i
+      |  FROM d CROSS JOIN range(8) x(x) CROSS JOIN range(8) y(y)),
+      |alm AS (SELECT doc_id, i,
+      |    299*((sx*7 + sy) % 256) + 587*((sy*5) % 256)
+      |      + 114*((sx + sy*3) % 256) AS luma
+      |  FROM apx),
+      |at AS (SELECT doc_id, sum(luma) AS total FROM alm GROUP BY doc_id),
+      |abits AS (SELECT alm.doc_id, alm.i FROM alm JOIN at USING (doc_id)
+      |  WHERE 64*alm.luma > at.total),
+      |ahsh AS (SELECT d.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN b.i >= 32
+      |      THEN 1::BIGINT << (b.i - 32) ELSE 0 END), 0) AS BIGINT) AS hi,
+      |    CAST(coalesce(sum(CASE WHEN b.i < 32
+      |      THEN 1::BIGINT << b.i ELSE 0 END), 0) AS BIGINT) AS lo
+      |  FROM d LEFT JOIN abits b ON b.doc_id = d.doc_id GROUP BY d.doc_id),
+      |dpx AS (SELECT doc_id, x.x AS x, y.y AS y,
+      |    (x.x * sw) // 9 AS sx, (y.y * sh) // 8 AS sy
+      |  FROM d CROSS JOIN range(9) x(x) CROSS JOIN range(8) y(y)),
+      |dlm AS (SELECT doc_id, x, y,
+      |    299*((sx*7 + sy) % 256) + 587*((sy*5) % 256)
+      |      + 114*((sx + sy*3) % 256) AS luma
+      |  FROM dpx),
+      |dbits AS (SELECT a.doc_id, a.y*8 + a.x AS i
+      |  FROM dlm a JOIN dlm b ON a.doc_id = b.doc_id AND a.y = b.y
+      |    AND b.x = a.x + 1
+      |  WHERE a.x < 8 AND b.luma > a.luma),
+      |dhsh AS (SELECT d.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN b.i >= 32
+      |      THEN 1::BIGINT << (b.i - 32) ELSE 0 END), 0) AS BIGINT) AS hi,
+      |    CAST(coalesce(sum(CASE WHEN b.i < 32
+      |      THEN 1::BIGINT << b.i ELSE 0 END), 0) AS BIGINT) AS lo
+      |  FROM d LEFT JOIN dbits b ON b.doc_id = d.doc_id GROUP BY d.doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      |    AS BIGINT) AS a_hamming,
+      |  CAST(bit_count(xor(da.hi, db.hi)) + bit_count(xor(da.lo, db.lo))
+      |    AS BIGINT) AS d_hamming
+      |FROM ahsh a JOIN ahsh b ON a.doc_id < b.doc_id
+      |  JOIN dhsh da ON da.doc_id = a.doc_id
+      |  JOIN dhsh db ON db.doc_id = b.doc_id
+      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 2
+      |  AND bit_count(xor(da.hi, db.hi)) + bit_count(xor(da.lo, db.lo)) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q181_cms_join_size" -> q181,
     "q182_sq8_recall" -> q182,
@@ -444,7 +594,10 @@ object FrontierQueries {
     "q190_corpus_diff" -> q190,
     "q191_k_anonymity" -> q191,
     "q192_temporal_split" -> q192,
-    "q193_label_noise" -> q193)
+    "q193_label_noise" -> q193,
+    "q194_cms_store" -> q194,
+    "q195_linear_attribution" -> q195,
+    "q196_perceptual_ensemble" -> q196)
 
   def oracle: Map[String, String] = Map(
     "q181_cms_join_size" -> q181Sql,
@@ -459,5 +612,8 @@ object FrontierQueries {
     "q190_corpus_diff" -> q190Sql,
     "q191_k_anonymity" -> q191Sql,
     "q192_temporal_split" -> q192Sql,
-    "q193_label_noise" -> q193Sql)
+    "q193_label_noise" -> q193Sql,
+    "q194_cms_store" -> q194Sql,
+    "q195_linear_attribution" -> q195Sql,
+    "q196_perceptual_ensemble" -> q196Sql)
 }

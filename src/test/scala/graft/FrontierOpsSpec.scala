@@ -187,6 +187,62 @@ class FrontierOpsSpec extends SparkSuite {
     assert(out == Seq((0L, "b", 2L, 100L)))
   }
 
+  test("CmsStore: merged part stores estimate exactly like one full sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    // ContentGate.tag fingerprints idCol NUMERICALLY — keep a long id
+    val df = Seq.tabulate(300)(i => (i.toLong, s"t${i % 17}")).toDF("id", "k")
+    val a = df.filter(col("id") % 2 === 0)
+    val b = df.filter(col("id") % 2 === 1)
+    Sketches.CmsStore.ensure(a, col("k"), col("id"), 4, 256, s"$dir/a")
+    Sketches.CmsStore.ensure(b, col("k"), col("id"), 4, 256, s"$dir/b")
+    val probes = (0 until 17).map(i => s"t$i") :+ "absent"
+    val merged = Sketches.CmsStore
+      .estimateFrom(spark, Seq(s"$dir/a", s"$dir/b"), probes, 4, 256)
+      .orderBy("key").as[(String, Long)].collect().toSeq
+    val full = Sketches.countMinEstimate(
+        Sketches.countMin(df, col("k"), 4, 256), probes, 4, 256)
+      .orderBy("key").as[(String, Long)].collect().toSeq
+    assert(merged == full, "cell-wise store merge must equal the one-shot sketch")
+  }
+
+  test("linearAttribution splits ppm credit equally across in-window touches") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(minAgo: Long) = new java.sql.Timestamp(base.getTime - minAgo * 60000)
+    val e = Seq(
+      // conversion at t0 with 3 touches inside the hour (2 view, 1 click)
+      (1L, "view", ts(50), 1L), (1L, "view", ts(40), 2L),
+      (1L, "click", ts(10), 3L), (1L, "purchase", ts(0), 4L),
+      // touch outside the window never earns credit
+      (1L, "signup", ts(90), 5L),
+      // conversion with no in-window touch contributes nothing
+      (2L, "purchase", ts(0), 6L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = graft.operators.EventOps.linearAttribution(
+        e, "user_id", "event_type", "ts", "purchase", 3600L * 1000000L)
+      .orderBy("channel").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("click", 1L, 333333L), ("view", 2L, 666666L)))
+  }
+
+  test("differenceHash sets bits by horizontal neighbor comparison") {
+    // 9x8 image = the sample grid itself; luma increases strictly with x
+    // in every row -> all 64 bits set; constant image -> no bits
+    import graft.operators.Multimodal
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) im.setRGB(x, y, f(x, y))
+      val o = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", o); o.toByteArray
+    }
+    val asc = Multimodal.differenceHash(
+      Multimodal.MediaRecord(1L, png((x, _) => x * 20 << 16), "image/png", 0L)).get
+    assert(asc.ph_hi == 0xFFFFFFFFL && asc.ph_lo == 0xFFFFFFFFL,
+      s"ascending rows must set all 64 bits, got ${asc.ph_hi}/${asc.ph_lo}")
+    val flat = Multimodal.differenceHash(
+      Multimodal.MediaRecord(2L, png((_, _) => 0x808080), "image/png", 0L)).get
+    assert(flat.ph_hi == 0L && flat.ph_lo == 0L)
+  }
+
   test("tokenDrift computes the 2x2 chi-square on closed-form counts") {
     // slice 0: "a a b"  → o(a)=2, o(b)=1, n1=3
     // slice 1: "a b b b" → o(a)=1, o(b)=3, n2=4
