@@ -6,15 +6,22 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{EventOps, Graph, Similarity, Sketches, TextOps}
 
-/** Round-10 frontier wave: the planning/compression/audit operators a
-  * 100 TB deployment reaches for NEXT — join-size estimation before an
-  * exploding join runs ([[q181]]), SQ8 vector compression with its
-  * recall audit ([[q182]]), time-weighted gauge averaging ([[q183]]),
-  * k-core graph peeling ([[q184]]), and token-distribution drift
-  * between corpus snapshots ([[q185]]). Same cross-engine determinism
-  * rules as everywhere else: exact integers (hash48 sketch cells,
-  * ×1000-quantized vectors, µs timestamps, cent values) or
-  * fixed-order IEEE doubles mirrored verbatim in the oracle SQL.
+/** Round-10 frontier waves: the planning/compression/audit operators a
+  * 100 TB deployment reaches for NEXT. Wave 1-2 — join-size estimation
+  * before an exploding join runs ([[q181]]), SQ8 vector compression
+  * with recall audit and two-stage rerank ([[q182]]/[[q186]]),
+  * time-weighted gauge averaging ([[q183]]), k-core graph peeling
+  * ([[q184]]), token-distribution drift ([[q185]]), rate-anomaly
+  * z-scores ([[q187]]), OLS value trends ([[q188]]), contingency
+  * residuals ([[q189]]). Wave 3 — the sync-core Differ on a parquet
+  * corpus pair ([[q190]]), k-anonymity ([[q191]]), temporal embargo
+  * splits ([[q192]]), kNN label noise ([[q193]]). Wave 4 — the
+  * persisted mergeable CMS store ([[q194]]), multi-touch linear
+  * attribution ([[q195]]), and the aHash→dHash perceptual ensemble
+  * ([[q196]]). Same cross-engine determinism rules as everywhere else:
+  * exact integers (hash48 sketch cells, ×1000-quantized vectors, µs
+  * timestamps, cent values, decimal(38,0) sums past the int64 cliff)
+  * or fixed-order IEEE doubles mirrored verbatim in the oracle SQL.
   */
 object FrontierQueries {
 
