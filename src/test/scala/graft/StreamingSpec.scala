@@ -73,6 +73,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowedDistinct HLL state survives a checkpoint restart") {
+    // All prior streaming tests are single uninterrupted drives; this
+    // pins RECOVERY — the serialized HllRegsAggregator register buffer
+    // must round-trip through the state store so a restarted query
+    // continues the same registers (max-merge with post-restart data).
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val ck = java.nio.file.Files.createTempDirectory("graft-hllck").toString
+    def startQuery() = EventAnalytics.windowedDistinct(
+        in.toDS().toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_restart").option("checkpointLocation", ck).start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:10:00")
+    def row(u: Long) = (u, base, u, "view", 1.0)
+    // overlapping user ranges across the restart: the post-restart
+    // batch must MERGE into recovered registers, not rebuild them
+    val q1 = startQuery()
+    try { in.addData((1L to 25L).map(row): _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = startQuery()
+    try {
+      in.addData((20L to 40L).map(row): _*)
+      q2.processAllAvailable()
+      val got = spark.table("hll_restart")
+        .orderBy("window_start").collect().toSeq
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+      val expected = EventAnalytics.windowedDistinct(
+          (1L to 40L).map(row).toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .orderBy("window_start").collect().toSeq
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+      assert(got == expected,
+        "restarted stream must produce the same registers as one batch pass")
+    } finally q2.stop()
+  }
+
   test("windowedValueSketch streams == batch (bounded per-window quantile state)") {
     val batchEvents = Tables.events(spark, dir)
     val expected = EventAnalytics.windowedValueSketch(batchEvents)
