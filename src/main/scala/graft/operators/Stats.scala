@@ -554,4 +554,54 @@ object Stats {
           |    / cast(nn as double)), 6)""".stripMargin))
       .select("a", "b", "n_obs", "e_6dp", "resid_6dp")
   }
+
+  /** Pairwise two-sample Kolmogorov–Smirnov distance between groups'
+    * value distributions — the CONTINUOUS drift test beside the
+    * categorical chi-square family (tokenDrift/contingencyResiduals):
+    * "do these two sources draw document lengths from the same
+    * distribution, and how far apart are the ECDFs". EXACT integers
+    * throughout: the supremum gap is computed on cross-multiplied
+    * counts, D_scaled = max_v |cumₐ(v)·n_b − cum_b(v)·n_a| (the
+    * ECDF difference scaled by n_a·n_b — no division until the final
+    * ppm report), so any engine agrees bit-for-bit. Products run in
+    * decimal(38,0): at 10¹²-row groups cum·n crosses the int64 cliff.
+    *
+    * Shape: one aggregate to the (group, value) domain; the union
+    * value GRID is one distinct + one cross join against the bounded
+    * group list; per-group cumulative counts come from a window
+    * PARTITIONED by group (never partition-less); the pair join is on
+    * the value grid with group-pair fan-out bounded by the group
+    * domain squared — groups are categorical (sources, langs), so the
+    * whole computation after the first aggregate is domain-bounded,
+    * not data-bounded.
+    *
+    * Output: (group_a, group_b, n_a, n_b, d_ppm) with
+    * d_ppm = (10⁶·D_scaled) div (n_a·n_b) — D_ppm = 0 iff the ECDFs
+    * coincide on the whole grid.
+    */
+  def ksDrift(df: DataFrame, groupCol: Column, valueCol: Column): DataFrame = {
+    val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val grid = counts.select("v").distinct()
+      .crossJoin(counts.select("g").distinct())
+    val w = Window.partitionBy("g").orderBy("v")
+    val ecdf = grid.join(counts, Seq("g", "v"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(w))
+      .select(col("g"), col("v"), col("cum"))
+    val totals = counts.groupBy("g").agg(sum("c").as("n"))
+    val e = ecdf.join(totals, Seq("g"))
+    e.select(col("g").as("group_a"), col("v"), col("cum").as("cum_a"),
+        col("n").as("n_a"))
+      .join(e.select(col("g").as("group_b"), col("v"),
+        col("cum").as("cum_b"), col("n").as("n_b")), Seq("v"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b", "n_a", "n_b")
+      .agg(max(expr(
+        """abs(cast(cum_a as decimal(38,0)) * cast(n_b as decimal(38,0))
+          |  - cast(cum_b as decimal(38,0)) * cast(n_a as decimal(38,0)))"""
+          .stripMargin)).as("d_scaled"))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        expr("cast((cast(1000000 as decimal(38,0)) * d_scaled)" +
+          " div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("d_ppm"))
+  }
 }

@@ -588,6 +588,37 @@ object FrontierQueries {
       |  AND bit_count(xor(da.hi, db.hi)) + bit_count(xor(da.lo, db.lo)) <= 2
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q197
+  /** Pairwise Kolmogorov–Smirnov drift between sources' document-length
+    * distributions ([[graft.operators.Stats.ksDrift]]) — the CONTINUOUS
+    * drift test beside q185/q189's categorical ones, exact-integer
+    * ECDF cross-multiplication (no division until the final ppm).
+    */
+  val q197: Q = (s, dir) =>
+    graft.operators.Stats.ksDrift(Tables.documents(s, dir),
+        col("source"), col("n_chars"))
+      .orderBy("group_a", "group_b")
+  val q197Sql: String =
+    """WITH c AS (SELECT source AS g, n_chars AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (SELECT v, g FROM (SELECT DISTINCT v FROM c)
+      |  CROSS JOIN (SELECT DISTINCT g FROM c)),
+      |e AS (SELECT grid.g, grid.v,
+      |    sum(coalesce(c.c, 0)) OVER (PARTITION BY grid.g
+      |      ORDER BY grid.v) AS cum
+      |  FROM grid LEFT JOIN c ON c.g = grid.g AND c.v = grid.v),
+      |t AS (SELECT g, sum(c) AS n FROM c GROUP BY g),
+      |j AS (SELECT a.g AS group_a, b.g AS group_b,
+      |    ta.n AS n_a, tb.n AS n_b,
+      |    abs(a.cum * tb.n - b.cum * ta.n) AS d
+      |  FROM e a JOIN e b ON a.v = b.v AND a.g < b.g
+      |  JOIN t ta ON ta.g = a.g JOIN t tb ON tb.g = b.g)
+      |SELECT group_a, group_b, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b,
+      |  CAST((1000000 * max(d)) // (n_a * n_b) AS BIGINT) AS d_ppm
+      |FROM j GROUP BY group_a, group_b, n_a, n_b
+      |ORDER BY group_a, group_b""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q181_cms_join_size" -> q181,
     "q182_sq8_recall" -> q182,
@@ -604,7 +635,8 @@ object FrontierQueries {
     "q193_label_noise" -> q193,
     "q194_cms_store" -> q194,
     "q195_linear_attribution" -> q195,
-    "q196_perceptual_ensemble" -> q196)
+    "q196_perceptual_ensemble" -> q196,
+    "q197_ks_drift" -> q197)
 
   def oracle: Map[String, String] = Map(
     "q181_cms_join_size" -> q181Sql,
@@ -622,5 +654,6 @@ object FrontierQueries {
     "q193_label_noise" -> q193Sql,
     "q194_cms_store" -> q194Sql,
     "q195_linear_attribution" -> q195Sql,
-    "q196_perceptual_ensemble" -> q196Sql)
+    "q196_perceptual_ensemble" -> q196Sql,
+    "q197_ks_drift" -> q197Sql)
 }

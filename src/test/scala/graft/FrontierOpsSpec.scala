@@ -243,6 +243,21 @@ class FrontierOpsSpec extends SparkSuite {
     assert(flat.ph_hi == 0L && flat.ph_lo == 0L)
   }
 
+  test("ksDrift computes the exact scaled ECDF supremum gap") {
+    // x: {1,1,2} (n=3), y: {2,3} (n=2) — grid 1,2,3:
+    // cum_x = 2,3,3; cum_y = 0,1,2
+    // D_scaled = max(|2·2−0·3|, |3·2−1·3|, |3·2−2·3|) = 4
+    // d_ppm = 4·10⁶ div 6 = 666666; identical ECDFs → 0
+    val df = Seq(("x", 1L), ("x", 1L), ("x", 2L), ("y", 2L), ("y", 3L),
+      ("z", 1L), ("z", 1L), ("z", 2L)).toDF("g", "v")
+    val out = graft.operators.Stats.ksDrift(df, col("g"), col("v"))
+      .orderBy("group_a", "group_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(out.head == (("x", "y", 3L, 2L, 666666L)))
+    assert(out.find(t => t._1 == "x" && t._2 == "z").get._5 == 0L,
+      "identical distributions must have d_ppm 0")
+  }
+
   test("tokenDrift computes the 2x2 chi-square on closed-form counts") {
     // slice 0: "a a b"  → o(a)=2, o(b)=1, n1=3
     // slice 1: "a b b b" → o(a)=1, o(b)=3, n2=4
