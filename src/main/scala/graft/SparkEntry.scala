@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.AuditQueries.queries ++
-      graft.queries.FrontierQueries.queries
+      graft.queries.FrontierQueries.queries ++
+      graft.queries.Frontier2Queries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracle ++
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
       graft.queries.AuditQueries.oracle ++
-      graft.queries.FrontierQueries.oracle
+      graft.queries.FrontierQueries.oracle ++
+      graft.queries.Frontier2Queries.oracle
 }

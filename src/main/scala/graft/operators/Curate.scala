@@ -539,6 +539,36 @@ object Curate {
       .withColumn("below_k",
         when(col("n_members") < k, lit(1L)).otherwise(lit(0L)))
 
+  /** l-diversity audit — [[kAnonymity]]'s necessary complement: a class
+    * can hold k rows yet still leak if they all share one SENSITIVE
+    * value (the homogeneity attack k-anonymity cannot see). For every
+    * quasi-identifier equivalence class, the class size, the number of
+    * DISTINCT sensitive values it carries, the modal sensitive-value
+    * share in ppm (1-diverse classes leak deterministically;
+    * high-share classes leak probabilistically), and the below-l flag.
+    *
+    * One aggregate to the (class × sensitive) domain, one to the class
+    * domain — both bounded by value-domain products, never by rows.
+    * Exact integers only.
+    *
+    * Output: (quasi cols…, n_members, n_distinct_sv, top_sv_ppm,
+    * below_l ∈ {0, 1}).
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[Column],
+      sensitiveCol: Column, l: Long): DataFrame = {
+    val byValue = df.groupBy(quasiCols :+ sensitiveCol.as("sv"): _*)
+      .agg(count(lit(1)).as("c"))
+    val names = byValue.columns.dropRight(2)
+    byValue.groupBy(names.map(col): _*)
+      .agg(sum("c").as("n_members"),
+        count(lit(1)).as("n_distinct_sv"), max("c").as("top_c"))
+      .select(names.map(col) ++ Seq(col("n_members"), col("n_distinct_sv"),
+        expr("(cast(top_c as decimal(38,0)) * 1000000) div n_members")
+          .cast("long").as("top_sv_ppm"),
+        when(col("n_distinct_sv") < l, lit(1L)).otherwise(lit(0L))
+          .as("below_l")): _*)
+  }
+
   /** Temporal train/embargo/test split accounting — the time-series
     * leakage control (financial-ML "purged" split): train takes the
     * first `trainTenths`/10 of the corpus time span, test starts after

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -185,6 +186,76 @@ object Dedup {
       .select("id_a", "id_b", "containment")
     (pairs, cleanup)
   }
+
+  /** EXACT Jaccard-threshold pairs via PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate rule — Bayardo et al. WWW'07, Xiao et
+    * al. WWW'08): only each document's rarest
+    * p = |s| − ⌈t·|s|⌉ + 1 shingles (under the global
+    * (doc-frequency, shingle) order) enter the inverted-index
+    * self-join. The prefix principle guarantees every pair with
+    * J ≥ t shares a prefix shingle on BOTH sides, so the candidate set
+    * is lossless — unlike MinHash LSH this path misses NOTHING — while
+    * the join fans out on the rarest tokens instead of all of them:
+    * hot boilerplate shingles land in long documents' suffixes and
+    * never generate candidates, the structural fix for the k² hot-key
+    * blowup that [[jaccardPairs]] handles with the lossy maxDocFreq
+    * cap.
+    *
+    * Shape: one df aggregate, one per-DOC window for the prefix rank
+    * (PARTITIONED by id — never partition-less), the prefix-only
+    * self-join with the t·|a| ≤ |b| ≤ |a|/t length filter, then the
+    * exact intersection count over the candidates' FULL shingle sets
+    * and the integral jac_ppm ≥ thresholdPpm verify — floor(10⁶·J) ≥
+    * t_ppm ⇔ J ≥ t, so integer division loses no borderline pair.
+    *
+    * @param sh        distinct (id, shingle) table
+    *                  ([[hashedShingleTable]] — joins key on longs)
+    * @param thresholdPpm Jaccard threshold × 10⁶
+    * @return ((id_a, id_b, inter, sz_a, sz_b, jac_ppm), cleanup),
+    *         id_a < id_b
+    */
+  def prefixFilterPairsManaged(sh: DataFrame, thresholdPpm: Long,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm out of (0, 1e6]: $thresholdPpm")
+    val s = if (persist) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
+    val cleanup = () => if (persist) { s.unpersist(); () }
+    val sz = s.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfq = s.groupBy("shingle").agg(count(lit(1)).as("dfq"))
+    val pre = s.join(dfq, "shingle")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy("dfq", "shingle")))
+      .join(sz, "id")
+      .filter(col("rn") <=
+        col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
+          + lit(1))
+      .select("id", "shingle", "sz")
+    val cand = pre.select(col("id").as("id_a"), col("shingle"),
+        col("sz").as("sz_a"))
+      .join(pre.select(col("id").as("id_b"), col("shingle"),
+        col("sz").as("sz_b")), "shingle")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * lit(thresholdPpm) <= col("sz_b") * lit(1000000L) &&
+        col("sz_b") * lit(thresholdPpm) <= col("sz_a") * lit(1000000L))
+      .select("id_a", "id_b", "sz_a", "sz_b").distinct()
+    val pairs = cand
+      .join(s.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(s.select(col("id").as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac_ppm",
+        expr("(cast(inter as decimal(38,0)) * 1000000)" +
+          " div (sz_a + sz_b - inter)").cast("long"))
+      .filter(col("jac_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jac_ppm")
+    (pairs, cleanup)
+  }
+
+  /** [[prefixFilterPairsManaged]] without the cleanup handle. */
+  def prefixFilterPairs(sh: DataFrame, thresholdPpm: Long,
+      persist: Boolean = true): DataFrame =
+    prefixFilterPairsManaged(sh, thresholdPpm, persist)._1
 
   /** MinHash signatures via grouped aggregation: sig[i] = min over
     * shingles of ((2i+1)·h + 12289·i) mod P, h = hash48(shingle) mod P.

@@ -318,4 +318,43 @@ object EventOps {
       .agg(count(lit(1)).as("n_touches"),
         sum(expr("1000000 div n_touches_conv")).as("credit_ppm"))
   }
+
+  /** Peak concurrency per key — the capacity-planning sweep line: from
+    * half-open intervals [s, e) (µs), the maximum number
+    * simultaneously open and the earliest instant reaching that peak.
+    * Endpoints become ±1 deltas; deltas are NETTED per (key, ts)
+    * FIRST (one aggregate), which both makes the running sum
+    * deterministic under endpoint ties and encodes the half-open
+    * convention — an interval ending at t cancels one starting at t,
+    * so touching intervals never count as concurrent. Then one window
+    * PARTITIONED by key accumulates net deltas in ts order, and one
+    * per-key argmax (lexicographic struct-max on (conc, −ts)) picks
+    * the peak. Empty intervals (e ≤ s) are dropped — they would allow
+    * a transient within-instant peak the netted sweep cannot see.
+    *
+    * Per-key sweep only — no global ordering, no self-join; the
+    * shuffle is one (key, ts) aggregate, the window is bounded by a
+    * key's endpoint count.
+    *
+    * Output: (key, n_intervals, peak, peak_ts_us).
+    */
+  def peakConcurrency(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val iv = df.filter(col(endCol) > col(startCol))
+      .select(col(keyCol).as("key"), col(startCol).as("s"),
+        col(endCol).as("e"))
+    val deltas = iv.select(col("key"), col("s").as("ts"), lit(1L).as("d"))
+      .unionByName(
+        iv.select(col("key"), col("e").as("ts"), lit(-1L).as("d")))
+      .groupBy("key", "ts").agg(sum("d").as("net"))
+    val n = iv.groupBy("key").agg(count(lit(1)).as("n_intervals"))
+    val w = Window.partitionBy("key").orderBy("ts")
+    deltas.withColumn("conc", sum(col("net")).over(w))
+      .groupBy("key")
+      .agg(max(struct(col("conc"), (-col("ts")).as("nts"), col("ts")))
+        .as("best"))
+      .join(n, Seq("key"))
+      .select(col("key"), col("n_intervals"),
+        col("best.conc").as("peak"), col("best.ts").as("peak_ts_us"))
+  }
 }

@@ -367,4 +367,73 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame =
     kCoreManaged(edges, k, rounds)._1
+
+  /** Fixed-iteration HITS (Kleinberg's hubs and authorities) over a
+    * DIRECTED edge set — the bipartite-role complement of
+    * [[pageRank]]: on customer→supplier or crawler→host graphs, a good
+    * HUB points at many good authorities and a good AUTHORITY is
+    * pointed at by many good hubs; PageRank's single score cannot
+    * separate the two roles. Per round, in EXACT integer arithmetic:
+    *
+    *   auth'(v) = Σ_{u→v} hub(u);   auth(v) = (auth'(v)·scale) div Σauth'
+    *   hub'(u)  = Σ_{u→v} auth(v);  hub(u)  = (hub'(u)·scale) div Σhub'
+    *
+    * — L1 normalization via one broadcast total per half-round instead
+    * of the float L2 of the textbook (any engine reproduces integral
+    * div bit-for-bit; the RANKING is unchanged by the norm choice).
+    * Sums and products run in decimal(38,0): raw·scale stays under
+    * 10³⁸ up to ~10¹⁴ edges at the default scale.
+    *
+    * Two node-keyed shuffles per round (one per direction) against the
+    * src-partitioned cached edge frame; `iters` is a fixed unroll so
+    * the oracle replays it as a CTE chain.
+    *
+    * Edges are deduplicated, NOT symmetrized (direction is the whole
+    * point). Output: (node, kind ∈ {'auth','hub'}, score) — a node
+    * appearing on both sides carries both rows.
+    */
+  def hitsManaged(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L,
+      persist: Boolean = true): (DataFrame, () => Unit) = {
+    require(iters >= 1, s"iters: $iters")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+    val e = if (persist) e0.persist(StorageLevel.MEMORY_AND_DISK) else e0
+    val cleanup = () => if (persist) { e.unpersist(); () }
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(scale).cast("decimal(38,0)"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      // div on decimals returns LONG in Spark — re-widen each
+      // normalized score to decimal(38,0) so the NEXT half-round's
+      // sum·scale product never multiplies long×long (score·deg·scale
+      // crosses int64 at ~10⁹-degree nodes)
+      val aRaw = e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst").as("anode")).agg(sum("h").as("raw"))
+      val aTot = aRaw.agg(sum("raw").as("tot"))
+      auth = aRaw.crossJoin(broadcast(aTot))
+        .select(col("anode").as("node"),
+          expr(s"cast((cast(raw as decimal(38,0)) * $scale) div tot" +
+            " as decimal(38,0))").as("a"))
+      val hRaw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src").as("hnode")).agg(sum("a").as("raw"))
+      val hTot = hRaw.agg(sum("raw").as("tot"))
+      hub = hRaw.crossJoin(broadcast(hTot))
+        .select(col("hnode").as("node"),
+          expr(s"cast((cast(raw as decimal(38,0)) * $scale) div tot" +
+            " as decimal(38,0))").as("h"))
+    }
+    val out = auth.select(col("node"), lit("auth").as("kind"),
+        col("a").cast("long").as("score"))
+      .unionByName(hub.select(col("node"), lit("hub").as("kind"),
+        col("h").cast("long").as("score")))
+    (out, cleanup)
+  }
+
+  /** [[hitsManaged]] without the cleanup handle. */
+  def hits(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, persist: Boolean = true): DataFrame =
+    hitsManaged(edges, iters, scale, persist)._1
 }

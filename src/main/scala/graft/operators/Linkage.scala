@@ -52,4 +52,59 @@ object Linkage {
         col("best").getField("entity").as("entity"),
         col("best").getField("dist").as("dist"))
   }
+
+  /** Blocking-quality audit — the two numbers that justify a blocking
+    * scheme BEFORE a linkage run (Christen's reduction ratio and pairs
+    * completeness): how many candidate pairs the blocks admit vs the
+    * all-pairs total (reduction — the cost axis), and what fraction of
+    * TRUE matching pairs land in the same block (completeness — the
+    * recall ceiling: a true pair split across blocks can never be
+    * found by [[linkEntities]] or any other blocked matcher).
+    *
+    * Everything is COMBINATORIAL on group sizes — Σ C(n,2) over
+    * blocks, truth classes, and (block × truth) cells — three
+    * aggregates to bounded domains; no pair is ever materialized, so
+    * the audit itself never goes quadratic (the [[Dedup
+    * .crossGroupDupMatrix]] counting trick applied to linkage).
+    * C(n,2) products run in decimal(38,0): a 10¹⁰-row block prices
+    * ~10¹⁹ pairs, past int64.
+    *
+    * @param blockKey caller's blocking key expression
+    * @param truthKey ground-truth match key (pairs sharing it are the
+    *                 true matches — a labeled sample or a trusted
+    *                 natural key)
+    * @return one row (n_records, n_blocks, cand_pairs, total_pairs,
+    *         reduction_ppm, true_pairs, found_pairs, completeness_ppm);
+    *         completeness_ppm = 10⁶ when there are no true pairs (an
+    *         empty truth set constrains nothing).
+    */
+  def blockingAudit(df: DataFrame, blockKey: Column,
+      truthKey: Column): DataFrame = {
+    val base = df.select(blockKey.as("bk"), truthKey.as("tk"))
+    def pairSum(out: String): Column =
+      coalesce(sum(expr(
+        "(cast(c as decimal(38,0)) * (c - 1)) div 2")),
+        lit(0L).cast("decimal(38,0)")).as(out)
+    val blocks = base.groupBy("bk").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_blocks"), sum("c").as("n_records"),
+        pairSum("cand_pairs"))
+    val truths = base.groupBy("tk").agg(count(lit(1)).as("c"))
+      .agg(pairSum("true_pairs"))
+    val cells = base.groupBy("bk", "tk").agg(count(lit(1)).as("c"))
+      .agg(pairSum("found_pairs"))
+    blocks.crossJoin(truths).crossJoin(cells)
+      .withColumn("total_d", expr(
+        "(cast(n_records as decimal(38,0)) * (n_records - 1)) div 2"))
+      .select(col("n_records"), col("n_blocks"),
+        col("cand_pairs").cast("long").as("cand_pairs"),
+        col("total_d").cast("long").as("total_pairs"),
+        expr("""case when n_records < 2 then cast(0 as bigint) else
+          |  cast(((total_d - cand_pairs) * 1000000) div total_d
+          |    as bigint) end""".stripMargin).as("reduction_ppm"),
+        col("true_pairs").cast("long").as("true_pairs"),
+        col("found_pairs").cast("long").as("found_pairs"),
+        expr("""case when true_pairs = 0 then cast(1000000 as bigint) else
+          |  cast((found_pairs * 1000000) div true_pairs as bigint) end"""
+          .stripMargin).as("completeness_ppm"))
+  }
 }

@@ -604,4 +604,127 @@ object Stats {
         expr("cast((cast(1000000 as decimal(38,0)) * d_scaled)" +
           " div (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("d_ppm"))
   }
+
+  /** CUSUM change-point detection over per-bucket totals — "did this
+    * series' level shift, and WHEN": for each group the bucketed series
+    * x₁..x_n (one aggregate), prefix sums P_k, grand total S, and the
+    * cross-multiplied CUSUM statistic D_k = |n·P_k − k·S| — the
+    * classic Σ(x_i − x̄) deviation scaled by n so it stays an EXACT
+    * integer (no mean division until the final ppm report). The argmax
+    * bucket is the estimated change point; ties break to the earliest
+    * bucket via a lexicographic struct-max on (D, −k). The drift
+    * TRIO's third member: ksDrift answers "are two distributions
+    * apart", rateAnomaly "is this bucket anomalous NOW", cusum "where
+    * in the past did the level move".
+    *
+    * Shape: one aggregate to the (group, bucket) domain, one window
+    * PARTITIONED by group for the prefix sums, one per-group argmax
+    * aggregate — domain-bounded after the first aggregate. Products in
+    * decimal(38,0): n·P crosses int64 once buckets × rows pass ~10¹⁵.
+    *
+    * Output: (g, n_buckets, total, change_bucket, cusum_ppm) with
+    * cusum_ppm = (10⁶·max_k D_k) div (n·S) ∈ [0, ~250000] (0 ⇔ flat).
+    */
+  def cusumChangePoint(df: DataFrame, groupCol: Column, bucketCol: Column,
+      valueCol: Column): DataFrame = {
+    val buckets = df.select(groupCol.as("g"), bucketCol.as("k"),
+        valueCol.cast("long").as("x"))
+      .groupBy("g", "k").agg(sum("x").as("xb"))
+    val w = Window.partitionBy("g").orderBy("k")
+    val cum = buckets
+      .withColumn("p", sum(col("xb")).over(w))
+      .withColumn("seq", row_number().over(w))
+    val tot = cum.groupBy("g")
+      .agg(max(col("seq")).as("n_buckets"), sum(col("xb")).as("total"))
+    cum.join(tot, Seq("g"))
+      .withColumn("d", expr(
+        """abs(cast(n_buckets as decimal(38,0)) * p
+          |  - cast(seq as decimal(38,0)) * total)""".stripMargin))
+      .groupBy("g", "n_buckets", "total")
+      .agg(max(struct(col("d"), (-col("seq")).as("nk"), col("k")))
+        .as("best"))
+      .select(col("g"), col("n_buckets"), col("total"),
+        col("best.k").as("change_bucket"),
+        expr("""cast((cast(1000000 as decimal(38,0)) * best.d)
+          |  div (cast(n_buckets as decimal(38,0)) * total) as bigint)"""
+          .stripMargin).as("cusum_ppm"))
+  }
+
+  /** Lag-1 autocorrelation of per-bucket totals — "is this series
+    * momentum-driven or mean-reverting": for each group the bucketed
+    * series in bucket order, deviations dev_k = n·x_k − S (the
+    * cross-multiplied x_k − x̄, exact integers), and
+    * r₁ = Σ dev_k·dev_{k−1} / Σ dev_k² reported as a fixed-order
+    * double rounded to 6dp (numerator and denominator are each one
+    * exact decimal(38,0) sum of integer products, so the single final
+    * division is bit-reproducible on any engine — the
+    * contingencyResiduals determinism pattern). Lag runs over
+    * CONSECUTIVE PRESENT buckets (sequence position, not bucket
+    * arithmetic), so sparse series are well-defined.
+    *
+    * One aggregate to the (group, bucket) domain, one window
+    * PARTITIONED by group for the lagged neighbor, one per-group
+    * aggregate. Output: (g, n_buckets, ac1_6dp); groups with zero
+    * variance (constant series) report ac1_6dp = 0.0.
+    */
+  def lagAutocorr(df: DataFrame, groupCol: Column, bucketCol: Column,
+      valueCol: Column): DataFrame = {
+    val buckets = df.select(groupCol.as("g"), bucketCol.as("k"),
+        valueCol.cast("long").as("x"))
+      .groupBy("g", "k").agg(sum("x").as("xb"))
+    val tot = buckets.groupBy("g")
+      .agg(count(lit(1)).as("n_buckets"), sum("xb").as("s"))
+    val w = Window.partitionBy("g").orderBy("k")
+    buckets.join(tot, Seq("g"))
+      .withColumn("dev", expr(
+        "cast(n_buckets as decimal(38,0)) * xb - cast(s as decimal(38,0))"))
+      .withColumn("dev_prev", lag(col("dev"), 1).over(w))
+      .groupBy("g", "n_buckets")
+      .agg(sum(expr("dev * dev_prev")).as("num"),
+        sum(expr("dev * dev")).as("den"))
+      .select(col("g"), col("n_buckets"),
+        expr("""case when den = 0 then 0.0d else
+          |  round(cast(num as double) / cast(den as double), 6) end"""
+          .stripMargin).as("ac1_6dp"))
+  }
+
+  /** Benford first-digit profile — the classic fabricated-data /
+    * unit-mixup audit: for each group, the observed count of each
+    * leading digit 1-9 of the (positive) integer value next to
+    * Benford's expected share log₁₀(1+1/d) as hardcoded ppm constants
+    * (they sum to exactly 10⁶), plus the per-digit deviation
+    * |10⁶·obs − n·exp| div n — integer-exact, so no transcendental is
+    * evaluated at query time on either engine. First digit is string
+    * arithmetic on the non-negative value (substr of the cast), not
+    * log/pow — exact for the full int64 range.
+    *
+    * One aggregate to the (group, digit) domain joined against the
+    * broadcast 9-row constant table; zero-count digits surface with
+    * n_obs = 0 so the profile always has 9·|groups| rows.
+    *
+    * Output: (g, digit, n_obs, exp_ppm, dev_ppm).
+    */
+  def benfordProfile(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq((1L, 301030L), (2L, 176091L), (3L, 124939L),
+      (4L, 96910L), (5L, 79181L), (6L, 66947L), (7L, 57992L),
+      (8L, 51153L), (9L, 45757L)).toDF("digit", "exp_ppm")
+    val obs = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("v") > 0L)
+      .withColumn("digit",
+        substring(col("v").cast("string"), 1, 1).cast("long"))
+      .groupBy("g", "digit").agg(count(lit(1)).as("c"))
+    val grid = obs.select("g").distinct().crossJoin(broadcast(expected))
+    grid.join(obs, Seq("g", "digit"), "left")
+      .withColumn("n_obs", coalesce(col("c"), lit(0L)))
+      .withColumn("n", sum(col("n_obs"))
+        .over(Window.partitionBy("g")))
+      .select(col("g"), col("digit"), col("n_obs"), col("exp_ppm"),
+        expr("""cast(abs(cast(1000000 as decimal(38,0)) * n_obs
+          |  - cast(n as decimal(38,0)) * exp_ppm)
+          |  div cast(n as decimal(38,0)) as bigint)""".stripMargin)
+          .as("dev_ppm"))
+  }
 }

@@ -1844,4 +1844,39 @@ object TextOps {
           |  / cast(n1 as double) / cast(n2 as double), 6)""".stripMargin))
       .select("term", "o1", "o2", "chi2_6dp")
   }
+  /** Distinct-n n-gram diversity per group — the generation-quality /
+    * template-detection metric (Li et al.'s distinct-1/distinct-2
+    * applied corpus-side): for each group and each n in `ns`, the total
+    * word n-gram occurrences, the distinct n-gram types, and
+    * distinct_ppm = 10⁶·types div occurrences. Low distinct-2 flags
+    * boilerplate-heavy or machine-templated sources before they skew a
+    * training mix; the complement of [[zipfProfile]] (which shapes the
+    * FREQUENCY distribution, while this counts the SUPPORT).
+    *
+    * N-grams are positional (NOT deduped per doc — occurrences price
+    * storage, types price novelty); one explode per n, one exact
+    * two-phase distinct aggregate per (group, n) — the type domain is
+    * corpus-bounded, the shuffle key is the n-gram itself, so the
+    * count-distinct partials shrink map-side like any frequency table.
+    *
+    * Output: (g, n, total_ngrams, distinct_ngrams, distinct_ppm).
+    */
+  def ngramDiversity(df: DataFrame, groupCol: Column, textCol: Column,
+      ns: Seq[Int]): DataFrame = {
+    val base = df.select(groupCol.as("g"),
+      Portable.tokens(textCol).as("w"))
+    ns.map { n =>
+      base.select(col("g"), explode(when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - n),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("ng")).as("distinct_ngrams"))
+        .select(col("g"), lit(n.toLong).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          expr("(cast(distinct_ngrams as decimal(38,0)) * 1000000)" +
+            " div total_ngrams").cast("long").as("distinct_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Curate, EventOps, Stats, TextOps}
+
+/** Round-10 wave 5: the monitoring/audit operators that close out the
+  * drift, privacy, and capacity families — n-gram diversity
+  * ([[q198]]), CUSUM change-point localization ([[q199]]), lag-1
+  * autocorrelation ([[q200]]), l-diversity ([[q201]]), Benford
+  * first-digit audit ([[q202]]), and the peak-concurrency sweep line
+  * ([[q203]]). Determinism contract unchanged: exact integers
+  * (cross-multiplied deviations, ppm reports via integral div) or one
+  * final fixed-order double division rounded to 6dp, mirrored
+  * verbatim in the oracle SQL.
+  */
+object Frontier2Queries {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Shared day-bucketed per-type event counts: the input series for
+    * the q199/q200 drift pair.
+    */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_type"),
+      datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+  private val dailyCountsSql: String =
+    "SELECT event_type, date_diff('day', DATE '1970-01-01'," +
+      " CAST(ts AS DATE)) AS day FROM events"
+
+  // --------------------------------------------------------------- q198
+  /** Distinct-n n-gram diversity per source ([[TextOps
+    * .ngramDiversity]]): distinct-1/distinct-2 over word n-grams — the
+    * boilerplate/template detector read next to q167's Zipf shape
+    * before a source enters a training mix.
+    */
+  val q198: Q = (s, dir) =>
+    TextOps.ngramDiversity(Tables.documents(s, dir), col("source"),
+        col("text"), Seq(1, 2))
+      .orderBy("g", "n")
+  val q198Sql: String =
+    """WITH w AS (SELECT source AS g,
+      |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |g1 AS (SELECT g, unnest(w) AS ng FROM w),
+      |g2 AS (SELECT g, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1] AS ng
+      |  FROM w, UNNEST(range(1, greatest(len(w), 1))) AS t(i)),
+      |u AS (SELECT g, 1 AS n, count(*) AS total_ngrams,
+      |    count(DISTINCT ng) AS distinct_ngrams FROM g1 GROUP BY g
+      |  UNION ALL
+      |  SELECT g, 2 AS n, count(*) AS total_ngrams,
+      |    count(DISTINCT ng) AS distinct_ngrams FROM g2 GROUP BY g)
+      |SELECT g, CAST(n AS BIGINT) AS n,
+      |  CAST(total_ngrams AS BIGINT) AS total_ngrams,
+      |  CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+      |  CAST((distinct_ngrams * 1000000) // total_ngrams AS BIGINT)
+      |    AS distinct_ppm
+      |FROM u ORDER BY g, n""".stripMargin
+
+  // --------------------------------------------------------------- q199
+  /** CUSUM change-point over daily event counts
+    * ([[Stats.cusumChangePoint]]): per event type, WHERE the daily
+    * rate's level shifted and by how much (ppm of the
+    * cross-multiplied deviation envelope) — the localization sibling
+    * of q187's "is today anomalous" z-score.
+    */
+  val q199: Q = (s, dir) =>
+    Stats.cusumChangePoint(dailyCounts(s, dir).withColumn("one", lit(1L)),
+        col("event_type"), col("day"), col("one"))
+      .orderBy("g")
+  val q199Sql: String =
+    s"""WITH b AS (SELECT event_type AS g, day AS k, count(*) AS xb
+       |  FROM ($dailyCountsSql) GROUP BY 1, 2),
+       |c AS (SELECT g, k, xb,
+       |    sum(xb) OVER (PARTITION BY g ORDER BY k) AS p,
+       |    row_number() OVER (PARTITION BY g ORDER BY k) AS seq FROM b),
+       |t AS (SELECT g, max(seq) AS n_buckets, sum(xb) AS total
+       |  FROM c GROUP BY g),
+       |d AS (SELECT c.g, t.n_buckets, t.total, c.k,
+       |    abs(t.n_buckets * c.p - c.seq * t.total) AS d,
+       |    row_number() OVER (PARTITION BY c.g
+       |      ORDER BY abs(t.n_buckets * c.p - c.seq * t.total) DESC, c.k)
+       |      AS rn
+       |  FROM c JOIN t USING (g))
+       |SELECT g, CAST(n_buckets AS BIGINT) AS n_buckets,
+       |  CAST(total AS BIGINT) AS total, CAST(k AS BIGINT) AS change_bucket,
+       |  CAST((1000000 * d) // (n_buckets * total) AS BIGINT) AS cusum_ppm
+       |FROM d WHERE rn = 1 ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q200
+  /** Lag-1 autocorrelation of the same daily series
+    * ([[Stats.lagAutocorr]]): momentum vs mean-reversion per event
+    * type — positive r₁ says shocks persist across days (burst-driven
+    * traffic), negative says they self-correct; the drift family's
+    * temporal-structure probe.
+    */
+  val q200: Q = (s, dir) =>
+    Stats.lagAutocorr(dailyCounts(s, dir).withColumn("one", lit(1L)),
+        col("event_type"), col("day"), col("one"))
+      .orderBy("g")
+  val q200Sql: String =
+    s"""WITH b AS (SELECT event_type AS g, day AS k, count(*) AS xb
+       |  FROM ($dailyCountsSql) GROUP BY 1, 2),
+       |t AS (SELECT g, count(*) AS n_buckets, sum(xb) AS s FROM b GROUP BY g),
+       |dv AS (SELECT b.g, t.n_buckets, b.k, t.n_buckets * b.xb - t.s AS dev
+       |  FROM b JOIN t USING (g)),
+       |lg AS (SELECT g, n_buckets, dev,
+       |    lag(dev) OVER (PARTITION BY g ORDER BY k) AS dev_prev FROM dv),
+       |agg AS (SELECT g, n_buckets, sum(dev * dev_prev) AS num,
+       |    sum(dev * dev) AS den FROM lg GROUP BY 1, 2)
+       |SELECT g, CAST(n_buckets AS BIGINT) AS n_buckets,
+       |  CASE WHEN den = 0 THEN 0.0
+       |    ELSE round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END
+       |    AS ac1_6dp
+       |FROM agg ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q201
+  /** l-diversity audit ([[Curate.lDiversity]]) over (lang, source)
+    * classes with the length-kilobucket as the sensitive attribute —
+    * the homogeneity-attack check q191's k-anonymity cannot see: a
+    * class is safe only if its members spread over ≥ l sensitive
+    * values.
+    */
+  val q201: Q = (s, dir) =>
+    Curate.lDiversity(
+        Tables.documents(s, dir).select(col("lang"), col("source"),
+          col("n_chars")),
+        Seq(col("lang"), col("source")),
+        expr("n_chars div 1000"), l = 3L)
+      .orderBy("lang", "source")
+  val q201Sql: String =
+    """WITH bv AS (SELECT lang, source, n_chars // 1000 AS sv,
+      |    count(*) AS c FROM documents GROUP BY 1, 2, 3)
+      |SELECT lang, source, CAST(sum(c) AS BIGINT) AS n_members,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_sv,
+      |  CAST((max(c) * 1000000) // sum(c) AS BIGINT) AS top_sv_ppm,
+      |  CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS BIGINT) AS below_l
+      |FROM bv GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
+  // --------------------------------------------------------------- q202
+  /** Benford first-digit audit over event cent values
+    * ([[Stats.benfordProfile]]): observed leading-digit counts per
+    * event type against the hardcoded log₁₀(1+1/d) ppm expectations —
+    * the fabricated-data / unit-mixup screen run over ingested numeric
+    * feeds; dev_ppm is the per-digit deviation, exact integers end to
+    * end.
+    */
+  val q202: Q = (s, dir) =>
+    Stats.benfordProfile(
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("vc")),
+        col("event_type"), col("vc"))
+      .orderBy("g", "digit")
+  val q202Sql: String =
+    """WITH v AS (SELECT event_type AS g,
+      |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |p AS (SELECT g, v FROM v WHERE v > 0),
+      |obs AS (SELECT g, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT)
+      |    AS digit, count(*) AS c FROM p GROUP BY 1, 2),
+      |exp AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+      |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+      |    (9, 45757)) AS t(digit, exp_ppm)),
+      |grid AS (SELECT g, digit, exp_ppm
+      |  FROM (SELECT DISTINCT g FROM obs) CROSS JOIN exp),
+      |j AS (SELECT grid.g, grid.digit, grid.exp_ppm,
+      |    coalesce(obs.c, 0) AS n_obs
+      |  FROM grid LEFT JOIN obs
+      |    ON grid.g = obs.g AND grid.digit = obs.digit),
+      |w AS (SELECT g, digit, exp_ppm, n_obs,
+      |    sum(n_obs) OVER (PARTITION BY g) AS n FROM j)
+      |SELECT g, CAST(digit AS BIGINT) AS digit, CAST(n_obs AS BIGINT)
+      |    AS n_obs, CAST(exp_ppm AS BIGINT) AS exp_ppm,
+      |  CAST(abs(1000000 * n_obs - n * exp_ppm) // n AS BIGINT) AS dev_ppm
+      |FROM w ORDER BY g, digit""".stripMargin
+
+  // --------------------------------------------------------------- q203
+  /** Peak concurrency per event type ([[EventOps.peakConcurrency]]):
+    * from half-open 30-minute activity windows, the maximum number
+    * simultaneously open and the earliest µs instant reaching it — the
+    * capacity-planning number (executor pools, rate limits, connection
+    * counts) that totals and averages cannot produce.
+    */
+  val q203: Q = (s, dir) => {
+    val iv = Tables.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + 1800000000L).as("e"))
+    EventOps.peakConcurrency(iv, "event_type", "s", "e")
+      .orderBy("key")
+  }
+  val q203Sql: String =
+    """WITH iv AS (SELECT event_type AS key, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 1800000000 AS e FROM events),
+      |d AS (SELECT key, s AS ts, 1 AS dd FROM iv
+      |  UNION ALL SELECT key, e AS ts, -1 AS dd FROM iv),
+      |net AS (SELECT key, ts, sum(dd) AS net FROM d GROUP BY 1, 2),
+      |c AS (SELECT key, ts,
+      |    sum(net) OVER (PARTITION BY key ORDER BY ts) AS conc FROM net),
+      |r AS (SELECT key, ts, conc,
+      |    row_number() OVER (PARTITION BY key ORDER BY conc DESC, ts)
+      |      AS rn FROM c),
+      |n AS (SELECT key, count(*) AS n_intervals FROM iv GROUP BY 1)
+      |SELECT r.key, CAST(n.n_intervals AS BIGINT) AS n_intervals,
+      |  CAST(conc AS BIGINT) AS peak, CAST(ts AS BIGINT) AS peak_ts_us
+      |FROM r JOIN n USING (key) WHERE rn = 1 ORDER BY key""".stripMargin
+
+  // --------------------------------------------------------------- q204
+  /** EXACT Jaccard similarity join via prefix filtering
+    * ([[graft.operators.Dedup.prefixFilterPairs]] — AllPairs/PPJoin):
+    * only each doc's rarest |s|−⌈t|s|⌉+1 shingles enter the candidate
+    * join, losslessly — the exact-result alternative to q22's MinHash
+    * LSH. The oracle computes ALL pairs with J ≥ t from the full
+    * inverted index, so a hash match PROVES the prefix candidate set
+    * missed nothing at this corpus.
+    */
+  val q204: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq zq zq")).as("text")))
+    val sh = graft.operators.Dedup.hashedShingleTable(
+      corpus, "doc_id", "text", 3)
+    graft.operators.Dedup.prefixFilterPairs(sh, 600000L)
+      .orderBy("id_a", "id_b")
+  }
+  val q204Sql: String =
+    """WITH corpus AS (SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id+1000000 AS id, text || ' zq zq zq' AS text
+      |  FROM documents WHERE doc_id%10=0),
+      |words AS (SELECT id, string_split_regex(lower(text), '\s+') AS w
+      |  FROM corpus),
+      |sh AS (SELECT DISTINCT id, unnest(CASE WHEN len(w) >= 3
+      |  THEN list_distinct(list_transform(range(len(w)-2),
+      |    i -> array_to_string(w[i+1:i+3], ' ')))
+      |  ELSE []::VARCHAR[] END) AS shingle FROM words),
+      |shh AS (SELECT id, ('0x'||substr(md5(shingle),1,12))::BIGINT
+      |  AS shingle FROM sh),
+      |sz AS (SELECT id, count(*) AS sz FROM shh GROUP BY id),
+      |pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      |  FROM shh a JOIN shh b ON a.shingle = b.shingle AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+      |    CAST((inter * 1000000) // (sa.sz + sb.sz - inter) AS BIGINT)
+      |      AS jac_ppm
+      |  FROM pairs JOIN sz sa ON sa.id = pairs.id_a
+      |             JOIN sz sb ON sb.id = pairs.id_b)
+      |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+      |  CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
+      |  jac_ppm
+      |FROM j WHERE jac_ppm >= 600000 ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q205
+  /** HITS hubs and authorities ([[graft.operators.Graph.hits]]) over
+    * the directed customer→supplier purchase graph — role-separated
+    * centrality q80's PageRank cannot express: which customers
+    * concentrate buying power over strong suppliers (hubs) vs which
+    * suppliers are bought by strong customers (authorities). Two
+    * L1-normalized integer rounds, oracle-unrolled.
+    */
+  val q205: Q = (s, dir) => {
+    val edges = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+    graft.operators.Graph.hits(edges, iters = 2).orderBy("kind", "node")
+  }
+  val q205Sql: String = {
+    val sc = "1000000000000"
+    def half(e: String, in: String, outR: String, out: String,
+        from: String, to: String, scoreIn: String, scoreOut: String) =
+      s"""${outR} AS (SELECT e.$to AS node, sum($in.$scoreIn) AS raw
+         |  FROM e JOIN $in ON e.$from = $in.node GROUP BY 1),
+         |${outR}t AS (SELECT sum(raw) AS tot FROM $outR),
+         |$out AS (SELECT node, (raw * $sc) // tot AS $scoreOut
+         |  FROM $outR CROSS JOIN ${outR}t)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT src AS node, CAST($sc AS HUGEINT) AS h
+       |  FROM e),
+       |${half("e", "h0", "a1r", "a1", "src", "dst", "h", "a")},
+       |${half("e", "a1", "h1r", "h1", "dst", "src", "a", "h")},
+       |${half("e", "h1", "a2r", "a2", "src", "dst", "h", "a")},
+       |${half("e", "a2", "h2r", "h2", "dst", "src", "a", "h")}
+       |SELECT node, 'auth' AS kind, CAST(a AS BIGINT) AS score FROM a2
+       |UNION ALL
+       |SELECT node, 'hub' AS kind, CAST(h AS BIGINT) AS score FROM h2
+       |ORDER BY kind, node""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q206
+  /** Blocking-quality audit ([[graft.operators.Linkage
+    * .blockingAudit]]): reduction ratio and pairs completeness of
+    * blocking customers on (mktsegment, nation) against a same-cents-
+    * residue truth key — the two numbers read BEFORE running q67's
+    * blocked linkage: how much candidate work the blocks save, and the
+    * recall ceiling they impose. Purely combinatorial on group sizes;
+    * no pair is materialized.
+    */
+  val q206: Q = (s, dir) =>
+    graft.operators.Linkage.blockingAudit(Tables.customer(s, dir),
+      concat_ws("|", col("c_mktsegment"), col("c_nationkey")),
+      expr("cast(round(c_acctbal * 100) as bigint) % 1000"))
+  val q206Sql: String =
+    """WITH b AS (SELECT c_mktsegment || '|' ||
+      |    CAST(c_nationkey AS VARCHAR) AS bk,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) % 1000 AS tk
+      |  FROM customer),
+      |blk AS (SELECT bk, count(*) AS c FROM b GROUP BY 1),
+      |ba AS (SELECT count(*) AS n_blocks, sum(c) AS n_records,
+      |  sum((c * (c - 1)) // 2) AS cand_pairs FROM blk),
+      |tr AS (SELECT coalesce(sum((c * (c - 1)) // 2), 0) AS true_pairs
+      |  FROM (SELECT count(*) AS c FROM b GROUP BY tk)),
+      |ce AS (SELECT coalesce(sum((c * (c - 1)) // 2), 0) AS found_pairs
+      |  FROM (SELECT count(*) AS c FROM b GROUP BY bk, tk))
+      |SELECT CAST(n_records AS BIGINT) AS n_records,
+      |  CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(cand_pairs AS BIGINT) AS cand_pairs,
+      |  CAST((n_records * (n_records - 1)) // 2 AS BIGINT) AS total_pairs,
+      |  CAST(CASE WHEN n_records < 2 THEN 0 ELSE
+      |    (((n_records * (n_records - 1)) // 2 - cand_pairs) * 1000000)
+      |      // ((n_records * (n_records - 1)) // 2) END AS BIGINT)
+      |    AS reduction_ppm,
+      |  CAST(true_pairs AS BIGINT) AS true_pairs,
+      |  CAST(found_pairs AS BIGINT) AS found_pairs,
+      |  CAST(CASE WHEN true_pairs = 0 THEN 1000000 ELSE
+      |    (found_pairs * 1000000) // true_pairs END AS BIGINT)
+      |    AS completeness_ppm
+      |FROM ba CROSS JOIN tr CROSS JOIN ce""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q204_prefix_filter_join" -> q204,
+    "q205_hits" -> q205,
+    "q206_blocking_audit" -> q206,
+    "q198_ngram_diversity" -> q198,
+    "q199_cusum_changepoint" -> q199,
+    "q200_lag_autocorr" -> q200,
+    "q201_l_diversity" -> q201,
+    "q202_benford_profile" -> q202,
+    "q203_peak_concurrency" -> q203)
+
+  def oracle: Map[String, String] = Map(
+    "q204_prefix_filter_join" -> q204Sql,
+    "q205_hits" -> q205Sql,
+    "q206_blocking_audit" -> q206Sql,
+    "q198_ngram_diversity" -> q198Sql,
+    "q199_cusum_changepoint" -> q199Sql,
+    "q200_lag_autocorr" -> q200Sql,
+    "q201_l_diversity" -> q201Sql,
+    "q202_benford_profile" -> q202Sql,
+    "q203_peak_concurrency" -> q203Sql)
+}

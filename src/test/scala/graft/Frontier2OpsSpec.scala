@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curate, Dedup, EventOps, Graph, Linkage, Stats, TextOps}
+
+/** Round-10 wave-5 operators: n-gram diversity, CUSUM change-point,
+  * lag-1 autocorrelation, l-diversity, Benford profile, and the
+  * peak-concurrency sweep (q198-q203). Each test pins the exact
+  * integer/6dp contract the DuckDB oracle replays with hand-computed
+  * micro cases.
+  */
+class Frontier2OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ngramDiversity counts positional n-grams and distinct types") {
+    val docs = Seq(("a", "x x y"), ("a", "x y")).toDF("src", "text")
+    val out = TextOps.ngramDiversity(docs, col("src"), col("text"),
+        Seq(1, 2))
+      .orderBy("n")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // unigrams: 5 occurrences of 2 types; bigrams: "x x","x y","x y" →
+    // 3 occurrences of 2 types
+    assert(out == Seq(("a", 1L, 5L, 2L, 400000L),
+      ("a", 2L, 3L, 2L, 666666L)))
+  }
+
+  test("cusumChangePoint localizes a level shift at the last low bucket") {
+    // series 1,1,5,5: D_k = |4·P_k − k·12| = 8,16,8,0 → max at k=2,
+    // cusum_ppm = 10⁶·16/(4·12) = 333333
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 3L), ("g", 3L),
+      ("g", 3L), ("g", 3L), ("g", 4L), ("g", 4L), ("g", 4L), ("g", 4L),
+      ("g", 4L), ("g", 1L)).toDF("grp", "day")
+      .withColumn("one", lit(1L))
+    val out = Stats.cusumChangePoint(df, col("grp"), col("day"),
+        col("one"))
+      .as[(String, Long, Long, Long, Long)].head()
+    // counts per day: d1=2, d2=1, d3=5, d4=5 → n=4, S=13,
+    // P=[2,3,8,13], D=|4P−k·13| = 5,14,7,0 → peak k=2 (day 2),
+    // ppm = 10⁶·14/(4·13) = 269230
+    assert(out == (("g", 4L, 13L, 2L, 269230L)))
+  }
+
+  test("lagAutocorr reports the exact 6dp ratio of integer sums") {
+    // daily counts 1,2,4,8 → dev = 4x−15 = [−11,−7,1,17],
+    // num = 77 − 7 + 17 = 87, den = 460 → round(87/460, 6) = 0.18913
+    val rows = (1 to 1).flatMap(_ => Seq.fill(1)(("g", 1L))) ++
+      Seq.fill(2)(("g", 2L)) ++ Seq.fill(4)(("g", 3L)) ++
+      Seq.fill(8)(("g", 4L))
+    val df = rows.toDF("grp", "day").withColumn("one", lit(1L))
+    val out = Stats.lagAutocorr(df, col("grp"), col("day"), col("one"))
+      .as[(String, Long, Double)].head()
+    assert(out._1 == "g" && out._2 == 4L)
+    assert(math.abs(out._3 - 0.18913) < 1e-9)
+    // constant series → zero variance → defined 0.0, not null/NaN
+    val flat = Seq(("f", 1L), ("f", 2L)).toDF("grp", "day")
+      .withColumn("one", lit(1L))
+    assert(Stats.lagAutocorr(flat, col("grp"), col("day"), col("one"))
+      .as[(String, Long, Double)].head()._3 == 0.0)
+  }
+
+  test("lDiversity flags homogeneous classes kAnonymity would pass") {
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 5L), ("B", 5L))
+      .toDF("qi", "sv0")
+    val out = Curate.lDiversity(df, Seq(col("qi")), col("sv0"), l = 2L)
+      .orderBy("qi")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // A: 3 members over 2 values (top share 2/3); B: 2 members, ONE
+    // value → 1-diverse → below_l even though k-anonymity at k=2 passes
+    assert(out == Seq(("A", 3L, 2L, 666666L, 0L),
+      ("B", 2L, 1L, 1000000L, 1L)))
+  }
+
+  test("benfordProfile grids all 9 digits and deviates exactly") {
+    val df = Seq(("g", 1L), ("g", 10L), ("g", 19L), ("g", 25L),
+      ("g", 9L), ("g", 0L), ("g", -3L)).toDF("grp", "v")
+    val out = Stats.benfordProfile(df, col("grp"), col("v"))
+      .orderBy("digit")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 9, "all 9 digits must surface")
+    val byDigit = out.map(r => r._2 -> r).toMap
+    // n = 5 (zero and negative excluded); digit 1 observed 3× →
+    // dev = |3·10⁶ − 5·301030| / 5 = 298970
+    assert(byDigit(1L) == (("g", 1L, 3L, 301030L, 298970L)))
+    // digit 3 unobserved → n_obs 0, dev = exp_ppm
+    assert(byDigit(3L) == (("g", 3L, 0L, 124939L, 124939L)))
+    assert(out.map(_._4).sum == 1000000L, "expectations sum to 1e6")
+  }
+
+  test("prefixFilterPairs finds exactly the J >= t pairs incl. the boundary") {
+    val sh = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (1L, "e"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d"), (2L, "f"),
+      (3L, "x"), (3L, "y"),
+      (4L, "p"), (4L, "q"), (4L, "r"), (4L, "s"),
+      (5L, "p"), (5L, "q"), (5L, "r"), (5L, "t")
+    ).toDF("id", "shingle")
+    val out = Dedup.prefixFilterPairs(sh, 600000L, persist = false)
+      .orderBy("id_a")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // (1,2): J = 4/6 = 0.6667; (4,5): J = 3/5 = 0.6 EXACTLY — the
+    // boundary pair integral floor-div must keep; doc 3 matches nothing
+    assert(out == Seq((1L, 2L, 4L, 5L, 5L, 666666L),
+      (4L, 5L, 3L, 4L, 4L, 600000L)))
+  }
+
+  test("hits separates hub and authority roles with exact L1 integer norm") {
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val out = Graph.hits(edges, iters = 2, persist = false)
+      .orderBy("kind", "node")
+      .as[(Long, String, Long)].collect().toSeq
+    // hand-unrolled two rounds (see scaladoc arithmetic): node 2 is the
+    // stronger hub (it reaches both authorities), node 10 the stronger
+    // authority (both hubs point at it)
+    assert(out == Seq(
+      (10L, "auth", 625000000000L), (11L, "auth", 375000000000L),
+      (1L, "hub", 384615384615L), (2L, "hub", 615384615384L)))
+  }
+
+  test("blockingAudit reports reduction and completeness combinatorially") {
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"), ("B", "x"))
+      .toDF("blk", "truth")
+    val out = Linkage.blockingAudit(df, col("blk"), col("truth"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // blocks A(3)+B(1): cand C(3,2)=3 of total C(4,2)=6 → reduction
+    // 500000 ppm; truth x(3): 3 true pairs, 1 found inside A →
+    // completeness 333333 ppm
+    assert(out == ((4L, 2L, 3L, 6L, 500000L, 3L, 1L, 333333L)))
+  }
+
+  test("peakConcurrency nets endpoint ties half-open") {
+    // [0,10), [5,15), [10,20): at t=10 one ends as one starts — netted
+    // to zero, so the peak stays 2, first reached at t=5
+    val iv = Seq(("k", 0L, 10L), ("k", 5L, 15L), ("k", 10L, 20L),
+      ("k", 30L, 30L)).toDF("key0", "s", "e")
+    val out = EventOps.peakConcurrency(iv, "key0", "s", "e")
+      .as[(String, Long, Long, Long)].head()
+    // the empty [30,30) interval is dropped from both the sweep and
+    // the interval count
+    assert(out == (("k", 3L, 2L, 5L)))
+  }
+}
