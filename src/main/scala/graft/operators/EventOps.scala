@@ -319,6 +319,82 @@ object EventOps {
         sum(expr("1000000 div n_touches_conv")).as("credit_ppm"))
   }
 
+  /** First-touch→first-conversion latency quantiles per daily cohort —
+    * "how long does a converting user take": for each user, the µs gap
+    * between their first `fromType` event and the first `toType` event
+    * at or after it; users are cohorted by the DAY of the first touch
+    * and each cohort reports its exact lower-median and p90 latency in
+    * seconds. Quantiles run on [[Stats.rankSelect]]'s radix descent
+    * over the (cohort, latency-second) count frame — no per-cohort
+    * sort, no partition-less window, the q88 median machinery pointed
+    * at a derived series. Rank targets: median = ⌈n/2⌉ = (n+1) div 2,
+    * p90 = ⌈9n/10⌉ = (9n+9) div 10 (both "min v with cum ≥ target").
+    *
+    * Shape: two user-keyed aggregates (first touch, first conversion),
+    * one (cohort, second) count aggregate, two broadcast-joined radix
+    * descents. Output: (g, n_conv, median_s, p90_s), g = epoch day of
+    * the cohort's first touch.
+    */
+  def conversionLatency(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, fromType: String,
+      toType: String): DataFrame = {
+    val base = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))
+    val first = base.filter(col("et") === fromType)
+      .groupBy("u").agg(min("us").as("t0"))
+    val conv = base.filter(col("et") === toType).join(first, "u")
+      .filter(col("us") >= col("t0"))
+      .groupBy("u").agg(min("us").as("t1"), min("t0").as("t0"))
+    val counts = conv
+      .select(expr("t0 div 86400000000").as("g"),
+        expr("(t1 - t0) div 1000000").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count() // materialize before the two descents race
+    val n = counts.groupBy("g").agg(sum("c").as("n_conv"))
+    // latency seconds fit 32 bits a-priori: (t1−t0)/1e6 is bounded by
+    // the corpus time span, and a >68-year gap is not a latency
+    val (med, rel1) = Stats.rankSelect(counts, Seq("g"), "c",
+      nn => ((nn + 1) / 2).cast("long"), "median_s",
+      persistInput = false, domainBits = 32)
+    val (p90, rel2) = Stats.rankSelect(counts, Seq("g"), "c",
+      nn => ((nn * 9 + 9) / 10).cast("long"), "p90_s",
+      persistInput = false, domainBits = 32)
+    val out = n.join(broadcast(med), Seq("g"))
+      .join(broadcast(p90), Seq("g"))
+      .select(col("g"), col("n_conv").cast("long").as("n_conv"),
+        col("median_s"), col("p90_s"))
+    // eager: the caches (counts + rankSelect internals) release only
+    // after both descents have executed
+    val res = out.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    rel1(); rel2(); counts.unpersist()
+    res
+  }
+
+  /** Event-type path trigrams — the navigation-pattern census behind
+    * funnel design: per user, events in (ts, event_id) order (the id
+    * tie-break makes simultaneous events deterministic on any engine),
+    * every 3 consecutive types counted corpus-wide. The output domain
+    * is |types|³ — bounded by the type vocabulary, not the rows — so
+    * downstream joins broadcast. One user-partitioned window (two
+    * leads), one domain-bounded aggregate.
+    *
+    * Output: (step1, step2, step3, n).
+    */
+  def pathTrigrams(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy("u").orderBy("us", "eid")
+    events.select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("eid"), col(typeCol).as("step1"))
+      .withColumn("step2", lead(col("step1"), 1).over(w))
+      .withColumn("step3", lead(col("step1"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy("step1", "step2", "step3")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Peak concurrency per key — the capacity-planning sweep line: from
     * half-open intervals [s, e) (µs), the maximum number
     * simultaneously open and the earliest instant reaching that peak.

@@ -53,6 +53,64 @@ object Linkage {
         col("best").getField("dist").as("dist"))
   }
 
+  /** Sorted-neighborhood linkage candidates (Hernández & Stolfo's SNM)
+    * — the ORDER-based complement of equi-key blocking: records are
+    * arranged in one global (key, id) total order and every pair within
+    * `window` consecutive positions is a candidate, so near-misses that
+    * share no exact block key (typo in the first character, swapped
+    * words) still meet as sort neighbors. The verify step is one
+    * codegen'd levenshtein per candidate, like [[linkEntities]].
+    *
+    * The global positions are computed WITHOUT a partition-less window
+    * (the 100 TB sort-rank trap): a caller-supplied coarse `bucketFn`
+    * over the key splits the order into ranges, row_number runs
+    * PARTITIONED by bucket, and each bucket's global offset is the sum
+    * of LOWER buckets' counts — a broadcast self-join on the bounded
+    * bucket-count frame (O(B²) on B buckets, no window at all). Pairs
+    * then meet through an equi-join on position (the window offsets
+    * 1..window−1 are exploded, fan-out window−1) — positions are
+    * globally exact, so candidates CROSS bucket boundaries and the
+    * result is independent of the bucketing.
+    *
+    * @param bucketFn coarse order-preserving bucket of the key (e.g.
+    *                 first character / length bucket); order
+    *                 preservation is required — bucket(a) < bucket(b)
+    *                 must imply a ≤ b — or positions are not a total
+    *                 order of the keys
+    * @return (id_a, id_b, key_a, key_b, dist), position-adjacent pairs
+    *         with levenshtein(key_a, key_b) ≤ maxDist, id order = sort
+    *         order
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      keyCol: String, bucketFn: Column => Column, window: Int,
+      maxDist: Int): DataFrame = {
+    require(window >= 2, s"window: $window")
+    val base = df.select(col(idCol).as("id"), col(keyCol).as("k"),
+      bucketFn(col(keyCol)).as("bkt"))
+    val local = base.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("bkt")
+        .orderBy("k", "id")))
+    val counts = base.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val offs = counts.select("bkt")
+      .join(counts.select(col("bkt").as("lo"), col("c")),
+        col("lo") < col("bkt"), "left")
+      .groupBy("bkt").agg(coalesce(sum("c"), lit(0L)).as("off"))
+    val pos = local.join(broadcast(offs), "bkt")
+      .select(col("id"), col("k"), (col("r") + col("off")).as("pos"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val deltas = broadcast((1 until window).map(_.toLong).toDF("d"))
+    pos.select(col("id").as("id_a"), col("k").as("key_a"),
+        col("pos").as("pa"))
+      .crossJoin(deltas)
+      .join(pos.select(col("id").as("id_b"), col("k").as("key_b"),
+        col("pos").as("pb")), col("pb") === col("pa") + col("d"))
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "key_a", "key_b", "dist")
+  }
+
   /** Blocking-quality audit — the two numbers that justify a blocking
     * scheme BEFORE a linkage run (Christen's reduction ratio and pairs
     * completeness): how many candidate pairs the blocks admit vs the

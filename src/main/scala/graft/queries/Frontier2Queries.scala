@@ -328,7 +328,98 @@ object Frontier2Queries {
       |    AS completeness_ppm
       |FROM ba CROSS JOIN tr CROSS JOIN ce""".stripMargin
 
+  // --------------------------------------------------------------- q207
+  /** Sorted-neighborhood linkage ([[graft.operators.Linkage
+    * .sortedNeighborhoodPairs]]) over q67's corrupted part-name
+    * mentions: candidates are pairs within 4 GLOBAL sort positions
+    * (typo-robust where equi-key blocking is not), verified by edit
+    * distance ≤ 3. Positions come from bucket-local row_numbers plus
+    * broadcast bucket offsets — no partition-less window — and the
+    * oracle's single global row_number() must agree exactly.
+    */
+  val q207: Q = (s, dir) => {
+    val part = Tables.part(s, dir)
+    val w1 = element_at(split(col("p_name"), " "), 1)
+    val w2 = element_at(split(col("p_name"), " "), 2)
+    val mentions = part.select(col("p_partkey").as("id"),
+      concat(w1.substr(lit(1),
+        length(w1) - (col("p_partkey") % 3).cast("int")),
+        lit(" "), w2).as("name"))
+    graft.operators.Linkage.sortedNeighborhoodPairs(mentions, "id",
+        "name", k => substring(k, 1, 1), window = 4, maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+  val q207Sql: String =
+    """WITH m AS (SELECT p_partkey AS id,
+      |    substr(split_part(p_name, ' ', 1), 1,
+      |      len(split_part(p_name, ' ', 1)) - CAST(p_partkey % 3 AS INT))
+      |      || ' ' || split_part(p_name, ' ', 2) AS k FROM part),
+      |pos AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS pos
+      |  FROM m),
+      |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a,
+      |    b.k AS key_b, CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
+      |  FROM pos a JOIN pos b ON b.pos - a.pos BETWEEN 1 AND 3)
+      |SELECT id_a, id_b, key_a, key_b, dist FROM cand WHERE dist <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------- q208
+  /** First-view→first-purchase latency quantiles per daily cohort
+    * ([[EventOps.conversionLatency]]): exact lower-median and p90
+    * seconds via the q88 radix rank-select — the time-to-convert
+    * report next to q78's funnel counts and q79's retention grid.
+    */
+  val q208: Q = (s, dir) =>
+    EventOps.conversionLatency(Tables.events(s, dir), "user_id", "ts",
+        "event_type", fromType = "view", toType = "purchase")
+      .orderBy("g")
+  val q208Sql: String =
+    """WITH base AS (SELECT user_id AS u, epoch_us(ts) AS us,
+      |    event_type AS et FROM events),
+      |f AS (SELECT u, min(us) AS t0 FROM base WHERE et = 'view'
+      |  GROUP BY u),
+      |cv AS (SELECT base.u, min(us) AS t1, min(t0) AS t0
+      |  FROM base JOIN f USING (u)
+      |  WHERE et = 'purchase' AND us >= t0 GROUP BY base.u),
+      |lat AS (SELECT t0 // 86400000000 AS g, (t1 - t0) // 1000000 AS v
+      |  FROM cv),
+      |c AS (SELECT g, v, count(*) AS c FROM lat GROUP BY 1, 2),
+      |w AS (SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+      |med AS (SELECT g, min(v) AS median_s, max(n) AS n FROM w
+      |  WHERE cum >= (n + 1) // 2 GROUP BY g),
+      |p90 AS (SELECT g, min(v) AS p90_s FROM w
+      |  WHERE cum >= (n * 9 + 9) // 10 GROUP BY g)
+      |SELECT med.g AS g, CAST(med.n AS BIGINT) AS n_conv,
+      |  CAST(median_s AS BIGINT) AS median_s, CAST(p90_s AS BIGINT) AS p90_s
+      |FROM med JOIN p90 USING (g) ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q209
+  /** Event-type path trigrams ([[EventOps.pathTrigrams]]): every 3
+    * consecutive event types per user in (ts, event_id) order, counted
+    * corpus-wide — the navigation census that q82's pairwise Markov
+    * transitions cannot see (second-order structure).
+    */
+  val q209: Q = (s, dir) =>
+    EventOps.pathTrigrams(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("step1", "step2", "step3")
+  val q209Sql: String =
+    """WITH b AS (SELECT user_id AS u, epoch_us(ts) AS us,
+      |    event_id AS eid, event_type AS step1 FROM events),
+      |l AS (SELECT u, step1,
+      |    lead(step1, 1) OVER (PARTITION BY u ORDER BY us, eid) AS step2,
+      |    lead(step1, 2) OVER (PARTITION BY u ORDER BY us, eid) AS step3
+      |  FROM b)
+      |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n FROM l
+      |WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q207_sorted_neighborhood" -> q207,
+    "q208_conversion_latency" -> q208,
+    "q209_path_trigrams" -> q209,
     "q204_prefix_filter_join" -> q204,
     "q205_hits" -> q205,
     "q206_blocking_audit" -> q206,
@@ -340,6 +431,9 @@ object Frontier2Queries {
     "q203_peak_concurrency" -> q203)
 
   def oracle: Map[String, String] = Map(
+    "q207_sorted_neighborhood" -> q207Sql,
+    "q208_conversion_latency" -> q208Sql,
+    "q209_path_trigrams" -> q209Sql,
     "q204_prefix_filter_join" -> q204Sql,
     "q205_hits" -> q205Sql,
     "q206_blocking_audit" -> q206Sql,

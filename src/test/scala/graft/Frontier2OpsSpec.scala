@@ -128,6 +128,51 @@ class Frontier2OpsSpec extends SparkSuite {
     assert(out == ((4L, 2L, 3L, 6L, 500000L, 3L, 1L, 333333L)))
   }
 
+  test("sortedNeighborhoodPairs joins across bucket boundaries on global positions") {
+    val df = Seq((1L, "aa"), (2L, "ab"), (3L, "ba"), (4L, "bb"))
+      .toDF("id", "k0")
+    val out = Linkage.sortedNeighborhoodPairs(df, "id", "k0",
+        k => substring(k, 1, 1), window = 2, maxDist = 2)
+      .orderBy("id_a")
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    // sort order aa,ab,ba,bb; window 2 = adjacent only; the (ab, ba)
+    // pair CROSSES the first-char bucket boundary — it only appears if
+    // the bucket-local ranks got exact global offsets
+    assert(out == Seq((1L, 2L, "aa", "ab", 1L),
+      (2L, 3L, "ab", "ba", 2L), (3L, 4L, "ba", "bb", 1L)))
+  }
+
+  test("conversionLatency cohorts by first-touch day with exact quantiles") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val e = Seq(
+      (1L, ts(1000), "view"), (1L, ts(4000), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(0), "purchase"),
+      (3L, ts(10), "purchase"), (3L, ts(20), "view"), // conv before view
+      (4L, ts(50), "view") // never converts
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventOps.conversionLatency(e, "user_id", "ts",
+        "event_type", "view", "purchase")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // users 1 (3000 s) and 2 (0 s) convert; 3's purchase precedes its
+    // view, 4 never converts. n=2 → median target 1 → 0 s, p90 target
+    // ⌈1.8⌉=2 → 3000 s; both first touches are epoch day 0
+    assert(out == Seq((0L, 2L, 0L, 3000L)))
+  }
+
+  test("pathTrigrams counts consecutive type triples in (ts, id) order") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val e = Seq(
+      (1L, 101L, ts(1), "a"), (1L, 102L, ts(2), "b"),
+      (1L, 103L, ts(3), "a"), (1L, 104L, ts(4), "b"),
+      (2L, 201L, ts(1), "c") // too short for a trigram
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventOps.pathTrigrams(e, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("step1")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(out == Seq(("a", "b", "a", 1L), ("b", "a", "b", 1L)))
+  }
+
   test("peakConcurrency nets endpoint ties half-open") {
     // [0,10), [5,15), [10,20): at t=10 one ends as one starts — netted
     // to zero, so the peak stays 2, first reached at t=5
