@@ -92,7 +92,7 @@ object Linkage {
         .orderBy("k", "id")))
     val counts = base.groupBy("bkt").agg(count(lit(1)).as("c"))
     val offs = counts.select("bkt")
-      .join(counts.select(col("bkt").as("lo"), col("c")),
+      .join(broadcast(counts.select(col("bkt").as("lo"), col("c"))),
         col("lo") < col("bkt"), "left")
       .groupBy("bkt").agg(coalesce(sum("c"), lit(0L)).as("off"))
     val pos = local.join(broadcast(offs), "bkt")

@@ -366,4 +366,35 @@ class PlanAssertSpec extends SparkSuite {
         s"$q has ${bare.size} partition-less WindowExec node(s)")
     }
   }
+
+  test("wave-5/6 plans: no cartesian pair generation, no bare windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q207 is the critical one: exact GLOBAL sort positions with no
+    // global window (bucket-local ranks + broadcast offsets) — a
+    // refactor that sneaks in row_number over an empty partition spec
+    // or a cartesian candidate join must fail here
+    for (q <- Seq("q198_ngram_diversity", "q199_cusum_changepoint",
+        "q200_lag_autocorr", "q202_benford_profile",
+        "q203_peak_concurrency", "q204_prefix_filter_join",
+        "q207_sorted_neighborhood", "q209_path_trigrams")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val bare = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$q has ${bare.size} partition-less WindowExec node(s)")
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"$q plans a CartesianProduct:\n" + plan.toString.take(3000))
+    }
+  }
+
+  test("q204 prefix filter verifies candidates with hash joins only") {
+    val p = executed("q204_prefix_filter_join")
+    // candidate generation is an equi-join on the prefix shingle and
+    // the verify stage equi-joins the full shingle sets — nothing may
+    // degrade to a nested-loop over doc pairs
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "prefix-filter join lost its equi-join shape:\n" + p.take(3000))
+  }
 }
