@@ -400,8 +400,23 @@ object Graph {
         col("dst").cast("long").as("dst"))
       .repartition(col("src"))
       .dropDuplicates("src", "dst")
-    val e = if (persist) e0.persist(StorageLevel.MEMORY_AND_DISK) else e0
-    val cleanup = () => if (persist) { e.unpersist(); () }
+    val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val releases = scala.collection.mutable.ArrayBuffer[() => Unit](
+      () => { e.unpersist(); () })
+    // every half-round's raw frame feeds TWO consumers — its broadcast
+    // L1 total and the next half-round's join. Uncached, the broadcast
+    // subjob re-runs the whole prior lineage once per consumer, i.e.
+    // exponentially in the round count (measured 47 s vs 2 s at sf0.1
+    // with iters=2) — so each raw frame is persisted and eagerly
+    // materialized, and the PREVIOUS round's caches release as soon as
+    // the next raw frame is solid (same lifecycle as pageRank's
+    // checkpoint rotation).
+    var roundCaches = List.empty[DataFrame]
+    def materialized(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(scale).cast("decimal(38,0)"))
     var auth: DataFrame = null
@@ -410,26 +425,31 @@ object Graph {
       // normalized score to decimal(38,0) so the NEXT half-round's
       // sum·scale product never multiplies long×long (score·deg·scale
       // crosses int64 at ~10⁹-degree nodes)
-      val aRaw = e.join(hub, e("src") === hub("node"))
-        .groupBy(col("dst").as("anode")).agg(sum("h").as("raw"))
+      val aRaw = materialized(e.join(hub, e("src") === hub("node"))
+        .groupBy(col("dst").as("anode")).agg(sum("h").as("raw")))
       val aTot = aRaw.agg(sum("raw").as("tot"))
       auth = aRaw.crossJoin(broadcast(aTot))
         .select(col("anode").as("node"),
           expr(s"cast((cast(raw as decimal(38,0)) * $scale) div tot" +
             " as decimal(38,0))").as("a"))
-      val hRaw = e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src").as("hnode")).agg(sum("a").as("raw"))
+      val hRaw = materialized(e.join(auth, e("dst") === auth("node"))
+        .groupBy(col("src").as("hnode")).agg(sum("a").as("raw")))
       val hTot = hRaw.agg(sum("raw").as("tot"))
       hub = hRaw.crossJoin(broadcast(hTot))
         .select(col("hnode").as("node"),
           expr(s"cast((cast(raw as decimal(38,0)) * $scale) div tot" +
             " as decimal(38,0))").as("h"))
+      roundCaches.foreach(_.unpersist()) // prior round fully consumed
+      roundCaches = List(aRaw, hRaw)
     }
     val out = auth.select(col("node"), lit("auth").as("kind"),
         col("a").cast("long").as("score"))
       .unionByName(hub.select(col("node"), lit("hub").as("kind"),
         col("h").cast("long").as("score")))
-    (out, cleanup)
+    releases += (() => { roundCaches.foreach(_.unpersist()); () })
+    if (!persist) releases.foreach(_.apply()) // caller opts out: plans
+    // stay correct (the frames re-run lazily), only the caches go
+    (out, () => releases.foreach(_.apply()))
   }
 
   /** [[hitsManaged]] without the cleanup handle. */
