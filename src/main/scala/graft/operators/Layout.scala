@@ -115,4 +115,41 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** Data-skipping effectiveness audit — "does this layout actually
+    * prune": given a file assignment and a probe-key workload, how many
+    * files a point query on the key must touch under min/max zone-map
+    * pruning (the Parquet row-group / Delta file-stats mechanism). A
+    * range-clustered layout touches ~1 file per probe; a layout
+    * uncorrelated with the key touches ~all of them — THE number that
+    * justifies a [[clusterByZOrder]] rewrite before anyone runs it.
+    *
+    * One aggregate to the per-file (min, max) zone map (bounded by the
+    * file count), then probes × broadcast zone map with the
+    * containment filter — fan-out is the true files-touched count, the
+    * quantity being measured. Exact integers.
+    *
+    * Output: one row (layout, n_files, n_probes, files_touched,
+    * touch_ppm) with touch_ppm = 10⁶·touched div (files·probes) — 10⁶
+    * means every probe scans every file, 10⁶/n_files is perfect
+    * single-file routing.
+    */
+  def skippingAudit(df: DataFrame, fileCol: Column, keyCol: Column,
+      probes: DataFrame, probeCol: Column, layout: String): DataFrame = {
+    val zones = df.select(fileCol.as("f"), keyCol.as("k"))
+      .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"))
+    val p = probes.select(probeCol.as("p"))
+    val nf = zones.agg(count(lit(1)).as("n_files"))
+    val np = p.agg(count(lit(1)).as("n_probes"))
+    p.join(broadcast(zones),
+        col("p") >= col("mn") && col("p") <= col("mx"))
+      .agg(count(lit(1)).as("files_touched"))
+      .crossJoin(broadcast(nf)).crossJoin(broadcast(np))
+      .select(lit(layout).as("layout"), col("n_files"), col("n_probes"),
+        col("files_touched"),
+        expr("""case when n_files * n_probes = 0 then cast(0 as bigint)
+          |  else cast((files_touched * 1000000)
+          |    div (n_files * n_probes) as bigint) end""".stripMargin)
+          .as("touch_ppm"))
+  }
 }

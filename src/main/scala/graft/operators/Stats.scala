@@ -688,6 +688,75 @@ object Stats {
           .stripMargin).as("ac1_6dp"))
   }
 
+  /** Functional-dependency audit — the schema-inference / data-quality
+    * profiler: for each candidate FD lhs → rhs, whether it HOLDS
+    * (every lhs value maps to exactly one rhs value), how many lhs
+    * groups violate it, and the total count of extra rhs values
+    * (Σ max(0, distinct_rhs − 1) — the minimum number of cell edits
+    * that would repair the dependency, the standard g₃-style error
+    * measure). Discovered FDs drive normalization, key inference, and
+    * dirty-join debugging ("order_id no longer determines customer").
+    *
+    * One exact two-phase distinct aggregate per candidate (the (lhs,
+    * rhs) domain bounds the shuffle), unioned — candidates are
+    * independent, so Spark runs them as parallel subtrees of the union.
+    *
+    * Output: (fd, n_lhs, n_violating, extra_rhs, holds ∈ {0, 1}).
+    */
+  def fdAudit(df: DataFrame,
+      fds: Seq[(String, Column, Column)]): DataFrame =
+    fds.map { case (name, lhs, rhs) =>
+      df.select(lhs.as("l"), rhs.as("r"))
+        .groupBy("l").agg(countDistinct(col("r")).as("d"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("d") > 1L, 1L).otherwise(0L)).as("n_violating"),
+          sum(col("d") - 1L).as("extra_rhs"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          col("extra_rhs"),
+          when(col("n_violating") === 0L, lit(1L)).otherwise(lit(0L))
+            .as("holds"))
+    }.reduce(_ unionByName _)
+
+  /** Per-group Kendall concordance between two orderings — "does value
+    * rise with time" (or any monotone-association question) without
+    * the parametric assumptions of q188's OLS slope: over all within-
+    * group pairs strictly ordered by `orderCol`, the counts of
+    * concordant / discordant / tied `valueCol` moves and
+    * tau = (conc − disc)/(conc + disc + ties) as a fixed-order 6dp
+    * double (the one division; counts are exact integers — no signed
+    * integral div, whose floor/truncate semantics differ across
+    * engines).
+    *
+    * The pair join is an equi-join on the GROUP key with fan-out
+    * C(group size, 2) — sound when the per-group cardinality is
+    * a-priori bounded (orders per customer, versions per document);
+    * rollupCol then aggregates the bounded pair counts to reporting
+    * granularity. This is the documented small-group regime: for
+    * unbounded groups use q188's OLS trend, which is linear.
+    *
+    * Output: (g, n_pairs, conc, disc, ties, tau_6dp).
+    */
+  def kendallTau(df: DataFrame, groupCol: Column, orderCol: Column,
+      valueCol: Column, rollupCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("k"), rollupCol.as("g"),
+      orderCol.as("o"), valueCol.as("v"))
+    val a = base.select(col("k"), col("g"), col("o").as("oa"),
+      col("v").as("va"))
+    val b = base.select(col("k"), col("o").as("ob"), col("v").as("vb"))
+    a.join(b, Seq("k")).filter(col("oa") < col("ob"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("vb") > col("va"), 1L).otherwise(0L)).as("conc"),
+        sum(when(col("vb") < col("va"), 1L).otherwise(0L)).as("disc"),
+        sum(when(col("vb") === col("va"), 1L).otherwise(0L)).as("ties"))
+      .select(col("g"), col("n_pairs"), col("conc"), col("disc"),
+        col("ties"),
+        expr("""case when n_pairs = 0 then 0.0d else
+          |  round((cast(conc as double) - cast(disc as double))
+          |    / cast(n_pairs as double), 6) end""".stripMargin)
+          .as("tau_6dp"))
+  }
+
   /** Benford first-digit profile — the classic fabricated-data /
     * unit-mixup audit: for each group, the observed count of each
     * leading digit 1-9 of the (positive) integer value next to

@@ -416,7 +416,128 @@ object Frontier2Queries {
       |WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------- q210
+  /** Data-skipping audit ([[graft.operators.Layout.skippingAudit]]):
+    * min/max zone-map pruning effectiveness of a price-range-clustered
+    * lineitem layout vs an orderkey-hash layout, probed with 64 part
+    * retail prices — the files-touched-per-point-query number that
+    * justifies (or refutes) a q70-style clustering rewrite before
+    * anyone pays for it.
+    */
+  val q210: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("k"),
+        col("l_orderkey"))
+    val probes = Tables.part(s, dir).filter(col("p_partkey") <= 64)
+      .select(round(col("p_retailprice") * 100).cast("long").as("p"))
+    val range = graft.operators.Layout.skippingAudit(li,
+      expr("k div 10000"), col("k"), probes, col("p"), "range")
+    val hash = graft.operators.Layout.skippingAudit(li,
+      col("l_orderkey") % 32, col("k"), probes, col("p"), "hash")
+    range.unionByName(hash).orderBy("layout")
+  }
+  val q210Sql: String =
+    """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    AS k, l_orderkey FROM lineitem),
+      |pr AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS p
+      |  FROM part WHERE p_partkey <= 64),
+      |za AS (SELECT k // 10000 AS f, min(k) AS mn, max(k) AS mx
+      |  FROM li GROUP BY 1),
+      |zb AS (SELECT l_orderkey % 32 AS f, min(k) AS mn, max(k) AS mx
+      |  FROM li GROUP BY 1),
+      |u AS (
+      |  SELECT 'range' AS layout, (SELECT count(*) FROM za) AS n_files,
+      |    (SELECT count(*) FROM pr) AS n_probes,
+      |    (SELECT count(*) FROM pr JOIN za ON p BETWEEN mn AND mx)
+      |      AS files_touched
+      |  UNION ALL
+      |  SELECT 'hash' AS layout, (SELECT count(*) FROM zb) AS n_files,
+      |    (SELECT count(*) FROM pr) AS n_probes,
+      |    (SELECT count(*) FROM pr JOIN zb ON p BETWEEN mn AND mx)
+      |      AS files_touched)
+      |SELECT layout, CAST(n_files AS BIGINT) AS n_files,
+      |  CAST(n_probes AS BIGINT) AS n_probes,
+      |  CAST(files_touched AS BIGINT) AS files_touched,
+      |  CAST(CASE WHEN n_files * n_probes = 0 THEN 0 ELSE
+      |    (files_touched * 1000000) // (n_files * n_probes) END AS BIGINT)
+      |    AS touch_ppm
+      |FROM u ORDER BY layout""".stripMargin
+
+  // --------------------------------------------------------------- q211
+  /** Functional-dependency audit ([[Stats.fdAudit]]) over orders: the
+    * primary key holds by construction, the two plausible-but-false
+    * dependencies report their exact violation mass — the
+    * normalization/key-inference profiler beside q86's per-column
+    * stats.
+    */
+  val q211: Q = (s, dir) =>
+    Stats.fdAudit(Tables.orders(s, dir), Seq(
+        ("o_orderkey->o_custkey", col("o_orderkey"), col("o_custkey")),
+        ("o_custkey->o_orderpriority", col("o_custkey"),
+          col("o_orderpriority")),
+        ("o_orderstatus->o_orderpriority", col("o_orderstatus"),
+          col("o_orderpriority"))))
+      .orderBy("fd")
+  val q211Sql: String = {
+    def one(name: String, l: String, r: String) =
+      s"""SELECT '$name' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+         |  CAST(coalesce(sum(CASE WHEN d > 1 THEN 1 END), 0) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(coalesce(sum(d - 1), 0) AS BIGINT) AS extra_rhs,
+         |  CAST(CASE WHEN coalesce(sum(CASE WHEN d > 1 THEN 1 END), 0) = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS holds
+         |FROM (SELECT $l AS lv, count(DISTINCT $r) AS d FROM orders
+         |  GROUP BY 1)""".stripMargin
+    s"""${one("o_orderkey->o_custkey", "o_orderkey", "o_custkey")}
+       |UNION ALL
+       |${one("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")}
+       |UNION ALL
+       |${one("o_orderstatus->o_orderpriority", "o_orderstatus",
+          "o_orderpriority")}
+       |ORDER BY fd""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q212
+  /** Kendall concordance per market segment ([[Stats.kendallTau]]):
+    * over every customer's strictly date-ordered order pairs, do
+    * totals rise with time — the non-parametric complement of q188's
+    * OLS slope, aggregated from per-customer bounded pair counts
+    * (orders per customer is the a-priori bound).
+    */
+  val q212: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).join(
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      col("o_custkey") === col("c_custkey"))
+    Stats.kendallTau(o, col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("c_mktsegment"))
+      .orderBy("g")
+  }
+  val q212Sql: String =
+    """WITH o AS (SELECT o_custkey AS k, c_mktsegment AS g,
+      |    o_orderdate AS od,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |p AS (SELECT a.g, a.v AS va, b.v AS vb
+      |  FROM o a JOIN o b ON a.k = b.k AND a.od < b.od)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(sum(CASE WHEN vb > va THEN 1 END), 0) AS BIGINT)
+      |    AS conc,
+      |  CAST(coalesce(sum(CASE WHEN vb < va THEN 1 END), 0) AS BIGINT)
+      |    AS disc,
+      |  CAST(coalesce(sum(CASE WHEN vb = va THEN 1 END), 0) AS BIGINT)
+      |    AS ties,
+      |  CASE WHEN count(*) = 0 THEN 0.0 ELSE
+      |    round((CAST(coalesce(sum(CASE WHEN vb > va THEN 1 END), 0)
+      |        AS DOUBLE)
+      |      - CAST(coalesce(sum(CASE WHEN vb < va THEN 1 END), 0)
+      |        AS DOUBLE)) / CAST(count(*) AS DOUBLE), 6) END AS tau_6dp
+      |FROM p GROUP BY g ORDER BY g""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q210_skipping_audit" -> q210,
+    "q211_fd_discovery" -> q211,
+    "q212_kendall_concordance" -> q212,
     "q207_sorted_neighborhood" -> q207,
     "q208_conversion_latency" -> q208,
     "q209_path_trigrams" -> q209,
@@ -431,6 +552,9 @@ object Frontier2Queries {
     "q203_peak_concurrency" -> q203)
 
   def oracle: Map[String, String] = Map(
+    "q210_skipping_audit" -> q210Sql,
+    "q211_fd_discovery" -> q211Sql,
+    "q212_kendall_concordance" -> q212Sql,
     "q207_sorted_neighborhood" -> q207Sql,
     "q208_conversion_latency" -> q208Sql,
     "q209_path_trigrams" -> q209Sql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, EventOps, Graph, Linkage, Stats, TextOps}
+import graft.operators.{Curate, Dedup, EventOps, Graph, Layout, Linkage, Stats, TextOps}
 
 /** Round-10 wave-5 operators: n-gram diversity, CUSUM change-point,
   * lag-1 autocorrelation, l-diversity, Benford profile, and the
@@ -171,6 +171,43 @@ class Frontier2OpsSpec extends SparkSuite {
       .orderBy("step1")
       .as[(String, String, String, Long)].collect().toSeq
     assert(out == Seq(("a", "b", "a", 1L), ("b", "a", "b", 1L)))
+  }
+
+  test("skippingAudit counts zone-map hits per layout") {
+    val rows = (1L to 20L).map(k => (k, k % 2)).toDF("k", "h")
+    val probes = Seq(5L, 15L).toDF("p")
+    val range = Layout.skippingAudit(rows, expr("k div 10"), col("k"),
+        probes, col("p"), "range")
+      .as[(String, Long, Long, Long, Long)].head()
+    // range files [1..9],[10..19],[20]: each probe touches exactly one
+    assert(range == (("range", 3L, 2L, 2L, 333333L)))
+    val hash = Layout.skippingAudit(rows, col("h"), col("k"),
+        probes, col("p"), "hash")
+      .as[(String, Long, Long, Long, Long)].head()
+    // both parity files span [1..20] → every probe touches both
+    assert(hash == (("hash", 2L, 2L, 4L, 1000000L)))
+  }
+
+  test("fdAudit reports violation mass per candidate dependency") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("l0", "r0")
+    val out = Stats.fdAudit(df, Seq(("l->r", col("l0"), col("r0"))))
+      .as[(String, Long, Long, Long, Long)].head()
+    // lhs group 2 carries two rhs values → one violating group, one
+    // extra value, FD does not hold
+    assert(out == (("l->r", 3L, 1L, 1L, 0L)))
+  }
+
+  test("kendallTau counts strict-order pair moves exactly") {
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    val df = Seq((1L, "S", ts(1), 10L), (1L, "S", ts(2), 20L),
+      (1L, "S", ts(3), 15L), (2L, "S", ts(1), 7L)) // customer 2: no pair
+      .toDF("k0", "seg", "od", "v0")
+    val out = Stats.kendallTau(df, col("k0"), col("od"), col("v0"),
+        col("seg"))
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    // pairs (1,2) conc, (1,3) conc, (2,3) disc → tau = 1/3
+    assert(out == (("S", 3L, 2L, 1L, 0L, 0.333333)))
   }
 
   test("peakConcurrency nets endpoint ties half-open") {
