@@ -396,6 +396,23 @@ object Bench {
           streamStateRows("stream_lsh_gate") = 0L // foreachBatch: no store
         } finally q.stop()
       }),
+      ("stream_benford", () => {
+        // the online feed-quality monitor: complete-mode digit counts,
+        // state bounded by the (type × 9) digit domain — the entry
+        // prices the per-batch commit of a domain-bounded aggregate
+        val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+        val df = in.toDS()
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+        val q = EventAnalytics.digitCounts(df)
+          .writeStream.format("noop")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-sb").toString)
+          .outputMode("complete").start()
+        try {
+          evSlices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+          recordState("stream_benford", q)
+        } finally q.stop()
+      }),
       ("stream_dump_watch", () => {
         // the CDC watcher's snapshot/op-log advance for two dump
         // versions (script emission is the already-benched sync core)

@@ -48,4 +48,30 @@ object Skew {
     saltedFact.join(broadcast(replicatedDim), Seq(key, "_salt"))
       .drop("_salt")
   }
+
+  /** Salting PLAN for a skewed key — the advisor feeding [[saltedJoin]]
+    * / [[saltedCountSum]] fan-outs and AQE skew thresholds: every key
+    * whose row count exceeds `targetPerSalt` (the rows one task should
+    * hold — partition-size budget over row width) with the MINIMAL
+    * replication factor that brings each salt shard back under the
+    * budget, ⌈count / target⌉. Emitting a PLAN instead of hardcoding a
+    * global fan-out is the difference between salting one hot key 40×
+    * and salting every key 40× (a 40× dimension blow-up in the
+    * replicated join).
+    *
+    * One aggregate to the key domain, one filter — the plan frame is
+    * hot-keys-only, broadcastable by construction.
+    *
+    * Output: (key, n_rows, salt_factor), salt_factor ≥ 2, i.e. only
+    * keys that need splitting; an empty result means the key is safe.
+    */
+  def saltPlan(df: DataFrame, keyCol: Column,
+      targetPerSalt: Long): DataFrame = {
+    require(targetPerSalt >= 1, s"targetPerSalt: $targetPerSalt")
+    df.select(keyCol.as("key")).groupBy("key")
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > targetPerSalt)
+      .withColumn("salt_factor",
+        expr(s"(n_rows + $targetPerSalt - 1) div $targetPerSalt"))
+  }
 }

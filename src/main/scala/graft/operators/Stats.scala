@@ -757,6 +757,103 @@ object Stats {
           .as("tau_6dp"))
   }
 
+  /** Exact join-explosion audit — the post-hoc truth q181's CMS sketch
+    * estimates a priori: the exact output cardinality of an equi-join
+    * and the top-k keys driving it (|A⋈B| = Σ_k c_A(k)·c_B(k), each
+    * key's share in ppm). Run when a join's output size surprises —
+    * the top keys ARE the skew/salting worklist ([[graft.operators
+    * .Skew.saltPlan]] consumes the same shape).
+    *
+    * Two key-domain aggregates, their equi-join, one TakeOrdered top-k
+    * (never a full global sort) against a broadcast single-row total.
+    * Products in decimal(38,0) — a 10⁹×10⁹ hot key prices 10¹⁸ pairs,
+    * at the int64 edge.
+    *
+    * Output: top-k rows (k, n_a, n_b, pairs, share_ppm), ordered by
+    * (pairs desc, k).
+    */
+  def joinExplosionAudit(a: DataFrame, aKey: Column, b: DataFrame,
+      bKey: Column, topK: Int): DataFrame = {
+    val ca = a.select(aKey.as("k")).groupBy("k")
+      .agg(count(lit(1)).as("n_a"))
+    val cb = b.select(bKey.as("k")).groupBy("k")
+      .agg(count(lit(1)).as("n_b"))
+    val j = ca.join(cb, "k")
+      .withColumn("pairs",
+        expr("cast(n_a as decimal(38,0)) * n_b"))
+    val tot = j.agg(sum("pairs").as("total"))
+    j.crossJoin(broadcast(tot))
+      .select(col("k"), col("n_a"), col("n_b"),
+        col("pairs").cast("long").as("pairs"),
+        expr("cast((pairs * 1000000) div total as bigint)")
+          .as("share_ppm"))
+      .orderBy(col("pairs").desc, col("k"))
+      .limit(topK)
+  }
+
+  /** Fano factor (index of dispersion) of per-bucket totals — the
+    * burstiness classifier for arrival series: variance/mean = 1 is
+    * Poisson (memoryless arrivals), > 1 is bursty/clumped (retry
+    * storms, batch jobs, crawler sweeps), < 1 is regular (rate-limited
+    * or scheduled). Computed from cross-multiplied exact integers —
+    * var/mean = (n·Q − S²)/(n·S) with S = Σx, Q = Σx² in decimal(38,0)
+    * — and reported as the single fixed-order 6dp double division.
+    * The drift family's SHAPE probe: cusum says where the level moved,
+    * autocorr whether shocks persist, fano how clumped the mass is.
+    *
+    * One aggregate to the (group, bucket) domain, one per-group
+    * reduce. Output: (g, n_buckets, total, fano_6dp); zero-total
+    * groups report 0.0.
+    */
+  def fanoFactor(df: DataFrame, groupCol: Column, bucketCol: Column,
+      valueCol: Column): DataFrame =
+    df.select(groupCol.as("g"), bucketCol.as("k"),
+        valueCol.cast("long").as("x"))
+      .groupBy("g", "k").agg(sum("x").as("xb"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_buckets"), sum("xb").as("total"),
+        sum(expr("cast(xb as decimal(38,0)) * xb")).as("q"))
+      .select(col("g"), col("n_buckets"),
+        col("total").cast("long").as("total"),
+        expr("""case when total = 0 then 0.0d else
+          |  round(cast(n_buckets * q
+          |      - cast(total as decimal(38,0)) * total as double)
+          |    / cast(cast(n_buckets as decimal(38,0)) * total as double),
+          |    6) end""".stripMargin).as("fano_6dp"))
+
+  /** Pareto coverage — "how few units carry half (and 90%) of the
+    * mass": per group, the unit-count frame is ranked by contribution
+    * (descending, unit id tie-break) and the report is the minimal
+    * number of units whose cumulative share reaches 50% and 90% —
+    * exact integers end to end (2·cum ≥ total and 10·cum ≥ 9·total; no
+    * percentage is ever materialized). The concentration metric behind
+    * load budgeting ("3 users are 90% of traffic") and dataset
+    * curation ("12 domains are half the corpus").
+    *
+    * One aggregate to the (group, unit) domain, one window PARTITIONED
+    * by group over that bounded frame, one per-group argmin-style
+    * reduce. Output: (g, n_units, n_events, units_50, units_90).
+    */
+  def paretoCoverage(df: DataFrame, groupCol: Column,
+      unitCol: Column): DataFrame = {
+    val counts = df.select(groupCol.as("g"), unitCol.as("u"))
+      .groupBy("g", "u").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy(col("c").desc, col("u"))
+    counts
+      .withColumn("r", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_units"), max(col("tot")).as("n_events"),
+        min(when(col("cum") * 2 >= col("tot"), col("r"))).as("units_50"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("r")))
+          .as("units_90"))
+      .select(col("g"), col("n_units"),
+        col("n_events").cast("long").as("n_events"),
+        col("units_50").cast("long").as("units_50"),
+        col("units_90").cast("long").as("units_90"))
+  }
+
   /** Benford first-digit profile — the classic fabricated-data /
     * unit-mixup audit: for each group, the observed count of each
     * leading digit 1-9 of the (positive) integer value next to
@@ -773,18 +870,30 @@ object Stats {
     *
     * Output: (g, digit, n_obs, exp_ppm, dev_ppm).
     */
-  def benfordProfile(df: DataFrame, groupCol: Column,
-      valueCol: Column): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val expected = Seq((1L, 301030L), (2L, 176091L), (3L, 124939L),
-      (4L, 96910L), (5L, 79181L), (6L, 66947L), (7L, 57992L),
-      (8L, 51153L), (9L, 45757L)).toDF("digit", "exp_ppm")
-    val obs = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+  /** First-digit extraction shared by the batch profile and the
+    * streaming monitor: string arithmetic on the positive long — exact
+    * for the full int64 range, no log/pow.
+    */
+  def leadingDigitCounts(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame =
+    df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
       .filter(col("v") > 0L)
       .withColumn("digit",
         substring(col("v").cast("string"), 1, 1).cast("long"))
       .groupBy("g", "digit").agg(count(lit(1)).as("c"))
+
+  /** [[benfordProfile]]'s report half over a pre-aggregated
+    * (g, digit, c) frame — the finisher a STREAMING digit-count
+    * aggregate ([[graft.streaming.EventAnalytics.digitCounts]]) feeds
+    * at read time, so the online monitor and the batch audit share one
+    * deviation formula by construction.
+    */
+  def benfordFromCounts(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val expected = Seq((1L, 301030L), (2L, 176091L), (3L, 124939L),
+      (4L, 96910L), (5L, 79181L), (6L, 66947L), (7L, 57992L),
+      (8L, 51153L), (9L, 45757L)).toDF("digit", "exp_ppm")
     val grid = obs.select("g").distinct().crossJoin(broadcast(expected))
     grid.join(obs, Seq("g", "digit"), "left")
       .withColumn("n_obs", coalesce(col("c"), lit(0L)))
@@ -796,4 +905,8 @@ object Stats {
           |  div cast(n as decimal(38,0)) as bigint)""".stripMargin)
           .as("dev_ppm"))
   }
+
+  def benfordProfile(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame =
+    benfordFromCounts(leadingDigitCounts(df, groupCol, valueCol))
 }

@@ -1879,4 +1879,54 @@ object TextOps {
             " div total_ngrams").cast("long").as("distinct_ppm"))
     }.reduce(_ unionByName _)
   }
+  /** PII census — the data-governance inventory run BEFORE q64's
+    * redaction: per group and PII pattern class, the total match count
+    * and the number of documents hit. Patterns are deliberately simple
+    * character-class regexes (emails, dashed phone/SSN shapes) that
+    * mean the same thing in Java regex and RE2 — the portability
+    * contract that lets the oracle replay them; counts are
+    * non-overlapping matches in both engines.
+    *
+    * Map-only per pattern (one codegen'd regexp_count pass) into one
+    * (group × pattern) domain-bounded aggregate each, unioned.
+    * Output: (g, pii_type, n_matches, n_docs_hit).
+    */
+  def piiCensus(df: DataFrame, groupCol: Column, textCol: Column,
+      patterns: Seq[(String, String)]): DataFrame =
+    patterns.map { case (name, pat) =>
+      df.select(groupCol.as("g"),
+          regexp_count(textCol, lit(pat)).cast("long").as("m"))
+        .groupBy("g")
+        .agg(sum("m").as("n_matches"),
+          sum(when(col("m") > 0L, 1L).otherwise(0L)).as("n_docs_hit"))
+        .select(col("g"), lit(name).as("pii_type"), col("n_matches"),
+          col("n_docs_hit"))
+    }.reduce(_ unionByName _)
+
+  /** Number-masked template clusters — the structured-boilerplate
+    * detector beside [[sentenceBoilerplate]]'s sentence counting:
+    * documents whose texts are IDENTICAL once digit runs collapse to
+    * `#` (order confirmations, log lines, generated listings) cluster
+    * under one 48-bit template key. Reports every template with at
+    * least `minDocs` members, its membership, how many distinct
+    * ORIGINAL texts it absorbs (= how much the numbers vary), and the
+    * smallest member id as the exemplar.
+    *
+    * One map-side mask+hash, one key-domain aggregate; the hash keys
+    * the shuffle on a long instead of the full text ([[graft.operators
+    * .Dedup.hashedShingleTable]]'s trick at document granularity).
+    * Output: (template_h, n_docs, n_variants, exemplar_id).
+    */
+  def templateClusters(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2L): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.Portable.hash48(
+          regexp_replace(lower(col(textCol)), "[0-9]+", "#"))
+          .as("template_h"),
+        graft.functions.Portable.hash48(col(textCol)).as("text_h"))
+      .groupBy("template_h")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text_h")).as("n_variants"),
+        min(col("id")).as("exemplar_id"))
+      .filter(col("n_docs") >= minDocs)
 }

@@ -534,7 +534,186 @@ object Frontier2Queries {
       |        AS DOUBLE)) / CAST(count(*) AS DOUBLE), 6) END AS tau_6dp
       |FROM p GROUP BY g ORDER BY g""".stripMargin
 
+  // --------------------------------------------------------------- q213
+  /** Fano-factor burstiness ([[Stats.fanoFactor]]) of the daily event
+    * series per type: dispersion index > 1 flags clumped arrivals
+    * (retry storms, batch sweeps) that a mean-rate capacity plan would
+    * underprovision — the SHAPE probe beside q199's change-point and
+    * q200's momentum.
+    */
+  val q213: Q = (s, dir) =>
+    Stats.fanoFactor(dailyCounts(s, dir).withColumn("one", lit(1L)),
+        col("event_type"), col("day"), col("one"))
+      .orderBy("g")
+  val q213Sql: String =
+    s"""WITH b AS (SELECT event_type AS g, day AS k, count(*) AS xb
+       |  FROM ($dailyCountsSql) GROUP BY 1, 2),
+       |t AS (SELECT g, count(*) AS n_buckets, sum(xb) AS total,
+       |  sum(xb * xb) AS q FROM b GROUP BY g)
+       |SELECT g, CAST(n_buckets AS BIGINT) AS n_buckets,
+       |  CAST(total AS BIGINT) AS total,
+       |  CASE WHEN total = 0 THEN 0.0 ELSE
+       |    round(CAST(n_buckets * q - total * total AS DOUBLE)
+       |      / CAST(n_buckets * total AS DOUBLE), 6) END AS fano_6dp
+       |FROM t ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q214
+  /** Pareto coverage ([[Stats.paretoCoverage]]): the minimal number of
+    * users carrying 50% and 90% of each event type's volume — exact
+    * integer concentration ("3 users are 90% of errors") for load
+    * budgeting and corpus curation, with no percentage ever
+    * materialized.
+    */
+  val q214: Q = (s, dir) =>
+    Stats.paretoCoverage(Tables.events(s, dir), col("event_type"),
+        col("user_id"))
+      .orderBy("g")
+  val q214Sql: String =
+    """WITH c AS (SELECT event_type AS g, user_id AS u, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT g, c,
+      |    row_number() OVER (PARTITION BY g ORDER BY c DESC, u) AS r,
+      |    sum(c) OVER (PARTITION BY g ORDER BY c DESC, u
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS tot FROM c)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n_units,
+      |  CAST(max(tot) AS BIGINT) AS n_events,
+      |  CAST(min(CASE WHEN cum * 2 >= tot THEN r END) AS BIGINT)
+      |    AS units_50,
+      |  CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN r END) AS BIGINT)
+      |    AS units_90
+      |FROM w GROUP BY g ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q215
+  /** Salting plan ([[graft.operators.Skew.saltPlan]]): every document
+    * source whose row count exceeds a 10-rows-per-task budget with
+    * the minimal split factor that restores it — the advisor output
+    * that q29's salted aggregation and AQE skew thresholds consume,
+    * per-key instead of one global fan-out.
+    */
+  val q215: Q = (s, dir) =>
+    graft.operators.Skew.saltPlan(Tables.documents(s, dir),
+        col("source"), targetPerSalt = 10L)
+      .orderBy("key")
+  val q215Sql: String =
+    """SELECT source AS key, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST((count(*) + 9) // 10 AS BIGINT) AS salt_factor
+      |FROM documents GROUP BY 1 HAVING count(*) > 10
+      |ORDER BY key""".stripMargin
+
+  // --------------------------------------------------------------- q216
+  /** Exact join-explosion audit ([[Stats.joinExplosionAudit]]) of the
+    * lineitem partkey self-join — the post-hoc truth of q181's CMS
+    * estimate: exact output cardinality share of the top-10 keys, i.e.
+    * the salting worklist when a join output surprises.
+    */
+  val q216: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    Stats.joinExplosionAudit(li, col("l_partkey"), li, col("l_partkey"),
+      topK = 10)
+  }
+  val q216Sql: String =
+    """WITH ca AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem
+      |  GROUP BY 1),
+      |j AS (SELECT k, c AS n_a, c AS n_b, c * c AS pairs FROM ca),
+      |t AS (SELECT sum(pairs) AS total FROM j),
+      |r AS (SELECT k, n_a, n_b, pairs,
+      |    row_number() OVER (ORDER BY pairs DESC, k) AS rn FROM j)
+      |SELECT k, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(pairs AS BIGINT) AS pairs,
+      |  CAST((pairs * 1000000) // total AS BIGINT) AS share_ppm
+      |FROM r CROSS JOIN t WHERE rn <= 10
+      |ORDER BY pairs DESC, k""".stripMargin
+
+  // --------------------------------------------------------------- q217
+  /** PII census ([[TextOps.piiCensus]]) per source over a corpus with
+    * synthetic contact lines on every 7th document — the governance
+    * inventory (emails / dashed phones / SSN shapes, match and
+    * document counts) read before q64's redaction pass. Patterns are
+    * Java-regex/RE2-portable character classes, so the oracle replays
+    * them verbatim.
+    */
+  val q217: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567 ssn 123-45-6789"))
+          .as("text")))
+    TextOps.piiCensus(corpus, col("source"), col("text"), Seq(
+        ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"),
+        ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+        ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}")))
+      .orderBy("g", "pii_type")
+  }
+  val q217Sql: String = {
+    val corpus =
+      """SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000 AS doc_id, source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 555-123-4567 ssn 123-45-6789' AS text
+        |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+    def one(name: String, pat: String) =
+      s"""SELECT source AS g, '$name' AS pii_type,
+         |  CAST(coalesce(sum(len(regexp_extract_all(text, '$pat'))), 0)
+         |    AS BIGINT) AS n_matches,
+         |  CAST(coalesce(sum(CASE WHEN
+         |    len(regexp_extract_all(text, '$pat')) > 0 THEN 1 END), 0)
+         |    AS BIGINT) AS n_docs_hit
+         |FROM corpus GROUP BY 1""".stripMargin
+    s"""WITH corpus AS ($corpus)
+       |${one("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")}
+       |UNION ALL
+       |${one("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}")}
+       |UNION ALL
+       |${one("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}")}
+       |ORDER BY g, pii_type""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q218
+  /** Number-masked template clusters ([[TextOps.templateClusters]])
+    * over a corpus where every 9th document gains two numbered
+    * variants: the structured-boilerplate detector — variants that
+    * differ only in digit runs land in one template with
+    * n_variants = 2 — beside q87's sentence-frequency boilerplate.
+    */
+  val q218: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val nine = d.filter(col("doc_id") % 9 === 0)
+    val corpus = d
+      .unionByName(nine.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" order 123 total 45")).as("text")))
+      .unionByName(nine.select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("text"), lit(" order 987 total 6")).as("text")))
+    TextOps.templateClusters(corpus, "doc_id", "text", minDocs = 2L)
+      .orderBy("template_h")
+  }
+  val q218Sql: String =
+    """WITH corpus AS (SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id + 3000000 AS id,
+      |    text || ' order 123 total 45' AS text
+      |  FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL SELECT doc_id + 4000000 AS id,
+      |    text || ' order 987 total 6' AS text
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |h AS (SELECT id,
+      |    ('0x' || substr(md5(regexp_replace(lower(text), '[0-9]+', '#',
+      |      'g')), 1, 12))::BIGINT AS template_h,
+      |    ('0x' || substr(md5(text), 1, 12))::BIGINT AS text_h
+      |  FROM corpus)
+      |SELECT template_h, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT text_h) AS BIGINT) AS n_variants,
+      |  CAST(min(id) AS BIGINT) AS exemplar_id
+      |FROM h GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY template_h""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q216_join_explosion_audit" -> q216,
+    "q217_pii_census" -> q217,
+    "q218_template_clusters" -> q218,
+    "q213_burstiness_fano" -> q213,
+    "q214_pareto_coverage" -> q214,
+    "q215_salt_plan" -> q215,
     "q210_skipping_audit" -> q210,
     "q211_fd_discovery" -> q211,
     "q212_kendall_concordance" -> q212,
@@ -552,6 +731,12 @@ object Frontier2Queries {
     "q203_peak_concurrency" -> q203)
 
   def oracle: Map[String, String] = Map(
+    "q216_join_explosion_audit" -> q216Sql,
+    "q217_pii_census" -> q217Sql,
+    "q218_template_clusters" -> q218Sql,
+    "q213_burstiness_fano" -> q213Sql,
+    "q214_pareto_coverage" -> q214Sql,
+    "q215_salt_plan" -> q215Sql,
     "q210_skipping_audit" -> q210Sql,
     "q211_fd_discovery" -> q211Sql,
     "q212_kendall_concordance" -> q212Sql,

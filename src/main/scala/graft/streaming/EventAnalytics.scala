@@ -104,6 +104,20 @@ object EventAnalytics {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming Benford feed monitor — the online half of q202's
+    * fabricated-data audit: running leading-digit counts of the cent
+    * value per event type, a complete-mode aggregate whose state is
+    * DOMAIN-bounded (|types| × 9 rows) rather than watermark-bounded,
+    * so it runs forever at constant state. Read the sink through
+    * [[graft.operators.Stats.benfordFromCounts]] to get the identical
+    * deviation report the batch audit produces — the stream and the
+    * batch share the digit extraction by construction
+    * ([[graft.operators.Stats.leadingDigitCounts]]).
+    */
+  def digitCounts(events: DataFrame): DataFrame =
+    graft.operators.Stats.leadingDigitCounts(events, col("event_type"),
+      round(col("value") * 100).cast("long"))
+
   /** Stream-stream interval join (click attribution): each `click` event
     * joined to the same user's `view` events in the preceding hour. The
     * equi-key (user) plus the event-time range condition is what lets

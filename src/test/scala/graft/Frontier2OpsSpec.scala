@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, EventOps, Graph, Layout, Linkage, Stats, TextOps}
+import graft.operators.{Curate, Dedup, EventOps, Graph, Layout, Linkage, Skew, Stats, TextOps}
 
 /** Round-10 wave-5 operators: n-gram diversity, CUSUM change-point,
   * lag-1 autocorrelation, l-diversity, Benford profile, and the
@@ -208,6 +208,70 @@ class Frontier2OpsSpec extends SparkSuite {
       .as[(String, Long, Long, Long, Long, Double)].head()
     // pairs (1,2) conc, (1,3) conc, (2,3) disc → tau = 1/3
     assert(out == (("S", 3L, 2L, 1L, 0L, 0.333333)))
+  }
+
+  test("fanoFactor is 0 for flat series and exact for dispersed ones") {
+    val df = Seq(("g", 1L), ("g", 1L), ("g", 2L), ("g", 2L),
+      ("b", 1L), ("b", 2L), ("b", 2L), ("b", 2L))
+      .toDF("grp", "day").withColumn("one", lit(1L))
+    val out = Stats.fanoFactor(df, col("grp"), col("day"), col("one"))
+      .orderBy("g").as[(String, Long, Long, Double)].collect().toSeq
+    // b: buckets [1,3] → (2·10 − 16)/(2·4) = 0.5; g: [2,2] → 0
+    assert(out == Seq(("b", 2L, 4L, 0.5), ("g", 2L, 4L, 0.0)))
+  }
+
+  test("paretoCoverage finds the minimal 50%/90% unit counts") {
+    val rows = Seq.fill(6)(("t", "a")) ++ Seq.fill(3)(("t", "b")) ++
+      Seq(("t", "c"))
+    val out = Stats.paretoCoverage(rows.toDF("g0", "u0"), col("g0"),
+        col("u0"))
+      .as[(String, Long, Long, Long, Long)].head()
+    // a carries 6/10 → one unit reaches 50%; a+b = 9/10 reaches 90%
+    assert(out == (("t", 3L, 10L, 1L, 2L)))
+  }
+
+  test("saltPlan emits only over-budget keys with minimal ceil factors") {
+    val rows = Seq.fill(5)("x") ++ Seq.fill(12)("y")
+    val out = Skew.saltPlan(rows.toDF("k0"), col("k0"),
+        targetPerSalt = 5L)
+      .as[(String, Long, Long)].collect().toSeq
+    // x sits exactly AT budget → safe; y needs ⌈12/5⌉ = 3 shards
+    assert(out == Seq(("y", 12L, 3L)))
+  }
+
+  test("joinExplosionAudit reports exact pair counts and shares") {
+    val a = Seq("x", "x", "x", "y").toDF("ka")
+    val b = Seq("x", "y", "y").toDF("kb")
+    val out = Stats.joinExplosionAudit(a, col("ka"), b, col("kb"),
+        topK = 2)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // x: 3·1 = 3 pairs, y: 1·2 = 2 → total 5
+    assert(out == Seq(("x", 3L, 1L, 3L, 600000L),
+      ("y", 1L, 2L, 2L, 400000L)))
+  }
+
+  test("piiCensus counts matches and hit docs per pattern class") {
+    val docs = Seq(("s", "mail a@b.co and c@d.io"),
+      ("s", "phone 555-123-4567"), ("t", "clean")).toDF("src", "text")
+    val out = TextOps.piiCensus(docs, col("src"), col("text"), Seq(
+        ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"),
+        ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}")))
+      .orderBy("g", "pii_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // group t surfaces with zero counts — absence of PII is a finding
+    assert(out == Seq(("s", "email", 2L, 1L), ("s", "phone", 1L, 1L),
+      ("t", "email", 0L, 0L), ("t", "phone", 0L, 0L)))
+  }
+
+  test("templateClusters groups digit-masked identical texts") {
+    val docs = Seq((1L, "a 1 b"), (2L, "a 22 b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextOps.templateClusters(docs, "doc_id", "text",
+        minDocs = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 1)
+    // 'a # b' absorbs both variants; the singleton 'c' is filtered
+    assert((out.head._2, out.head._3, out.head._4) == ((2L, 2L, 1L)))
   }
 
   test("peakConcurrency nets endpoint ties half-open") {

@@ -270,4 +270,41 @@ class StreamingSpec extends SparkSuite {
       assert(got == expected, "stream must emit the batch counts exactly")
     } finally q.stop()
   }
+
+  test("streaming digit counts finish to the exact batch Benford profile") {
+    import graft.operators.Stats
+    import graft.streaming.EventAnalytics
+    val batchEvents = Tables.events(spark, dir)
+    val expected = Stats.benfordProfile(batchEvents, col("event_type"),
+        round(col("value") * 100).cast("long"))
+      .orderBy("g", "digit").collect().toSeq
+
+    val rows = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect().toSeq
+    val input =
+      MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val q = EventAnalytics.digitCounts(
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type",
+          "value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("benford_out").start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      input.addData(h: _*); q.processAllAvailable()
+      input.addData(t: _*); q.processAllAvailable()
+      // the monitor's state is the (type × digit) domain; the finisher
+      // over a sink SNAPSHOT must equal the batch audit bit-for-bit
+      // (snapshotting also sidesteps the memory-sink view's self-join
+      // attribute conflict inside benfordFromCounts' grid join)
+      val snap = spark.table("benford_out")
+        .as[(String, Long, Long)].collect().toSeq
+        .toDF("g", "digit", "c")
+      val got = Stats.benfordFromCounts(snap)
+        .orderBy("g", "digit").collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
