@@ -135,9 +135,23 @@ object Layout {
     * single-file routing.
     */
   def skippingAudit(df: DataFrame, fileCol: Column, keyCol: Column,
-      probes: DataFrame, probeCol: Column, layout: String): DataFrame = {
-    val zones = df.select(fileCol.as("f"), keyCol.as("k"))
+      probes: DataFrame, probeCol: Column, layout: String): DataFrame =
+    skippingAuditFromZones(zoneMap(df, fileCol, keyCol), probes,
+      probeCol, layout)
+
+  /** The per-file (min, max) zone map — one aggregate, bounded by the
+    * file count.
+    */
+  def zoneMap(df: DataFrame, fileCol: Column, keyCol: Column): DataFrame =
+    df.select(fileCol.as("f"), keyCol.as("k"))
       .groupBy("f").agg(min("k").as("mn"), max("k").as("mx"))
+
+  /** [[skippingAudit]]'s probe half over a prebuilt zone map — the
+    * form a PERSISTED [[zoneStore]] feeds, so repeated workload audits
+    * never rescan the table.
+    */
+  def skippingAuditFromZones(zones: DataFrame, probes: DataFrame,
+      probeCol: Column, layout: String): DataFrame = {
     val p = probes.select(probeCol.as("p"))
     val nf = zones.agg(count(lit(1)).as("n_files"))
     val np = p.agg(count(lit(1)).as("n_probes"))
@@ -151,5 +165,24 @@ object Layout {
           |  else cast((files_touched * 1000000)
           |    div (n_files * n_probes) as bigint) end""".stripMargin)
           .as("touch_ppm"))
+  }
+
+  /** Persisted zone-map store — the [[graft.operators.ContentGate]]-
+    * fingerprinted member of the store family (SigStore / LmStore /
+    * CmsStore / SketchStore) for DATA LAYOUT: the per-file (min, max)
+    * map is built once per (layout, corpus) fingerprint and every
+    * subsequent workload audit reads the bounded parquet instead of
+    * rescanning the table — the zone-map half of what a lakehouse
+    * manifest caches. Same crash-safety contract as the other stores:
+    * the stale fingerprint is deleted before a rebuild, so a crash can
+    * only cost an extra build, never serve a stale map as fresh.
+    */
+  def zoneStore(df: DataFrame, fileCol: Column, keyCol: Column,
+      dir: String, tag: String): DataFrame = {
+    ContentGate.ensure(dir, tag) {
+      zoneMap(df, fileCol, keyCol)
+        .write.mode("overwrite").parquet(s"$dir/zones")
+    }
+    df.sparkSession.read.parquet(s"$dir/zones")
   }
 }

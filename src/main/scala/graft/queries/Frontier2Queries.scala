@@ -707,7 +707,51 @@ object Frontier2Queries {
       |FROM h GROUP BY 1 HAVING count(*) >= 2
       |ORDER BY template_h""".stripMargin
 
+  // --------------------------------------------------------------- q219
+  /** Persisted zone-map store ([[graft.operators.Layout.zoneStore]]):
+    * q210's range-layout audit served from a ContentGate-fingerprinted
+    * on-disk zone map — built once per corpus fingerprint, probed many
+    * times without rescanning the table (the store-family pattern of
+    * q171/q194 applied to data layout). Oracle = q210's range half
+    * verbatim, so the stored map must equal the one-shot scan
+    * bit-for-bit.
+    */
+  val q219: Q = (s, dir) => {
+    val store = "/tmp/graft_zone_store_" +
+      java.nio.file.Paths.get(dir).getFileName.toString
+    val li = Tables.lineitem(s, dir)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("k"),
+        col("l_orderkey"))
+    val zones = graft.operators.Layout.zoneStore(li, expr("k div 10000"),
+      col("k"), store,
+      graft.operators.ContentGate.tag(li, col("l_orderkey"), col("k"),
+        lit(true)) + ":cents10000:v1")
+    val probes = Tables.part(s, dir).filter(col("p_partkey") <= 64)
+      .select(round(col("p_retailprice") * 100).cast("long").as("p"))
+    graft.operators.Layout.skippingAuditFromZones(zones, probes,
+      col("p"), "range")
+  }
+  val q219Sql: String =
+    """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    AS k FROM lineitem),
+      |pr AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS p
+      |  FROM part WHERE p_partkey <= 64),
+      |za AS (SELECT k // 10000 AS f, min(k) AS mn, max(k) AS mx
+      |  FROM li GROUP BY 1)
+      |SELECT 'range' AS layout,
+      |  CAST((SELECT count(*) FROM za) AS BIGINT) AS n_files,
+      |  CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_probes,
+      |  CAST((SELECT count(*) FROM pr JOIN za ON p BETWEEN mn AND mx)
+      |    AS BIGINT) AS files_touched,
+      |  CAST(CASE WHEN (SELECT count(*) FROM za)
+      |      * (SELECT count(*) FROM pr) = 0 THEN 0 ELSE
+      |    ((SELECT count(*) FROM pr JOIN za ON p BETWEEN mn AND mx)
+      |      * 1000000)
+      |      // ((SELECT count(*) FROM za) * (SELECT count(*) FROM pr))
+      |    END AS BIGINT) AS touch_ppm""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q219_zone_store" -> q219,
     "q216_join_explosion_audit" -> q216,
     "q217_pii_census" -> q217,
     "q218_template_clusters" -> q218,
@@ -731,6 +775,7 @@ object Frontier2Queries {
     "q203_peak_concurrency" -> q203)
 
   def oracle: Map[String, String] = Map(
+    "q219_zone_store" -> q219Sql,
     "q216_join_explosion_audit" -> q216Sql,
     "q217_pii_census" -> q217Sql,
     "q218_template_clusters" -> q218Sql,

@@ -274,6 +274,22 @@ class Frontier2OpsSpec extends SparkSuite {
     assert((out.head._2, out.head._3, out.head._4) == ((2L, 2L, 1L)))
   }
 
+  test("zoneStore persists the exact zone map under a fingerprint gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zs").toString
+    val df = Seq((1L, 1L), (2L, 1L), (11L, 2L)).toDF("k", "id")
+    val z = Layout.zoneStore(df, expr("k div 10"), col("k"), dir, "t1")
+      .orderBy("f").as[(Long, Long, Long)].collect().toSeq
+    assert(z == Seq((0L, 1L, 2L), (1L, 11L, 11L)))
+    assert(graft.operators.ContentGate.recordedTag(dir) == "t1")
+    // unchanged tag → served from disk (the parquet survives verbatim
+    // even when the source frame is different — proves no rebuild ran)
+    val other = Seq((99L, 9L)).toDF("k", "id")
+    val again = Layout.zoneStore(other, expr("k div 10"), col("k"),
+        dir, "t1")
+      .orderBy("f").as[(Long, Long, Long)].collect().toSeq
+    assert(again == z, "same tag must not rebuild")
+  }
+
   test("peakConcurrency nets endpoint ties half-open") {
     // [0,10), [5,15), [10,20): at t=10 one ends as one starts — netted
     // to zero, so the peak stays 2, first reached at t=5

@@ -388,6 +388,28 @@ class PlanAssertSpec extends SparkSuite {
     }
   }
 
+  test("wave-8/9 plans: windows partitioned, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q213_burstiness_fano", "q214_pareto_coverage",
+        "q215_salt_plan", "q216_join_explosion_audit",
+        "q217_pii_census", "q218_template_clusters")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val bare = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$q has ${bare.size} partition-less WindowExec node(s)")
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"$q plans a CartesianProduct:\n" + plan.toString.take(3000))
+    }
+  }
+
+  test("q216 join-explosion top-k is TakeOrdered, never a global sort") {
+    val p = executed("q216_join_explosion_audit")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k lost its TakeOrdered shape:\n" + p.take(3000))
+  }
+
   test("q204 prefix filter verifies candidates with hash joins only") {
     val p = executed("q204_prefix_filter_join")
     // candidate generation is an equi-join on the prefix shingle and
