@@ -184,6 +184,35 @@ object Similarity {
     * recall loss of a given (screenK, k) setting is directly visible
     * against the exact ranking.
     */
+  /** Matryoshka prefix-dimension recall audit — the report read before
+    * truncating an MRL-trained embedding fleet to its first `dims`
+    * coordinates (half the storage and memory traffic of every ANN
+    * structure built on it): per query, how many of the full-dimension
+    * exact top-k survive when ranking uses only the prefix. The
+    * [[sq8Recall]] pattern with the approximation axis changed from
+    * PRECISION (8-bit codes) to DIMENSIONALITY (prefix slice) — both
+    * rankings run the same broadcast-queries map-only scan.
+    *
+    * Output: (query_id, n_hit, recall_pct), recall_pct integral.
+    */
+  def matryoshkaRecall(base: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dims: Int, k: Int): DataFrame = {
+    require(dims >= 1, s"dims: $dims")
+    def sliced(df: DataFrame): DataFrame =
+      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    val prefixTop = cosineTopK(sliced(base), sliced(queries), idCol,
+        vecCol, k)
+      .select("query_id", "neighbor_id")
+    val exactTop = cosineTopK(base, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id").as("exact_id"))
+    prefixTop.join(exactTop,
+        prefixTop("query_id") === exactTop("query_id") &&
+          prefixTop("neighbor_id") === exactTop("exact_id"), "left")
+      .groupBy(prefixTop("query_id"))
+      .agg(count(col("exact_id")).as("n_hit"))
+      .withColumn("recall_pct", expr(s"(100 * n_hit) div $k"))
+  }
+
   def sq8Rerank(base: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, screenK: Int, digits: Int = 6): DataFrame = {
     require(screenK >= k, s"screenK ($screenK) must be ≥ k ($k)")

@@ -750,7 +750,83 @@ object Frontier2Queries {
       |      // ((SELECT count(*) FROM za) * (SELECT count(*) FROM pr))
       |    END AS BIGINT) AS touch_ppm""".stripMargin
 
+  // --------------------------------------------------------------- q220
+  /** Readability profile per source ([[TextOps.readability]]): mean
+    * integer Flesch-×1000 from whitespace words, sentence-mark runs,
+    * and the vowel-group syllable proxy — the classic surface-quality
+    * gate beside q101's Gopher rules; group means are the one 6dp
+    * double division (per-doc scores can go negative, where integral
+    * div semantics diverge between engines).
+    */
+  val q220: Q = (s, dir) =>
+    TextOps.readability(Tables.documents(s, dir), col("source"),
+        col("text"))
+      .orderBy("g")
+  val q220Sql: String =
+    """WITH d AS (SELECT source AS g,
+      |    len(string_split_regex(lower(text), '\s+')) AS w,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+      |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+      |      AS v
+      |  FROM documents),
+      |f AS (SELECT g, w,
+      |    206835 - (1015 * w) // s - (84600 * v) // w AS fm
+      |  FROM d WHERE w > 0)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(w) // count(*) AS BIGINT) AS avg_words,
+      |  round(CAST(sum(fm) AS DOUBLE) / count(*), 6)
+      |    AS avg_flesch_milli_6dp
+      |FROM f GROUP BY g ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q221
+  /** Matryoshka prefix-dimension recall
+    * ([[graft.operators.Similarity.matryoshkaRecall]]): how much of
+    * the exact 64-dim top-5 survives ranking on the first 32
+    * coordinates — the audit read before halving an MRL embedding
+    * fleet's storage; the q182 recall harness with the approximation
+    * axis moved from precision to dimensionality.
+    */
+  val q221: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    graft.operators.Similarity.matryoshkaRecall(e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dims = 32, k = 5)
+      .orderBy("query_id")
+  }
+  val q221Sql: String =
+    """WITH qv AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |pv AS (SELECT vec_id, q[1:32] AS q FROM qv),
+      |rf AS (SELECT * FROM (SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |      round(list_dot_product(q.q, b.q) /
+      |        (sqrt(list_dot_product(q.q, q.q))
+      |          * sqrt(list_dot_product(b.q, b.q))), 6) AS cos
+      |    FROM qv b CROSS JOIN qv q
+      |    WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id))
+      |  WHERE rank <= 5),
+      |rp AS (SELECT * FROM (SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |      round(list_dot_product(q.q, b.q) /
+      |        (sqrt(list_dot_product(q.q, q.q))
+      |          * sqrt(list_dot_product(b.q, b.q))), 6) AS cos
+      |    FROM pv b CROSS JOIN pv q
+      |    WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id))
+      |  WHERE rank <= 5)
+      |SELECT rp.query_id, CAST(count(rf.neighbor_id) AS BIGINT) AS n_hit,
+      |  CAST((100 * count(rf.neighbor_id)) // 5 AS BIGINT) AS recall_pct
+      |FROM rp LEFT JOIN rf ON rp.query_id = rf.query_id
+      |  AND rp.neighbor_id = rf.neighbor_id
+      |GROUP BY rp.query_id ORDER BY rp.query_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q220_readability" -> q220,
+    "q221_matryoshka_recall" -> q221,
     "q219_zone_store" -> q219,
     "q216_join_explosion_audit" -> q216,
     "q217_pii_census" -> q217,
@@ -775,6 +851,8 @@ object Frontier2Queries {
     "q203_peak_concurrency" -> q203)
 
   def oracle: Map[String, String] = Map(
+    "q220_readability" -> q220Sql,
+    "q221_matryoshka_recall" -> q221Sql,
     "q219_zone_store" -> q219Sql,
     "q216_join_explosion_audit" -> q216Sql,
     "q217_pii_census" -> q217Sql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, EventOps, Graph, Layout, Linkage, Skew, Stats, TextOps}
+import graft.operators.{Curate, Dedup, EventOps, Graph, Layout, Linkage, Similarity, Skew, Stats, TextOps}
 
 /** Round-10 wave-5 operators: n-gram diversity, CUSUM change-point,
   * lag-1 autocorrelation, l-diversity, Benford profile, and the
@@ -288,6 +288,31 @@ class Frontier2OpsSpec extends SparkSuite {
         dir, "t1")
       .orderBy("f").as[(Long, Long, Long)].collect().toSeq
     assert(again == z, "same tag must not rebuild")
+  }
+
+  test("readability computes the integer Flesch formula per doc") {
+    val docs = Seq(("g", "Run. The cat sat!")).toDF("src", "text")
+    val out = TextOps.readability(docs, col("src"), col("text"))
+      .as[(String, Long, Long, Double)].head()
+    // w=4, sentence runs=2, vowel groups=4 →
+    // 206835 − (1015·4)div2 − (84600·4)div4 = 120205
+    assert(out == (("g", 1L, 4L, 120205.0)))
+  }
+
+  test("matryoshkaRecall catches rankings the prefix dims cannot hold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.5f, 0.86f)),
+      (2L, Array(0.6f, -0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaRecall(vecs,
+        vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        dims = 1, k = 1)
+      .as[(Long, Long, Long)].head()
+    // full-dim top-1 of q0 is id 2 (cos 0.6 vs 0.5), but on the first
+    // coordinate alone all cosines are 1.0 and the id tiebreak picks
+    // id 1 → recall 0
+    assert(out == ((0L, 0L, 0L)))
   }
 
   test("peakConcurrency nets endpoint ties half-open") {
