@@ -395,6 +395,86 @@ object EventOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Event-time lateness profile — THE input to choosing a streaming
+    * watermark delay: per group, how far behind the running event-time
+    * high-water mark events arrive (in arrival order), as the exact
+    * late-share plus median / p99 / max lateness seconds. A watermark
+    * shorter than p99 lateness drops that tail from every windowed
+    * aggregate; longer holds state for nothing — this report prices
+    * both sides before a `withWatermark` is written.
+    *
+    * Lateness = running max(ts) over arrival order − ts, so it needs a
+    * total arrival order (`arrivalCol` — an ingest sequence/offset;
+    * ties broken by it being unique). One group-PARTITIONED window for
+    * the running max, one (group, second) count aggregate, two radix
+    * rank-select descents ([[Stats.rankSelect]]) — no partition-less
+    * window, no per-group sort at the percentile step.
+    *
+    * Output: (g, n_events, late_ppm, median_s, p99_s, max_s) — median/
+    * p99 over ALL events (on-time = 0 s), late_ppm the >0 share.
+    */
+  def latenessProfile(events: DataFrame, groupCol: String,
+      tsCol: String, arrivalCol: String): DataFrame = {
+    val lat = events.select(col(groupCol).as("g"),
+        col(arrivalCol).as("aid"), unix_micros(col(tsCol)).as("us"))
+      .withColumn("lat_s",
+        expr("(max(us) over (partition by g order by aid " +
+          "rows between unbounded preceding and current row) - us)" +
+          " div 1000000"))
+      .select("g", "lat_s")
+    val counts = lat.groupBy(col("g"), col("lat_s").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count() // materialize before the two descents race
+    val agg = counts.groupBy("g").agg(sum("c").as("n_events"),
+      coalesce(sum(when(col("v") > 0L, col("c"))), lit(0L)).as("n_late"),
+      max("v").as("max_s"))
+    val (med, rel1) = Stats.rankSelect(counts, Seq("g"), "c",
+      nn => ((nn + 1) / 2).cast("long"), "median_s",
+      persistInput = false, domainBits = 32)
+    val (p99, rel2) = Stats.rankSelect(counts, Seq("g"), "c",
+      nn => ((nn * 99 + 99) / 100).cast("long"), "p99_s",
+      persistInput = false, domainBits = 32)
+    val out = agg.join(broadcast(med), Seq("g"))
+      .join(broadcast(p99), Seq("g"))
+      .select(col("g"), col("n_events").cast("long").as("n_events"),
+        expr("(cast(n_late as decimal(38,0)) * 1000000) div n_events")
+          .cast("long").as("late_ppm"),
+        col("median_s"), col("p99_s"), col("max_s"))
+    val res = out.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    rel1(); rel2(); counts.unpersist()
+    res
+  }
+
+  /** Hour-of-day seasonality profile — the baseline the drift family
+    * normalizes against (a "spike" at 09:00 is the diurnal shape, not
+    * an anomaly): per group, the 24-hour grid of event counts and each
+    * hour's traffic share in ppm; zero-traffic hours surface
+    * explicitly. One aggregate to the (group × 24) domain joined
+    * against the broadcast hour grid.
+    *
+    * Output: (g, hour, n, share_ppm).
+    */
+  def seasonalityProfile(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hours = broadcast((0L to 23L).toDF("hour"))
+    val obs = events.select(col(groupCol).as("g"),
+        hour(col(tsCol)).cast("long").as("hour"))
+      .groupBy("g", "hour").agg(count(lit(1)).as("c"))
+    val grid = obs.select("g").distinct().crossJoin(hours)
+    grid.join(obs, Seq("g", "hour"), "left")
+      .withColumn("n", coalesce(col("c"), lit(0L)))
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy("g")))
+      .select(col("g"), col("hour"), col("n"),
+        expr("(cast(n as decimal(38,0)) * 1000000) div tot")
+          .cast("long").as("share_ppm"))
+  }
+
   /** Peak concurrency per key — the capacity-planning sweep line: from
     * half-open intervals [s, e) (µs), the maximum number
     * simultaneously open and the earliest instant reaching that peak.

@@ -854,6 +854,37 @@ object Stats {
         col("units_90").cast("long").as("units_90"))
   }
 
+  /** Gini concentration of per-unit mass — [[paretoCoverage]]'s
+    * single-number companion: 0 = perfectly even, →1 = one unit
+    * carries everything. Computed from the exact integer form over
+    * units ranked ASCENDING by contribution,
+    * G = Σ (2r − n − 1)·x_(r) / (n·Σx) — the numerator is an exact
+    * (possibly large, decimal(38,0)) integer and ≥ 0 by the ascending
+    * order, so the report is the single fixed-order 6dp double
+    * division.
+    *
+    * One aggregate to the (group, unit) domain, one group-PARTITIONED
+    * rank window over that bounded frame, one per-group reduce.
+    * Output: (g, n_units, n_events, gini_6dp).
+    */
+  def giniConcentration(df: DataFrame, groupCol: Column,
+      unitCol: Column): DataFrame = {
+    val counts = df.select(groupCol.as("g"), unitCol.as("u"))
+      .groupBy("g", "u").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy(col("c"), col("u"))
+    counts
+      .withColumn("r", row_number().over(w))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_units"), sum("c").as("n_events"),
+        sum(expr("cast(2 * r as decimal(38,0)) * c")).as("rc"))
+      .select(col("g"), col("n_units"),
+        col("n_events").cast("long").as("n_events"),
+        expr("""round(cast(rc - (cast(n_units as decimal(38,0)) + 1)
+          |    * n_events as double)
+          |  / cast(cast(n_units as decimal(38,0)) * n_events as double),
+          |  6)""".stripMargin).as("gini_6dp"))
+  }
+
   /** Benford first-digit profile — the classic fabricated-data /
     * unit-mixup audit: for each group, the observed count of each
     * leading digit 1-9 of the (positive) integer value next to

@@ -824,7 +824,92 @@ object Frontier2Queries {
       |  AND rp.neighbor_id = rf.neighbor_id
       |GROUP BY rp.query_id ORDER BY rp.query_id""".stripMargin
 
+  // --------------------------------------------------------------- q222
+  /** Event-time lateness profile ([[EventOps.latenessProfile]]):
+    * late-share ppm and exact median/p99/max lateness seconds behind
+    * the running event-time high-water mark in event_id arrival order
+    * — the number a `withWatermark` delay is chosen FROM (shorter than
+    * p99 drops the tail, longer holds state for nothing).
+    */
+  val q222: Q = (s, dir) =>
+    EventOps.latenessProfile(Tables.events(s, dir), "event_type", "ts",
+        "event_id")
+      .orderBy("g")
+  val q222Sql: String =
+    """WITH b AS (SELECT event_type AS g, event_id AS aid,
+      |    epoch_us(ts) AS us FROM events),
+      |l AS (SELECT g, (max(us) OVER (PARTITION BY g ORDER BY aid
+      |    ROWS UNBOUNDED PRECEDING) - us) // 1000000 AS v FROM b),
+      |c AS (SELECT g, v, count(*) AS c FROM l GROUP BY 1, 2),
+      |w AS (SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+      |med AS (SELECT g, min(v) AS median_s FROM w
+      |  WHERE cum >= (n + 1) // 2 GROUP BY g),
+      |p99 AS (SELECT g, min(v) AS p99_s FROM w
+      |  WHERE cum >= (n * 99 + 99) // 100 GROUP BY g),
+      |a AS (SELECT g, sum(c) AS n_events,
+      |    coalesce(sum(CASE WHEN v > 0 THEN c END), 0) AS n_late,
+      |    max(v) AS max_s FROM c GROUP BY g)
+      |SELECT a.g AS g, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST((n_late * 1000000) // n_events AS BIGINT) AS late_ppm,
+      |  CAST(median_s AS BIGINT) AS median_s,
+      |  CAST(p99_s AS BIGINT) AS p99_s, CAST(max_s AS BIGINT) AS max_s
+      |FROM a JOIN med USING (g) JOIN p99 USING (g)
+      |ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q223
+  /** Gini concentration ([[Stats.giniConcentration]]) of per-user
+    * event mass per type — q214's Pareto counts as one comparable
+    * number per group; exact integer numerator, one 6dp division.
+    */
+  val q223: Q = (s, dir) =>
+    Stats.giniConcentration(Tables.events(s, dir), col("event_type"),
+        col("user_id"))
+      .orderBy("g")
+  val q223Sql: String =
+    """WITH c AS (SELECT event_type AS g, user_id AS u, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT g, c,
+      |    row_number() OVER (PARTITION BY g ORDER BY c, u) AS r FROM c),
+      |a AS (SELECT g, count(*) AS n_units, sum(c) AS n_events,
+      |    sum(2 * r * c) AS rc FROM r GROUP BY g)
+      |SELECT g, CAST(n_units AS BIGINT) AS n_units,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  round(CAST(rc - (n_units + 1) * n_events AS DOUBLE)
+      |    / CAST(n_units * n_events AS DOUBLE), 6) AS gini_6dp
+      |FROM a ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q224
+  /** Hour-of-day seasonality ([[EventOps.seasonalityProfile]]): the
+    * 24-hour traffic-share grid per event type (zero hours explicit) —
+    * the diurnal baseline q187's anomaly z-scores and q199's
+    * change-points are read against.
+    */
+  val q224: Q = (s, dir) =>
+    EventOps.seasonalityProfile(Tables.events(s, dir), "event_type",
+        "ts")
+      .orderBy("g", "hour")
+  val q224Sql: String =
+    """WITH obs AS (SELECT event_type AS g, CAST(hour(ts) AS BIGINT)
+      |    AS hour, count(*) AS c FROM events GROUP BY 1, 2),
+      |grid AS (SELECT g, h.hour
+      |  FROM (SELECT DISTINCT g FROM obs)
+      |  CROSS JOIN (SELECT unnest(range(24)) AS hour) h),
+      |j AS (SELECT grid.g, grid.hour, coalesce(obs.c, 0) AS n
+      |  FROM grid LEFT JOIN obs
+      |    ON grid.g = obs.g AND grid.hour = obs.hour),
+      |w AS (SELECT g, hour, n, sum(n) OVER (PARTITION BY g) AS tot
+      |  FROM j)
+      |SELECT g, CAST(hour AS BIGINT) AS hour, CAST(n AS BIGINT) AS n,
+      |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm
+      |FROM w ORDER BY g, hour""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q222_lateness_profile" -> q222,
+    "q223_gini_concentration" -> q223,
+    "q224_seasonality_profile" -> q224,
     "q220_readability" -> q220,
     "q221_matryoshka_recall" -> q221,
     "q219_zone_store" -> q219,
@@ -851,6 +936,9 @@ object Frontier2Queries {
     "q203_peak_concurrency" -> q203)
 
   def oracle: Map[String, String] = Map(
+    "q222_lateness_profile" -> q222Sql,
+    "q223_gini_concentration" -> q223Sql,
+    "q224_seasonality_profile" -> q224Sql,
     "q220_readability" -> q220Sql,
     "q221_matryoshka_recall" -> q221Sql,
     "q219_zone_store" -> q219Sql,

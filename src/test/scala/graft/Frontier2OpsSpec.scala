@@ -315,6 +315,39 @@ class Frontier2OpsSpec extends SparkSuite {
     assert(out == ((0L, 0L, 0L)))
   }
 
+  test("latenessProfile measures arrival lag behind the running watermark") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val e = Seq((1L, ts(100), "g"), (2L, ts(50), "g"), (3L, ts(200), "g"),
+      (4L, ts(199), "g")).toDF("event_id", "ts", "event_type")
+    val out = EventOps.latenessProfile(e, "event_type", "ts", "event_id")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // lateness seconds in arrival order: 0, 50, 0, 1 → 2/4 late,
+    // median 0, p99 50, max 50
+    assert(out == (("g", 4L, 500000L, 0L, 50L, 50L)))
+  }
+
+  test("giniConcentration matches the closed-form for a tiny split") {
+    val rows = Seq(("g", "a"), ("g", "b"), ("g", "b"), ("g", "b"))
+    val out = Stats.giniConcentration(rows.toDF("g0", "u0"), col("g0"),
+        col("u0"))
+      .as[(String, Long, Long, Double)].head()
+    // masses (1, 3): G = Σ|xi−xj| / (2n²μ) = 4/16 = 0.25
+    assert(out == (("g", 2L, 4L, 0.25)))
+  }
+
+  test("seasonalityProfile grids all 24 hours with exact shares") {
+    def ts(hr: Long) = new java.sql.Timestamp(hr * 3600 * 1000)
+    val e = Seq((1L, ts(0), "g"), (2L, ts(0), "g"), (3L, ts(1), "g"))
+      .toDF("event_id", "ts", "event_type")
+    val out = EventOps.seasonalityProfile(e, "event_type", "ts")
+      .orderBy("hour")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.size == 24)
+    assert(out.take(2) == Seq(("g", 0L, 2L, 666666L),
+      ("g", 1L, 1L, 333333L)))
+    assert(out.drop(2).forall(r => r._3 == 0L && r._4 == 0L))
+  }
+
   test("peakConcurrency nets endpoint ties half-open") {
     // [0,10), [5,15), [10,20): at t=10 one ends as one starts — netted
     // to zero, so the peak stays 2, first reached at t=5
