@@ -448,6 +448,62 @@ object EventOps {
     res
   }
 
+  /** Cohort value curve — q79's retention grid with MONEY on it: users
+    * cohorted by the epoch week of their first event; for each cohort
+    * and week-of-age, the active users, the cent value booked, and the
+    * running cumulative value (the LTV curve a payback model reads).
+    * Exact integers: weeks are `us div (7·86400·10⁶)`, values cents,
+    * the cumulative a window PARTITIONED by cohort over the bounded
+    * (cohort × age) grid.
+    *
+    * Output: (cohort_week, age_week, n_users, value_c, cum_value_c).
+    */
+  def cohortValueCurve(events: DataFrame, userCol: String,
+      tsCol: String, valueCol: Column): DataFrame = {
+    val wk = 7L * 86400000000L
+    val base = events.select(col(userCol).as("u"),
+      expr(s"unix_micros($tsCol) div $wk").as("w"),
+      valueCol.cast("long").as("vc"))
+    val first = base.groupBy("u").agg(min("w").as("w0"))
+    val cells = base.join(first, "u")
+      .groupBy(col("w0").as("cohort_week"),
+        (col("w") - col("w0")).as("age_week"))
+      .agg(countDistinct(col("u")).as("n_users"),
+        sum("vc").as("value_c"))
+    cells.withColumn("cum_value_c",
+        sum(col("value_c")).over(Window.partitionBy("cohort_week")
+          .orderBy("age_week")))
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        col("value_c").cast("long").as("value_c"),
+        col("cum_value_c").cast("long").as("cum_value_c"))
+  }
+
+  /** Instrumentation double-fire audit — duplicate-burst detection for
+    * event pipelines: per event type, how many events arrive within
+    * `maxGapUs` of the SAME user's PREVIOUS event of that type (in
+    * (ts, id) order) — the signature of a client double-firing a
+    * tracking call, which exact-id dedup cannot see (the ids differ)
+    * and which silently inflates every downstream count. One window
+    * PARTITIONED by (user, type), one domain-bounded aggregate.
+    *
+    * Output: (g, n_events, n_bursts, burst_ppm).
+    */
+  def doubleFireAudit(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String,
+      maxGapUs: Long): DataFrame = {
+    val w = Window.partitionBy("u", "g").orderBy("us", "eid")
+    events.select(col(userCol).as("u"), col(typeCol).as("g"),
+        unix_micros(col(tsCol)).as("us"), col(idCol).as("eid"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("gap") <= maxGapUs, 1L)), lit(0L))
+          .as("n_bursts"))
+      .select(col("g"), col("n_events"), col("n_bursts"),
+        expr("(cast(n_bursts as decimal(38,0)) * 1000000) div n_events")
+          .cast("long").as("burst_ppm"))
+  }
+
   /** Hour-of-day seasonality profile — the baseline the drift family
     * normalizes against (a "spike" at 09:00 is the diurnal shape, not
     * an anomaly): per group, the 24-hour grid of event counts and each

@@ -885,6 +885,53 @@ object Stats {
           |  6)""".stripMargin).as("gini_6dp"))
   }
 
+  /** Trimmed mean — the robust-location estimator completing the
+    * medianMad family for the "average order value without the whale
+    * orders" question: per group, the p-tail boundary VALUES (lo = the
+    * value at rank ⌈αn⌉, hi = at rank ⌈(1−α)n⌉, both via the radix
+    * [[rankSelect]] descent) and the mean over values inside
+    * [lo, hi] — value-based trimming, so the definition is
+    * partitioning-independent and the oracle replays it exactly; the
+    * mean is the single fixed-order 6dp double division of an exact
+    * integer sum.
+    *
+    * @param alphaPct tail percentage to trim on EACH side (e.g. 5)
+    * Output: (g, n, lo, hi, n_kept, trimmed_mean_6dp).
+    */
+  def trimmedMean(df: DataFrame, groupCol: Column, valueCol: Column,
+      alphaPct: Int, domainBits: Int = 64): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 49, s"alphaPct: $alphaPct")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .persist(lvl)
+    counts.count() // materialize before the two descents race
+    val (lo, rel1) = rankSelect(counts, Seq("g"), "c",
+      nn => ((nn * alphaPct + 99) / 100).cast("long"), "lo",
+      persistInput = false, domainBits = domainBits)
+    val (hi, rel2) = rankSelect(counts, Seq("g"), "c",
+      nn => ((nn * (100 - alphaPct) + 99) / 100).cast("long"), "hi",
+      persistInput = false, domainBits = domainBits)
+    val out = counts
+      .join(broadcast(lo), Seq("g")).join(broadcast(hi), Seq("g"))
+      .groupBy("g", "lo", "hi")
+      .agg(sum("c").as("n"),
+        coalesce(sum(when(col("v") >= col("lo") && col("v") <= col("hi"),
+          col("c"))), lit(0L)).as("n_kept"),
+        coalesce(sum(when(col("v") >= col("lo") && col("v") <= col("hi"),
+          expr("cast(v as decimal(38,0)) * c"))),
+          lit(0L).cast("decimal(38,0)")).as("ks"))
+      .select(col("g"), col("n").cast("long").as("n"), col("lo"),
+        col("hi"), col("n_kept").cast("long").as("n_kept"),
+        expr("""case when n_kept = 0 then 0.0d else
+          |  round(cast(ks as double) / cast(n_kept as double), 6) end"""
+          .stripMargin).as("trimmed_mean_6dp"))
+    val res = out.persist(lvl)
+    res.count()
+    rel1(); rel2(); counts.unpersist()
+    res
+  }
+
   /** Benford first-digit profile — the classic fabricated-data /
     * unit-mixup audit: for each group, the observed count of each
     * leading digit 1-9 of the (positive) integer value next to

@@ -906,7 +906,93 @@ object Frontier2Queries {
       |  CAST((n * 1000000) // tot AS BIGINT) AS share_ppm
       |FROM w ORDER BY g, hour""".stripMargin
 
+  // --------------------------------------------------------------- q225
+  /** Cohort value curve ([[EventOps.cohortValueCurve]]): cents booked
+    * per (first-event-week cohort × week of age) with the running
+    * cumulative — q79's retention grid with money on it, the LTV
+    * curve a payback model reads. Exact integer weeks and cents.
+    */
+  val q225: Q = (s, dir) =>
+    EventOps.cohortValueCurve(Tables.events(s, dir), "user_id", "ts",
+        round(col("value") * 100))
+      .orderBy("cohort_week", "age_week")
+  val q225Sql: String =
+    """WITH b AS (SELECT user_id AS u, epoch_us(ts) // 604800000000 AS w,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+      |f AS (SELECT u, min(w) AS w0 FROM b GROUP BY u),
+      |cells AS (SELECT f.w0 AS cohort_week, b.w - f.w0 AS age_week,
+      |    count(DISTINCT b.u) AS n_users, sum(b.vc) AS value_c
+      |  FROM b JOIN f ON b.u = f.u GROUP BY 1, 2)
+      |SELECT cohort_week, age_week, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(value_c AS BIGINT) AS value_c,
+      |  CAST(sum(value_c) OVER (PARTITION BY cohort_week
+      |    ORDER BY age_week ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS cum_value_c
+      |FROM cells ORDER BY cohort_week, age_week""".stripMargin
+
+  // --------------------------------------------------------------- q226
+  /** Trimmed mean ([[Stats.trimmedMean]]): per-returnflag mean item
+    * cents with 5% trimmed from each tail — the whale-robust average
+    * completing q88's median/MAD family; boundaries from the radix
+    * rank-select, value-based trimming, one 6dp division.
+    */
+  val q226: Q = (s, dir) =>
+    Stats.trimmedMean(Tables.lineitem(s, dir), col("l_returnflag"),
+        round(col("l_extendedprice") * 100), alphaPct = 5,
+        domainBits = 32)
+      .orderBy("g")
+  val q226Sql: String =
+    """WITH c AS (SELECT l_returnflag AS g,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    count(*) AS c FROM lineitem GROUP BY 1, 2),
+      |w AS (SELECT g, v, c,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(c) OVER (PARTITION BY g) AS n FROM c),
+      |lo AS (SELECT g, min(v) AS lo FROM w
+      |  WHERE cum >= (n * 5 + 99) // 100 GROUP BY g),
+      |hi AS (SELECT g, min(v) AS hi FROM w
+      |  WHERE cum >= (n * 95 + 99) // 100 GROUP BY g),
+      |a AS (SELECT c.g, lo.lo, hi.hi, sum(c.c) AS n,
+      |    coalesce(sum(CASE WHEN c.v BETWEEN lo.lo AND hi.hi
+      |      THEN c.c END), 0) AS n_kept,
+      |    coalesce(sum(CASE WHEN c.v BETWEEN lo.lo AND hi.hi
+      |      THEN c.v * c.c END), 0) AS ks
+      |  FROM c JOIN lo ON c.g = lo.g JOIN hi ON c.g = hi.g
+      |  GROUP BY 1, 2, 3)
+      |SELECT g, CAST(n AS BIGINT) AS n, CAST(lo AS BIGINT) AS lo,
+      |  CAST(hi AS BIGINT) AS hi, CAST(n_kept AS BIGINT) AS n_kept,
+      |  CASE WHEN n_kept = 0 THEN 0.0 ELSE
+      |    round(CAST(ks AS DOUBLE) / CAST(n_kept AS DOUBLE), 6) END
+      |    AS trimmed_mean_6dp
+      |FROM a ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q227
+  /** Instrumentation double-fire audit ([[EventOps.doubleFireAudit]]):
+    * events within an hour of the same user's previous same-type event
+    * — the duplicate-burst signature exact-id dedup cannot see, which
+    * silently inflates every downstream count.
+    */
+  val q227: Q = (s, dir) =>
+    EventOps.doubleFireAudit(Tables.events(s, dir), "user_id",
+        "event_type", "ts", "event_id", maxGapUs = 3600000000L)
+      .orderBy("g")
+  val q227Sql: String =
+    """WITH b AS (SELECT user_id AS u, event_type AS g, epoch_us(ts)
+      |    AS us, event_id AS eid FROM events),
+      |l AS (SELECT g, us - lag(us) OVER (PARTITION BY u, g
+      |    ORDER BY us, eid) AS gap FROM b)
+      |SELECT g, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(coalesce(sum(CASE WHEN gap <= 3600000000 THEN 1 END), 0)
+      |    AS BIGINT) AS n_bursts,
+      |  CAST((coalesce(sum(CASE WHEN gap <= 3600000000 THEN 1 END), 0)
+      |    * 1000000) // count(*) AS BIGINT) AS burst_ppm
+      |FROM l GROUP BY g ORDER BY g""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q225_cohort_value_curve" -> q225,
+    "q226_trimmed_mean" -> q226,
+    "q227_double_fire_audit" -> q227,
     "q222_lateness_profile" -> q222,
     "q223_gini_concentration" -> q223,
     "q224_seasonality_profile" -> q224,
@@ -936,6 +1022,9 @@ object Frontier2Queries {
     "q203_peak_concurrency" -> q203)
 
   def oracle: Map[String, String] = Map(
+    "q225_cohort_value_curve" -> q225Sql,
+    "q226_trimmed_mean" -> q226Sql,
+    "q227_double_fire_audit" -> q227Sql,
     "q222_lateness_profile" -> q222Sql,
     "q223_gini_concentration" -> q223Sql,
     "q224_seasonality_profile" -> q224Sql,

@@ -348,6 +348,40 @@ class Frontier2OpsSpec extends SparkSuite {
     assert(out.drop(2).forall(r => r._3 == 0L && r._4 == 0L))
   }
 
+  test("cohortValueCurve accumulates cents per cohort and age week") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val wk = 604800L
+    val e = Seq((1L, ts(0), 100L), (1L, ts(wk), 200L),
+      (2L, ts(wk), 50L)).toDF("user_id", "ts", "vc")
+    val out = EventOps.cohortValueCurve(e, "user_id", "ts", col("vc"))
+      .orderBy("cohort_week", "age_week")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 1L, 100L, 100L),
+      (0L, 1L, 1L, 200L, 300L), (1L, 0L, 1L, 50L, 50L)))
+  }
+
+  test("trimmedMean trims by boundary values from the radix descent") {
+    val df = (1L to 10L).map(v => ("g", v)).toDF("g0", "v0")
+    val out = Stats.trimmedMean(df, col("g0"), col("v0"),
+        alphaPct = 20, domainBits = 32)
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    // lo = value at rank ⌈0.2·10⌉ = 2, hi = at rank ⌈0.8·10⌉ = 8 →
+    // keep 2..8, mean 5.0
+    assert(out == (("g", 10L, 2L, 8L, 7L, 5.0)))
+  }
+
+  test("doubleFireAudit counts rapid same-user same-type repeats") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val e = Seq((1L, 1L, ts(0), "g"), (2L, 1L, ts(1800), "g"),
+      (3L, 1L, ts(18000), "g")).toDF("event_id", "user_id", "ts",
+      "event_type")
+    val out = EventOps.doubleFireAudit(e, "user_id", "event_type",
+        "ts", "event_id", maxGapUs = 3600000000L)
+      .as[(String, Long, Long, Long)].head()
+    // gaps 30 min (burst) and 4.5 h (not) → 1 of 3 events
+    assert(out == (("g", 3L, 1L, 333333L)))
+  }
+
   test("peakConcurrency nets endpoint ties half-open") {
     // [0,10), [5,15), [10,20): at t=10 one ends as one starts — netted
     // to zero, so the peak stays 2, first reached at t=5
