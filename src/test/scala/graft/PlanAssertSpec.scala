@@ -388,11 +388,15 @@ class PlanAssertSpec extends SparkSuite {
     }
   }
 
-  test("wave-8/9 plans: windows partitioned, no cartesian") {
+  test("wave-8..13 plans: windows partitioned, no cartesian") {
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q213_burstiness_fano", "q214_pareto_coverage",
         "q215_salt_plan", "q216_join_explosion_audit",
-        "q217_pii_census", "q218_template_clusters")) {
+        "q217_pii_census", "q218_template_clusters",
+        "q219_zone_store", "q220_readability",
+        "q222_lateness_profile", "q223_gini_concentration",
+        "q224_seasonality_profile", "q225_cohort_value_curve",
+        "q226_trimmed_mean", "q227_double_fire_audit")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       val bare = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
