@@ -989,7 +989,78 @@ object Frontier2Queries {
       |    * 1000000) // count(*) AS BIGINT) AS burst_ppm
       |FROM l GROUP BY g ORDER BY g""".stripMargin
 
+  // --------------------------------------------------------------- q228
+  /** Drift dashboard — the monitoring-side composition entry (q179's
+    * role for curation): FIVE operator families over the same event
+    * corpus in ONE plan — CUSUM change-point, lateness profile (two
+    * concurrent radix descents with managed cache lifecycles), Pareto
+    * coverage, the seasonality peak, and the double-fire audit —
+    * melted to (g, metric, v) long format so the oracle hash pins
+    * every family's output at once. Exercises exactly the cross-family
+    * cache/persist interactions a production dashboard run hits.
+    */
+  val q228: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    // melt via ONE explode per stage — a per-metric union of selects
+    // would duplicate each stage's whole aggregation subtree once per
+    // metric (measured 5.4 s vs 4.4 s warm at sf0.1; the remainder is
+    // the lateness stage's managed radix descents)
+    def melt(df: DataFrame, pairs: (String, String)*): DataFrame =
+      df.select(col("g"), explode(array(pairs.map { case (m, c) =>
+          struct(lit(m).as("metric"), col(c).cast("long").as("v"))
+        }: _*)).as("mv"))
+        .select(col("g"), col("mv.metric").as("metric"),
+          col("mv.v").as("v"))
+    val cus = Stats.cusumChangePoint(
+      dailyCounts(s, dir).withColumn("one", lit(1L)),
+      col("event_type"), col("day"), col("one"))
+    val late = EventOps.latenessProfile(ev, "event_type", "ts",
+      "event_id")
+    val par = Stats.paretoCoverage(ev, col("event_type"), col("user_id"))
+    val peak = EventOps.seasonalityProfile(ev, "event_type", "ts")
+      .groupBy("g")
+      .agg(max(struct(col("share_ppm"), (-col("hour")).as("nh"),
+        col("hour"))).as("b"))
+      .select(col("g"), col("b.hour").as("peak_hour"),
+        col("b.share_ppm").as("peak_share_ppm"))
+    val burst = EventOps.doubleFireAudit(ev, "user_id", "event_type",
+      "ts", "event_id", maxGapUs = 3600000000L)
+    melt(cus, "cusum_change_day" -> "change_bucket",
+        "cusum_ppm" -> "cusum_ppm")
+      .unionByName(melt(late, "late_ppm" -> "late_ppm",
+        "late_p99_s" -> "p99_s"))
+      .unionByName(melt(par, "users_50" -> "units_50",
+        "users_90" -> "units_90"))
+      .unionByName(melt(peak, "peak_hour" -> "peak_hour",
+        "peak_share_ppm" -> "peak_share_ppm"))
+      .unionByName(melt(burst, "burst_ppm" -> "burst_ppm"))
+      .orderBy("g", "metric")
+  }
+  val q228Sql: String =
+    s"""WITH cus AS (SELECT * FROM ($q199Sql)),
+       |late AS (SELECT * FROM ($q222Sql)),
+       |par AS (SELECT * FROM ($q214Sql)),
+       |seas AS (SELECT * FROM ($q224Sql)),
+       |pk AS (SELECT g, hour AS peak_hour, share_ppm AS peak_share_ppm
+       |  FROM (SELECT g, hour, share_ppm, row_number() OVER
+       |      (PARTITION BY g ORDER BY share_ppm DESC, hour) AS rn
+       |    FROM seas) WHERE rn = 1),
+       |burst AS (SELECT * FROM ($q227Sql))
+       |SELECT g, metric, v FROM (
+       |  SELECT g, 'cusum_change_day' AS metric, change_bucket AS v
+       |    FROM cus
+       |  UNION ALL SELECT g, 'cusum_ppm', cusum_ppm FROM cus
+       |  UNION ALL SELECT g, 'late_ppm', late_ppm FROM late
+       |  UNION ALL SELECT g, 'late_p99_s', p99_s FROM late
+       |  UNION ALL SELECT g, 'users_50', units_50 FROM par
+       |  UNION ALL SELECT g, 'users_90', units_90 FROM par
+       |  UNION ALL SELECT g, 'peak_hour', peak_hour FROM pk
+       |  UNION ALL SELECT g, 'peak_share_ppm', peak_share_ppm FROM pk
+       |  UNION ALL SELECT g, 'burst_ppm', burst_ppm FROM burst)
+       |ORDER BY g, metric""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q228_drift_dashboard" -> q228,
     "q225_cohort_value_curve" -> q225,
     "q226_trimmed_mean" -> q226,
     "q227_double_fire_audit" -> q227,
@@ -1022,6 +1093,7 @@ object Frontier2Queries {
     "q203_peak_concurrency" -> q203)
 
   def oracle: Map[String, String] = Map(
+    "q228_drift_dashboard" -> q228Sql,
     "q225_cohort_value_curve" -> q225Sql,
     "q226_trimmed_mean" -> q226Sql,
     "q227_double_fire_audit" -> q227Sql,
