@@ -396,7 +396,8 @@ class PlanAssertSpec extends SparkSuite {
         "q219_zone_store", "q220_readability",
         "q222_lateness_profile", "q223_gini_concentration",
         "q224_seasonality_profile", "q225_cohort_value_curve",
-        "q226_trimmed_mean", "q227_double_fire_audit")) {
+        "q226_trimmed_mean", "q227_double_fire_audit",
+        "q228_drift_dashboard")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       val bare = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
