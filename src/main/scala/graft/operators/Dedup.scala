@@ -203,10 +203,32 @@ object Dedup {
     *
     * Shape: one df aggregate, one per-DOC window for the prefix rank
     * (PARTITIONED by id — never partition-less), the prefix-only
-    * self-join with the t·|a| ≤ |b| ≤ |a|/t length filter, then the
-    * exact intersection count over the candidates' FULL shingle sets
-    * and the integral jac_ppm ≥ thresholdPpm verify — floor(10⁶·J) ≥
+    * self-join with the t·|a| ≤ |b| ≤ |a|/t length filter AND PPJoin's
+    * POSITIONAL filter (Xiao et al. WWW'08 §3.2), then the exact
+    * intersection count over the candidates' FULL shingle sets and the
+    * integral jac_ppm ≥ thresholdPpm verify — floor(10⁶·J) ≥
     * t_ppm ⇔ J ≥ t, so integer division loses no borderline pair.
+    *
+    * Positional filter (grouped form): both token sets are sorted by
+    * the SAME global (df, shingle) order, so every shared token that
+    * precedes a pair's LAST prefix collision (ranks i_c, j_c) is
+    * itself a prefix collision — giving the exact decomposition
+    * overlap ≤ c + min(|a|−i_c, |b|−j_c) with c the collision count.
+    * This accumulated bound is provably ≤ every per-collision bound
+    * min(i−1,j−1)+1+min(|a|−i,|b|−j) of the streaming PPJoin, and the
+    * candidate group-by computes it for free (count + two maxes on
+    * the shuffle the plain `distinct()` already paid). A pair needs
+    * overlap ≥ α = ⌈t·(|a|+|b|)/(1+t)⌉ to reach J ≥ t; bound < α
+    * prunes it before verification. Lossless: the bound is a true
+    * upper bound on |A∩B|.
+    *
+    * Verification joins the surviving pairs against per-doc SORTED
+    * TOKEN ARRAYS (one bounded-size array per document — doc-length
+    * bounded, never corpus-bounded) and counts the intersection
+    * per-row, instead of re-exploding both full shingle sets through
+    * a join + count aggregate: candidates × avg-set-size exploded
+    * rows (the former dominant stage) collapse to one row per
+    * candidate.
     *
     * @param sh        distinct (id, shingle) table
     *                  ([[hashedShingleTable]] — joins key on longs)
@@ -220,30 +242,42 @@ object Dedup {
       s"thresholdPpm out of (0, 1e6]: $thresholdPpm")
     val s = if (persist) sh.persist(StorageLevel.MEMORY_AND_DISK) else sh
     val cleanup = () => if (persist) { s.unpersist(); () }
-    val sz = s.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfq = s.groupBy("shingle").agg(count(lit(1)).as("dfq"))
+    // sz rides the SAME id-partitioned window as the prefix rank — one
+    // exchange instead of a separate groupBy(id) + join back
+    val idw = Window.partitionBy("id")
     val pre = s.join(dfq, "shingle")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy("dfq", "shingle")))
-      .join(sz, "id")
+      .withColumn("rn", row_number().over(idw.orderBy("dfq", "shingle")))
+      .withColumn("sz", count(lit(1)).over(idw))
       .filter(col("rn") <=
         col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
           + lit(1))
-      .select("id", "shingle", "sz")
+      .select("id", "shingle", "sz", "rn")
+    // α = ⌈t·(sz_a+sz_b)/(1+t)⌉ in ppm integers — the minimum
+    // intersection size any J ≥ t pair must reach
+    val alpha = expr(s"($thresholdPpm * (sz_a + sz_b)" +
+      s" + ${1000000L + thresholdPpm} - 1) div ${1000000L + thresholdPpm}")
     val cand = pre.select(col("id").as("id_a"), col("shingle"),
-        col("sz").as("sz_a"))
+        col("sz").as("sz_a"), col("rn").as("rn_a"))
       .join(pre.select(col("id").as("id_b"), col("shingle"),
-        col("sz").as("sz_b")), "shingle")
+        col("sz").as("sz_b"), col("rn").as("rn_b")), "shingle")
       .filter(col("id_a") < col("id_b") &&
         col("sz_a") * lit(thresholdPpm) <= col("sz_b") * lit(1000000L) &&
         col("sz_b") * lit(thresholdPpm) <= col("sz_a") * lit(1000000L))
-      .select("id_a", "id_b", "sz_a", "sz_b").distinct()
-    val pairs = cand
-      .join(s.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(s.select(col("id").as("id_b"), col("shingle")),
-        Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("c"),
+        max("rn_a").as("ma"), max("rn_b").as("mb"))
+      .filter(col("c") +
+        least(col("sz_a") - col("ma"), col("sz_b") - col("mb")) >= alpha)
+      .select("id_a", "id_b", "sz_a", "sz_b")
+    // per-doc token arrays: doc-length bounded (a document's distinct
+    // shingle count), never corpus-bounded — safe row width at any SF
+    val docArr = s.groupBy("id").agg(collect_list(col("shingle")).as("toks"))
+    val pairs = cand
+      .join(docArr.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(docArr.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jac_ppm",
         expr("(cast(inter as decimal(38,0)) * 1000000)" +
           " div (sz_a + sz_b - inter)").cast("long"))

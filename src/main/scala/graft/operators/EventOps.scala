@@ -346,7 +346,12 @@ object EventOps {
       .filter(col("us") >= col("t0"))
       .groupBy("u").agg(min("us").as("t1"), min("t0").as("t0"))
     val counts = conv
-      .select(expr("t0 div 86400000000").as("g"),
+      // floor division, not `div` (which truncates toward zero): the
+      // oracle's `//` floors, so a pre-1970 first touch (negative
+      // epoch micros) must land in the PRECEDING day on both engines.
+      // (t0 - pmod(t0, d)) is exactly divisible by d, so the div is
+      // exact and equals floor(t0/d) for every sign.
+      .select(expr("(t0 - pmod(t0, 86400000000)) div 86400000000").as("g"),
         expr("(t1 - t0) div 1000000").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -461,8 +466,11 @@ object EventOps {
   def cohortValueCurve(events: DataFrame, userCol: String,
       tsCol: String, valueCol: Column): DataFrame = {
     val wk = 7L * 86400000000L
+    // floor division (see conversionLatency): pre-1970 timestamps must
+    // week-bucket identically to the oracle's flooring `//`.
     val base = events.select(col(userCol).as("u"),
-      expr(s"unix_micros($tsCol) div $wk").as("w"),
+      expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), $wk))" +
+        s" div $wk").as("w"),
       valueCol.cast("long").as("vc"))
     val first = base.groupBy("u").agg(min("w").as("w0"))
     val cells = base.join(first, "u")

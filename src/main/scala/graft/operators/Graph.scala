@@ -452,8 +452,12 @@ object Graph {
     (out, () => releases.foreach(_.apply()))
   }
 
-  /** [[hitsManaged]] without the cleanup handle. */
+  /** [[hitsManaged]] without the cleanup handle. Defaults to
+    * persist=false: with no handle to release them, persisted
+    * internals would outlive the call (callers wanting the cached
+    * iteration speed should use [[hitsManaged]] and release).
+    */
   def hits(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000000L, persist: Boolean = true): DataFrame =
+      scale: Long = 1000000000000L, persist: Boolean = false): DataFrame =
     hitsManaged(edges, iters, scale, persist)._1
 }

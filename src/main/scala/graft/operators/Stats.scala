@@ -782,13 +782,22 @@ object Stats {
       .withColumn("pairs",
         expr("cast(n_a as decimal(38,0)) * n_b"))
     val tot = j.agg(sum("pairs").as("total"))
+    // top-k is selected on the DECIMAL product: a long cast of a
+    // >int64 hot key is null under non-ANSI eval and would silently
+    // corrupt both the ordering and the reported count. The output
+    // cast stays long (the oracle contract) but RAISES past the edge
+    // instead of nulling — only the k surviving rows pay the branch.
     j.crossJoin(broadcast(tot))
+      .orderBy(col("pairs").desc, col("k"))
+      .limit(topK)
       .select(col("k"), col("n_a"), col("n_b"),
-        col("pairs").cast("long").as("pairs"),
+        expr("CASE WHEN pairs > 9223372036854775807 THEN " +
+          "CAST(raise_error('joinExplosionAudit: pair count exceeds " +
+          "int64; keep the decimal form') AS BIGINT) " +
+          "ELSE CAST(pairs AS BIGINT) END").as("pairs"),
         expr("cast((pairs * 1000000) div total as bigint)")
           .as("share_ppm"))
       .orderBy(col("pairs").desc, col("k"))
-      .limit(topK)
   }
 
   /** Fano factor (index of dispersion) of per-bucket totals — the

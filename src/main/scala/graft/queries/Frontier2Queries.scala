@@ -263,7 +263,15 @@ object Frontier2Queries {
       .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
-    graft.operators.Graph.hits(edges, iters = 2).orderBy("kind", "node")
+    // managed form: materialize the (node-bounded) result, then release
+    // the per-round caches — the convenience `hits()` wrapper would
+    // leak the final round's raw frames + the edge cache to the caller
+    val (out, release) = graft.operators.Graph.hitsManaged(edges, iters = 2)
+    val res = out.orderBy("kind", "node")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    release()
+    res
   }
   val q205Sql: String = {
     val sc = "1000000000000"

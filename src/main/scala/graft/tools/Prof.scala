@@ -112,6 +112,53 @@ object Prof {
         val spreaded = graft.operators.Spread.ensure(raw, "doc_id")
         time("q54 spread cold")(mat(pairs(spreaded)))
         time("q54 spread warm")(mat(pairs(spreaded)))
+      case "q204" =>
+        // stage budget for the prefix-filter join: shingles, prefix,
+        // candidates (with/without the positional filter), verify
+        val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" zq zq zq")).as("text")))
+        val sh = graft.operators.Dedup.hashedShingleTable(
+          corpus, "doc_id", "text", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("shingle table mat")(println("rows=" + sh.count()))
+        val tPpm = 600000L
+        val sz = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+        val dfq = sh.groupBy("shingle").agg(count(lit(1)).as("dfq"))
+        time("sz+dfq aggs")(println(
+          "docs=" + sz.count() + " shingles=" + dfq.count()))
+        val pre = sh.join(dfq, "shingle")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("id").orderBy("dfq", "shingle")))
+          .join(sz, "id")
+          .filter(col("rn") <=
+            col("sz") - expr(s"($tPpm * sz + 999999) div 1000000") + lit(1))
+          .select("id", "shingle", "sz", "rn")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("prefix table mat")(println("prefix rows=" + pre.count()))
+        val joined = pre.select(col("id").as("id_a"), col("shingle"),
+            col("sz").as("sz_a"), col("rn").as("rn_a"))
+          .join(pre.select(col("id").as("id_b"), col("shingle"),
+            col("sz").as("sz_b"), col("rn").as("rn_b")), "shingle")
+          .filter(col("id_a") < col("id_b") &&
+            col("sz_a") * lit(tPpm) <= col("sz_b") * lit(1000000L) &&
+            col("sz_b") * lit(tPpm) <= col("sz_a") * lit(1000000L))
+        time("cand distinct (no positional)")(println("cand=" +
+          joined.select("id_a", "id_b").distinct().count()))
+        val ub = least(col("rn_a") - 1, col("rn_b") - 1) + lit(1) +
+          least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
+        val alpha = expr(s"($tPpm * (sz_a + sz_b)" +
+          s" + ${1000000L + tPpm} - 1) div ${1000000L + tPpm}")
+        time("cand with positional")(println("cand_pos=" +
+          joined.filter(ub >= alpha)
+            .groupBy("id_a", "id_b", "sz_a", "sz_b")
+            .agg(min(ub).as("ubm")).filter(col("ubm") >= alpha).count()))
+        time("full q204 (current impl)")(mat(
+          graft.operators.Dedup.prefixFilterPairs(sh, tPpm, persist = false)))
+        time("full q204 again")(mat(
+          graft.operators.Dedup.prefixFilterPairs(sh, tPpm, persist = false)))
       case "q55" =>
         time("q55 cold")(mat(graft.SparkEntry.queries("q55_ann_pq")(spark, sfDir)))
         spark.catalog.clearCache()

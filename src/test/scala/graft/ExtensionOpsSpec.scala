@@ -40,6 +40,28 @@ class ExtensionOpsSpec extends SparkSuite {
       s"appended duplicate missing from query 5's top-5: $after")
   }
 
+  test("AnnIndex.ensureBuild fires once per content tag; param change rebuilds") {
+    import graft.operators.AnnIndex
+    val e = Tables.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-anngate").toString
+    AnnIndex.ensureBuild(e, "vec_id", "embedding", idx)
+    val meta = java.nio.file.Paths.get(idx, "META")
+    val t1 = java.nio.file.Files.getLastModifiedTime(meta)
+    Thread.sleep(20)
+    AnnIndex.ensureBuild(e, "vec_id", "embedding", idx) // same tag: no-op
+    assert(java.nio.file.Files.getLastModifiedTime(meta) == t1,
+      "second ensureBuild with an unchanged corpus rebuilt the index")
+    // probe still answers from the gated index
+    val q = e.filter(col("vec_id") < 5)
+    assert(AnnIndex.probe(spark, q, "vec_id", "embedding", idx, k = 3)
+      .count() > 0)
+    // a quantizer-geometry change invalidates the tag and rebuilds
+    Thread.sleep(20)
+    AnnIndex.ensureBuild(e, "vec_id", "embedding", idx, nlist = 8)
+    assert(java.nio.file.Files.getLastModifiedTime(meta) != t1,
+      "parameter change did not rebuild the index")
+  }
+
   test("ann lsh top-k achieves >=40% recall@5 vs brute force (8 tables x 4 planes)") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < 20)
