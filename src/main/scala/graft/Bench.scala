@@ -156,6 +156,14 @@ object Bench {
     var retryBudget = 30
     def runEntry(body: () => Unit)
         : (Double, Double, Double, Double, Boolean) = {
+      // Pay the PREVIOUS entry's debt here, outside any timing: shuffle
+      // files, broadcast refs and unpersisted cache blocks are reclaimed
+      // by the ContextCleaner only after a driver GC, and a 245-entry
+      // suite otherwise drags a growing heap through every later entry's
+      // timed runs — the round-10 artifact showed a broad ~+0.3-0.5 s
+      // same-entry warm drift vs round 9 at constant probe, exactly the
+      // suite-size signature.
+      System.gc()
       def attempt(): (Double, Seq[Double], Double, Double) = {
         val p0 = entryProbe()
         val io0 = ioProbe()
@@ -227,6 +235,16 @@ object Bench {
         val (_, script) = new SyncJob(spark)
           .syncCollected(prodPath.toString, backupPath.toString, "bench")
         Files.write(Paths.get(cacheDir, "sync_out.sql"), script.getBytes("UTF-8"))
+        ()
+      }),
+      // the 100 TB sink: executor-rendered script to a text sink, no
+      // driver collect (byte parity pinned by DistributedSinkSpec) —
+      // benched so the scale path's cost is tracked round-over-round,
+      // not just the reference-parity collected path
+      ("sync_dump_diff_distributed", () => {
+        val out = Files.createTempDirectory("graft-bench-sync").toString
+        new SyncJob(spark).syncDistributed(
+          prodPath.toString, backupPath.toString, out, "bench")
         ()
       }),
       // snapshot: repeated runs measure the steady-state cost of
@@ -429,6 +447,20 @@ object Bench {
       (name, cold, warm, probe, ioP, loud)
     }
 
+    // Per-entry input-row counts, so the artifact carries per-batch
+    // wall and rows/sec explicitly — the fixed micro-batch trigger
+    // overhead (~constant per batch × partition) otherwise hides
+    // compute/state regressions inside the total entry time.
+    val evRows = evSlices.map(_.size).sum.toLong
+    val docRows = docSlices.map(_.size).sum.toLong
+    val streamRows: Map[String, Long] = Map(
+      "stream_windowed_agg" -> evRows, "stream_hll_distinct" -> evRows,
+      "stream_value_sketch" -> evRows, "stream_sessionize" -> evRows,
+      "stream_exact_dedup" -> evRows, "stream_click_attribution" -> evRows,
+      "stream_cdc_ops" -> evRows, "stream_asof" -> evRows,
+      "stream_benford" -> evRows, "stream_blocklist" -> docRows,
+      "stream_lsh_gate" -> docRows, "stream_dump_watch" -> 0L)
+
     // ---- JDBC partitioned-read entry (round 10) ----
     // A live-table read through the range-partitioned JDBC source
     // (embedded Derby — the only offline-available engine; a real
@@ -492,8 +524,21 @@ object Bench {
     // file is the round's reproducible full bench record).
     val stateJson = streamStateRows
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-batch wall (warm/batches) and rows/sec from the warm median —
+    // the numbers a streaming regression actually moves
+    val warmByName = all.map(t => t._1 -> t._3).toMap
+    val perBatchJson = streamStateRows.keys.toSeq
+      .filter(k => warmByName.get(k).exists(_ > 0))
+      .map(k => "\"" + k + "\":" + r3(warmByName(k) / nStreamBatches))
+      .mkString("{", ",", "}")
+    val rowsPerSecJson = streamStateRows.keys.toSeq
+      .filter(k => warmByName.get(k).exists(_ > 0) &&
+        streamRows.getOrElse(k, 0L) > 0)
+      .map(k => "\"" + k + "\":" +
+        r3(streamRows(k) / warmByName(k)))
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(all, _._2)},"warm":${jmap(all, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"probe_ref_sec":${r3(probeRef)},"probe":${jmap(all, _._4)},"io_probe":${jmap(all, _._5)},"probe_base_sec":${r3(probeBase)},"io_probe_base_sec":${r3(ioBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"stream_batches":$nStreamBatches,"stream_state_rows":$stateJson,"n_entries":${all.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(all, _._2)},"warm":${jmap(all, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"probe_ref_sec":${r3(probeRef)},"probe":${jmap(all, _._4)},"io_probe":${jmap(all, _._5)},"probe_base_sec":${r3(probeBase)},"io_probe_base_sec":${r3(ioBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"stream_batches":$nStreamBatches,"stream_state_rows":$stateJson,"stream_per_batch_sec":$perBatchJson,"stream_rows_per_sec":$rowsPerSecJson,"n_entries":${all.size},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full)
     // PRINTED line: must parse from the driver's 2000-char stdout tail
     // (BENCH_r06/r07 were parsed:null because the full map blew past it),

@@ -977,28 +977,50 @@ object ExtensionQueries {
   }
 
   // ---------------------------------------------------------------- q26
-  /** Embedding near-dup pairs (cos ≥ 0.999), label-blocked, on a corpus
-    * with planted exact copies.
+  /** Embedding near-dup pairs (cos ≥ 0.999) blocked on the COMPOSITE
+    * (label × RHP-LSH bucket) key, on a corpus with planted exact
+    * copies — the label-constrained dedup ("only dedup within a class")
+    * tiled for scale. A bare label block has FIXED cardinality, so
+    * block sizes grow linearly with the corpus and candidate pairs
+    * quadratically (the round-10 scale run measured 12.6× at 10× —
+    * docs/SCALE.md); intersecting with the 8-plane bucket makes the
+    * occupied-block count grow with the data while cos ≥ 0.999 pairs
+    * still collide (they almost surely agree on every plane sign, and
+    * the oracle replays the identical deterministic blocking).
     */
   val q26: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     val corpus = e.select(col("vec_id"), col("embedding"), col("label"))
       .unionByName(e.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label")))
-    Similarity.nearDupPairs(corpus, "vec_id", "embedding", 0.999, Some("label"))
+    val tiled = corpus.withColumn("_blk", struct(col("label"),
+      Similarity.rhpBucket(
+        graft.functions.Portable.quantize(col("embedding"), Similarity.Scale),
+        Similarity.planeMatrix(8, 64))))
+    Similarity.nearDupPairs(tiled, "vec_id", "embedding", 0.999, Some("_blk"))
       .orderBy("id_a", "id_b")
   }
   val q26Sql: String =
-    """WITH corpus AS (
+    """WITH planes AS (
+      |  SELECT p, list(CASE WHEN ('0x'||substr(md5('plane_'||p||'_'||d),1,2))::BIGINT % 2 = 0
+      |                      THEN 1 ELSE -1 END ORDER BY d) AS pw
+      |  FROM range(8) t(p) CROSS JOIN range(64) dd(d) GROUP BY p),
+      |corpus AS (
       |  SELECT vec_id AS id, embedding, label FROM embeddings
       |  UNION ALL SELECT vec_id+1000000, embedding, label FROM embeddings WHERE vec_id%20=0),
       |qv AS (SELECT id, label, list_transform(embedding,
       |    x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q FROM corpus),
+      |blocks AS (
+      |  SELECT v.id, v.label,
+      |    sum(CASE WHEN list_dot_product(v.q, pl.pw) > 0 THEN 1 << pl.p ELSE 0 END) AS block
+      |  FROM qv v CROSS JOIN planes pl GROUP BY v.id, v.label),
       |pairs AS (
       |  SELECT a.id AS id_a, b.id AS id_b,
-      |    round(list_dot_product(a.q, b.q) /
-      |      (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))), 6) AS cos
-      |  FROM qv a JOIN qv b ON a.label = b.label AND a.id < b.id)
+      |    round(list_dot_product(va.q, vb.q) /
+      |      (sqrt(list_dot_product(va.q, va.q)) * sqrt(list_dot_product(vb.q, vb.q))), 6) AS cos
+      |  FROM blocks a JOIN blocks b
+      |    ON a.label = b.label AND a.block = b.block AND a.id < b.id
+      |  JOIN qv va ON va.id = a.id JOIN qv vb ON vb.id = b.id)
       |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.999
       |ORDER BY id_a, id_b""".stripMargin
 

@@ -64,6 +64,11 @@ object ScaleBench {
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
 
     def entry(name: String, body: String => Unit): Unit = {
+      // pay the previous entry's GC/cleaner debt outside the timings
+      // (same hygiene as Bench.runEntry): back-to-back big runs
+      // otherwise bleed shuffle/broadcast reclamation into the next
+      // entry — measured 2× on sync_dump_diff_distributed@10×
+      System.gc()
       spark.catalog.clearCache()
       val tSmall = try time(body(smallDir)) catch { case _: Throwable => -1.0 }
       spark.catalog.clearCache()
@@ -94,6 +99,19 @@ object ScaleBench {
       entry("sync_dump_diff", dir => {
         val (p, b) = if (dir == smallDir) (ps, bs) else (pb, bb)
         new SyncJob(spark).syncCollected(p, b, "scale")
+        ()
+      })
+    }
+    // the 100 TB sink: executor-rendered script straight to a text sink,
+    // no driver collect — the ratio the core product claims at scale
+    // (byte parity with the collected script is DistributedSinkSpec's)
+    if (wanted("sync_dump_diff_distributed")) {
+      val (ps, bs) = dumps(smallDir)
+      val (pb, bb) = dumps(bigDir)
+      entry("sync_dump_diff_distributed", dir => {
+        val (p, b) = if (dir == smallDir) (ps, bs) else (pb, bb)
+        val out = Files.createTempDirectory("graft-scale-sync").toString
+        new SyncJob(spark).syncDistributed(p, b, out, "scale")
         ()
       })
     }
