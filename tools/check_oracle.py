@@ -49,6 +49,12 @@ def table_digest(rows, colnames):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional: --json <path> writes the per-query verdicts in the
+    # driver's CORRECTNESS_r*.json shape (rows/schema/hash match flags)
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -69,6 +75,10 @@ def main():
         if name not in oracles:
             print(f"  {name}: NO ORACLE (rows={len(spark_rows)})")
             continue
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": len(spark_rows),
+               "oracle_rows": None, "err": None}
+        results[name] = rec
         try:
             res = con.execute(oracles[name])
             duck_cols_raw = [d[0] for d in res.description]
@@ -86,14 +96,19 @@ def main():
                    if "DECIMAL" in t.upper() or "HUGEINT" in t.upper()]
             if bad:
                 failures.append(name)
+                rec["err"] = f"oracle emits DECIMAL/HUGEINT: {bad}"
                 print(f"✗ {name}: oracle emits DECIMAL/HUGEINT column(s) "
                       f"{bad} — CAST to BIGINT in the oracle SQL")
                 continue
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"oracle SQL failed: {e}"
             print(f"✗ {name}: oracle SQL failed: {e}")
             continue
         duck_cols = sorted(duck_cols_raw)
+        rec["oracle_rows"] = len(duck_rows)
+        rec["schema_match"] = spark_cols == duck_cols
+        rec["rows_match"] = len(spark_rows) == len(duck_rows)
         ok = True
         if spark_cols != duck_cols:
             ok = False
@@ -119,6 +134,7 @@ def main():
                         print(f"    spark: {a[:250]}")
                         print(f"    duck : {b[:250]}")
                         break
+        rec["hash_match"] = ok and rec["schema_match"] and rec["rows_match"]
         if ok:
             print(f"✓ {name} ({len(spark_rows)} rows)")
         else:
@@ -127,7 +143,14 @@ def main():
     missing = [n for n in oracles if not os.path.isdir(os.path.join(out_dir, n))]
     for n in missing:
         failures.append(n)
+        results[n] = {"rows_match": False, "schema_match": False,
+                      "hash_match": False, "spark_rows": None,
+                      "oracle_rows": None, "err": "no spark output"}
         print(f"✗ {n}: oracle declared but no spark output")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} queries)")
     print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
     sys.exit(1 if failures else 0)
 
