@@ -148,6 +148,50 @@ object Curate {
     hashSplit(withRep, col("rep"), splits, denom)
   }
 
+  /** Group-atomic k-fold cross-validation assignment + audit — the CV
+    * companion of [[leakageAwareSplit]]: every GROUP (dup cluster,
+    * author, domain — the unit eval contamination travels along) lands
+    * whole in exactly one of `k` folds, fold = hash48(group) mod k, so
+    * the same corpus folds identically on any engine, any partitioning,
+    * any run. A plain per-row k-fold scatters a group's members across
+    * folds and every fold's eval set leaks into every other fold's
+    * train set — the CV form of the q115 contamination.
+    *
+    * Returns the per-fold AUDIT (the go/no-go report a training run
+    * reads, not the assignment itself — that's one map-only
+    * `pmod(hash48(g), k)` column the caller adds with the same
+    * formula): fold sizes in groups/rows/weight, plus
+    * `max_folds_per_group` — computed from the data, not asserted —
+    * which the atomicity contract pins at 1.
+    *
+    * One (group)-keyed aggregate, one k-domain aggregate, one
+    * broadcast single-row audit join. Output ordered by fold:
+    * (fold, n_groups, n_rows, weight, max_folds_per_group).
+    */
+  def groupKFold(df: DataFrame, groupCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2: $k")
+    // fold assigned at ROW level (the map-only column a training job
+    // adds), THEN folded per group — so the audit measures what rows
+    // actually got, rather than asserting the formula about itself
+    val rows = df
+      .select(groupCol.as("g"), weightCol.cast("long").as("wt"))
+      .withColumn("fold", pmod(graft.functions.Portable.hash48(col("g")),
+        lit(k.toLong)))
+    val perGroup = rows.groupBy("g")
+      .agg(countDistinct(col("fold")).as("nf"), min("fold").as("fold"),
+        count(lit(1)).as("n_rows"), sum("wt").as("weight"))
+    val audit = perGroup.agg(max("nf").as("max_folds_per_group"))
+    perGroup.groupBy("fold")
+      .agg(count(lit(1)).as("n_groups"), sum("n_rows").as("n_rows"),
+        sum("weight").as("weight"))
+      .crossJoin(broadcast(audit))
+      .select(col("fold"), col("n_groups"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("weight").cast("long").as("weight"),
+        col("max_folds_per_group"))
+  }
+
   /** Global token-budget selection WITHOUT a global sort: keep the
     * highest-priority rows until `budget` cost is claimed. The naive
     * plan — ORDER BY priority DESC then running-sum — funnels the corpus

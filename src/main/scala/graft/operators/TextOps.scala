@@ -1844,6 +1844,49 @@ object TextOps {
           |  / cast(n1 as double) / cast(n2 as double), 6)""".stripMargin))
       .select("term", "o1", "o2", "chi2_6dp")
   }
+  /** Per-group unigram cross-entropy against the WHOLE corpus, in
+    * exact integer floor-bits — the "which source doesn't belong in
+    * this mix" monitor: a slice whose tokens are corpus-rare scores
+    * high, one drawn from the corpus distribution sits near the corpus
+    * self-entropy. Complements [[tokenDrift]] (per-token χ² on the top
+    * terms) with ONE bounded number per slice, and reuses q153's
+    * integer log idiom so any engine replays it bit-for-bit: token
+    * probability is p_micro = max(1, (10⁶·c(w)) div N) (the rarer-than
+    * -1e-6 floor every real scorer has) and surprise-in-bits is
+    * 21 − len(bin(p_micro)) ∈ [1, 20] — floor-log2 via binary-string
+    * length, no libm log anywhere.
+    *
+    * Shape: one explode → one (group, token) count aggregate (map-side
+    * combined); corpus counts derive from THAT frame (vocab-bounded,
+    * never a second corpus scan); one vocab-keyed join; one
+    * group-domain aggregate. Σ cnt·bits ≤ 20·tokens stays in int64 to
+    * ~4·10¹⁷ tokens; the ×1000 milli-scaling runs in decimal(38,0).
+    *
+    * Output: (g, n_tokens, n_types, xent_bits, avg_millibits).
+    */
+  def sourceCrossEntropy(docs: DataFrame, groupCol: Column,
+      textCol: String): DataFrame = {
+    val toks = docs.select(groupCol.as("g"),
+        explode(Portable.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val perGw = toks.groupBy("g", "w").agg(count(lit(1)).as("cnt"))
+    val perW = perGw.groupBy("w").agg(sum("cnt").as("c"))
+    val tot = perW.agg(sum("c").as("nn"))
+    val bits = perW.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (lit(21L) - length(bin(greatest(
+          expr("(1000000 * c) div nn"), lit(1L))))).as("bits"))
+    perGw.join(bits, "w")
+      .groupBy("g")
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("cnt") * col("bits")).as("xent_bits"))
+      .select(col("g"), col("n_tokens"), col("n_types"),
+        col("xent_bits"),
+        expr("cast((cast(xent_bits as decimal(38,0)) * 1000)" +
+          " div n_tokens as bigint)").as("avg_millibits"))
+  }
+
   /** Distinct-n n-gram diversity per group — the generation-quality /
     * template-detection metric (Li et al.'s distinct-1/distinct-2
     * applied corpus-side): for each group and each n in `ns`, the total

@@ -1067,7 +1067,67 @@ object Frontier2Queries {
        |  UNION ALL SELECT g, 'burst_ppm', burst_ppm FROM burst)
        |ORDER BY g, metric""".stripMargin
 
+  // --------------------------------------------------------------- q229
+  /** Per-source unigram cross-entropy against the corpus mix in exact
+    * floor-bits ([[graft.operators.TextOps.sourceCrossEntropy]]) — the
+    * one-number-per-slice "which source doesn't belong" monitor read
+    * next to q185's per-token χ² and q128's DSIR weights. Same integer
+    * log idiom as q153 (p_micro floor + binary-string-length
+    * floor-log2), so the oracle replays it bit-for-bit.
+    */
+  val q229: Q = (s, dir) =>
+    graft.operators.TextOps.sourceCrossEntropy(
+        Tables.documents(s, dir), col("source"), "text")
+      .orderBy("g")
+  val q229Sql: String =
+    """WITH toks AS (SELECT source AS g,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |gw AS (SELECT g, w, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks WHERE w <> '' GROUP BY 1, 2),
+      |pw AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS c FROM gw GROUP BY 1),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM pw),
+      |b AS (SELECT w, 21 - length(format('{:b}',
+      |    greatest((1000000 * c) // nn, 1))) AS bits
+      |  FROM pw CROSS JOIN nn)
+      |SELECT g, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  CAST(sum(cnt * bits) AS BIGINT) AS xent_bits,
+      |  CAST((sum(cnt * bits) * 1000) // sum(cnt) AS BIGINT)
+      |    AS avg_millibits
+      |FROM gw JOIN b USING (w) GROUP BY g ORDER BY g""".stripMargin
+
+  // --------------------------------------------------------------- q230
+  /** Group-atomic k-fold assignment audit
+    * ([[graft.operators.Curate.groupKFold]], k=5, groups = exact-dup
+    * key lower(text), weight = n_chars): fold sizes plus the measured
+    * max folds-per-group, which the hash48(group) mod k contract pins
+    * at 1 — the CV-split leakage proof q115 provides for the
+    * train/val/test case.
+    */
+  val q230: Q = (s, dir) =>
+    graft.operators.Curate.groupKFold(Tables.documents(s, dir),
+        lower(col("text")), col("n_chars"), k = 5)
+      .orderBy("fold")
+  val q230Sql: String =
+    """WITH rws AS (SELECT lower(text) AS g, n_chars AS wt,
+      |    ('0x'||substr(md5(lower(text)),1,12))::BIGINT % 5 AS fold
+      |  FROM documents),
+      |pg AS (SELECT g, count(DISTINCT fold) AS nf,
+      |    CAST(min(fold) AS BIGINT) AS fold,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(wt) AS BIGINT) AS weight
+      |  FROM rws GROUP BY g),
+      |aud AS (SELECT CAST(max(nf) AS BIGINT) AS mf FROM pg)
+      |SELECT fold, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+      |  CAST(sum(weight) AS BIGINT) AS weight,
+      |  mf AS max_folds_per_group
+      |FROM pg CROSS JOIN aud GROUP BY fold, mf ORDER BY fold""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q229_source_xent" -> q229,
+    "q230_group_kfold" -> q230,
     "q228_drift_dashboard" -> q228,
     "q225_cohort_value_curve" -> q225,
     "q226_trimmed_mean" -> q226,
@@ -1101,6 +1161,8 @@ object Frontier2Queries {
     "q203_peak_concurrency" -> q203)
 
   def oracle: Map[String, String] = Map(
+    "q229_source_xent" -> q229Sql,
+    "q230_group_kfold" -> q230Sql,
     "q228_drift_dashboard" -> q228Sql,
     "q225_cohort_value_curve" -> q225Sql,
     "q226_trimmed_mean" -> q226Sql,

@@ -382,6 +382,29 @@ class Frontier2OpsSpec extends SparkSuite {
     assert(out == (("g", 3L, 1L, 333333L)))
   }
 
+  test("sourceCrossEntropy scores hand-computed floor-bits") {
+    // corpus: a:2, b:1, c:1, N=4 → p_micro(a)=500000 (bits 21−19=2),
+    // p_micro(b)=p_micro(c)=250000 (bits 21−18=3).
+    // s1 = "a a b": n=3, types=2, xent=2·2+3=7, avg=(7·1000) div 3=2333
+    // s2 = "c": n=1, types=1, xent=3, avg=3000
+    val docs = Seq(("s1", "a A b"), ("s2", "c")).toDF("src", "text")
+    val out = TextOps.sourceCrossEntropy(docs, col("src"), "text")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("s1", 3L, 2L, 7L, 2333L), ("s2", 1L, 1L, 3L, 3000L)))
+  }
+
+  test("groupKFold keeps groups atomic and accounts every row") {
+    val rows = (1 to 40).map(i => (s"grp${i % 7}", i.toLong))
+    val df = rows.toDF("g0", "w")
+    val out = Curate.groupKFold(df, col("g0"), col("w"), k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).forall(f => f >= 0 && f < 3))
+    assert(out.map(_._2).sum == 7L, "every group in exactly one fold")
+    assert(out.map(_._3).sum == 40L, "every row accounted")
+    assert(out.map(_._4).sum == rows.map(_._2).sum, "weight conserved")
+    assert(out.forall(_._5 == 1L), "a group never spans folds")
+  }
+
   test("peakConcurrency nets endpoint ties half-open") {
     // [0,10), [5,15), [10,20): at t=10 one ends as one starts — netted
     // to zero, so the peak stays 2, first reached at t=5

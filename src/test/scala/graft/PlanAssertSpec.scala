@@ -409,6 +409,20 @@ class PlanAssertSpec extends SparkSuite {
     }
   }
 
+  test("wave-15 plans: windows partitioned, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q229_source_xent", "q230_group_kfold")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val bare = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$q has ${bare.size} partition-less WindowExec node(s)")
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"$q plans a CartesianProduct:\n" + plan.toString.take(3000))
+    }
+  }
+
   test("q216 join-explosion top-k is TakeOrdered, never a global sort") {
     val p = executed("q216_join_explosion_audit")
     assert(p.contains("TakeOrderedAndProject"),
