@@ -432,6 +432,23 @@ object Bench {
           streamStateRows("stream_lsh_gate") = 0L // foreachBatch: no store
         } finally q.stop()
       }),
+      ("stream_seasonality", () => {
+        // the online diurnal-baseline monitor: complete-mode
+        // (type × hour) counts, state bounded by the 24-hour domain —
+        // prices the per-batch commit of q224's online half
+        val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+        val df = in.toDS()
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+        val q = EventAnalytics.hourCounts(df)
+          .writeStream.format("noop")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-sb").toString)
+          .outputMode("complete").start()
+        try {
+          evSlices.foreach { s => in.addData(s: _*); q.processAllAvailable() }
+          recordState("stream_seasonality", q)
+        } finally q.stop()
+      }),
       ("stream_benford", () => {
         // the online feed-quality monitor: complete-mode digit counts,
         // state bounded by the (type × 9) digit domain — the entry
@@ -476,7 +493,8 @@ object Bench {
       "stream_value_sketch" -> evRows, "stream_sessionize" -> evRows,
       "stream_exact_dedup" -> evRows, "stream_click_attribution" -> evRows,
       "stream_cdc_ops" -> evRows, "stream_asof" -> evRows,
-      "stream_benford" -> evRows, "stream_blocklist" -> docRows,
+      "stream_benford" -> evRows, "stream_seasonality" -> evRows,
+      "stream_blocklist" -> docRows,
       "stream_lsh_gate" -> docRows, "stream_dump_watch" -> 0L)
 
     // ---- JDBC partitioned-read entry (round 10) ----

@@ -525,13 +525,29 @@ object EventOps {
     * Output: (g, hour, n, share_ppm).
     */
   def seasonalityProfile(events: DataFrame, groupCol: String,
-      tsCol: String): DataFrame = {
-    val spark = events.sparkSession
+      tsCol: String): DataFrame =
+    seasonalityFromCounts(
+      hourOfDayCounts(events, col(groupCol), col(tsCol)))
+
+  /** (g, hour, c) observed hour-of-day counts — the extraction shared
+    * by [[seasonalityProfile]] and its ONLINE form
+    * ([[graft.streaming.EventAnalytics.hourCounts]]), so the streaming
+    * monitor equals the batch report by construction.
+    */
+  def hourOfDayCounts(events: DataFrame, groupCol: Column,
+      tsCol: Column): DataFrame =
+    events.select(groupCol.as("g"),
+        hour(tsCol).cast("long").as("hour"))
+      .groupBy("g", "hour").agg(count(lit(1)).as("c"))
+
+  /** Finish a (g, hour, c) count frame into the seasonality grid —
+    * the back half of [[seasonalityProfile]], also run over a
+    * streaming sink snapshot of [[hourOfDayCounts]].
+    */
+  def seasonalityFromCounts(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
     import spark.implicits._
     val hours = broadcast((0L to 23L).toDF("hour"))
-    val obs = events.select(col(groupCol).as("g"),
-        hour(col(tsCol)).cast("long").as("hour"))
-      .groupBy("g", "hour").agg(count(lit(1)).as("c"))
     val grid = obs.select("g").distinct().crossJoin(hours)
     grid.join(obs, Seq("g", "hour"), "left")
       .withColumn("n", coalesce(col("c"), lit(0L)))

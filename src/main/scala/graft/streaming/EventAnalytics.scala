@@ -118,6 +118,19 @@ object EventAnalytics {
     graft.operators.Stats.leadingDigitCounts(events, col("event_type"),
       round(col("value") * 100).cast("long"))
 
+  /** Streaming hour-of-day seasonality monitor — the online half of
+    * q224's diurnal baseline: running (type × hour) counts in one
+    * complete-mode aggregate whose state is DOMAIN-bounded
+    * (|types| × 24 rows), so it runs forever at constant state. Read
+    * the sink through [[graft.operators.EventOps.seasonalityFromCounts]]
+    * to get the identical grid the batch profile produces — stream and
+    * batch share the hour extraction by construction
+    * ([[graft.operators.EventOps.hourOfDayCounts]]).
+    */
+  def hourCounts(events: DataFrame): DataFrame =
+    graft.operators.EventOps.hourOfDayCounts(events,
+      col("event_type"), col("ts"))
+
   /** Stream-stream interval join (click attribution): each `click` event
     * joined to the same user's `view` events in the preceding hour. The
     * equi-key (user) plus the event-time range condition is what lets

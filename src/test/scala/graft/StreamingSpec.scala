@@ -307,4 +307,38 @@ class StreamingSpec extends SparkSuite {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("streaming hour counts finish to the batch seasonality grid") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batchEvents = Tables.events(spark, dir)
+    val expected = graft.operators.EventOps
+      .seasonalityProfile(batchEvents, "event_type", "ts")
+      .orderBy("g", "hour").collect().toSeq
+
+    val rows = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect().toSeq
+    val input =
+      MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)](spark)
+    val q = EventAnalytics.hourCounts(
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type",
+          "value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("season_out").start()
+    try {
+      val (h, t) = rows.splitAt(rows.size / 2)
+      input.addData(h: _*); q.processAllAvailable()
+      input.addData(t: _*); q.processAllAvailable()
+      // domain-bounded (type × 24) state; the finisher over a sink
+      // snapshot must equal the batch grid bit-for-bit
+      val snap = spark.table("season_out")
+        .as[(String, Long, Long)].collect().toSeq
+        .toDF("g", "hour", "c")
+      val got = graft.operators.EventOps.seasonalityFromCounts(snap)
+        .orderBy("g", "hour").collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
