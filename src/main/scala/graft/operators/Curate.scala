@@ -192,6 +192,45 @@ object Curate {
         col("max_folds_per_group"))
   }
 
+  /** Per-fold composition audit — the representativeness check a CV
+    * user runs right after [[groupKFold]]'s leakage check: for every
+    * (fold, stratum) cell, the row count, the stratum's share of its
+    * fold, the stratum's share of the whole corpus, and the signed
+    * deviation between them (ppm). Group-atomic hashing balances folds
+    * only in expectation; a stratum dominated by a few huge groups can
+    * land lopsided, and a fold whose composition deviates from the
+    * corpus biases that fold's eval — this is the report that catches
+    * it before a training run does.
+    *
+    * Exact integers end-to-end: shares are `(10⁶·n) div total` (the
+    * fold's total / the corpus total), deviation their difference.
+    * One (fold, stratum) aggregate, two domain-bounded share joins.
+    * Output: (fold, stratum, n_rows, share_ppm, corpus_ppm, dev_ppm),
+    * fold = hash48(group) mod k — the [[groupKFold]] assignment.
+    */
+  def kFoldComposition(df: DataFrame, groupCol: Column,
+      stratumCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2: $k")
+    val cells = df
+      .select(stratumCol.as("stratum"),
+        pmod(graft.functions.Portable.hash48(groupCol), lit(k.toLong))
+          .as("fold"))
+      .groupBy("fold", "stratum").agg(count(lit(1)).as("n_rows"))
+    val foldTot = cells.groupBy("fold").agg(sum("n_rows").as("ft"))
+    val stratTot = cells.groupBy("stratum").agg(sum("n_rows").as("st"))
+    val corpus = cells.agg(sum("n_rows").as("ct"))
+    cells.join(broadcast(foldTot), "fold")
+      .join(broadcast(stratTot), "stratum")
+      .crossJoin(broadcast(corpus))
+      .select(col("fold"), col("stratum"),
+        col("n_rows").cast("long").as("n_rows"),
+        expr("cast((cast(n_rows as decimal(38,0)) * 1000000) div ft" +
+          " as bigint)").as("share_ppm"),
+        expr("cast((cast(st as decimal(38,0)) * 1000000) div ct" +
+          " as bigint)").as("corpus_ppm"))
+      .withColumn("dev_ppm", col("share_ppm") - col("corpus_ppm"))
+  }
+
   /** Global token-budget selection WITHOUT a global sort: keep the
     * highest-priority rows until `budget` cost is claimed. The naive
     * plan — ORDER BY priority DESC then running-sum — funnels the corpus

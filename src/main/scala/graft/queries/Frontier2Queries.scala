@@ -1125,9 +1125,40 @@ object Frontier2Queries {
       |  mf AS max_folds_per_group
       |FROM pg CROSS JOIN aud GROUP BY fold, mf ORDER BY fold""".stripMargin
 
+  // --------------------------------------------------------------- q231
+  /** Per-fold composition audit ([[graft.operators.Curate
+    * .kFoldComposition]], k=5, groups = exact-dup key, strata =
+    * source): each fold's per-source share vs the corpus share and the
+    * signed ppm deviation — the representativeness report read next to
+    * q230's leakage proof before trusting a CV estimate.
+    */
+  val q231: Q = (s, dir) =>
+    graft.operators.Curate.kFoldComposition(Tables.documents(s, dir),
+        lower(col("text")), col("source"), k = 5)
+      .orderBy("fold", "stratum")
+  val q231Sql: String =
+    """WITH rws AS (SELECT source AS stratum,
+      |    ('0x'||substr(md5(lower(text)),1,12))::BIGINT % 5 AS fold
+      |  FROM documents),
+      |cells AS (SELECT fold, stratum, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM rws GROUP BY 1, 2),
+      |ft AS (SELECT fold, CAST(sum(n_rows) AS BIGINT) AS ft
+      |  FROM cells GROUP BY 1),
+      |st AS (SELECT stratum, CAST(sum(n_rows) AS BIGINT) AS st
+      |  FROM cells GROUP BY 1),
+      |ct AS (SELECT CAST(sum(n_rows) AS BIGINT) AS ct FROM cells)
+      |SELECT fold, stratum, n_rows,
+      |  CAST((n_rows * 1000000) // ft AS BIGINT) AS share_ppm,
+      |  CAST((st * 1000000) // ct AS BIGINT) AS corpus_ppm,
+      |  CAST((n_rows * 1000000) // ft - (st * 1000000) // ct AS BIGINT)
+      |    AS dev_ppm
+      |FROM cells JOIN ft USING (fold) JOIN st USING (stratum) CROSS JOIN ct
+      |ORDER BY fold, stratum""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q229_source_xent" -> q229,
     "q230_group_kfold" -> q230,
+    "q231_kfold_composition" -> q231,
     "q228_drift_dashboard" -> q228,
     "q225_cohort_value_curve" -> q225,
     "q226_trimmed_mean" -> q226,
@@ -1163,6 +1194,7 @@ object Frontier2Queries {
   def oracle: Map[String, String] = Map(
     "q229_source_xent" -> q229Sql,
     "q230_group_kfold" -> q230Sql,
+    "q231_kfold_composition" -> q231Sql,
     "q228_drift_dashboard" -> q228Sql,
     "q225_cohort_value_curve" -> q225Sql,
     "q226_trimmed_mean" -> q226Sql,

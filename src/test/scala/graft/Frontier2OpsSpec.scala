@@ -405,6 +405,26 @@ class Frontier2OpsSpec extends SparkSuite {
     assert(out.forall(_._5 == 1L), "a group never spans folds")
   }
 
+  test("kFoldComposition shares and deviations reconcile exactly") {
+    val rows = (1 to 60).map(i =>
+      (s"g${i % 11}", if (i % 3 == 0) "s1" else "s2"))
+    val df = rows.toDF("g0", "src")
+    val out = Curate.kFoldComposition(df, col("g0"), col("src"), k = 3)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._3).sum == 60L, "every row in exactly one cell")
+    // within a fold, share_ppm is (1e6·n) div fold_total — floor sums
+    // to ≤ 1e6 per fold
+    out.groupBy(_._1).foreach { case (_, cells) =>
+      val tot = cells.map(_._3).sum
+      cells.foreach { c =>
+        assert(c._4 == c._3 * 1000000L / tot)
+        assert(c._6 == c._4 - c._5, "dev = share - corpus")
+      }
+    }
+    // corpus_ppm is fold-independent per stratum
+    assert(out.groupBy(_._2).forall(_._2.map(_._5).distinct.size == 1))
+  }
+
   test("peakConcurrency nets endpoint ties half-open") {
     // [0,10), [5,15), [10,20): at t=10 one ends as one starts — netted
     // to zero, so the peak stays 2, first reached at t=5

@@ -411,7 +411,8 @@ class PlanAssertSpec extends SparkSuite {
 
   test("wave-15 plans: windows partitioned, no cartesian") {
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("q229_source_xent", "q230_group_kfold")) {
+    for (q <- Seq("q229_source_xent", "q230_group_kfold",
+        "q231_kfold_composition")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       val bare = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
