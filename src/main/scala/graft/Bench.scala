@@ -120,8 +120,15 @@ object Bench {
 
     // Full materialization (all output columns through the noop sink), so
     // expensive final projections aren't pruned the way .count() allows.
-    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    // Managed operators defer their internal-cache release handles to
+    // PendingRelease; draining here (post-materialization, inside the
+    // timed body) charges each run its own cleanup and prevents the
+    // per-warm-run cache accumulation the round-11 q205 fix traded into
+    // an eager-materialization regression.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save()
+      PendingRelease.drain()
+    }
 
     // One entry = probe, cold from a cleared cache state (charged for
     // codegen compile + operator-internal persists), median-of-3 warm
@@ -259,11 +266,18 @@ object Bench {
       // driver collect (byte parity pinned by DistributedSinkSpec) —
       // benched so the scale path's cost is tracked round-over-round,
       // not just the reference-parity collected path
-      ("sync_dump_diff_distributed", () => {
-        val out = Files.createTempDirectory("graft-bench-sync").toString
-        new SyncJob(spark).syncDistributed(
-          prodPath.toString, backupPath.toString, out, "bench")
-        ()
+      // ONE output dir for all runs (cold + warms + retries):
+      // syncDistributed writes mode("overwrite"), and a fresh temp dir
+      // per timed run would both accumulate unbounded script copies
+      // under /tmp across bench invocations and charge dir creation to
+      // the timing
+      ("sync_dump_diff_distributed", {
+        val out = Paths.get(cacheDir, "sync_distributed_out").toString
+        () => {
+          new SyncJob(spark).syncDistributed(
+            prodPath.toString, backupPath.toString, out, "bench")
+          ()
+        }
       }),
       // snapshot: repeated runs measure the steady-state cost of
       // snapshotting a NEW dump (the per-arrival price)
@@ -563,8 +577,12 @@ object Bench {
     // per-batch wall (warm/batches) and rows/sec from the warm median —
     // the numbers a streaming regression actually moves
     val warmByName = all.map(t => t._1 -> t._3).toMap
+    // stream_dump_watch is excluded (streamRows 0): its "batches" are
+    // file arrivals, not the nStreamBatches MemoryStream slices, so
+    // warm/nStreamBatches would mislabel its per-batch figure
     val perBatchJson = streamStateRows.keys.toSeq
-      .filter(k => warmByName.get(k).exists(_ > 0))
+      .filter(k => warmByName.get(k).exists(_ > 0) &&
+        streamRows.getOrElse(k, 0L) > 0)
       .map(k => "\"" + k + "\":" + r3(warmByName(k) / nStreamBatches))
       .mkString("{", ",", "}")
     val rowsPerSecJson = streamStateRows.keys.toSeq

@@ -79,12 +79,22 @@ object AnnIndex {
     * callers (every probe-serving job, every bench warm run) pay one
     * fingerprint aggregate instead of a kmeans fit + corpus encode.
     */
+  /** Index FORMAT version, appended to the ContentGate tag. Bump this
+    * whenever [[build]]'s arithmetic or on-disk layout changes: the tag
+    * otherwise covers only corpus content + quantizer parameters, so a
+    * pre-existing index dir (e.g. q107's fixed /tmp path) would report
+    * fresh and serve a stale layout after a code change — surfacing as
+    * a confusing oracle hash failure instead of a rebuild.
+    */
+  val FormatVersion = 2
+
   def ensureBuild(base: DataFrame, idCol: String, vecCol: String,
       indexDir: String, nlist: Int = 16, m: Int = 16, ksub: Int = 64,
       kmeansIters: Int = 3, trainLimit: Int = 4096): Unit = {
     val tag = ContentGate.tag(base, col(idCol),
         concat_ws(",", col(vecCol).cast("array<string>")), lit(true)) +
-      s";nlist=$nlist,m=$m,ksub=$ksub,it=$kmeansIters,tl=$trainLimit"
+      s";nlist=$nlist,m=$m,ksub=$ksub,it=$kmeansIters,tl=$trainLimit" +
+      s";v=$FormatVersion"
     ContentGate.ensure(indexDir, tag) {
       build(base, idCol, vecCol, indexDir, nlist, m, ksub, kmeansIters,
         trainLimit)

@@ -378,9 +378,10 @@ object Graph {
     *   auth'(v) = Σ_{u→v} hub(u);   auth(v) = (auth'(v)·scale) div Σauth'
     *   hub'(u)  = Σ_{u→v} auth(v);  hub(u)  = (hub'(u)·scale) div Σhub'
     *
-    * — L1 normalization via one broadcast total per half-round instead
-    * of the float L2 of the textbook (any engine reproduces integral
-    * div bit-for-bit; the RANKING is unchanged by the norm choice).
+    * — L1 normalization via one scalar total per half-round (collected
+    * to the driver as a single decimal, never row data) instead of the
+    * float L2 of the textbook (any engine reproduces integral div
+    * bit-for-bit; the RANKING is unchanged by the norm choice).
     * Sums and products run in decimal(38,0): raw·scale stays under
     * 10³⁸ up to ~10¹⁴ edges at the default scale.
     *
@@ -403,19 +404,25 @@ object Graph {
     val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
     val releases = scala.collection.mutable.ArrayBuffer[() => Unit](
       () => { e.unpersist(); () })
-    // every half-round's raw frame feeds TWO consumers — its broadcast
-    // L1 total and the next half-round's join. Uncached, the broadcast
-    // subjob re-runs the whole prior lineage once per consumer, i.e.
+    // every half-round's raw frame feeds TWO consumers — its L1 total
+    // and the next half-round's join. Uncached, the total's subjob
+    // re-runs the whole prior lineage once per consumer, i.e.
     // exponentially in the round count (measured 47 s vs 2 s at sf0.1
-    // with iters=2) — so each raw frame is persisted and eagerly
-    // materialized, and the PREVIOUS round's caches release as soon as
-    // the next raw frame is solid (same lifecycle as pageRank's
-    // checkpoint rotation).
+    // with iters=2) — so each raw frame is persisted, and the ONE job
+    // that fills its cache also returns the L1 total as a 1-row scalar
+    // collect (bounded: one decimal per half-round, never row data).
+    // Normalizing by the scalar LITERAL instead of a broadcast total
+    // halves the per-half-round job count (no separate count() to
+    // materialize, no broadcast subjob in the consumer's plan) —
+    // measured 5.1 → 3.4 s warm end-to-end at sf0.1. The PREVIOUS
+    // round's caches release as soon as the next raw frame is solid
+    // (same lifecycle as pageRank's checkpoint rotation).
     var roundCaches = List.empty[DataFrame]
-    def materialized(df: DataFrame): DataFrame = {
+    def materializedWithTotal(df: DataFrame): (DataFrame, String) = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
+      val tot = p.agg(sum("raw")).head.getDecimal(0)
+      // empty edge set → sum is null; any divisor works on zero rows
+      (p, if (tot == null) "1" else tot.toPlainString)
     }
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(scale).cast("decimal(38,0)"))
@@ -425,20 +432,18 @@ object Graph {
       // normalized score to decimal(38,0) so the NEXT half-round's
       // sum·scale product never multiplies long×long (score·deg·scale
       // crosses int64 at ~10⁹-degree nodes)
-      val aRaw = materialized(e.join(hub, e("src") === hub("node"))
-        .groupBy(col("dst").as("anode")).agg(sum("h").as("raw")))
-      val aTot = aRaw.agg(sum("raw").as("tot"))
-      auth = aRaw.crossJoin(broadcast(aTot))
-        .select(col("anode").as("node"),
-          expr(s"cast((cast(raw as decimal(38,0)) * $scale) div tot" +
-            " as decimal(38,0))").as("a"))
-      val hRaw = materialized(e.join(auth, e("dst") === auth("node"))
-        .groupBy(col("src").as("hnode")).agg(sum("a").as("raw")))
-      val hTot = hRaw.agg(sum("raw").as("tot"))
-      hub = hRaw.crossJoin(broadcast(hTot))
-        .select(col("hnode").as("node"),
-          expr(s"cast((cast(raw as decimal(38,0)) * $scale) div tot" +
-            " as decimal(38,0))").as("h"))
+      val (aRaw, aTot) = materializedWithTotal(
+        e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst").as("anode")).agg(sum("h").as("raw")))
+      auth = aRaw.select(col("anode").as("node"),
+        expr(s"cast((cast(raw as decimal(38,0)) * $scale) div " +
+          s"cast('$aTot' as decimal(38,0)) as decimal(38,0))").as("a"))
+      val (hRaw, hTot) = materializedWithTotal(
+        e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src").as("hnode")).agg(sum("a").as("raw")))
+      hub = hRaw.select(col("hnode").as("node"),
+        expr(s"cast((cast(raw as decimal(38,0)) * $scale) div " +
+          s"cast('$hTot' as decimal(38,0)) as decimal(38,0))").as("h"))
       roundCaches.foreach(_.unpersist()) // prior round fully consumed
       roundCaches = List(aRaw, hRaw)
     }

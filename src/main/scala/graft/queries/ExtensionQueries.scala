@@ -349,9 +349,11 @@ object ExtensionQueries {
     val fresh = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zq zq zq")).as("text"))
-    Dedup.minhashLshPairsDeltaManaged(base, fresh, "doc_id", "text",
-      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)._1
-      .orderBy("id_a", "id_b")
+    val (pairs, release) = Dedup.minhashLshPairsDeltaManaged(base, fresh,
+      "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
+      threshold = 0.5)
+    graft.PendingRelease.defer(release)
+    pairs.orderBy("id_a", "id_b")
   }
   val q104Sql: String = {
     val tail = "SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5"
@@ -985,8 +987,19 @@ object ExtensionQueries {
     * quadratically (the round-10 scale run measured 12.6× at 10× —
     * docs/SCALE.md); intersecting with the 8-plane bucket makes the
     * occupied-block count grow with the data while cos ≥ 0.999 pairs
-    * still collide (they almost surely agree on every plane sign, and
-    * the oracle replays the identical deterministic blocking).
+    * still collide, and the oracle replays the identical deterministic
+    * blocking. The bucket intersection is LOSSY for non-identical
+    * pairs: a genuine cos = 0.999 pair disagrees on a random plane's
+    * sign with probability arccos(0.999)/π ≈ 1.42%, so across 8 planes
+    * ≈ 10.8% of such borderline pairs land in different buckets and are
+    * dropped (planted EXACT copies always collide — every plane sign
+    * is equal by construction). That recall trade is the same S-curve
+    * q156 calibrates for MinHash LSH; callers needing exact
+    * label-blocked recall at bounded corpus size use
+    * [[Similarity.nearDupPairs]] with the bare label block —
+    * SkewAndIvfSpec pins, on this query's fixture, that the composite
+    * block only PRUNES the bare-label result and that every planted
+    * exact copy survives the pruning.
     */
   val q26: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)

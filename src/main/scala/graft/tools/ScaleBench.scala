@@ -46,8 +46,10 @@ object ScaleBench {
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save()
+      graft.PendingRelease.drain() // managed operators' deferred handles
+    }
 
     def dumps(sfDir: String): (String, String) = {
       val sfName = Paths.get(sfDir).getFileName.toString
@@ -108,10 +110,14 @@ object ScaleBench {
     if (wanted("sync_dump_diff_distributed")) {
       val (ps, bs) = dumps(smallDir)
       val (pb, bb) = dumps(bigDir)
+      // one reusable output dir per SF (syncDistributed overwrites) —
+      // a fresh temp dir per timed run leaks script copies under /tmp
+      val outs = Map(
+        smallDir -> Files.createTempDirectory("graft-scale-sync").toString,
+        bigDir -> Files.createTempDirectory("graft-scale-sync").toString)
       entry("sync_dump_diff_distributed", dir => {
         val (p, b) = if (dir == smallDir) (ps, bs) else (pb, bb)
-        val out = Files.createTempDirectory("graft-scale-sync").toString
-        new SyncJob(spark).syncDistributed(p, b, out, "scale")
+        new SyncJob(spark).syncDistributed(p, b, outs(dir), "scale")
         ()
       })
     }

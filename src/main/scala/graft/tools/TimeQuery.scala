@@ -27,8 +27,10 @@ object TimeQuery {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     graft.Tables.lineitem(spark, sfDir).limit(1000).count()
 
-    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save()
+      graft.PendingRelease.drain() // same contract as Bench.materialize
+    }
 
     names.foreach { name =>
       spark.catalog.clearCache()

@@ -250,6 +250,28 @@ class Frontier2OpsSpec extends SparkSuite {
       ("y", 1L, 2L, 2L, 400000L)))
   }
 
+  test("joinExplosionAudit raises (not nulls) past the int64 pair edge") {
+    // a planted 3.04e9 × 3.04e9 hot key prices ≈9.24e18 pairs — just
+    // above Long.MaxValue (9.223e18). The decimal(38,0) product must
+    // carry the ordering, and the int64 output cast must RAISE with the
+    // documented message instead of silently nulling under non-ANSI
+    // eval (which would corrupt both the top-k order and the count).
+    // spark.range is codegen'd, so the two 3e9-row constant-key counts
+    // stay cheap; no pair row is ever materialized.
+    val n = 3040000000L
+    val a = spark.range(n).select(lit("h").as("ka"))
+    val b = spark.range(n).select(lit("h").as("kb"))
+    val e = intercept[Exception] {
+      Stats.joinExplosionAudit(a, col("ka"), b, col("kb"), topK = 1)
+        .collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pair count exceeds int64")),
+      s"expected the raise-not-null contract, got: $e")
+  }
+
   test("piiCensus counts matches and hit docs per pattern class") {
     val docs = Seq(("s", "mail a@b.co and c@d.io"),
       ("s", "phone 555-123-4567"), ("t", "clean")).toDF("src", "text")

@@ -160,6 +160,38 @@ class SkewAndIvfSpec extends SparkSuite {
     assert(sem.subsetOf(brute))
   }
 
+  test("q26 composite block prunes the exact label block, keeps planted copies") {
+    // q26's fixture: corpus + exact copies of every 20th vector. The
+    // composite (label × 8-plane RHP bucket) block is the scale path;
+    // the bare label block is the exact label-blocked contract at
+    // bounded corpus size. Pin (a) composite ⊆ bare-label (the bucket
+    // only prunes), (b) every planted exact copy survives the pruning
+    // (equal vectors agree on all plane signs by construction).
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          col("label")))
+    val exact = Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+        0.999, Some("label"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val tiled = corpus.withColumn("_blk", struct(col("label"),
+      Similarity.rhpBucket(
+        graft.functions.Portable.quantize(col("embedding"), Similarity.Scale),
+        Similarity.planeMatrix(8, 64))))
+    val composite = Similarity.nearDupPairs(tiled, "vec_id", "embedding",
+        0.999, Some("_blk"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(composite.subsetOf(exact),
+      s"composite block invented pairs: ${(composite -- exact).take(3)}")
+    val planted = corpus.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("a"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    planted.foreach { p =>
+      assert(composite.contains(p), s"planted exact copy $p pruned")
+    }
+  }
+
   test("nearDupPairs guards the unblocked all-pairs path") {
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))

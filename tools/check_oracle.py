@@ -48,12 +48,22 @@ def table_digest(rows, colnames):
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    # optional: --json <path> writes the per-query verdicts in the
-    # driver's CORRECTNESS_r*.json shape (rows/schema/hash match flags)
+    # --json <path> (optional, any position) writes the per-query
+    # verdicts in the driver's CORRECTNESS_r*.json shape. Parse and
+    # STRIP the flag pair before reading positionals, so `--json p ...`
+    # before the positionals doesn't mis-bind them, and `--json` as the
+    # last arg errors cleanly instead of raising IndexError.
+    argv = sys.argv[1:]
     json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
+    if "--json" in argv:
+        i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_oracle.py <sfDir> <outDir> [--json <path>]")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if len(argv) < 2:
+        sys.exit("usage: check_oracle.py <sfDir> <outDir> [--json <path>]")
+    sf_dir, out_dir = argv[0], argv[1]
     results = {}
     con = duckdb.connect()
     for t in TABLES:
