@@ -1028,12 +1028,15 @@ object TextOps {
     val cg = Dedup.hashedShingleTable(corpus, idCol, textCol, n)
       .select("shingle").distinct()
     val fg = Dedup.hashedShingleTable(fresh, idCol, textCol, n)
-    val novel = fg.join(cg, Seq("shingle"), "left_anti")
-      .groupBy("id").agg(count(lit(1)).as("novel_grams"))
-    val per = fg.groupBy("id").agg(count(lit(1)).as("n_grams"))
-      .join(novel, Seq("id"), "left")
-      .select(col("id"), col("n_grams"),
-        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+    // ONE pass over the fresh grams: a left join against the distinct
+    // corpus set (at most one match per gram, so no row duplication)
+    // flags novelty, and a single per-doc aggregate derives both counts
+    // — the former anti-join + separate n_grams branch tokenized and
+    // shuffled the fresh side twice for the same answer
+    val per = fg
+      .join(cg.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .groupBy("id").agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("novel_grams"))
       .withColumn("novelty_pm", expr("(novel_grams * 1000) div n_grams"))
     fresh.select(col(idCol).as("doc_id"))
       .join(per.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

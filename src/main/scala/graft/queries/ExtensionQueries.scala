@@ -159,7 +159,10 @@ object ExtensionQueries {
     */
   val q21: Q = (s, dir) => {
     val sh = Dedup.hashedShingleTable(corpusNear(s, dir), "doc_id", "text", 3)
-    Dedup.jaccardPairs(sh, 0.8, maxDocFreq = Some(64L)).orderBy("id_a", "id_b")
+    val (pairs, release) =
+      Dedup.jaccardPairsManaged(sh, 0.8, maxDocFreq = Some(64L))
+    graft.PendingRelease.defer(release)
+    pairs.orderBy("id_a", "id_b")
   }
   val q21Sql: String =
     s"""WITH corpus AS ($corpusNearSql),
@@ -204,8 +207,10 @@ object ExtensionQueries {
     */
   val q111: Q = (s, dir) => {
     val sh = Dedup.hashedShingleTable(corpusExcerpt(s, dir), "doc_id", "text", 3)
-    Dedup.containmentPairs(sh, 0.8, maxDocFreq = Some(64L))
-      .orderBy("id_a", "id_b")
+    val (pairs, release) =
+      Dedup.containmentPairsManaged(sh, 0.8, maxDocFreq = Some(64L))
+    graft.PendingRelease.defer(release)
+    pairs.orderBy("id_a", "id_b")
   }
   val q111Sql: String =
     s"""WITH corpus AS ($corpusExcerptSql),
