@@ -290,6 +290,62 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(comps == Seq(1L))
   }
 
+  test("prefix-filtered pair cores equal the brute-force all-pairs replay") {
+    // the round-12 prefix port's losslessness armor: across thresholds,
+    // digit settings, and df caps, the prefix/positional-filtered cores
+    // must return EXACTLY what the naive all-pairs formulation returns
+    // — any over-tight candidate bar (the t' rounding slack) surfaces
+    // here as a missing borderline pair
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").limit(200)
+    val sh = Dedup.hashedShingleTable(docs, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    def brute(cap: Option[Long]): org.apache.spark.sql.DataFrame = {
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+      val index = cap match {
+        case None => sh
+        case Some(c) =>
+          val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") > c).select("shingle")
+          sh.join(hot, Seq("shingle"), "left_anti")
+      }
+      index.as("a").join(index.as("b"), Seq("shingle"))
+        .filter(col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+    }
+    for {
+      (threshold, digits) <- Seq((0.8, 4), (0.5, 4), (0.31, 2), (0.97, 6))
+      cap <- Seq(None, Some(12L))
+    } {
+      val want = brute(cap)
+        .withColumn("jac", round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), digits))
+        .filter(col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.jaccardPairs(sh, threshold, digits, cap,
+        persist = false).as[(Long, Long, Double)].collect().toSet
+      assert(got == want,
+        s"jaccard t=$threshold d=$digits cap=$cap: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      val wantC = brute(cap)
+        .withColumn("containment", round(col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")), digits))
+        .filter(col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      val gotC = Dedup.containmentPairs(sh, threshold, digits, cap,
+        persist = false).as[(Long, Long, Double)].collect().toSet
+      assert(gotC == wantC,
+        s"containment t=$threshold d=$digits cap=$cap: " +
+          s"missing=${(wantC -- gotC).take(3)} extra=${(gotC -- wantC).take(3)}")
+    }
+    sh.unpersist()
+  }
+
   test("docFreq-pruned jaccard pairs are a subset of unpruned pairs") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val sh = Dedup.hashedShingleTable(docs, "doc_id", "text", 3)

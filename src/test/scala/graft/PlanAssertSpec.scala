@@ -388,6 +388,24 @@ class PlanAssertSpec extends SparkSuite {
     }
   }
 
+  test("prefix-filtered pair cores: id-partitioned window, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the round-12 port: q21/q111 run the prefix+positional machinery —
+    // their one window must stay partitioned on the doc id (the prefix
+    // rank), and candidate generation must never degrade to a cartesian
+    for (q <- Seq("q21_dedup_ngram_jaccard", "q111_containment_pairs")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val bare = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty,
+        s"$q has ${bare.size} partition-less WindowExec node(s)")
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"$q plans a CartesianProduct:\n" + plan.toString.take(3000))
+      graft.PendingRelease.drain() // managed internals registered by the query
+    }
+  }
+
   test("wave-8..13 plans: windows partitioned, no cartesian") {
     import org.apache.spark.sql.execution.window.WindowExec
     for (q <- Seq("q213_burstiness_fano", "q214_pareto_coverage",
