@@ -406,6 +406,99 @@ object Dedup {
       persist: Boolean = true): DataFrame =
     prefixFilterPairsManaged(sh, thresholdPpm, persist)._1
 
+  /** EXACT Jaccard DELTA join via prefix filtering — the arrival-time
+    * counterpart of [[prefixFilterPairsManaged]], the way
+    * [[minhashLshPairsDeltaManaged]] is q22's: a FRESH batch probes the
+    * standing corpus, and candidates fan out only from the fresh side's
+    * prefixes (fresh×corpus ∪ fresh×fresh, never corpus×corpus) — the
+    * 1 TB-arrival-vs-100 TB-corpus shape, with the LSH delta's recall
+    * risk replaced by a losslessness GUARANTEE.
+    *
+    * The prefix principle needs both sides ranked under ONE fixed total
+    * order, so the (document-frequency, shingle) order is computed over
+    * the UNION — any fixed order is valid for correctness (df is only
+    * the selectivity heuristic), and the union df is the same O(data)
+    * aggregate the batch operator pays. Each unordered pair is
+    * generated once: fresh prefixes join ALL prefixes, and a fresh
+    * right side additionally requires id_left < id_right (corpus right
+    * sides are kept unconditionally — the corpus side never initiates).
+    * Length filter, grouped positional bound, and per-doc-array
+    * verification are [[prefixFilterPairsManaged]]'s verbatim; the
+    * output is that operator's restricted to pairs with ≥ 1 fresh
+    * member (the q232 oracle replays the ALL-pairs SQL with exactly
+    * that restriction, so a hash match proves the one-sided candidate
+    * join loses nothing).
+    *
+    * `shCorpus` / `shFresh`: distinct (id, shingle) tables
+    * ([[hashedShingleTable]]) with disjoint id domains.
+    * Output: (id_a, id_b, inter, sz_a, sz_b, jac_ppm), id_a < id_b.
+    */
+  def prefixFilterPairsDeltaManaged(shCorpus: DataFrame, shFresh: DataFrame,
+      thresholdPpm: Long, persist: Boolean = true)
+      : (DataFrame, () => Unit) = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm out of (0, 1e6]: $thresholdPpm")
+    val s0 = shCorpus.withColumn("_f", lit(false))
+      .unionByName(shFresh.withColumn("_f", lit(true)))
+    val s = if (persist) s0.persist(StorageLevel.MEMORY_AND_DISK) else s0
+    val cleanup = () => if (persist) { s.unpersist(); () }
+    val dfq = s.groupBy("shingle").agg(count(lit(1)).as("dfq"))
+    val idw = Window.partitionBy("id")
+    val pre0 = s.join(dfq, "shingle")
+      .withColumn("rn", row_number().over(idw.orderBy("dfq", "shingle")))
+      .withColumn("sz", count(lit(1)).over(idw))
+      .filter(col("rn") <=
+        col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
+          + lit(1))
+      .select("id", "shingle", "sz", "rn", "_f")
+    // the prefix frame feeds both candidate sides; cached so the window
+    // pipeline runs once (same rationale as rankedPrunedIndex)
+    val pre = if (persist) {
+      val p = pre0.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+    } else pre0
+    val cleanupAll = () => { cleanup(); if (persist) pre.unpersist(); () }
+    val alpha = expr(s"($thresholdPpm * (sz_a + sz_b)" +
+      s" + ${1000000L + thresholdPpm} - 1) div ${1000000L + thresholdPpm}")
+    val cand = pre.filter(col("_f"))
+      .select(col("id").as("id_l"), col("shingle"),
+        col("sz").as("sz_l"), col("rn").as("rn_l"))
+      .join(pre.select(col("id").as("id_r"), col("shingle"),
+        col("sz").as("sz_r"), col("rn").as("rn_r"), col("_f").as("f_r")),
+        "shingle")
+      .filter(col("id_l") =!= col("id_r") &&
+        (!col("f_r") || col("id_l") < col("id_r")) &&
+        col("sz_l") * lit(thresholdPpm) <= col("sz_r") * lit(1000000L) &&
+        col("sz_r") * lit(thresholdPpm) <= col("sz_l") * lit(1000000L))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        when(col("id_l") < col("id_r"), col("sz_l")).otherwise(col("sz_r"))
+          .as("sz_a"),
+        when(col("id_l") < col("id_r"), col("sz_r")).otherwise(col("sz_l"))
+          .as("sz_b"),
+        when(col("id_l") < col("id_r"), col("rn_l")).otherwise(col("rn_r"))
+          .as("rn_a"),
+        when(col("id_l") < col("id_r"), col("rn_r")).otherwise(col("rn_l"))
+          .as("rn_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("c"),
+        max("rn_a").as("ma"), max("rn_b").as("mb"))
+      .filter(col("c") +
+        least(col("sz_a") - col("ma"), col("sz_b") - col("mb")) >= alpha)
+      .select("id_a", "id_b", "sz_a", "sz_b")
+    val docArr = s.groupBy("id").agg(collect_list(col("shingle")).as("toks"))
+    val pairs = cand
+      .join(docArr.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(docArr.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jac_ppm",
+        expr("(cast(inter as decimal(38,0)) * 1000000)" +
+          " div (sz_a + sz_b - inter)").cast("long"))
+      .filter(col("jac_ppm") >= thresholdPpm)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jac_ppm")
+    (pairs, cleanupAll)
+  }
+
   /** MinHash signatures via grouped aggregation: sig[i] = min over
     * shingles of ((2i+1)·h + 12289·i) mod P, h = hash48(shingle) mod P.
     * Documents shorter than the shingle width hash the whole text.

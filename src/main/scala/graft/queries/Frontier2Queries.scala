@@ -250,6 +250,39 @@ object Frontier2Queries {
       |  jac_ppm
       |FROM j WHERE jac_ppm >= 600000 ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------- q232
+  /** EXACT Jaccard DELTA join
+    * ([[graft.operators.Dedup.prefixFilterPairsDeltaManaged]]): the
+    * fresh batch (every 10th doc, suffix-perturbed) probes the standing
+    * corpus through the one-sided prefix join — candidates fan out only
+    * from the FRESH side's prefixes (fresh×corpus ∪ fresh×fresh, never
+    * corpus×corpus), the 1 TB-arrival-vs-100 TB-corpus shape with
+    * q104's LSH recall risk replaced by a losslessness guarantee. The
+    * oracle is q204's ALL-pairs exact-Jaccard replay restricted to
+    * fresh-involving pairs, so a hash match PROVES the one-sided
+    * candidate join missed nothing.
+    */
+  val q232: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val fresh = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq zq zq")).as("text"))
+    val shC = graft.operators.Dedup.hashedShingleTable(d, "doc_id", "text", 3)
+    val shF = graft.operators.Dedup.hashedShingleTable(
+      fresh, "doc_id", "text", 3)
+    val (pairs, release) = graft.operators.Dedup
+      .prefixFilterPairsDeltaManaged(shC, shF, 600000L)
+    graft.PendingRelease.defer(release)
+    pairs.orderBy("id_a", "id_b")
+  }
+  val q232Sql: String = {
+    val tail = "FROM j WHERE jac_ppm >= 600000 ORDER BY id_a, id_b"
+    require(q204Sql.contains(tail), "q232 oracle derives from q204's replay")
+    q204Sql.replace(tail,
+      "FROM j WHERE jac_ppm >= 600000" +
+        " AND (id_a >= 1000000 OR id_b >= 1000000) ORDER BY id_a, id_b")
+  }
+
   // --------------------------------------------------------------- q205
   /** HITS hubs and authorities ([[graft.operators.Graph.hits]]) over
     * the directed customer→supplier purchase graph — role-separated
@@ -1182,6 +1215,7 @@ object Frontier2Queries {
     "q208_conversion_latency" -> q208,
     "q209_path_trigrams" -> q209,
     "q204_prefix_filter_join" -> q204,
+    "q232_prefix_delta_join" -> q232,
     "q205_hits" -> q205,
     "q206_blocking_audit" -> q206,
     "q198_ngram_diversity" -> q198,
@@ -1218,6 +1252,7 @@ object Frontier2Queries {
     "q208_conversion_latency" -> q208Sql,
     "q209_path_trigrams" -> q209Sql,
     "q204_prefix_filter_join" -> q204Sql,
+    "q232_prefix_delta_join" -> q232Sql,
     "q205_hits" -> q205Sql,
     "q206_blocking_audit" -> q206Sql,
     "q198_ngram_diversity" -> q198Sql,

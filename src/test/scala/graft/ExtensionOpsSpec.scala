@@ -255,6 +255,37 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(s2 == Seq("UPDATE `t` SET `a` = 'x;\n-- not a comment\ny';"))
   }
 
+  test("prefix delta pairs equal the batch prefix join restricted to fresh-involving") {
+    // the exact-join counterpart of the LSH delta spec below: the
+    // one-sided candidate join (fresh prefixes vs all prefixes, union
+    // df order) must return EXACTLY the all-pairs prefix join over
+    // corpus ∪ fresh restricted to pairs with >= 1 fresh member
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text")).limit(300)
+    val fresh = base.filter(col("id") % 7 === 0)
+      .select((col("id") + 500000L).as("id"),
+        concat(col("text"), lit(" xq xq")).as("text"))
+    val shC = Dedup.hashedShingleTable(base, "id", "text", 3)
+    val shF = Dedup.hashedShingleTable(fresh, "id", "text", 3)
+    val (delta, cleanup) =
+      Dedup.prefixFilterPairsDeltaManaged(shC, shF, 500000L)
+    val got = delta.select("id_a", "id_b", "jac_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    cleanup()
+    val shAll = Dedup.hashedShingleTable(
+      base.unionByName(fresh), "id", "text", 3)
+    val (batch, cleanup2) = Dedup.prefixFilterPairsManaged(shAll, 500000L)
+    val want = batch.select("id_a", "id_b", "jac_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => p._1 >= 500000L || p._2 >= 500000L)
+    cleanup2()
+    assert(got == want,
+      s"delta=${got.size} batchRestricted=${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "fixture produced no fresh-involving pairs")
+    assert(got.forall(p => p._1 >= 500000L || p._2 >= 500000L))
+  }
+
   test("incremental LSH pairs equal the batch pairs restricted to fresh-involving") {
     val base = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("text"))
     val fresh = base.filter(col("id") % 7 === 0)

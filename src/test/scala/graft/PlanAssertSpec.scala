@@ -393,7 +393,8 @@ class PlanAssertSpec extends SparkSuite {
     // the round-12 port: q21/q111 run the prefix+positional machinery —
     // their one window must stay partitioned on the doc id (the prefix
     // rank), and candidate generation must never degrade to a cartesian
-    for (q <- Seq("q21_dedup_ngram_jaccard", "q111_containment_pairs")) {
+    for (q <- Seq("q21_dedup_ngram_jaccard", "q111_containment_pairs",
+        "q232_prefix_delta_join")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       val bare = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
