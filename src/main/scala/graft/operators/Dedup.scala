@@ -457,16 +457,35 @@ object Dedup {
       val p = pre0.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
     } else pre0
     val cleanupAll = () => { cleanup(); if (persist) pre.unpersist(); () }
+    val docArr = s.groupBy("id").agg(collect_list(col("shingle")).as("toks"))
+    val pairs = oneSidedPrefixPairs(pre.filter(col("_f")),
+      pre.filter(!col("_f")), docArr, thresholdPpm)
+    (pairs, cleanupAll)
+  }
+
+  /** Fresh-initiated candidate join + positional prune + array verify —
+    * the core of [[prefixFilterPairsDeltaManaged]]. `preF`/`preC` are
+    * prefix rows
+    * (id, shingle, sz, rn) with ranks under ONE shared total order;
+    * `arrs` holds every doc's full token array (id, toks). Generates
+    * each fresh-involving unordered pair once: fresh prefixes join all
+    * prefixes, a fresh right side additionally requires
+    * id_left < id_right.
+    */
+  private def oneSidedPrefixPairs(preF: DataFrame, preC: DataFrame,
+      arrs: DataFrame, thresholdPpm: Long): DataFrame = {
     val alpha = expr(s"($thresholdPpm * (sz_a + sz_b)" +
       s" + ${1000000L + thresholdPpm} - 1) div ${1000000L + thresholdPpm}")
-    val cand = pre.filter(col("_f"))
+    val right = preC.withColumn("_fr", lit(false))
+      .unionByName(preF.withColumn("_fr", lit(true)))
+    val cand = preF
       .select(col("id").as("id_l"), col("shingle"),
         col("sz").as("sz_l"), col("rn").as("rn_l"))
-      .join(pre.select(col("id").as("id_r"), col("shingle"),
-        col("sz").as("sz_r"), col("rn").as("rn_r"), col("_f").as("f_r")),
+      .join(right.select(col("id").as("id_r"), col("shingle"),
+        col("sz").as("sz_r"), col("rn").as("rn_r"), col("_fr")),
         "shingle")
       .filter(col("id_l") =!= col("id_r") &&
-        (!col("f_r") || col("id_l") < col("id_r")) &&
+        (!col("_fr") || col("id_l") < col("id_r")) &&
         col("sz_l") * lit(thresholdPpm) <= col("sz_r") * lit(1000000L) &&
         col("sz_r") * lit(thresholdPpm) <= col("sz_l") * lit(1000000L))
       .select(least(col("id_l"), col("id_r")).as("id_a"),
@@ -485,10 +504,9 @@ object Dedup {
       .filter(col("c") +
         least(col("sz_a") - col("ma"), col("sz_b") - col("mb")) >= alpha)
       .select("id_a", "id_b", "sz_a", "sz_b")
-    val docArr = s.groupBy("id").agg(collect_list(col("shingle")).as("toks"))
-    val pairs = cand
-      .join(docArr.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
-      .join(docArr.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+    cand
+      .join(arrs.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("inter",
         size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jac_ppm",
@@ -496,7 +514,6 @@ object Dedup {
           " div (sz_a + sz_b - inter)").cast("long"))
       .filter(col("jac_ppm") >= thresholdPpm)
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jac_ppm")
-    (pairs, cleanupAll)
   }
 
   /** MinHash signatures via grouped aggregation: sig[i] = min over
