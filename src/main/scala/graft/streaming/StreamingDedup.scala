@@ -1,8 +1,10 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.storage.StorageLevel
 
 /** Streaming near-duplicate detection against a standing corpus index —
   * the ingest-time dedup gate of a training-data pipeline: every arriving
@@ -10,56 +12,111 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * exact-Jaccard verified) against everything ingested so far, then
   * joins the index itself.
   *
-  * State layout (parquet under `stateDir`):
-  *   docs/   (id, bk, toks, sz)   — ONE row per document: the LSH band
-  *                                  keys (probe side, array of
-  *                                  (band, band_key)) AND the distinct-
-  *                                  shingle array + size (verify side);
-  *                                  toks is null for docs shorter than
-  *                                  the shingle width (banded via the
-  *                                  whole-text fallback, dropped at
-  *                                  verify — the batch operator's
-  *                                  convention)
-  *   pairs/  (id_a, id_b, jac)    — append-only detected pairs
+  * State layout (parquet under `stateDir`), **keyed by the stream's
+  * batchId** so every write is an idempotent overwrite:
+  *
+  *   docs/batch=N/   (id, bk, toks, sz) — the batch's documents: LSH band
+  *                   keys (probe side) + distinct-shingle array and size
+  *                   (verify side); toks is null for docs shorter than
+  *                   the shingle width (banded via the whole-text
+  *                   fallback, dropped at verify — the batch operator's
+  *                   convention)
+  *   pairs/batch=N/  (id_a, id_b, jac) — the pairs detected BY batch N
+  *   _commits/N      empty marker, created only after both of batch N's
+  *                   outputs are fully written — the corpus manifest
+  *
+  * Restart semantics: a batch replayed after a crash re-writes
+  * `docs/batch=N` and `pairs/batch=N` with `SaveMode.Overwrite` and
+  * re-creates its marker, so replay is exactly-once at the directory
+  * level — no directory diffing, no appends, no double rows. The
+  * pre-batch corpus is *derived from the manifest* (`_commits` entries
+  * with id < N), never from listing data files, so the layout works on
+  * any Hadoop `FileSystem` (HDFS, S3A, local) regardless of committer or
+  * part-file naming. A stateDir written by the pre-batchId layout (flat
+  * `docs/` appends, or the older `shingles/`+`bands/` split) is detected
+  * and refused loudly — resuming over it would silently present an empty
+  * corpus and lose every cross-batch pair.
   *
   * Scale: per batch the candidate join fans out ONLY from the fresh
-  * documents' band buckets (never corpus×corpus), so cost tracks the
-  * arrival size, not the corpus; the index grows by O(batch) per
-  * batch. The round-11 artifact measured this entry at 805 rows/s —
-  * 4-7× per-batch Spark actions/aggregates of fixed ~0.2-0.5 s
-  * overhead each at the fixture size, NOT corpus recompute — so the
-  * round-12 layout collapses state to one table (per-doc arrays are
-  * doc-length bounded — the [[graft.operators.Dedup.prefixFilterPairsManaged]] verify
-  * shape; set sizes ride along, so no per-batch corpus re-aggregation
-  * either), computes the fresh side entirely per-row (zero shuffles),
-  * and writes it FIRST: the pairs plan then reads the fresh rows back
-  * from the files that write created and the corpus from the files
-  * that existed before it, so "pairs see only the pre-batch index"
-  * holds by explicit file split.
-  * At 100 TB, bucket docs/ by id and band-partition a separate probe
-  * projection so the candidate join co-locates without reshuffling the
-  * standing index — the [[graft.operators.Colocate]] layout. Each
-  * unordered pair is detected exactly once: by the batch that delivers
-  * its later member (same-batch pairs via fresh×fresh) — the spec pins
-  * the accumulated pair set equal to the batch operator over the full
-  * corpus.
+  * documents' band buckets — the fresh side (arrival-sized) is broadcast
+  * and the standing corpus streams through ONE scan per batch, so cost
+  * tracks corpus-scan + arrival size, never corpus×corpus, and the index
+  * grows by O(batch) per batch. At 100 TB, compact the per-batch docs
+  * dirs periodically into a band-bucketed corpus projection (the
+  * [[graft.operators.Colocate]] layout) so the probe prunes to touched
+  * buckets instead of scanning the full corpus — the manifest then names
+  * compactions instead of raw batches; the per-batch protocol here is
+  * unchanged by that rewrite.
   *
-  * Restart semantics: the index/pairs appends are not transactional with
-  * the stream's checkpoint — a batch replayed after a crash mid-append
-  * would double rows. A production deployment writes per-batch output
-  * paths keyed by batchId (idempotent overwrite), or sinks pairs through
-  * an exactly-once table format; kept simple here.
+  * Each unordered pair is detected exactly once: by the batch that
+  * delivers its later member (same-batch pairs via fresh×fresh) — the
+  * spec pins the accumulated pair set equal to the batch operator
+  * ([[graft.operators.Dedup.minhashLshPairsManaged]]) over the full corpus.
   */
 object StreamingDedup {
 
-  /** Probe one arriving batch against the index, append its pairs, then
-    * extend the index with the batch.
+  private def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Batch ids committed so far, from the `_commits` markers. */
+  def committedBatches(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val fs = fileSystem(spark, stateDir)
+    val d = new HPath(s"$stateDir/_commits")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).sorted
+  }
+
+  /** All pairs detected so far (the accumulated gate output). */
+  def pairs(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = committedBatches(spark, stateDir)
+      .map(n => s"$stateDir/pairs/batch=$n")
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id_a BIGINT, id_b BIGINT, jac DOUBLE"))
+    else spark.read.parquet(dirs: _*).select("id_a", "id_b", "jac")
+  }
+
+  private def refuseLegacyLayout(spark: SparkSession, stateDir: String): Unit = {
+    val fs = fileSystem(spark, stateDir)
+    val legacySplit = fs.exists(new HPath(s"$stateDir/shingles")) ||
+      fs.exists(new HPath(s"$stateDir/bands"))
+    // pre-batchId flat layout: docs/ holds part files directly (no
+    // batch= partition dirs) and there is no manifest
+    val docs = new HPath(s"$stateDir/docs")
+    val legacyFlat = !fs.exists(new HPath(s"$stateDir/_commits")) &&
+      fs.exists(docs) && fs.listStatus(docs).exists(_.isFile)
+    if (legacySplit || legacyFlat)
+      throw new IllegalStateException(
+        s"$stateDir holds a pre-batchId StreamingDedup state layout " +
+          "(flat docs/ appends or shingles/+bands/); resuming over it " +
+          "would silently present an empty corpus. Point the stream at " +
+          "a fresh stateDir (or re-ingest the corpus through the gate).")
+  }
+
+  /** Probe one arriving batch against the pre-batch index, write its
+    * pairs, then commit the batch into the index — all outputs keyed by
+    * `batchId`, all writes idempotent overwrites.
     */
+  // dev-only per-stage wall clock (GRAFT_SD_PROF=1): the gate's bench
+  // entry is a single per-batch number; this decomposes it
+  private val prof = sys.env.contains("GRAFT_SD_PROF")
+  private def timed[A](label: String)(body: => A): A =
+    if (!prof) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[sd-prof] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-      idCol: String = "doc_id", textCol: String = "text",
+      batchId: Long, idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): Unit = {
-    if (batch.isEmpty) return
+    if (timed("isEmpty")(batch.isEmpty)) return
+    refuseLegacyLayout(spark, stateDir)
     import graft.functions.Portable
     val P = Portable.P
     // Fresh side computed ENTIRELY per-row — zero shuffles: the hashed
@@ -76,7 +133,20 @@ object StreamingDedup {
     val shArr = transform(
       Portable.shingles(Portable.tokens(col(textCol)), shingleN),
       s => Portable.hash48(s))
-    val bound = batch.select(col(idCol).as("id"),
+    // a micro-batch arrives with the source's partitioning (often one
+    // block for a small trigger interval); the per-row shingle+minhash
+    // pipeline is the gate's dominant compute, so balance it across the
+    // executors first — the raw-text round trip is cheap next to 16
+    // signature passes per document (measured: the unbalanced fresh-side
+    // job was ~1.0 s/batch of the gate's 2.0, single-threaded)
+    // parallelism = the session's shuffle-partition setting (the knob a
+    // streaming deployment already sizes to its state volume), not raw
+    // core count: each fresh partition becomes one docs/batch=N part
+    // file, and a 32-way write of an arrival-sized batch pays 4× the
+    // task/commit/file-open overhead of an 8-way one for zero compute win
+    val spread = batch.repartition(
+      spark.sessionState.conf.numShufflePartitions)
+    val bound = spread.select(col(idCol).as("id"),
       lower(col(textCol)).as("_lt"), explode(array(shArr)).as("_toks"))
     val sigCols = (0 until numHashes).map { i =>
       def sig(h: Column) = (h % P * (i * 2 + 1) + lit(12289L) * i) % P
@@ -100,61 +170,69 @@ object StreamingDedup {
       .select(col("id"), array(bandEntries: _*).as("bk"),
         when(size(col("_toks")) > 0, col("_toks")).as("toks"),
         size(col("_toks")).cast("long").as("sz"))
-    val docsPath = s"$stateDir/docs"
-      def partFiles(): Set[String] = {
-        val d = new java.io.File(docsPath)
-        if (!d.exists()) Set.empty
-        else d.listFiles().iterator
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .map(_.getAbsolutePath).toSet
-      }
-      // WRITE-FIRST: the append is the ONE materialization of the fresh
-      // pipeline (no persist, no extra count job); the pairs plan then
-      // reads the fresh side back from the files this write created and
-      // the corpus side from the files that existed before it — an
-      // explicit file split, so "pairs see only the pre-batch index"
-      // holds by construction
-      val before = partFiles()
-      docsF.write.mode(SaveMode.Append).parquet(docsPath)
-      val fresh = (partFiles() -- before).toSeq
-      val docsFNew =
-        if (fresh.isEmpty) docsF.limit(0)
-        else spark.read.parquet(fresh: _*)
-      val docsC =
-        if (before.isEmpty) docsF.limit(0)
-        else spark.read.parquet(before.toSeq: _*)
-      def bandRows(docs: DataFrame): DataFrame =
-        docs.select(col("id"), explode(col("bk")).as("e"))
-          .select(col("id"), col("e.band").as("band"),
-            col("e.band_key").as("band_key"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    try {
+      // the cache fills during this write; the pairs plan below reuses
+      // it for the fresh side instead of reading the files back
+      timed("docsWrite")(docsF.write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/docs/batch=$batchId"))
+      val corpusDirs = committedBatches(spark, stateDir)
+        .filter(_ < batchId).map(n => s"$stateDir/docs/batch=$n")
+      // docs too short to shingle band via the whole-text fallback but
+      // are dropped at verify (batch-operator convention), so they can
+      // never yield a pair — exclude them before the candidate join
+      def verifiable(d: DataFrame): DataFrame =
+        d.filter(col("toks").isNotNull && col("sz") > 0)
+      def bandRows(d: DataFrame): DataFrame =
+        verifiable(d)
+          .select(col("id"), col("toks"), col("sz"), explode(col("bk")).as("e"))
+          .select(col("id"), col("toks"), col("sz"),
+            col("e.band").as("band"), col("e.band_key").as("band_key"))
       // candidates: fresh bands vs (corpus ∪ fresh) bands — identical
-      // rule to graft.operators.Dedup.minhashLshPairsFromFrames
-      val freshBands = bandRows(docsFNew)
-      val cand = freshBands.as("a")
-        .join(bandRows(docsC).unionByName(freshBands).as("b"),
-          Seq("band", "band_key"))
+      // rule to graft.operators.Dedup.minhashLshPairsFromFrames. The
+      // fresh side (arrival-sized) is broadcast and carries its verify
+      // arrays through the join; the corpus streams through one scan,
+      // its own arrays riding along — so band match, candidate dedup
+      // and exact-Jaccard verify happen in a single pass with one
+      // small exchange (the dropDuplicates).
+      val freshB = bandRows(docsF)
+      val rightB =
+        if (corpusDirs.isEmpty) freshB
+        else bandRows(spark.read.parquet(corpusDirs: _*)).unionByName(freshB)
+      timed("pairsWrite")(rightB.as("b")
+        .join(broadcast(freshB).as("a"), Seq("band", "band_key"))
         .filter(col("a.id") =!= col("b.id"))
         .select(least(col("a.id"), col("b.id")).as("id_a"),
-          greatest(col("a.id"), col("b.id")).as("id_b"))
-        .distinct()
-      // exact-Jaccard verify over the stored per-doc arrays: identical
-      // values to the flat (id, shingle) join+count (the arrays ARE the
-      // distinct shingle sets; null-toks docs drop here exactly as in
-      // the batch operator)
-      val arrs = docsC.unionByName(docsFNew)
-        .filter(col("toks").isNotNull && col("sz") > 0)
-      cand
-        .join(arrs.select(col("id").as("id_a"), col("toks").as("ta"),
-          col("sz").as("sz_a")), "id_a")
-        .join(arrs.select(col("id").as("id_b"), col("toks").as("tb"),
-          col("sz").as("sz_b")), "id_b")
+          greatest(col("a.id"), col("b.id")).as("id_b"),
+          when(col("a.id") < col("b.id"), col("a.toks"))
+            .otherwise(col("b.toks")).as("ta"),
+          when(col("a.id") < col("b.id"), col("b.toks"))
+            .otherwise(col("a.toks")).as("tb"),
+          when(col("a.id") < col("b.id"), col("a.sz"))
+            .otherwise(col("b.sz")).as("sz_a"),
+          when(col("a.id") < col("b.id"), col("b.sz"))
+            .otherwise(col("a.sz")).as("sz_b"))
+        .dropDuplicates("id_a", "id_b")
+        // exact-Jaccard verify over the stored per-doc arrays: identical
+        // values to the flat (id, shingle) join+count (the arrays ARE
+        // the distinct shingle sets)
         .withColumn("inter",
           size(array_intersect(col("ta"), col("tb"))).cast("long"))
         .withColumn("jac", round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 4))
         .filter(col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
-        .write.mode(SaveMode.Append).parquet(s"$stateDir/pairs")
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$stateDir/pairs/batch=$batchId"))
+      // marker LAST: the batch joins the corpus only once both outputs
+      // are complete; a crash before this line replays the whole batch
+      // as an overwrite
+      timed("commit") {
+        val fs = fileSystem(spark, stateDir)
+        fs.mkdirs(new HPath(s"$stateDir/_commits"))
+        fs.create(new HPath(s"$stateDir/_commits/$batchId"), true).close()
+      }
+    } finally docsF.unpersist(blocking = false)
   }
 
   /** Run the ingest gate over a streaming document frame. */
@@ -162,11 +240,11 @@ object StreamingDedup {
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): StreamingQuery = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, stateDir, idCol, textCol,
-          shingleN, numHashes, bands, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        timed("fb_total")(
+          processBatch(batch.sparkSession, batch, stateDir, batchId, idCol,
+            textCol, shingleN, numHashes, bands, threshold))
       }
       .start()
   }

@@ -219,11 +219,44 @@ class StreamingSpec extends SparkSuite {
       Seq(b1, b2, copies).foreach { b =>
         input.addData(b: _*); q.processAllAvailable()
       }
-      val got = spark.read.parquet(s"$stateDir/pairs").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      def gotPairs() = graft.streaming.StreamingDedup.pairs(spark, stateDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val got = gotPairs()
       assert(got.size == got.toSet.size, "a pair was detected more than once")
       assert(got.toSet == expected)
+
+      // crash-replay idempotence: re-running the LAST batch (same
+      // batchId, same rows — exactly what a foreachBatch replay after a
+      // crash-before-checkpoint delivers) must leave the state
+      // byte-equivalent — batchId-keyed overwrites, not appends
+      val lastId = graft.streaming.StreamingDedup
+        .committedBatches(spark, stateDir).max
+      graft.streaming.StreamingDedup.processBatch(spark,
+        copies.toDF("doc_id", "text"), stateDir, lastId)
+      val replayed = gotPairs()
+      assert(replayed.size == replayed.toSet.size,
+        "replaying a batch duplicated pairs")
+      assert(replayed.toSet == expected)
+      assert(spark.read.parquet(s"$stateDir/docs").count() == corpus.count(),
+        "replaying a batch duplicated index docs")
     } finally q.stop()
+  }
+
+  test("streaming LSH gate refuses a pre-batchId state layout") {
+    // a stateDir written by the old flat-append layout must fail fast,
+    // not resume over a silently-empty corpus
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-sdlegacy")
+    val docs = stateDir.resolve("docs")
+    // a direct parquet write puts part files straight under docs/ —
+    // exactly the legacy flat-append layout (no _commits manifest)
+    Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+      .write.parquet(docs.toString)
+    val err = intercept[IllegalStateException] {
+      graft.streaming.StreamingDedup.processBatch(spark,
+        Seq((2L, "a b c d e f")).toDF("doc_id", "text"),
+        stateDir.toString, 0L)
+    }
+    assert(err.getMessage.contains("pre-batchId"))
   }
 
   test("streaming dedup drops duplicate event ids within the watermark") {
