@@ -325,7 +325,11 @@ object Bench {
     // so batch count — not row count — prices these entries; 4 keeps
     // the family's bench share bounded while still measuring multi-
     // batch steady state (watermark advance, store reuse).
-    val nStreamBatches = 4
+    // SPARK_GRAFT_STREAM_BATCHES: dev-only knob (driver never sets it)
+    // for decomposing the streaming entries' per-batch fixed cost vs
+    // row-volume cost — same total rows, different batch count
+    val nStreamBatches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+      .map(_.toInt).filter(_ > 0).getOrElse(4)
     def sliced[A](rows: Array[A]): Seq[Seq[A]] = rows.grouped(
       math.max(1, (rows.length + nStreamBatches - 1) / nStreamBatches))
       .map(_.toSeq).toSeq

@@ -71,11 +71,13 @@ object StreamingDedup {
   def pairs(spark: SparkSession, stateDir: String): DataFrame = {
     val dirs = committedBatches(spark, stateDir)
       .map(n => s"$stateDir/pairs/batch=$n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id_a BIGINT, id_b BIGINT, jac DOUBLE")
     if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "id_a BIGINT, id_b BIGINT, jac DOUBLE"))
-    else spark.read.parquet(dirs: _*).select("id_a", "id_b", "jac")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+      .select("id_a", "id_b", "jac")
   }
 
   private def refuseLegacyLayout(spark: SparkSession, stateDir: String): Unit = {
@@ -172,12 +174,28 @@ object StreamingDedup {
         size(col("_toks")).cast("long").as("sz"))
       .persist(StorageLevel.MEMORY_ONLY)
     try {
-      // the cache fills during this write; the pairs plan below reuses
-      // it for the fresh side instead of reading the files back
-      timed("docsWrite")(docsF.write.mode(SaveMode.Overwrite)
-        .parquet(s"$stateDir/docs/batch=$batchId"))
+      // The docs write and the pairs write are INDEPENDENT jobs — the
+      // pairs plan takes its fresh side from the docsF cache, never from
+      // the batch=N files — so they run concurrently and the marker
+      // waits for both. The cache fills under whichever job touches a
+      // partition first (CacheManager locks serialize the compute, the
+      // two commits overlap). A crash before the marker replays the
+      // batch as two overwrites, same as the sequential order.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val docsWriteF = Future(timed("docsWrite")(
+        docsF.write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/docs/batch=$batchId")))
+      // a pairs-side failure must still wait for the docs job before
+      // the finally-unpersist pulls the cache out from under it
+      def awaitDocs(): Unit = Await.result(docsWriteF, Duration.Inf)
       val corpusDirs = committedBatches(spark, stateDir)
         .filter(_ < batchId).map(n => s"$stateDir/docs/batch=$n")
+      // explicit schema: without it every batch pays a footer-inference
+      // job over ALL prior batches' part files before the probe even
+      // starts — a per-batch cost that grows with corpus age
+      val docsSchema = docsF.schema
       // docs too short to shingle band via the whole-text fallback but
       // are dropped at verify (batch-operator convention), so they can
       // never yield a pair — exclude them before the candidate join
@@ -198,8 +216,9 @@ object StreamingDedup {
       val freshB = bandRows(docsF)
       val rightB =
         if (corpusDirs.isEmpty) freshB
-        else bandRows(spark.read.parquet(corpusDirs: _*)).unionByName(freshB)
-      timed("pairsWrite")(rightB.as("b")
+        else bandRows(spark.read.schema(docsSchema).parquet(corpusDirs: _*))
+          .unionByName(freshB)
+      try timed("pairsWrite")(rightB.as("b")
         .join(broadcast(freshB).as("a"), Seq("band", "band_key"))
         .filter(col("a.id") =!= col("b.id"))
         .select(least(col("a.id"), col("b.id")).as("id_a"),
@@ -222,8 +241,15 @@ object StreamingDedup {
           (col("sz_a") + col("sz_b") - col("inter")), 4))
         .filter(col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
+        // pairs are arrival-sized (a few per batch, bounded by the
+        // fresh side): one part file, not one per shuffle partition —
+        // the commit/file-open overhead is the entry's floor at bench
+        // scale and pure waste at any scale
+        .coalesce(1)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/pairs/batch=$batchId"))
+      finally Await.ready(docsWriteF, Duration.Inf)
+      awaitDocs()
       // marker LAST: the batch joins the corpus only once both outputs
       // are complete; a crash before this line replays the whole batch
       // as an overwrite
