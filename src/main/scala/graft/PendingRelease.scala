@@ -15,9 +15,11 @@ package graft
   * [[defer]] with the release handle; every harness that materializes a
   * query (Bench, ScaleBench, Verify, specs) calls [[drain]] AFTER the
   * materialization. Handles registered between drains are released in
-  * registration order; a handle that throws is swallowed so one bad
-  * release can't strand the rest. Draining with nothing pending is free,
-  * so harnesses drain unconditionally after every entry.
+  * registration order; a handle that throws a NON-fatal error is logged
+  * and skipped so one bad release can't strand the rest (fatal errors —
+  * OutOfMemoryError, interruption — propagate: masking those hides real
+  * harness failure). Draining with nothing pending is free, so harnesses
+  * drain unconditionally after every entry.
   */
 object PendingRelease {
   private val pending =
@@ -30,7 +32,11 @@ object PendingRelease {
   def drain(): Unit = {
     var f = pending.poll()
     while (f != null) {
-      try f() catch { case _: Throwable => () }
+      try f() catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] deferred release failed (skipped): $e")
+      }
       f = pending.poll()
     }
   }

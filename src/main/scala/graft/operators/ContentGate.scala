@@ -75,6 +75,32 @@ object ContentGate {
     }
   }
 
+  /** Metadata freshness tag of a source FILE OR DIRECTORY: an order-free
+    * modular sum over the recursive listing's (name-hash, length,
+    * mtime) triples. O(files), not O(data) — the right gate for
+    * immutable, rename-committed layouts (parquet), where any rewrite
+    * changes mtime: steady-state runs pay a listing instead of a full
+    * content scan. For stores whose source can be edited IN PLACE at
+    * constant size+mtime, use the content [[tag]] instead.
+    */
+  def pathTag(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val m = 100000007L
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    var n = 0L; var sh = 0L; var sl = 0L; var st = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      n += 1
+      sh = (sh + math.floorMod(
+        f.getPath.getName.hashCode.toLong, m)) % m
+      sl = (sl + math.floorMod(f.getLen, m)) % m
+      st = (st + math.floorMod(f.getModificationTime, m)) % m
+    }
+    s"path:$n,$sh,$sl,$st"
+  }
+
   /** The recorded tag of an existing artifact (for composing gates,
     * e.g. a merged store fingerprinted by its parts' tags).
     */

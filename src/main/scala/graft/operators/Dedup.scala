@@ -124,8 +124,15 @@ object Dedup {
     * intersection is ≥ ⌈t'·sz⌉ on both sides.
     */
   def jaccardPairs(sh: DataFrame, threshold: Double, digits: Int = 4,
-      maxDocFreq: Option[Long] = None, persist: Boolean = true): DataFrame =
-    jaccardPairsManaged(sh, threshold, digits, maxDocFreq, persist)._1
+      maxDocFreq: Option[Long] = None, persist: Boolean = true): DataFrame = {
+    val (pairs, cleanup) =
+      jaccardPairsManaged(sh, threshold, digits, maxDocFreq, persist)
+    // the thunk-less form has no channel to hand the handle back, so the
+    // internal caches (shingle table + ranked pruned index) are released
+    // at the harness's next drain instead of leaking for the session
+    graft.PendingRelease.defer(cleanup)
+    pairs
+  }
 
   /** [[jaccardPairs]] plus a cleanup thunk that unpersists the internal
     * shingle cache — call it after the consuming action. The thunk-less
@@ -257,8 +264,12 @@ object Dedup {
     * unsound here).
     */
   def containmentPairs(sh: DataFrame, threshold: Double, digits: Int = 4,
-      maxDocFreq: Option[Long] = None, persist: Boolean = true): DataFrame =
-    containmentPairsManaged(sh, threshold, digits, maxDocFreq, persist)._1
+      maxDocFreq: Option[Long] = None, persist: Boolean = true): DataFrame = {
+    val (pairs, cleanup) =
+      containmentPairsManaged(sh, threshold, digits, maxDocFreq, persist)
+    graft.PendingRelease.defer(cleanup) // see jaccardPairs
+    pairs
+  }
 
   /** [[containmentPairs]] plus the shingle-cache cleanup thunk. */
   def containmentPairsManaged(sh: DataFrame, threshold: Double,
@@ -403,8 +414,11 @@ object Dedup {
 
   /** [[prefixFilterPairsManaged]] without the cleanup handle. */
   def prefixFilterPairs(sh: DataFrame, thresholdPpm: Long,
-      persist: Boolean = true): DataFrame =
-    prefixFilterPairsManaged(sh, thresholdPpm, persist)._1
+      persist: Boolean = true): DataFrame = {
+    val (pairs, cleanup) = prefixFilterPairsManaged(sh, thresholdPpm, persist)
+    graft.PendingRelease.defer(cleanup) // see jaccardPairs
+    pairs
+  }
 
   /** EXACT Jaccard DELTA join via prefix filtering — the arrival-time
     * counterpart of [[prefixFilterPairsManaged]], the way
@@ -461,6 +475,139 @@ object Dedup {
     val pairs = oneSidedPrefixPairs(pre.filter(col("_f")),
       pre.filter(!col("_f")), docArr, thresholdPpm)
     (pairs, cleanupAll)
+  }
+
+  /** Prefix-store FORMAT version (ContentGate tag component — see
+    * [[graft.operators.AnnIndex.FormatVersion]] for the rationale).
+    */
+  val PrefixStoreVersion = 1
+
+  /** Build (or refresh) the BUCKETED persisted prefix index that
+    * [[prefixStoreProbeDelta]] probes — the standing-corpus half of the
+    * q232 delta join, derived ONCE behind a fingerprint gate instead of
+    * recomputed per arrival (round 12 measured the recompute at 12 s vs
+    * 7.3 s for an UNbucketed store probe at the 10× tile; the unbucketed
+    * layout was corpus-scan-bound and reverted — this is its pruned
+    * successor).
+    *
+    * Layout under `dir` (all parquet, all hive-partitioned for static
+    * pruning):
+    *   df/b=K/   (shingle, dfq)      corpus document frequencies,
+    *                                 K = pmod(shingle, buckets)
+    *   pre/b=K/  (id, shingle, sz, rn)  prefix rows ranked under the
+    *                                 CORPUS (dfq, shingle) order
+    *   arr/ab=K/ (id, toks, sz)      per-doc sorted-set arrays,
+    *                                 K = pmod(id, buckets)
+    *   META      "shingleN,thresholdPpm,buckets"
+    *
+    * A probe touches only the df/pre buckets its own shingles hash to —
+    * at 1 TB-arrival-vs-100 TB-corpus scale most buckets stay cold, and
+    * within touched buckets parquet min/max skipping prunes further.
+    * The stored ranks are valid for any arrival because the prefix
+    * principle only needs ONE shared total order: g → (dfq_corpus(g), g)
+    * with dfq_corpus = 0 for unseen grams ranks both sides consistently
+    * (df is the selectivity heuristic, not a correctness input — see
+    * [[prefixFilterPairsDeltaManaged]]).
+    */
+  def prefixStoreEnsure(corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, thresholdPpm: Long, dir: String, buckets: Int = 32,
+      freshnessTag: Option[String] = None): Unit = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm out of (0, 1e6]: $thresholdPpm")
+    require(buckets > 0, s"buckets: $buckets")
+    val tag = freshnessTag.getOrElse(
+      ContentGate.tag(corpus, col(idCol), col(textCol), lit(true))) +
+      s";n=$shingleN;t=$thresholdPpm;b=$buckets;v=$PrefixStoreVersion"
+    ContentGate.ensure(dir, tag) {
+      val sh = hashedShingleTable(corpus, idCol, textCol, shingleN)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // repartition by the partition column before every write: a
+        // partitionBy write from T tasks otherwise fans out to T files
+        // PER bucket dir (buckets × tasks tiny files), and the probe
+        // pays the listing + open of every one — measured 2× SLOWER
+        // than the recompute path before this
+        val bkt = pmod(col("shingle"), lit(buckets.toLong))
+        val dfq = sh.groupBy("shingle").agg(count(lit(1)).as("dfq"))
+        dfq.withColumn("b", bkt).repartition(col("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(s"$dir/df")
+        val idw = Window.partitionBy("id")
+        sh.join(dfq, "shingle")
+          .withColumn("rn", row_number().over(idw.orderBy("dfq", "shingle")))
+          .withColumn("sz", count(lit(1)).over(idw))
+          .filter(col("rn") <=
+            col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
+              + lit(1))
+          .select(col("id"), col("shingle"), col("sz"), col("rn"), bkt.as("b"))
+          .repartition(col("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(s"$dir/pre")
+        sh.groupBy("id")
+          .agg(collect_list(col("shingle")).as("toks"),
+            count(lit(1)).as("sz"))
+          .withColumn("ab", pmod(col("id"), lit(buckets.toLong)))
+          .repartition(col("ab"))
+          .write.mode("overwrite").partitionBy("ab").parquet(s"$dir/arr")
+        val metaPath = java.nio.file.Paths.get(dir, "META")
+        java.nio.file.Files.createDirectories(metaPath.getParent)
+        java.nio.file.Files.write(metaPath,
+          s"$shingleN,$thresholdPpm,$buckets".getBytes("UTF-8"))
+      } finally { sh.unpersist(); () }
+    }
+  }
+
+  /** Exact-Jaccard DELTA pairs of a fresh batch against a
+    * [[prefixStoreEnsure]] store — output identical to
+    * [[prefixFilterPairsDeltaManaged]] over (stored corpus, fresh):
+    * candidate sets may differ by ranking order, but the prefix
+    * principle holds under any shared total order and the exact verify
+    * makes the final pairs order-independent. Fresh ids must be
+    * disjoint from the stored corpus ids (the delta contract).
+    *
+    * The ONLY driver-side collect is the touched-bucket list (≤
+    * `buckets` longs) that statically prunes the df/pre reads; the
+    * probe never scans untouched buckets and never recomputes corpus
+    * shingles, ranks, or arrays.
+    */
+  def prefixStoreProbeDelta(fresh: DataFrame, idCol: String,
+      textCol: String, dir: String): (DataFrame, () => Unit) = {
+    val spark = fresh.sparkSession
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "META")), "UTF-8").trim.split(",")
+    val (shingleN, thresholdPpm, buckets) =
+      (meta(0).toInt, meta(1).toLong, meta(2).toInt)
+    val shF = hashedShingleTable(fresh, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cleanup = () => { shF.unpersist(); () }
+    val touched = shF
+      .select(pmod(col("shingle"), lit(buckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val dfC = spark.read.parquet(s"$dir/df")
+      .filter(col("b").isin(touched: _*)).select("shingle", "dfq")
+    val idw = Window.partitionBy("id")
+    // Unseen grams rank LAST, not first: the shared order is
+    // g → (dfq_corpus(g), g) with dfq_corpus(g) = +∞ when g is absent
+    // from the corpus — corpus rows never sample the unseen branch, so
+    // the stored ranks stay valid, and the lemma holds under any total
+    // order. Ranking unseen FIRST (df=0) is catastrophically degenerate
+    // for real arrivals: a novel gram shared across the batch (a new
+    // boilerplate suffix, a crawl stamp) would enter EVERY fresh
+    // prefix and blow the fresh×fresh candidate join quadratic —
+    // measured 5.9M candidates vs ~20k for the same fixture.
+    val preF = shF.join(dfC, Seq("shingle"), "left")
+      .withColumn("dfq", coalesce(col("dfq"), lit(Long.MaxValue)))
+      .withColumn("rn", row_number().over(idw.orderBy("dfq", "shingle")))
+      .withColumn("sz", count(lit(1)).over(idw))
+      .filter(col("rn") <=
+        col("sz") - expr(s"($thresholdPpm * sz + 999999) div 1000000")
+          + lit(1))
+      .select("id", "shingle", "sz", "rn")
+    val preC = spark.read.parquet(s"$dir/pre")
+      .filter(col("b").isin(touched: _*))
+      .select("id", "shingle", "sz", "rn")
+    val arrs = spark.read.parquet(s"$dir/arr").select("id", "toks")
+      .unionByName(
+        shF.groupBy("id").agg(collect_list(col("shingle")).as("toks")))
+    (oneSidedPrefixPairs(preF, preC, arrs, thresholdPpm), cleanup)
   }
 
   /** Fresh-initiated candidate join + positional prune + array verify —
@@ -590,9 +737,12 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, digits: Int = 4,
       persist: Boolean = true,
-      maxBucket: Option[Long] = None): DataFrame =
-    minhashLshPairsManaged(df, idCol, textCol, shingleN, numHashes, bands,
-      threshold, digits, persist, maxBucket)._1
+      maxBucket: Option[Long] = None): DataFrame = {
+    val (pairs, cleanup) = minhashLshPairsManaged(df, idCol, textCol,
+      shingleN, numHashes, bands, threshold, digits, persist, maxBucket)
+    graft.PendingRelease.defer(cleanup) // see jaccardPairs
+    pairs
+  }
 
   /** [[minhashLshPairs]] plus a cleanup thunk unpersisting the internal
     * shingle + band caches — call after the consuming action (see
@@ -610,7 +760,6 @@ object Dedup {
       alreadyHashed = true)
     val bands0 = lshBandsFrom(sigs, numHashes, bands)
     val bandsAll = if (persist) bands0.persist(lvl) else bands0
-    val cleanup = () => if (persist) { sh.unpersist(); bandsAll.unpersist(); () }
     // Hot-bucket cap: a band bucket of n docs contributes C(n,2)
     // candidates, so one pathologically shared band key (boilerplate
     // suffix, template page, degenerate signature) turns the candidate
@@ -626,25 +775,53 @@ object Dedup {
         val hot = bandsAll.groupBy("band", "band_key")
           .agg(count(lit(1)).as("n")).filter(col("n") > cap)
           .select("band", "band_key")
-        bandsAll.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+        val capped = bandsAll
+          .join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+        // cache the CAPPED frame: the candidate self-join consumes it
+        // twice, and without this the hot-bucket aggregate (a full
+        // shuffle of every band row) and the anti-join replay once per
+        // side — the cap screen was the scale artifact's worst ratio
+        // (4.49 at the 10× tile) precisely because its bounding
+        // machinery ran double
+        if (persist) capped.persist(lvl) else capped
       case None => bandsAll
+    }
+    val cleanup = () => if (persist) {
+      sh.unpersist(); bandsAll.unpersist()
+      if (maxBucket.isDefined) bandsDf.unpersist()
+      ()
     }
     val cand = bandsDf.as("a").join(bandsDf.as("b"), Seq("band", "band_key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val pairs = cand
-      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+    (arrayVerify(cand, sh, threshold, digits), cleanup)
+  }
+
+  /** Exact-Jaccard verification of banded candidates against per-doc
+    * shingle ARRAYS: one aggregate of the shingle table feeds two
+    * candidate-keyed joins, instead of re-exchanging the full
+    * (id, shingle) table through the candidate join twice — the r11
+    * prefix-family win ([[prefixFilterPairsManaged]]), ported to the
+    * LSH cores (measured: the verify stage was ~40% of q180's wall at
+    * the 10× tile). Values are identical: the collected lists ARE the
+    * per-doc distinct shingle sets the join+count counted.
+    */
+  private def arrayVerify(cand: DataFrame, sh: DataFrame,
+      threshold: Double, digits: Int): DataFrame = {
+    val docArr = sh.groupBy("id").agg(
+      collect_list(col("shingle")).as("toks"), count(lit(1)).as("sz"))
+    cand
+      .join(docArr.select(col("id").as("id_a"),
+        col("toks").as("ta"), col("sz").as("sz_a")), "id_a")
+      .join(docArr.select(col("id").as("id_b"),
+        col("toks").as("tb"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")), digits))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
-    (pairs, cleanup)
   }
 
   /** Incremental MinHash-LSH: near-dup pairs INTRODUCED by a batch of
@@ -712,18 +889,7 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    val sh = shC.unionByName(shF)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    cand
-      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jac", round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), digits))
-      .filter(col("jac") >= threshold)
-      .select("id_a", "id_b", "jac")
+    arrayVerify(cand, shC.unionByName(shF), threshold, digits)
   }
 
   /** SimHash near-dup pairs at scale: split each 32-bit simhash into 4

@@ -420,8 +420,16 @@ object Graph {
     var roundCaches = List.empty[DataFrame]
     def materializedWithTotal(df: DataFrame): (DataFrame, String) = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val tot = p.agg(sum("raw")).head.getDecimal(0)
-      // empty edge set → sum is null; any divisor works on zero rows
+      val row = p.agg(sum("raw"), count(lit(1))).head
+      val tot = row.getDecimal(0)
+      // empty half-round → sum is null over zero rows and any divisor
+      // works; but null over NON-zero rows is decimal(38,0) overflow
+      // under non-ANSI eval — silently unnormalized scores, so raise
+      // (same raise-not-null contract as joinExplosionAudit)
+      if (tot == null && row.getLong(1) > 0)
+        throw new ArithmeticException(
+          "HITS half-round L1 total overflowed decimal(38,0); " +
+            "lower `scale` or pre-aggregate the edge multiplicity")
       (p, if (tot == null) "1" else tot.toPlainString)
     }
     var hub = e.select(col("src").as("node")).distinct()

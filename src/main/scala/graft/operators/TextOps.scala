@@ -1024,9 +1024,61 @@ object TextOps {
   }
 
   def ngramNoveltyVsCorpus(corpus: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    noveltyAgainst(
+      Dedup.hashedShingleTable(corpus, idCol, textCol, n)
+        .select("shingle").distinct(),
+      fresh, idCol, textCol, n)
+
+  /** Gram-store FORMAT version (tag component — see
+    * [[graft.operators.AnnIndex.FormatVersion]] for the rationale).
+    */
+  val GramStoreVersion = 1
+
+  /** Build (or refresh) the persisted DISTINCT corpus gram set that
+    * [[ngramNoveltyVsCorpusStored]] probes — the incremental-novelty
+    * deployment shape: the standing corpus' grams are derived ONCE and
+    * every arrival batch pays only its own tokenize + one lookup join,
+    * instead of re-tokenizing/re-hashing/re-distincting the full corpus
+    * per arrival (at 100 TB the recompute IS the query cost; the store
+    * makes the probe arrival-sized). Freshness is fingerprint-gated
+    * ([[graft.operators.ContentGate]]): pass `freshnessTag` (e.g.
+    * [[graft.operators.ContentGate.pathTag]] over an immutable parquet
+    * layout — O(files)) or leave None for the O(data) content tag.
+    */
+  def gramStoreEnsure(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, dir: String, freshnessTag: Option[String] = None): Unit = {
+    val tag = freshnessTag.getOrElse(
+      ContentGate.tag(corpus, col(idCol), col(textCol), lit(true))) +
+      s";n=$n;v=$GramStoreVersion"
+    ContentGate.ensure(dir, tag) {
+      Dedup.hashedShingleTable(corpus, idCol, textCol, n)
+        .select("shingle").distinct()
+        .write.mode("overwrite").parquet(s"$dir/grams")
+    }
+  }
+
+  /** [[ngramNoveltyVsCorpus]] against a [[gramStoreEnsure]] store:
+    * identical output (the store IS the distinct corpus gram set), with
+    * the corpus side read as a pruned long column instead of recomputed.
+    *
+    * (A size-gated broadcast of the gram set was tried and measured
+    * SLOWER at both tiles — the per-run driver collect+build+ship of a
+    * multi-million-long broadcast costs more than the exchange+sort it
+    * saves — so the probe keeps the shuffled join at every size.)
+    */
+  def ngramNoveltyVsCorpusStored(fresh: DataFrame, idCol: String,
+      textCol: String, n: Int, storeDir: String): DataFrame = {
+    val spark = fresh.sparkSession
+    val cg = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "shingle BIGINT"))
+      .parquet(s"$storeDir/grams")
+    noveltyAgainst(cg, fresh, idCol, textCol, n)
+  }
+
+  private def noveltyAgainst(cg: DataFrame, fresh: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val cg = Dedup.hashedShingleTable(corpus, idCol, textCol, n)
-      .select("shingle").distinct()
     val fg = Dedup.hashedShingleTable(fresh, idCol, textCol, n)
     // ONE pass over the fresh grams: a left join against the distinct
     // corpus set (at most one match per gram, so no row duplication)

@@ -31,12 +31,26 @@ object ExtensionQueries {
     """SELECT doc_id AS id, text FROM documents
       |UNION ALL SELECT doc_id+1000000 AS id, text FROM documents WHERE doc_id%10=0""".stripMargin
 
-  /** documents + perturbed copies (3 junk tokens appended) — near-dups. */
+  /** Empty (doc_id, text) struct array — the otherwise-branch of the
+    * conditional replication below.
+    */
+  private val noDocs =
+    array().cast("array<struct<doc_id:bigint,text:string>>")
+
+  /** documents + perturbed copies (3 junk tokens appended) — near-dups.
+    * Built from ONE scan via conditional explode: the union form read
+    * the full text column twice (%-residue filters don't prune parquet
+    * row groups), and every dedup-family consumer paid the second scan.
+    */
   private def corpusNear(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
-    d.unionByName(d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" zq zq zq")).as("text")))
+    d.select(explode(concat(
+        array(struct(col("doc_id").as("doc_id"), col("text").as("text"))),
+        when(col("doc_id") % 10 === 0,
+          array(struct((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" zq zq zq")).as("text"))))
+          .otherwise(noDocs))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
   }
   private val corpusNearSql =
     """SELECT doc_id AS id, text FROM documents
@@ -277,11 +291,22 @@ object ExtensionQueries {
     * replay over the extended corpus with the same HAVING-cap filter.
     */
   val q180: Q = (s, dir) => {
+    // base + near-copy + 4 exact hot copies from ONE documents scan
+    // (see corpusNear) — the 6-branch union form scanned text six times
     val d = Tables.documents(s, dir).select("doc_id", "text")
-    val hot = (2 to 5).map(k => d.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + k * 1000000L).as("doc_id"), col("text")))
-      .reduce(_.unionByName(_))
-    Dedup.minhashLshPairs(corpusNear(s, dir).unionByName(hot),
+    val corpus = d.select(explode(concat(
+        array(struct(col("doc_id").as("doc_id"), col("text").as("text"))),
+        when(col("doc_id") % 10 === 0,
+          array(struct((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" zq zq zq")).as("text"))))
+          .otherwise(noDocs),
+        when(col("doc_id") % 25 === 0,
+          array((2 to 5).map(k =>
+            struct((col("doc_id") + k * 1000000L).as("doc_id"),
+              col("text").as("text"))): _*))
+          .otherwise(noDocs))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    Dedup.minhashLshPairs(corpus,
         "doc_id", "text", shingleN = 3, numHashes = 16, bands = 4,
         threshold = 0.5, maxBucket = Some(4L))
       .orderBy("id_a", "id_b")

@@ -283,6 +283,37 @@ object Frontier2Queries {
         " AND (id_a >= 1000000 OR id_b >= 1000000) ORDER BY id_a, id_b")
   }
 
+  // --------------------------------------------------------------- q233
+  /** q232 answered from the BUCKETED persisted prefix index
+    * ([[graft.operators.Dedup.prefixStoreEnsure]] /
+    * [[graft.operators.Dedup.prefixStoreProbeDelta]]): the standing
+    * corpus' df table, prefix rows, and verify arrays are built once
+    * behind a fingerprint gate (pathTag — the corpus is an immutable
+    * parquet layout) and hive-bucketed by shingle/id hash; the arrival
+    * probe statically prunes to its touched buckets and never
+    * recomputes the corpus side. Oracle: q232's SQL verbatim — a hash
+    * match proves the stored ranking (corpus-df order, not union-df)
+    * loses no pairs. The same fresh batch, the same threshold, the
+    * same output columns.
+    */
+  val q233: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val fresh = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zq zq zq")).as("text"))
+    val store = "/tmp/graft_prefix_store_" +
+      java.nio.file.Paths.get(dir).getFileName.toString
+    graft.operators.Dedup.prefixStoreEnsure(d, "doc_id", "text",
+      shingleN = 3, thresholdPpm = 600000L, store,
+      freshnessTag = Some(graft.operators.ContentGate.pathTag(
+        s, s"$dir/documents.parquet")))
+    val (pairs, release) = graft.operators.Dedup
+      .prefixStoreProbeDelta(fresh, "doc_id", "text", store)
+    graft.PendingRelease.defer(release)
+    pairs.orderBy("id_a", "id_b")
+  }
+  val q233Sql: String = q232Sql
+
   // --------------------------------------------------------------- q205
   /** HITS hubs and authorities ([[graft.operators.Graph.hits]]) over
     * the directed customer→supplier purchase graph — role-separated
@@ -1216,6 +1247,7 @@ object Frontier2Queries {
     "q209_path_trigrams" -> q209,
     "q204_prefix_filter_join" -> q204,
     "q232_prefix_delta_join" -> q232,
+    "q233_prefix_store_delta" -> q233,
     "q205_hits" -> q205,
     "q206_blocking_audit" -> q206,
     "q198_ngram_diversity" -> q198,
@@ -1253,6 +1285,7 @@ object Frontier2Queries {
     "q209_path_trigrams" -> q209Sql,
     "q204_prefix_filter_join" -> q204Sql,
     "q232_prefix_delta_join" -> q232Sql,
+    "q233_prefix_store_delta" -> q233Sql,
     "q205_hits" -> q205Sql,
     "q206_blocking_audit" -> q206Sql,
     "q198_ngram_diversity" -> q198Sql,

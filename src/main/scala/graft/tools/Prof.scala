@@ -163,6 +163,201 @@ object Prof {
         time("q55 cold")(mat(graft.SparkEntry.queries("q55_ann_pq")(spark, sfDir)))
         spark.catalog.clearCache()
         time("q55 warm")(mat(graft.SparkEntry.queries("q55_ann_pq")(spark, sfDir)))
+      case "q233" =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.storage.StorageLevel
+        val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        val fresh = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" zq zq zq")).as("text"))
+        val store = "/tmp/graft_prefix_store_" +
+          java.nio.file.Paths.get(sfDir).getFileName.toString
+        time("ensureBuild (gate)")(
+          graft.operators.Dedup.prefixStoreEnsure(d, "doc_id", "text",
+            3, 600000L, store))
+        val shF = graft.operators.Dedup.hashedShingleTable(
+          fresh, "doc_id", "text", 3).persist(StorageLevel.MEMORY_AND_DISK)
+        val touched = time("touched collect")(shF
+          .select(pmod(col("shingle"), lit(32L)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq)
+        println("touched=" + touched.size)
+        val dfC = spark.read.parquet(s"$store/df")
+          .filter(col("b").isin(touched: _*)).select("shingle", "dfq")
+        time("df read")(println("df=" + dfC.count()))
+        val idw = Window.partitionBy("id")
+        val preF = shF.join(dfC, Seq("shingle"), "left")
+          .na.fill(0L, Seq("dfq"))
+          .withColumn("rn", row_number().over(idw.orderBy("dfq", "shingle")))
+          .withColumn("sz", count(lit(1)).over(idw))
+          .filter(col("rn") <=
+            col("sz") - expr("(600000 * sz + 999999) div 1000000") + lit(1))
+          .select("id", "shingle", "sz", "rn")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        time("preF mat")(println("preF=" + preF.count()))
+        val preC = spark.read.parquet(s"$store/pre")
+          .filter(col("b").isin(touched: _*))
+          .select("id", "shingle", "sz", "rn")
+        time("preC read")(println("preC=" + preC.count()))
+        val arrsC = spark.read.parquet(s"$store/arr").select("id", "toks")
+        time("arr read")(println("arr=" + arrsC.count()))
+        // candidate + verify stages inlined (the oneSidedPrefixPairs
+        // body) against the persisted preF, to localize the probe cost
+        val rightX = preC.withColumn("_fr", lit(false))
+          .unionByName(preF.withColumn("_fr", lit(true)))
+        val alphaX = expr("(600000 * (sz_a + sz_b)" +
+          " + 1599999) div 1600000")
+        val candX = preF
+          .select(col("id").as("id_l"), col("shingle"),
+            col("sz").as("sz_l"), col("rn").as("rn_l"))
+          .join(rightX.select(col("id").as("id_r"), col("shingle"),
+            col("sz").as("sz_r"), col("rn").as("rn_r"), col("_fr")),
+            "shingle")
+          .filter(col("id_l") =!= col("id_r") &&
+            (!col("_fr") || col("id_l") < col("id_r")) &&
+            col("sz_l") * lit(600000L) <= col("sz_r") * lit(1000000L) &&
+            col("sz_r") * lit(600000L) <= col("sz_l") * lit(1000000L))
+          .select(least(col("id_l"), col("id_r")).as("id_a"),
+            greatest(col("id_l"), col("id_r")).as("id_b"),
+            when(col("id_l") < col("id_r"), col("sz_l"))
+              .otherwise(col("sz_r")).as("sz_a"),
+            when(col("id_l") < col("id_r"), col("sz_r"))
+              .otherwise(col("sz_l")).as("sz_b"),
+            when(col("id_l") < col("id_r"), col("rn_l"))
+              .otherwise(col("rn_r")).as("rn_a"),
+            when(col("id_l") < col("id_r"), col("rn_r"))
+              .otherwise(col("rn_l")).as("rn_b"))
+        time("raw band-join rows")(println("raw=" + candX.count()))
+        val candG = candX.groupBy("id_a", "id_b", "sz_a", "sz_b")
+          .agg(count(lit(1)).as("c"),
+            max("rn_a").as("ma"), max("rn_b").as("mb"))
+          .filter(col("c") +
+            least(col("sz_a") - col("ma"), col("sz_b") - col("mb")) >= alphaX)
+          .select("id_a", "id_b", "sz_a", "sz_b")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        time("cand grouped")(println("cand=" + candG.count()))
+        val arrsX = arrsC.unionByName(
+          shF.groupBy("id").agg(collect_list(col("shingle")).as("toks")))
+        time("verify")(println("pairs=" + candG
+          .join(arrsX.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+          .join(arrsX.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+          .withColumn("inter",
+            size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .filter(expr("(cast(inter as decimal(38,0)) * 1000000)" +
+            " div (sz_a + sz_b - inter)").cast("long") >= 600000L)
+          .count()))
+        time("full probe")(mat {
+          val (p, rel) = graft.operators.Dedup.prefixStoreProbeDelta(
+            fresh, "doc_id", "text", store)
+          graft.PendingRelease.defer(rel); p
+        })
+        time("full probe again")(mat {
+          val (p, rel) = graft.operators.Dedup.prefixStoreProbeDelta(
+            fresh, "doc_id", "text", store)
+          graft.PendingRelease.defer(rel); p
+        })
+        time("full q232 (recompute)")(mat(
+          graft.SparkEntry.queries("q232_prefix_delta_join")(spark, sfDir)))
+      case "q180" =>
+        // stage budget for the capped LSH: shingles, bands, hot agg,
+        // capped anti-join, candidates, verify
+        import org.apache.spark.storage.StorageLevel
+        val d0 = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        val hotDocs = (2 to 5).map(k => d0.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + k * 1000000L).as("doc_id"), col("text")))
+          .reduce(_.unionByName(_))
+        val near = d0.unionByName(d0.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" zq zq zq")).as("text")))
+        val corpus = near.unionByName(hotDocs)
+        val sh = graft.operators.Dedup.hashedShingleTable(
+          corpus, "doc_id", "text", 3).persist(StorageLevel.MEMORY_AND_DISK)
+        time("shingles mat")(println("sh=" + sh.count()))
+        val sigs = graft.operators.Dedup.minhashSignaturesFrom(
+          sh, corpus, "doc_id", "text", 16, alreadyHashed = true)
+        val bands = graft.operators.Dedup.lshBandsFrom(sigs, 16, 4)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        time("bands mat")(println("bands=" + bands.count()))
+        val hot = bands.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("nb")).filter(col("nb") > 4)
+          .select("band", "band_key")
+        time("hot agg")(println("hot=" + hot.count()))
+        val capped = bands.join(broadcast(hot),
+            Seq("band", "band_key"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        time("capped mat")(println("capped=" + capped.count()))
+        val cand = capped.as("a").join(capped.as("b"), Seq("band", "band_key"))
+          .filter(col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        time("cand distinct")(println("cand=" + cand.count()))
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+        time("verify")(println("pairs=" + cand
+          .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+          .join(sh.select(col("id").as("id_b"), col("shingle")),
+            Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+          .filter(round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")), 4) >= 0.5)
+          .count()))
+        time("full q180")(mat(
+          graft.SparkEntry.queries("q180_lsh_hot_bucket_cap")(spark, sfDir)))
+        time("full q180 again")(mat(
+          graft.SparkEntry.queries("q180_lsh_hot_bucket_cap")(spark, sfDir)))
+      case "q116cpu" =>
+        // isolate the gram pipeline's per-stage CPU at the current SF:
+        // words, +shingles, +distinct, +hash — each timed twice (warm)
+        import graft.functions.Portable
+        val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        def twice(name: String)(f: => Unit): Unit = { f; time(name)(f) }
+        val toks = d.select(col("doc_id").as("id"),
+          Portable.tokens(col("text")).as("w"))
+        twice("words explode")(println("w=" + toks
+          .select(explode(col("w"))).count()))
+        val sh5 = d.select(col("doc_id").as("id"),
+          transform(sequence(lit(0), size(Portable.tokens(col("text"))) - 5),
+            i => concat_ws(" ",
+              slice(Portable.tokens(col("text")), i + 1, lit(5)))).as("g"))
+        twice("shingles (no distinct)")(println("g=" + sh5
+          .select(explode(col("g"))).count()))
+        val shD = d.select(col("doc_id").as("id"),
+          Portable.shingles(Portable.tokens(col("text")), 5).as("g"))
+        twice("shingles distinct")(println("gd=" + shD
+          .select(explode(col("g"))).count()))
+        twice("+hash48 (hashedShingleTable)")(println("h=" +
+          graft.operators.Dedup.hashedShingleTable(d, "doc_id", "text", 5)
+            .count()))
+        twice("corpus distinct set")(println("cd=" +
+          graft.operators.Dedup.hashedShingleTable(d, "doc_id", "text", 5)
+            .select("shingle").distinct().count()))
+      case "q116" =>
+        // stage budget for incremental novelty: corpus gram tokenize+
+        // hash, corpus distinct, fresh gram table, join+agg
+        val d = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+        val fresh = d.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 4 === 1)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" zq1 zq2 zq3")).as("text")))
+        val cgAll = graft.operators.Dedup.hashedShingleTable(
+          d, "doc_id", "text", 5)
+        time("corpus grams (tokenize+hash)")(println(
+          "rows=" + cgAll.count()))
+        val cg = cgAll.select("shingle").distinct()
+        time("corpus distinct")(println("distinct=" + cg.count()))
+        val fg = graft.operators.Dedup.hashedShingleTable(
+          fresh, "doc_id", "text", 5)
+        time("fresh grams")(println("rows=" + fg.count()))
+        time("join+agg (on top)")(mat(
+          fg.join(cg.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+            .groupBy("id").agg(count(lit(1)).as("n_grams"),
+              sum(when(col("_hit").isNull, 1L).otherwise(0L))
+                .as("novel_grams"))))
+        time("full q116")(mat(
+          graft.SparkEntry.queries("q116_incremental_novelty")(spark, sfDir)))
+        time("full q116 again")(mat(
+          graft.SparkEntry.queries("q116_incremental_novelty")(spark, sfDir)))
       case name =>
         val fn = graft.SparkEntry.queries(name)
         time(s"$name cold")(mat(fn(spark, sfDir)))

@@ -392,6 +392,39 @@ class CorpusOpsSpec extends SparkSuite {
       (13L, 0L, 0L, None)))
   }
 
+  test("gram store: stored probe == recompute; corpus change forces rebuild") {
+    val corpus = Seq(
+      (1L, "c1 c2 c3 c4 c5 c6"),
+      (2L, "d1 d2 d3 d4 d5")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "c1 c2 c3 c4 c5 c6"),
+      (11L, "n1 n2 n3 n4 n5 n6")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gramstore")
+      .toString
+    TextOps.gramStoreEnsure(corpus, "doc_id", "text", 5, dir)
+    def run() = TextOps
+      .ngramNoveltyVsCorpusStored(fresh, "doc_id", "text", 5, dir)
+      .orderBy("doc_id").as[(Long, Long, Long, Option[Long])].collect().toSeq
+    val expect = TextOps.ngramNoveltyVsCorpus(corpus, fresh,
+        "doc_id", "text", 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(run() == expect)
+    // same corpus → the gate must not rebuild (tag file untouched)
+    val fp = java.nio.file.Paths.get(dir, "FINGERPRINT")
+    val mtime = java.nio.file.Files.getLastModifiedTime(fp)
+    TextOps.gramStoreEnsure(corpus, "doc_id", "text", 5, dir)
+    assert(java.nio.file.Files.getLastModifiedTime(fp) == mtime,
+      "unchanged corpus must not rebuild the store")
+    // changed corpus → rebuild, and the stored probe tracks the change
+    val corpus2 = corpus.unionByName(
+      Seq((3L, "n1 n2 n3 n4 n5 n6")).toDF("doc_id", "text"))
+    TextOps.gramStoreEnsure(corpus2, "doc_id", "text", 5, dir)
+    val expect2 = TextOps.ngramNoveltyVsCorpus(corpus2, fresh,
+        "doc_id", "text", 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(run() == expect2 && expect2 != expect)
+  }
+
   test("ngramNovelty: unique docs score 1000, exact dup pairs 0, short docs null") {
     val docs = Seq(
       (1L, "m1 m2 m3 m4 m5 m6 m7"),       // all grams unique → 1000

@@ -286,6 +286,60 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got.forall(p => p._1 >= 500000L || p._2 >= 500000L))
   }
 
+  test("prefix store probe == recompute delta; corpus change forces rebuild") {
+    // the bucketed persisted index must answer the delta join
+    // identically to the recompute path (different ranking order —
+    // corpus df vs union df — same final pairs), and the fingerprint
+    // gate must track corpus content
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text")).limit(300)
+    val fresh = base.filter(col("id") % 7 === 0)
+      .select((col("id") + 500000L).as("id"),
+        concat(col("text"), lit(" xq xq")).as("text"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-prefixstore").toString
+    Dedup.prefixStoreEnsure(base, "id", "text", 3, 500000L, store,
+      buckets = 8)
+    def probe() = {
+      val (p, cleanup) =
+        Dedup.prefixStoreProbeDelta(fresh, "id", "text", store)
+      val got = p.select("id_a", "id_b", "inter", "sz_a", "sz_b", "jac_ppm")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      cleanup(); got
+    }
+    val shC = Dedup.hashedShingleTable(base, "id", "text", 3)
+    val shF = Dedup.hashedShingleTable(fresh, "id", "text", 3)
+    val (delta, cleanup) =
+      Dedup.prefixFilterPairsDeltaManaged(shC, shF, 500000L)
+    val want = delta
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jac_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    cleanup()
+    val got = probe()
+    assert(got == want, s"stored=${got.size} recompute=${want.size}; " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty, "fixture produced no fresh-involving pairs")
+    // unchanged corpus: no rebuild
+    val fp = java.nio.file.Paths.get(store, "FINGERPRINT")
+    val mtime = java.nio.file.Files.getLastModifiedTime(fp)
+    Dedup.prefixStoreEnsure(base, "id", "text", 3, 500000L, store,
+      buckets = 8)
+    assert(java.nio.file.Files.getLastModifiedTime(fp) == mtime)
+    // grown corpus: rebuild, probe tracks the new corpus
+    val base2 = base.unionByName(fresh
+      .select((col("id") + 500000L).as("id"), col("text")))
+    Dedup.prefixStoreEnsure(base2, "id", "text", 3, 500000L, store,
+      buckets = 8)
+    val shC2 = Dedup.hashedShingleTable(base2, "id", "text", 3)
+    val (delta2, cleanup2) =
+      Dedup.prefixFilterPairsDeltaManaged(shC2, shF, 500000L)
+    val want2 = delta2
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jac_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    cleanup2()
+    assert(probe() == want2 && want2 != want)
+  }
+
   test("incremental LSH pairs equal the batch pairs restricted to fresh-involving") {
     val base = Tables.documents(spark, dir).select(col("doc_id").as("id"), col("text"))
     val fresh = base.filter(col("id") % 7 === 0)
