@@ -8,6 +8,11 @@ their quieter (min) combination, and — when a baseline (e.g. the prior
 round's committed bench_out.json) is given — the entries whose warm
 regresses more than 2x vs the baseline in BOTH runs (the signal the
 protocol exists to separate from single-run noise).
+
+The streaming family gets the same two-run treatment on its OWN metric
+(stream_per_batch_sec): per-entry per-batch deltas between the runs and
+vs the baseline, so a state/commit regression moves a dedicated number
+instead of hiding under fixed trigger overhead (round-12 verdict item 7).
 """
 import json
 import sys
@@ -24,7 +29,7 @@ def main():
         sys.exit(__doc__)
     wa, da = load(sys.argv[1])
     wb, db = load(sys.argv[2])
-    base = load(sys.argv[3])[0] if len(sys.argv) > 3 else None
+    base, base_full = load(sys.argv[3]) if len(sys.argv) > 3 else (None, {})
 
     common = sorted(set(wa) & set(wb))
     print(f"entries: runA={len(wa)} runB={len(wb)} common={len(common)}")
@@ -59,6 +64,24 @@ def main():
         gains = sorted(shared, key=lambda k: min(wa[k], wb[k]) - base[k])[:8]
         for k in gains:
             print(f"  {k}: base={base[k]:.2f} -> {min(wa[k], wb[k]):.2f}")
+
+    # streaming family: per-batch two-run comparison
+    pa = da.get("stream_per_batch_sec", {}) or {}
+    pb = db.get("stream_per_batch_sec", {}) or {}
+    pbase = (base_full.get("stream_per_batch_sec", {}) or {}) \
+        if base is not None else {}
+    skeys = sorted(set(pa) & set(pb))
+    if skeys:
+        print("\nstream per-batch (two runs, min, vs baseline):")
+        for k in skeys:
+            lo = min(pa[k], pb[k])
+            b = pbase.get(k)
+            tail = (f" base={b:.2f} ({'+' if lo > b else ''}"
+                    f"{100*(lo-b)/b:.0f}%)") if b else ""
+            flag = " <<" if b and lo > 1.5 * b + 0.1 and \
+                min(pa[k], pb[k]) > 1.5 * b + 0.1 else ""
+            print(f"  {k}: runA={pa[k]:.2f} runB={pb[k]:.2f} "
+                  f"min={lo:.2f}{tail}{flag}")
 
 
 if __name__ == "__main__":
