@@ -41,12 +41,17 @@ import org.apache.spark.storage.StorageLevel
   * documents' band buckets — the fresh side (arrival-sized) is broadcast
   * and the standing corpus streams through ONE scan per batch, so cost
   * tracks corpus-scan + arrival size, never corpus×corpus, and the index
-  * grows by O(batch) per batch. At 100 TB, compact the per-batch docs
-  * dirs periodically into a band-bucketed corpus projection (the
-  * [[graft.operators.Colocate]] layout) so the probe prunes to touched
-  * buckets instead of scanning the full corpus — the manifest then names
-  * compactions instead of raw batches; the per-batch protocol here is
-  * unchanged by that rewrite.
+  * grows by O(batch) per batch. For the 100 TB steady state, [[compact]]
+  * periodically rewrites the per-batch docs dirs into a BAND-BUCKETED
+  * corpus projection (`docs_compacted/upto=N/bucket=K`, exploded band
+  * rows hive-partitioned by a hash of the band key) named by a second
+  * manifest (`_compactions/N`): the probe then statically prunes the
+  * compacted corpus to the buckets the arrival's own band keys touch
+  * (one bounded driver collect, ≤ `buckets` ids) and scans raw per-batch
+  * dirs only for batches newer than the compaction — the per-batch
+  * protocol is otherwise unchanged, and raw batch dirs remain the source
+  * of truth (compaction is a replayable, idempotent-overwrite
+  * optimization artifact, keyed by the batch id it covers).
   *
   * Each unordered pair is detected exactly once: by the batch that
   * delivers its later member (same-batch pairs via fresh×fresh) — the
@@ -78,6 +83,71 @@ object StreamingDedup {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dirs: _*)
       .select("id_a", "id_b", "jac")
+  }
+
+  /** The per-batch docs schema (explicit everywhere a batch dir is read
+    * back — schema inference over N batch dirs grows with corpus age).
+    */
+  private val docsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "id BIGINT, " +
+      "bk ARRAY<STRUCT<band: INT, band_key: STRING>>, " +
+      "toks ARRAY<BIGINT>, sz BIGINT")
+
+  /** Compaction ids committed so far (each upTo-batch id named by a
+    * `_compactions/N=buckets` marker); returns (upTo, buckets) pairs.
+    */
+  def committedCompactions(spark: SparkSession,
+      stateDir: String): Seq[(Long, Int)] = {
+    val fs = fileSystem(spark, stateDir)
+    val d = new HPath(s"$stateDir/_compactions")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .flatMap { n =>
+        n.split("=", 2) match {
+          case Array(u, b) if u.forall(_.isDigit) && b.forall(_.isDigit) =>
+            Some((u.toLong, b.toInt))
+          case _ => None
+        }
+      }.sortBy(_._1)
+  }
+
+  /** Rewrite every committed batch's docs into the band-bucketed corpus
+    * projection `docs_compacted/upto=N/bucket=K` (K =
+    * pmod(hash48(band_key), buckets)) and commit it under
+    * `_compactions/N=buckets`. Run between batches (a maintenance job,
+    * or every K micro-batches from the foreachBatch driver). Idempotent:
+    * re-running at the same high-water mark is a no-op; a crash before
+    * the marker replays as an overwrite. Only verify-able docs are
+    * written (short docs can never pair — the batch operator's
+    * convention), and toks arrays ride each band row so the probe stays
+    * single-pass; the ~`bands`× array duplication is the storage price
+    * of bucket-pruned probes, paid on the COMPACTED artifact only — raw
+    * batch dirs keep the compact one-row-per-doc form.
+    */
+  def compact(spark: SparkSession, stateDir: String,
+      buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets: $buckets")
+    val batches = committedBatches(spark, stateDir)
+    if (batches.isEmpty) return
+    val upTo = batches.max
+    val comps = committedCompactions(spark, stateDir)
+    if (comps.nonEmpty && comps.map(_._1).max >= upTo) return
+    val dirs = batches.map(n => s"$stateDir/docs/batch=$n")
+    import graft.functions.Portable
+    spark.read.schema(docsSchema).parquet(dirs: _*)
+      .filter(col("toks").isNotNull && col("sz") > 0)
+      .select(col("id"), col("toks"), col("sz"), explode(col("bk")).as("e"))
+      .select(col("id"), col("toks"), col("sz"),
+        col("e.band").as("band"), col("e.band_key").as("band_key"),
+        pmod(Portable.hash48(col("e.band_key")), lit(buckets.toLong))
+          .as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$stateDir/docs_compacted/upto=$upTo")
+    val fs = fileSystem(spark, stateDir)
+    fs.mkdirs(new HPath(s"$stateDir/_compactions"))
+    fs.create(new HPath(s"$stateDir/_compactions/$upTo=$buckets"), true)
+      .close()
   }
 
   private def refuseLegacyLayout(spark: SparkSession, stateDir: String): Unit = {
@@ -190,12 +260,15 @@ object StreamingDedup {
       // a pairs-side failure must still wait for the docs job before
       // the finally-unpersist pulls the cache out from under it
       def awaitDocs(): Unit = Await.result(docsWriteF, Duration.Inf)
-      val corpusDirs = committedBatches(spark, stateDir)
-        .filter(_ < batchId).map(n => s"$stateDir/docs/batch=$n")
-      // explicit schema: without it every batch pays a footer-inference
-      // job over ALL prior batches' part files before the probe even
-      // starts — a per-batch cost that grows with corpus age
-      val docsSchema = docsF.schema
+      val allPrior = committedBatches(spark, stateDir).filter(_ < batchId)
+      // the newest compaction covering only batches before this one:
+      // its band-bucketed projection replaces the raw dirs it covers,
+      // pruned below to the buckets the fresh band keys touch
+      val comp = committedCompactions(spark, stateDir)
+        .filter(_._1 < batchId).sortBy(_._1).lastOption
+      val compUpTo = comp.map(_._1).getOrElse(-1L)
+      val corpusDirs = allPrior.filter(_ > compUpTo)
+        .map(n => s"$stateDir/docs/batch=$n")
       // docs too short to shingle band via the whole-text fallback but
       // are dropped at verify (batch-operator convention), so they can
       // never yield a pair — exclude them before the candidate join
@@ -214,10 +287,26 @@ object StreamingDedup {
       // and exact-Jaccard verify happen in a single pass with one
       // small exchange (the dropDuplicates).
       val freshB = bandRows(docsF)
-      val rightB =
-        if (corpusDirs.isEmpty) freshB
-        else bandRows(spark.read.schema(docsSchema).parquet(corpusDirs: _*))
-          .unionByName(freshB)
+      // corpus side: compacted projection (bucket-pruned to the fresh
+      // band keys' buckets — one bounded collect of ≤ buckets ids from
+      // the cached fresh frame) ∪ raw dirs newer than the compaction.
+      // Explicit schema on the raw read: footer inference would grow
+      // with corpus age.
+      val compRows = comp.map { case (upTo, b) =>
+        val touched = freshB
+          .select(pmod(Portable.hash48(col("band_key")), lit(b.toLong))
+            .as("bucket"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        spark.read.parquet(s"$stateDir/docs_compacted/upto=$upTo")
+          .filter(col("bucket").isin(touched: _*))
+          .select("id", "toks", "sz", "band", "band_key")
+      }
+      val rawRows =
+        if (corpusDirs.isEmpty) None
+        else Some(bandRows(
+          spark.read.schema(docsSchema).parquet(corpusDirs: _*)))
+      val rightB = (compRows.toSeq ++ rawRows.toSeq)
+        .foldLeft(freshB)(_.unionByName(_))
       try timed("pairsWrite")(rightB.as("b")
         .join(broadcast(freshB).as("a"), Seq("band", "band_key"))
         .filter(col("a.id") =!= col("b.id"))

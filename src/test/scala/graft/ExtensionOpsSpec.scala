@@ -286,6 +286,23 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(got.forall(p => p._1 >= 500000L || p._2 >= 500000L))
   }
 
+  test("pathTag: stable on an untouched layout, changed by a rewrite") {
+    // the O(files) freshness gate behind q116/q233's stores: a driver
+    // regeneration REWRITES the parquet layout (new files, new mtimes)
+    // and must change the tag even when the content is identical;
+    // re-reading an untouched layout must not
+    val dir = java.nio.file.Files.createTempDirectory("graft-pathtag")
+      .resolve("t.parquet").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    val t1 = graft.operators.ContentGate.pathTag(spark, dir)
+    assert(graft.operators.ContentGate.pathTag(spark, dir) == t1)
+    Thread.sleep(1100) // mtime granularity on coarse filesystems
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    assert(graft.operators.ContentGate.pathTag(spark, dir) != t1,
+      "an in-place rewrite (same content) must change the path tag")
+  }
+
   test("prefix store probe == recompute delta; corpus change forces rebuild") {
     // the bucketed persisted index must answer the delta join
     // identically to the recompute path (different ranking order —

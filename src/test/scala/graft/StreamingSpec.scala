@@ -242,6 +242,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming LSH gate compaction: pruned probe == raw dirs, idempotent") {
+    // batches 1-2 ingest, compact to the band-bucketed projection, then
+    // batch 3 (which plants the near-dups) probes THROUGH the
+    // compaction: raw dirs covered by it are deleted first, so equality
+    // with the batch operator PROVES the pruned projection served the
+    // corpus side
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .limit(300)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val (expectedDf, cleanup) =
+      graft.operators.Dedup.minhashLshPairsManaged(corpus, "doc_id", "text")
+    val expected = expectedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    cleanup()
+    assert(expected.nonEmpty)
+    val all = corpus.as[(Long, String)].collect().toSeq
+    val (copies, orig) = all.partition(_._1 >= 100000L)
+    val (b1, b2) = orig.partition(_._1 < 150L)
+    val sd = java.nio.file.Files.createTempDirectory("graft-sdcomp").toString
+    val SD = graft.streaming.StreamingDedup
+    SD.processBatch(spark, b1.toDF("doc_id", "text"), sd, 0L)
+    SD.processBatch(spark, b2.toDF("doc_id", "text"), sd, 1L)
+    SD.compact(spark, sd, buckets = 8)
+    // idempotence: nothing new committed -> no-op (marker set unchanged)
+    SD.compact(spark, sd, buckets = 8)
+    assert(SD.committedCompactions(spark, sd) == Seq((1L, 8)))
+    // force the probe through the projection: drop the covered raw dirs
+    (0L to 1L).foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$sd/docs/batch=$n")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(p, true)
+    }
+    SD.processBatch(spark, copies.toDF("doc_id", "text"), sd, 2L)
+    val got = SD.pairs(spark, sd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size == got.toSet.size, "a pair was detected more than once")
+    assert(got.toSet == expected,
+      s"missing=${(expected -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- expected).take(3)}")
+  }
+
   test("streaming LSH gate refuses a pre-batchId state layout") {
     // a stateDir written by the old flat-append layout must fail fast,
     // not resume over a silently-empty corpus
