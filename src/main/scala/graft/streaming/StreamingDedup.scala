@@ -350,16 +350,31 @@ object StreamingDedup {
     } finally docsF.unpersist(blocking = false)
   }
 
-  /** Run the ingest gate over a streaming document frame. */
+  /** Run the ingest gate over a streaming document frame.
+    *
+    * `compactEvery = Some(k)` runs [[compact]] after every k-th
+    * committed batch (k ≥ 1), so the raw-dir tail the probe scans stays
+    * bounded at k batches while everything older serves from the
+    * bucket-pruned projection. Compaction happens AFTER the batch's
+    * marker, outside its exactly-once window — a crash between the two
+    * just re-compacts on the next trigger (idempotent).
+    */
   def start(docs: DataFrame, stateDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): StreamingQuery = {
+      threshold: Double = 0.5, compactEvery: Option[Int] = None,
+      compactBuckets: Int = 64): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1), s"compactEvery: $compactEvery")
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         timed("fb_total")(
           processBatch(batch.sparkSession, batch, stateDir, batchId, idCol,
             textCol, shingleN, numHashes, bands, threshold))
+        compactEvery.foreach { k =>
+          if ((batchId + 1) % k == 0)
+            timed("compact")(
+              compact(batch.sparkSession, stateDir, compactBuckets))
+        }
       }
       .start()
   }

@@ -284,6 +284,40 @@ class StreamingSpec extends SparkSuite {
         s"extra=${(got.toSet -- expected).take(3)}")
   }
 
+  test("streaming LSH gate with auto-compaction accumulates the batch pairs") {
+    // end-to-end through start(compactEvery=1): every batch compacts,
+    // so batches 2+ probe corpus ENTIRELY through the projection
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .limit(200)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val (expectedDf, cleanup) =
+      graft.operators.Dedup.minhashLshPairsManaged(corpus, "doc_id", "text")
+    val expected = expectedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    cleanup()
+    assert(expected.nonEmpty)
+    val all = corpus.as[(Long, String)].collect().toSeq
+    val (copies, orig) = all.partition(_._1 >= 100000L)
+    val (b1, b2) = orig.partition(_._1 < 100L)
+    val sd = java.nio.file.Files.createTempDirectory("graft-sdauto").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.StreamingDedup.start(
+      input.toDF().toDF("doc_id", "text"), sd,
+      compactEvery = Some(1), compactBuckets = 8)
+    try {
+      Seq(b1, b2, copies).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      assert(graft.streaming.StreamingDedup
+        .committedCompactions(spark, sd).map(_._1) == Seq(0L, 1L, 2L))
+      val got = graft.streaming.StreamingDedup.pairs(spark, sd).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got.size == got.toSet.size)
+      assert(got.toSet == expected)
+    } finally q.stop()
+  }
+
   test("streaming LSH gate refuses a pre-batchId state layout") {
     // a stateDir written by the old flat-append layout must fail fast,
     // not resume over a silently-empty corpus
