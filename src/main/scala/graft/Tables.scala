@@ -65,4 +65,18 @@ object Tables {
     */
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Store dir for a fingerprint-gated persisted artifact of `family`
+    * derived from dataset `dataDir`: keyed by the dataset's basename
+    * (human-readable) PLUS a hash of its absolute path — two datasets
+    * that share a basename (two checkouts of "sf0.1") must never thrash
+    * one store dir between them, each rebuild evicting the other's.
+    * Freshness within one dir stays the ContentGate fingerprint's job.
+    */
+  def storeDir(family: String, dataDir: String): String = {
+    val abs = new java.io.File(dataDir).getAbsolutePath
+    val h = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(abs))
+    s"/tmp/graft_${family}_${new java.io.File(abs).getName}_$h"
+  }
 }

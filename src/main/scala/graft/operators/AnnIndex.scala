@@ -67,8 +67,7 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$indexDir/encoded")
-    java.nio.file.Files.write(java.nio.file.Paths.get(indexDir, "META"),
-      s"$m,${pq.dsub},$nlist,$ksub".getBytes("UTF-8"))
+    ContentGate.writeSmall(indexDir, "META", s"$m,${pq.dsub},$nlist,$ksub")
   }
 
   /** [[build]] behind a [[ContentGate]] content fingerprint — the
@@ -107,8 +106,9 @@ object AnnIndex {
     */
   def probe(spark: SparkSession, queries: DataFrame, idCol: String,
       vecCol: String, indexDir: String, k: Int, nprobe: Int = 4): DataFrame = {
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(indexDir, "META")), "UTF-8").trim.split(",")
+    val meta = ContentGate.readSmall(indexDir, "META").getOrElse(
+      throw new IllegalArgumentException(
+        s"ANN index $indexDir has no META")).trim.split(",")
     val (m, dsub) = (meta(0).toInt, meta(1).toInt)
     val coarse: Array[(Int, Seq[Long])] =
       spark.read.parquet(s"$indexDir/coarse")
@@ -146,8 +146,9 @@ object AnnIndex {
     */
   def append(spark: SparkSession, batch: DataFrame, idCol: String,
       vecCol: String, indexDir: String): Unit = {
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(indexDir, "META")), "UTF-8").trim.split(",")
+    val meta = ContentGate.readSmall(indexDir, "META").getOrElse(
+      throw new IllegalArgumentException(
+        s"ANN index $indexDir has no META")).trim.split(",")
     val (m, dsub) = (meta(0).toInt, meta(1).toInt)
     val coarse: Array[(Int, Seq[Long])] =
       spark.read.parquet(s"$indexDir/coarse")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +20,56 @@ import graft.functions.Portable
   * predicate yet), not an error.
   */
 object ContentGate {
+
+  // ---- Control-file I/O for persisted stores (FINGERPRINT, META) ----
+  // Routed through Hadoop FileSystem, NOT java.nio: the store's data
+  // files already go through Spark/Hadoop and resolve against the
+  // deployment's default FS (HDFS, S3A, local), so a java.nio control
+  // file would gate against a local shadow path on any non-local
+  // deployment — the artifact would rebuild every run (or worse, serve
+  // stale under a tag nobody rewrites). These helpers are the single
+  // control-file path for every store family (prefix store, ANN index,
+  // LM/sketch/gram stores).
+
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(p: HPath): FileSystem = p.getFileSystem(hadoopConf())
+
+  /** The UTF-8 contents of small control file `dir/name`, or None. */
+  def readSmall(dir: String, name: String): Option[String] = {
+    val p = new HPath(dir, name)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+        Some(new String(out.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  /** Write small control file `dir/name` (overwrite, parents created). */
+  def writeSmall(dir: String, name: String, content: String): Unit = {
+    val p = new HPath(dir, name)
+    val fs = fsFor(p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Delete control file `dir/name` if present. */
+  def deleteSmall(dir: String, name: String): Unit = {
+    val p = new HPath(dir, name)
+    val fs = fsFor(p)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
 
   /** Order-free content fingerprint of the rows of `df` matching
     * `pred`, as a stable tag string.
@@ -62,16 +113,20 @@ object ContentGate {
     * report fresh and silently serve the wrong artifact. With the
     * delete-first ordering a crash window can only cost an extra
     * rebuild, never a stale-fresh match.
+    *
+    * Concurrency contract: ONE writer per store dir (the deployment
+    * norm — a store is owned by the pipeline that derives it). The gate
+    * is check-then-build without a lock, so two concurrent `ensure`
+    * calls on the same stale dir both rebuild and the probes of one can
+    * observe the other's half-written data files; serialize ensure
+    * calls per dir if multiple driver processes share a store.
     */
   def ensure(dir: String, tag: String)(build: => Unit): Unit = {
-    val fpPath = java.nio.file.Paths.get(dir, "FINGERPRINT")
-    val fresh = java.nio.file.Files.exists(fpPath) &&
-      new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == tag
+    val fresh = readSmall(dir, "FINGERPRINT").contains(tag)
     if (!fresh) {
-      java.nio.file.Files.deleteIfExists(fpPath)
+      deleteSmall(dir, "FINGERPRINT")
       build
-      java.nio.file.Files.createDirectories(fpPath.getParent)
-      java.nio.file.Files.write(fpPath, tag.getBytes("UTF-8"))
+      writeSmall(dir, "FINGERPRINT", tag)
     }
   }
 
@@ -104,9 +159,8 @@ object ContentGate {
   /** The recorded tag of an existing artifact (for composing gates,
     * e.g. a merged store fingerprinted by its parts' tags).
     */
-  def recordedTag(dir: String): String = {
-    val f = java.nio.file.Paths.get(dir, "FINGERPRINT")
-    require(java.nio.file.Files.exists(f), s"artifact $dir has no FINGERPRINT")
-    new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-  }
+  def recordedTag(dir: String): String =
+    readSmall(dir, "FINGERPRINT").getOrElse(
+      throw new IllegalArgumentException(
+        s"artifact $dir has no FINGERPRINT"))
 }

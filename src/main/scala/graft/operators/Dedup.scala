@@ -547,10 +547,8 @@ object Dedup {
           .withColumn("ab", pmod(col("id"), lit(buckets.toLong)))
           .repartition(col("ab"))
           .write.mode("overwrite").partitionBy("ab").parquet(s"$dir/arr")
-        val metaPath = java.nio.file.Paths.get(dir, "META")
-        java.nio.file.Files.createDirectories(metaPath.getParent)
-        java.nio.file.Files.write(metaPath,
-          s"$shingleN,$thresholdPpm,$buckets".getBytes("UTF-8"))
+        ContentGate.writeSmall(dir, "META",
+          s"$shingleN,$thresholdPpm,$buckets")
       } finally { sh.unpersist(); () }
     }
   }
@@ -563,16 +561,19 @@ object Dedup {
     * makes the final pairs order-independent. Fresh ids must be
     * disjoint from the stored corpus ids (the delta contract).
     *
-    * The ONLY driver-side collect is the touched-bucket list (≤
-    * `buckets` longs) that statically prunes the df/pre reads; the
-    * probe never scans untouched buckets and never recomputes corpus
+    * The only driver-side collects are two bounded touched-bucket lists
+    * (each ≤ `buckets` longs): the fresh shingles' hash buckets prune
+    * the df/pre reads statically, and the surviving candidate pairs'
+    * id-buckets prune the arr/ verify read — the probe never scans
+    * untouched buckets on either side and never recomputes corpus
     * shingles, ranks, or arrays.
     */
   def prefixStoreProbeDelta(fresh: DataFrame, idCol: String,
       textCol: String, dir: String): (DataFrame, () => Unit) = {
     val spark = fresh.sparkSession
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "META")), "UTF-8").trim.split(",")
+    val meta = ContentGate.readSmall(dir, "META").getOrElse(
+      throw new IllegalArgumentException(s"prefix store $dir has no META"))
+      .trim.split(",")
     val (shingleN, thresholdPpm, buckets) =
       (meta(0).toInt, meta(1).toLong, meta(2).toInt)
     val shF = hashedShingleTable(fresh, idCol, textCol, shingleN)
@@ -604,10 +605,24 @@ object Dedup {
     val preC = spark.read.parquet(s"$dir/pre")
       .filter(col("b").isin(touched: _*))
       .select("id", "shingle", "sz", "rn")
-    val arrs = spark.read.parquet(s"$dir/arr").select("id", "toks")
+    // verify-side pruning: candidate PAIRS are materialized first
+    // (arrival-sized — the prefix filter's whole point), then the arr/
+    // store is read only in the id-buckets the candidates' ids hash to
+    // (second bounded collect, ≤ buckets longs) — the verify side never
+    // scans untouched ab= buckets. Fresh ids resolve from the cached
+    // shingle frame, not the store (delta ids are disjoint by contract).
+    val cand = oneSidedPrefixCandidates(preF, preC, thresholdPpm)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cleanupAll = () => { cleanup(); cand.unpersist(); () }
+    val touchedAb = cand.select(explode(array(
+        pmod(col("id_a"), lit(buckets.toLong)),
+        pmod(col("id_b"), lit(buckets.toLong)))).as("ab"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val arrs = spark.read.parquet(s"$dir/arr")
+      .filter(col("ab").isin(touchedAb: _*)).select("id", "toks")
       .unionByName(
         shF.groupBy("id").agg(collect_list(col("shingle")).as("toks")))
-    (oneSidedPrefixPairs(preF, preC, arrs, thresholdPpm), cleanup)
+    (verifyCandidatePairs(cand, arrs, thresholdPpm), cleanupAll)
   }
 
   /** Fresh-initiated candidate join + positional prune + array verify —
@@ -620,7 +635,16 @@ object Dedup {
     * id_left < id_right.
     */
   private def oneSidedPrefixPairs(preF: DataFrame, preC: DataFrame,
-      arrs: DataFrame, thresholdPpm: Long): DataFrame = {
+      arrs: DataFrame, thresholdPpm: Long): DataFrame =
+    verifyCandidatePairs(
+      oneSidedPrefixCandidates(preF, preC, thresholdPpm), arrs, thresholdPpm)
+
+  /** The candidate half of [[oneSidedPrefixPairs]]: survivor pairs
+    * (id_a, id_b, sz_a, sz_b) of the prefix + positional filters, before
+    * the array verify.
+    */
+  private def oneSidedPrefixCandidates(preF: DataFrame, preC: DataFrame,
+      thresholdPpm: Long): DataFrame = {
     val alpha = expr(s"($thresholdPpm * (sz_a + sz_b)" +
       s" + ${1000000L + thresholdPpm} - 1) div ${1000000L + thresholdPpm}")
     val right = preC.withColumn("_fr", lit(false))
@@ -652,6 +676,14 @@ object Dedup {
         least(col("sz_a") - col("ma"), col("sz_b") - col("mb")) >= alpha)
       .select("id_a", "id_b", "sz_a", "sz_b")
     cand
+  }
+
+  /** The exact-Jaccard verify half: join each candidate pair to both
+    * docs' full token arrays and keep pairs at/above the threshold.
+    */
+  private def verifyCandidatePairs(cand: DataFrame, arrs: DataFrame,
+      thresholdPpm: Long): DataFrame =
+    cand
       .join(arrs.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
       .join(arrs.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
       .withColumn("inter",
@@ -661,7 +693,6 @@ object Dedup {
           " div (sz_a + sz_b - inter)").cast("long"))
       .filter(col("jac_ppm") >= thresholdPpm)
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jac_ppm")
-  }
 
   /** MinHash signatures via grouped aggregation: sig[i] = min over
     * shingles of ((2i+1)·h + 12289·i) mod P, h = hash48(shingle) mod P.

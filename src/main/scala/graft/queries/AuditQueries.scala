@@ -296,8 +296,7 @@ object AuditQueries {
     * fingerprint-gated, so steady-state runs score only.
     */
   val q169: Q = (s, dir) => {
-    val store = "/tmp/graft_lm_parts_" +
-      java.nio.file.Paths.get(dir).getFileName.toString
+    val store = graft.Tables.storeDir("lm_parts", dir)
     val docs = Tables.documents(s, dir)
     val isTrain = col("source") === "src0"
     val half = graft.functions.Portable.hash48(col("doc_id")) % 2
@@ -360,8 +359,7 @@ object AuditQueries {
     * byte-identical pairs to the recompute-everything delta run.
     */
   val q171: Q = (s, dir) => {
-    val store = "/tmp/graft_sig_store_" +
-      java.nio.file.Paths.get(dir).getFileName.toString
+    val store = graft.Tables.storeDir("sig_store", dir)
     val base = Tables.documents(s, dir).select("doc_id", "text")
     val fresh = base.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -631,8 +629,7 @@ object AuditQueries {
     * full-scan sketch fails the driver hash.
     */
   val q178: Q = (s, dir) => {
-    val store = "/tmp/graft_sketch_store_" +
-      java.nio.file.Paths.get(dir).getFileName.toString
+    val store = graft.Tables.storeDir("sketch_store", dir)
     val li = Tables.lineitem(s, dir)
     val v = round(col("l_extendedprice") * 100).cast("long")
     graft.operators.Sketches.SketchStore.ensure(

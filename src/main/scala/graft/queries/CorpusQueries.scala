@@ -498,8 +498,7 @@ object CorpusQueries {
     // arrival-sized probe only. The gate is the O(files) pathTag — the
     // corpus is an immutable parquet layout; a driver regeneration
     // changes mtimes and forces the rebuild.
-    val store = "/tmp/graft_gram_store_" +
-      java.nio.file.Paths.get(dir).getFileName.toString
+    val store = graft.Tables.storeDir("gram_store", dir)
     graft.operators.TextOps.gramStoreEnsure(d, "doc_id", "text", 5, store,
       freshnessTag = Some(graft.operators.ContentGate.pathTag(
         s, s"$dir/documents.parquet")))

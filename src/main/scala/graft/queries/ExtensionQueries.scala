@@ -950,8 +950,7 @@ object ExtensionQueries {
     */
   val q107: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-    val idx = "/tmp/graft_ann_index_" +
-      java.nio.file.Paths.get(dir).getFileName.toString
+    val idx = graft.Tables.storeDir("ann_index", dir)
     graft.operators.AnnIndex.ensureBuild(e, "vec_id", "embedding", idx,
       nlist = 16, m = 16, ksub = 64)
     graft.operators.AnnIndex.probe(s, e.filter(col("vec_id") < 10),

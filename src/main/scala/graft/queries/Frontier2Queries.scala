@@ -301,8 +301,7 @@ object Frontier2Queries {
     val fresh = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zq zq zq")).as("text"))
-    val store = "/tmp/graft_prefix_store_" +
-      java.nio.file.Paths.get(dir).getFileName.toString
+    val store = graft.Tables.storeDir("prefix_store", dir)
     graft.operators.Dedup.prefixStoreEnsure(d, "doc_id", "text",
       shingleN = 3, thresholdPpm = 600000L, store,
       freshnessTag = Some(graft.operators.ContentGate.pathTag(
@@ -789,8 +788,7 @@ object Frontier2Queries {
     * bit-for-bit.
     */
   val q219: Q = (s, dir) => {
-    val store = "/tmp/graft_zone_store_" +
-      java.nio.file.Paths.get(dir).getFileName.toString
+    val store = graft.Tables.storeDir("zone_store", dir)
     val li = Tables.lineitem(s, dir)
       .select(round(col("l_extendedprice") * 100).cast("long").as("k"),
         col("l_orderkey"))

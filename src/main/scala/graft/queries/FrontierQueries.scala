@@ -449,8 +449,7 @@ object FrontierQueries {
     * Same output shape as q61: (term, cms_est, true_count).
     */
   val q194: Q = (s, dir) => {
-    val store = "/tmp/graft_cms_store_" +
-      java.nio.file.Paths.get(dir).getFileName.toString
+    val store = graft.Tables.storeDir("cms_store", dir)
     val depth = 4; val width = 1024
     val docs = graft.operators.Spread.ensure(Tables.documents(s, dir), "doc_id")
     def toks(d: org.apache.spark.sql.DataFrame) =

@@ -1069,8 +1069,7 @@ object PipelineQueries {
     * q56/q107 ANN-index contract, applied to the text pipeline).
     */
   val q161: Q = (s, dir) => {
-    val store = "/tmp/graft_lm_store_" +
-      java.nio.file.Paths.get(dir).getFileName.toString
+    val store = graft.Tables.storeDir("lm_store", dir)
     val docs = Tables.documents(s, dir)
     // fingerprint-gated: the first run trains + writes, repeats hit the
     // store — so warm timings measure the production steady state

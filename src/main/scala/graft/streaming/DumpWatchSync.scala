@@ -1,14 +1,12 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
-
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.engine.{Differ, SyncJob}
+import graft.operators.ContentGate
 import graft.sources.DumpSource
 
 /** Incremental dump-directory sync (SURVEY.md §7.3): watch a directory
@@ -33,15 +31,21 @@ import graft.sources.DumpSource
   */
 object DumpWatchSync {
 
-  private def latestPath(stateDir: String) = Paths.get(stateDir, "LATEST")
-  private def latestDumpPath(stateDir: String) = Paths.get(stateDir, "LATEST_DUMP")
-
-  private def readState(p: java.nio.file.Path): Option[String] =
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8").trim)
-    else None
+  // All driver-side state I/O (LATEST markers, vacuum, script
+  // concatenation) goes through Hadoop FileSystem, exactly like the
+  // parquet state Spark itself writes — a stateDir on HDFS/S3A works
+  // end-to-end, not just the data files.
+  private def fileSystem(dir: String): FileSystem =
+    new HPath(dir).getFileSystem(
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sessionState.newHadoopConf())
+        .getOrElse(new org.apache.hadoop.conf.Configuration()))
 
   private def readLatest(stateDir: String): Option[String] =
-    readState(latestPath(stateDir))
+    ContentGate.readSmall(stateDir, "LATEST").map(_.trim)
+
+  private def readLatestDump(stateDir: String): Option[String] =
+    ContentGate.readSmall(stateDir, "LATEST_DUMP").map(_.trim)
 
   /** Diff one arriving dump against the snapshot; append the net ops to
     * the op log and advance the snapshot. With `emitScripts`, also write
@@ -78,12 +82,12 @@ object DumpWatchSync {
       scriptTs: String = "STREAM"): Unit = {
     if (dumpPaths.isEmpty) return
     val job = new SyncJob(spark)
-    val prevDump = readState(latestDumpPath(stateDir))
+    val prevDump = readLatestDump(stateDir)
     val chain = prevDump.toSeq ++ dumpPaths
 
     if (emitScripts && chain.size >= 2) {
-      val scriptsDir = Paths.get(stateDir, "scripts")
-      Files.createDirectories(scriptsDir)
+      val fsys = fileSystem(stateDir)
+      fsys.mkdirs(new HPath(stateDir, "scripts"))
       val pairs = chain.sliding(2).toSeq
         .collect { case Seq(prev, cur) => (prev, cur) }.zipWithIndex
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -93,11 +97,15 @@ object DumpWatchSync {
       try {
         val renders = pairs.map { case ((prev, cur), i) =>
           scala.concurrent.Future {
-            val partsDir = Files.createTempDirectory("graft_watch_script")
-            job.syncDistributed(cur, prev, partsDir.toString, scriptTs)
+            // per-render parts dir under the stateDir (unique per
+            // batch×pair), so the whole script path — distributed
+            // render, concatenation, final script — lives on ONE FS
+            val partsDir =
+              f"$stateDir/_script_parts/b$batchId%05d_$i%03d"
+            job.syncDistributed(cur, prev, partsDir, scriptTs)
             val name =
-              f"sync_b$batchId%05d_$i%03d_${Paths.get(cur).getFileName}.sql"
-            writeConcatenated(partsDir, scriptsDir.resolve(name))
+              f"sync_b$batchId%05d_$i%03d_${new HPath(cur).getName}.sql"
+            writeConcatenated(fsys, partsDir, s"$stateDir/scripts/$name")
           }
         }
         scala.concurrent.Await.result(
@@ -161,7 +169,8 @@ object DumpWatchSync {
     // first arrival seeds from the incoming records; every later arrival
     // folds +INSERT/−DELETE into the previous stats version.
     val prevStats: Option[DataFrame] = readLatest(stateDir)
-      .filter(v => Files.exists(Paths.get(stateDir, s"stats_$v")))
+      .filter(v => fileSystem(stateDir)
+        .exists(new HPath(stateDir, s"stats_$v")))
       .map(v => spark.read.parquet(s"$stateDir/stats_$v"))
     val newStats = prevStats match {
       case Some(ps) =>
@@ -187,7 +196,8 @@ object DumpWatchSync {
     // fallback; DumpWatchSync-fed state dirs keep both paths equal
     // (ScdSpec pins it).
     val openPrev: Option[DataFrame] = readLatest(stateDir)
-      .filter(v => Files.exists(Paths.get(stateDir, s"history_open_$v")))
+      .filter(v => fileSystem(stateDir)
+        .exists(new HPath(stateDir, s"history_open_$v")))
       .map(v => spark.read.parquet(s"$stateDir/history_open_$v"))
     val advanced = (openPrev match {
       case Some(h) => graft.engine.Scd.advance(h, incoming, batchId,
@@ -205,13 +215,11 @@ object DumpWatchSync {
 
     // always track the last-applied dump, so the schema-drift log works
     // with emitScripts off (the at-scale watcher default elsewhere)
-    Files.write(latestDumpPath(stateDir), dumpPath.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    ContentGate.writeSmall(stateDir, "LATEST_DUMP", dumpPath)
 
     val newVersion = s"snapshot_v$batchId"
     incoming.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$newVersion")
-    Files.write(latestPath(stateDir), newVersion.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    ContentGate.writeSmall(stateDir, "LATEST", newVersion)
   }
 
   /** Reclaim superseded per-version state. Every arrival writes a full
@@ -230,60 +238,63 @@ object DumpWatchSync {
   def vacuum(stateDir: String, keepLast: Int = 1): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val latest = readLatest(stateDir) // never delete the live snapshot
-    val dir = new java.io.File(stateDir)
-    def versioned(prefix: String): Seq[(Long, java.io.File)] =
-      Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-        .flatMap(f => f.getName.stripPrefix(prefix).toLongOption.map(_ -> f))
+    val fsys = fileSystem(stateDir)
+    val root = new HPath(stateDir)
+    val entries: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fsys.exists(root)) fsys.listStatus(root).toSeq else Seq.empty
+    def versioned(prefix: String): Seq[(Long, HPath)] = entries
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .flatMap(st => st.getPath.getName.stripPrefix(prefix).toLongOption
+        .map(_ -> st.getPath))
     Seq("snapshot_v", "stats_snapshot_v", "history_open_snapshot_v")
       .flatMap { prefix =>
         versioned(prefix).sortBy(-_._1).drop(keepLast)
-          .filterNot { case (_, f) => latest.contains(f.getName) }
-          .map { case (_, f) =>
-            val walk = Files.walk(f.toPath)
-            val all =
-              try walk.iterator().asScala.toSeq.reverse
-              finally walk.close()
-            all.foreach(Files.deleteIfExists(_))
-            f.getName
-          }
+          .filterNot { case (_, p) => latest.contains(p.getName) }
+          .map { case (_, p) => fsys.delete(p, true); p.getName }
       }
   }
 
   /** Concatenate a text sink's sorted part files into one script file,
     * dropping the sink's trailing newline so the bytes equal
     * SyncSqlGenerator.assemble's output; the parts dir is removed.
-    * Streams file-to-file — never holds the script in driver memory.
+    * Streams file-to-file — never holds the script in driver memory —
+    * and copies exactly (total − 1) bytes instead of truncating after
+    * the fact: Hadoop FileSystems (S3A in particular) have no truncate,
+    * and the part lengths are already in the listing.
     */
-  private def writeConcatenated(partsDir: java.nio.file.Path,
-      target: java.nio.file.Path): Unit = {
-    // Files.list/walk hold a directory fd until closed — a leak per dump
-    // arrival in a long-running watcher without the try/finally
-    val listStream = Files.list(partsDir)
-    val parts =
-      try listStream.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
-      finally listStream.close()
-    val out = Files.newOutputStream(target,
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    try parts.foreach(p => Files.copy(p, out))
-    finally out.close()
-    // drop the text sink's final '\n' for byte parity with assemble()
-    val ch = java.nio.channels.FileChannel.open(target,
-      StandardOpenOption.WRITE)
-    try if (ch.size() > 0) ch.truncate(ch.size() - 1)
-    finally ch.close()
-    val walkStream = Files.walk(partsDir)
-    val toDelete =
-      try walkStream.iterator().asScala.toSeq.reverse
-      finally walkStream.close()
-    toDelete.foreach(Files.deleteIfExists(_))
+  private def writeConcatenated(fsys: FileSystem, partsDir: String,
+      target: String): Unit = {
+    val parts = fsys.listStatus(new HPath(partsDir)).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val out = fsys.create(new HPath(target), true)
+    try {
+      // drop the text sink's final '\n' for byte parity with assemble()
+      var remaining = math.max(0L, parts.map(_.getLen).sum - 1)
+      val buf = new Array[Byte](1 << 20)
+      parts.foreach { st =>
+        if (remaining > 0) {
+          val in = fsys.open(st.getPath)
+          try {
+            var r = in.read(buf)
+            while (r > 0 && remaining > 0) {
+              val w = math.min(r.toLong, remaining).toInt
+              out.write(buf, 0, w)
+              remaining -= w
+              r = if (remaining > 0) in.read(buf) else -1
+            }
+          } finally in.close()
+        }
+      }
+    } finally out.close()
+    fsys.delete(new HPath(partsDir), true)
+    ()
   }
 
   /** Start watching `watchDir` for *.sql dump arrivals. */
   def start(spark: SparkSession, watchDir: String, stateDir: String,
       emitScripts: Boolean = true, scriptTs: String = "STREAM"): StreamingQuery = {
-    Files.createDirectories(Paths.get(stateDir))
+    fileSystem(stateDir).mkdirs(new HPath(stateDir))
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("path",
         org.apache.spark.sql.types.StringType),

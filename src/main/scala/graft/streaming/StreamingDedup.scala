@@ -49,9 +49,11 @@ import org.apache.spark.storage.StorageLevel
   * compacted corpus to the buckets the arrival's own band keys touch
   * (one bounded driver collect, ≤ `buckets` ids) and scans raw per-batch
   * dirs only for batches newer than the compaction — the per-batch
-  * protocol is otherwise unchanged, and raw batch dirs remain the source
-  * of truth (compaction is a replayable, idempotent-overwrite
-  * optimization artifact, keyed by the batch id it covers).
+  * protocol is otherwise unchanged. Compaction is itself incremental
+  * (previous projection ∪ newer raw dirs) and sweeps the projection it
+  * supersedes; raw batch dirs at or below the compaction high-water
+  * mark may be vacuumed, after which the projection is authoritative
+  * for the batches it covers.
   *
   * Each unordered pair is detected exactly once: by the batch that
   * delivers its later member (same-batch pairs via fresh×fresh) — the
@@ -111,43 +113,91 @@ object StreamingDedup {
       }.sortBy(_._1)
   }
 
-  /** Rewrite every committed batch's docs into the band-bucketed corpus
-    * projection `docs_compacted/upto=N/bucket=K` (K =
-    * pmod(hash48(band_key), buckets)) and commit it under
-    * `_compactions/N=buckets`. Run between batches (a maintenance job,
-    * or every K micro-batches from the foreachBatch driver). Idempotent:
-    * re-running at the same high-water mark is a no-op; a crash before
-    * the marker replays as an overwrite. Only verify-able docs are
-    * written (short docs can never pair — the batch operator's
-    * convention), and toks arrays ride each band row so the probe stays
-    * single-pass; the ~`bands`× array duplication is the storage price
-    * of bucket-pruned probes, paid on the COMPACTED artifact only — raw
-    * batch dirs keep the compact one-row-per-doc form.
+  /** Fold the corpus into the band-bucketed projection
+    * `docs_compacted/upto=N/bucket=K` (K = pmod(hash48(band_key),
+    * buckets)) and commit it under `_compactions/N=buckets` —
+    * INCREMENTALLY: each run reads the previous projection plus only
+    * the raw batch dirs newer than it, so with compactEvery=1 the
+    * steady-state raw read is one batch, not the whole corpus, and raw
+    * `docs/batch=n` dirs at or below a committed compaction's
+    * high-water mark are free to vacuum (compact never reads below it;
+    * the projection is then authoritative for those batches — `pairs/`
+    * and `_commits/` are untouched either way). The projection this run
+    * supersedes (and any left by an earlier crash) is deleted after the
+    * new marker commits, so disk holds ~one projection, not one per
+    * compaction. Run between batches (a maintenance job, or every K
+    * micro-batches from the foreachBatch driver). Idempotent:
+    * re-running at the same high-water mark only sweeps stale
+    * projections; a crash before the marker replays as an overwrite.
+    * Only verify-able docs are written (short docs can never pair — the
+    * batch operator's convention), and toks arrays ride each band row
+    * so the probe stays single-pass; the ~`bands`× array duplication is
+    * the storage price of bucket-pruned probes, paid on the COMPACTED
+    * artifact only — raw batch dirs keep the compact one-row-per-doc
+    * form.
     */
   def compact(spark: SparkSession, stateDir: String,
       buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets: $buckets")
+    val fs = fileSystem(spark, stateDir)
     val batches = committedBatches(spark, stateDir)
     if (batches.isEmpty) return
     val upTo = batches.max
     val comps = committedCompactions(spark, stateDir)
-    if (comps.nonEmpty && comps.map(_._1).max >= upTo) return
-    val dirs = batches.map(n => s"$stateDir/docs/batch=$n")
+    val last = comps.lastOption // newest (upTo, buckets), if any
+    // Sweep projections superseded by the newest marker FIRST: a crash
+    // between a previous compact's marker commit and its sweep leaves
+    // them behind, and with compactEvery=1 they would otherwise
+    // accumulate one full corpus projection per batch.
+    comps.dropRight(1).foreach { case (u, b) =>
+      fs.delete(new HPath(s"$stateDir/docs_compacted/upto=$u"), true)
+      fs.delete(new HPath(s"$stateDir/_compactions/$u=$b"), false)
+    }
+    if (last.exists(_._1 >= upTo)) return
     import graft.functions.Portable
-    spark.read.schema(docsSchema).parquet(dirs: _*)
+    // INCREMENTAL: fold only the raw batch dirs newer than the previous
+    // projection into it — per compaction the raw read is O(new
+    // batches), never a re-explode of the whole corpus, and raw dirs
+    // covered by a committed compaction are free to vacuum (compact
+    // never reads below its high-water mark).
+    val newDirs = batches.filter(n => last.forall(n > _._1))
+      .map(n => s"$stateDir/docs/batch=$n")
+    val newRows = spark.read.schema(docsSchema).parquet(newDirs: _*)
       .filter(col("toks").isNotNull && col("sz") > 0)
       .select(col("id"), col("toks"), col("sz"), explode(col("bk")).as("e"))
       .select(col("id"), col("toks"), col("sz"),
         col("e.band").as("band"), col("e.band_key").as("band_key"),
         pmod(Portable.hash48(col("e.band_key")), lit(buckets.toLong))
           .as("bucket"))
+    val allRows = last match {
+      case None => newRows
+      case Some((u, b)) =>
+        val prev = spark.read
+          .parquet(s"$stateDir/docs_compacted/upto=$u")
+          .select(col("id"), col("toks"), col("sz"), col("band"),
+            // partition-value inference reads the dir names as int;
+            // the fresh rows carry pmod's long — align before union
+            col("band_key"), col("bucket").cast("long").as("bucket"))
+        val rebucketed =
+          if (b == buckets) prev
+          else prev.drop("bucket").withColumn("bucket",
+            pmod(Portable.hash48(col("band_key")), lit(buckets.toLong)))
+        rebucketed.unionByName(newRows)
+    }
+    allRows
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
       .parquet(s"$stateDir/docs_compacted/upto=$upTo")
-    val fs = fileSystem(spark, stateDir)
     fs.mkdirs(new HPath(s"$stateDir/_compactions"))
     fs.create(new HPath(s"$stateDir/_compactions/$upTo=$buckets"), true)
       .close()
+    // sweep the projection this one just superseded (marker first, so a
+    // crash here leaves at worst a swept-next-time stale dir)
+    last.foreach { case (u, b) =>
+      fs.delete(new HPath(s"$stateDir/docs_compacted/upto=$u"), true)
+      fs.delete(new HPath(s"$stateDir/_compactions/$u=$b"), false)
+      ()
+    }
   }
 
   private def refuseLegacyLayout(spark: SparkSession, stateDir: String): Unit = {

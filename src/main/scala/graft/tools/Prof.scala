@@ -170,15 +170,20 @@ object Prof {
         val fresh = d.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(col("text"), lit(" zq zq zq")).as("text"))
-        val store = "/tmp/graft_prefix_store_" +
-          java.nio.file.Paths.get(sfDir).getFileName.toString
+        val store = graft.Tables.storeDir("prefix_store", sfDir)
         time("ensureBuild (gate)")(
           graft.operators.Dedup.prefixStoreEnsure(d, "doc_id", "text",
             3, 600000L, store))
         val shF = graft.operators.Dedup.hashedShingleTable(
           fresh, "doc_id", "text", 3).persist(StorageLevel.MEMORY_AND_DISK)
+        // mirror the shipped operator exactly: buckets from the store's
+        // META, unseen grams ranked LAST (Dedup.scala's own measured
+        // degeneracy note) — the decomposition must profile the
+        // production plan, not a worse cousin
+        val buckets = graft.operators.ContentGate.readSmall(store, "META")
+          .get.trim.split(",")(2).toLong
         val touched = time("touched collect")(shF
-          .select(pmod(col("shingle"), lit(32L)).as("b"))
+          .select(pmod(col("shingle"), lit(buckets)).as("b"))
           .distinct().collect().map(_.getLong(0)).toSeq)
         println("touched=" + touched.size)
         val dfC = spark.read.parquet(s"$store/df")
@@ -186,7 +191,7 @@ object Prof {
         time("df read")(println("df=" + dfC.count()))
         val idw = Window.partitionBy("id")
         val preF = shF.join(dfC, Seq("shingle"), "left")
-          .na.fill(0L, Seq("dfq"))
+          .withColumn("dfq", coalesce(col("dfq"), lit(Long.MaxValue)))
           .withColumn("rn", row_number().over(idw.orderBy("dfq", "shingle")))
           .withColumn("sz", count(lit(1)).over(idw))
           .filter(col("rn") <=

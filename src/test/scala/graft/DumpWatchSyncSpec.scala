@@ -64,6 +64,44 @@ class DumpWatchSyncSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("watcher state works end-to-end through a Hadoop file: URI stateDir") {
+    // markers, scripts, vacuum and the parquet state must all resolve
+    // through Hadoop FileSystem: a scheme-qualified stateDir is the
+    // portability probe — any java.nio remnant shadows or rejects it
+    val dumps = Files.createTempDirectory("graft-uri-dumps")
+    val d1 = dumps.resolve("d1.sql")
+    val d2 = dumps.resolve("d2.sql")
+    Files.write(d1,
+      (ddl + "INSERT INTO `t` (`id`, `v`) VALUES\n(1, 10),\n(2, 20);\n")
+        .getBytes("UTF-8"))
+    Files.write(d2,
+      (ddl + "INSERT INTO `t` (`id`, `v`) VALUES\n(1, 11),\n(3, 30);\n")
+        .getBytes("UTF-8"))
+    val base = Files.createTempDirectory("graft-uri-state").toString
+    val stateDir = s"file://$base"
+    DumpWatchSync.processDump(spark, d1.toString, stateDir, 0L)
+    DumpWatchSync.processDump(spark, d2.toString, stateDir, 1L)
+    // markers landed where the URI points (not a local shadow path)
+    assert(new String(Files.readAllBytes(Paths.get(base, "LATEST")),
+      "UTF-8") == "snapshot_v1")
+    val ops = spark.read.parquet(s"$stateDir/ops").collect()
+      .filter(_.getAs[Long]("batch_id") == 1L)
+      .map(r => (r.getAs[String]("pk"), r.getAs[String]("op"))).toSet
+    assert(ops == Set(("1", "UPDATE"), ("2", "DELETE"), ("3", "INSERT")))
+    // the per-arrival script renders + concatenates through the FS too
+    val scripts = Files.list(Paths.get(base, "scripts")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".sql")).toSeq.sorted
+    assert(scripts.size == 1 && scripts.head.endsWith("d2.sql.sql"))
+    val script = new String(Files.readAllBytes(
+      Paths.get(base, "scripts", scripts.head)), "UTF-8")
+    assert(script.nonEmpty && !script.endsWith("\n"))
+    // vacuum lists and deletes through the FS
+    val deleted = DumpWatchSync.vacuum(stateDir, keepLast = 1).sorted
+    assert(deleted.contains("snapshot_v0"))
+    assert(!Files.exists(Paths.get(base, "snapshot_v0")))
+    assert(Files.exists(Paths.get(base, "snapshot_v1")))
+  }
+
   test("vacuum reclaims superseded versions; maintained history still time-travels to them") {
     val watchDir = Files.createTempDirectory("graft-watch-vac")
     val stateDir = Files.createTempDirectory("graft-state-vac").toString
@@ -175,7 +213,8 @@ class DumpWatchSyncSpec extends SparkSuite {
       // one script per consecutive pair, each byte-identical to the
       // batch CLI on (arriving, previous)
       val scripts = Files.list(Paths.get(stateDir, "scripts")).iterator().asScala
-        .toSeq.sortBy(_.getFileName.toString)
+        .toSeq.filter(_.getFileName.toString.endsWith(".sql"))
+        .sortBy(_.getFileName.toString)
         .map(p => new String(Files.readAllBytes(p), "UTF-8"))
       assert(scripts.size == 5)
       val job = new SyncJob(spark)
@@ -233,7 +272,8 @@ class DumpWatchSyncSpec extends SparkSuite {
       q.processAllAvailable()
 
       val scripts = Files.list(Paths.get(stateDir, "scripts")).iterator().asScala
-        .toSeq.sortBy(_.getFileName.toString)
+        .toSeq.filter(_.getFileName.toString.endsWith(".sql"))
+        .sortBy(_.getFileName.toString)
         .map(p => new String(Files.readAllBytes(p), "UTF-8"))
       assert(scripts.size == 2) // first arrival has no previous dump
 

@@ -312,6 +312,25 @@ class Frontier2OpsSpec extends SparkSuite {
     assert(again == z, "same tag must not rebuild")
   }
 
+  test("ContentGate.ensure gates through an explicit Hadoop file: URI") {
+    // the control files must resolve through Hadoop FileSystem (the
+    // store's data files already do) — a scheme-qualified URI is the
+    // portability probe: java.nio would reject or shadow it
+    val base = java.nio.file.Files.createTempDirectory("graft-cg").toString
+    val dir = s"file://$base/store"
+    var builds = 0
+    graft.operators.ContentGate.ensure(dir, "tagA") { builds += 1 }
+    graft.operators.ContentGate.ensure(dir, "tagA") { builds += 1 }
+    assert(builds == 1, "unchanged tag rebuilt")
+    assert(graft.operators.ContentGate.recordedTag(dir) == "tagA")
+    graft.operators.ContentGate.ensure(dir, "tagB") { builds += 1 }
+    assert(builds == 2, "stale tag did not rebuild")
+    assert(graft.operators.ContentGate.recordedTag(dir) == "tagB")
+    // and it landed where the URI points, not under a local shadow path
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "store", "FINGERPRINT")))
+  }
+
   test("readability computes the integer Flesch formula per doc") {
     val docs = Seq(("g", "Run. The cat sat!")).toDF("src", "text")
     val out = TextOps.readability(docs, col("src"), col("text"))

@@ -276,6 +276,11 @@ class StreamingSpec extends SparkSuite {
         .delete(p, true)
     }
     SD.processBatch(spark, copies.toDF("doc_id", "text"), sd, 2L)
+    // covered raw dirs are gone — the incremental compact reads only
+    // the projection + batch 2, never below its high-water mark (the
+    // old full-rebuild re-read from batch 0 and threw here)
+    SD.compact(spark, sd, buckets = 8)
+    assert(SD.committedCompactions(spark, sd) == Seq((2L, 8)))
     val got = SD.pairs(spark, sd).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got.size == got.toSet.size, "a pair was detected more than once")
@@ -309,8 +314,16 @@ class StreamingSpec extends SparkSuite {
       Seq(b1, b2, copies).foreach { b =>
         input.addData(b: _*); q.processAllAvailable()
       }
+      // incremental compaction sweeps the projection it supersedes:
+      // only the newest marker (and only its projection dir) survives
       assert(graft.streaming.StreamingDedup
-        .committedCompactions(spark, sd).map(_._1) == Seq(0L, 1L, 2L))
+        .committedCompactions(spark, sd).map(_._1) == Seq(2L))
+      val fsys = new org.apache.hadoop.fs.Path(sd)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val projDirs = fsys
+        .listStatus(new org.apache.hadoop.fs.Path(s"$sd/docs_compacted"))
+        .map(_.getPath.getName).sorted.toSeq
+      assert(projDirs == Seq("upto=2"), s"stale projections: $projDirs")
       val got = graft.streaming.StreamingDedup.pairs(spark, sd).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(got.size == got.toSet.size)
