@@ -255,6 +255,46 @@ class SyncJob(spark: SparkSession) {
     } finally { joined.unpersist(); cleanup() }
   }
 
+  /** Size-routed sibling of [[syncDistributed]] with the SAME outDir
+    * contract (sorted part files concatenate to the full script):
+    * small diffs — op count at or under `maxCollectedOps` — collect the
+    * ordered lines and write ONE part file through the Hadoop FS,
+    * because a shuffle-partition-wide text sink spends more on task
+    * launch + per-file commit than on the script at that size (the
+    * measured small-tile floor of the distributed entry); large diffs
+    * take [[syncDistributed]]'s executor-rendered write untouched. The
+    * bytes are identical on both routes (DistributedSinkSpec pins
+    * each against assemble), so consumers never care which fired.
+    */
+  def syncDistributedAuto(prodPath: String, backupPath: String,
+      outDir: String, now: String,
+      maxCollectedOps: Long = SyncJob.DefaultMaxCollectedOps): SyncOutcome = {
+    val (joined0, prodInfo, backupCat, commonTables, cleanup) =
+      diffFrameInfo(prodPath, backupPath)
+    val joined = joined0.cache()
+    try {
+      val outcome = summarize(joined, prodInfo, backupCat, commonTables, prodPath)
+      val nOps = outcome.stats.valuesIterator
+        .map(s => s.missingCount + s.updatedCount + s.deletedCount).sum
+      val lineFrame = scriptLineFrame(joined, prodInfo.metas, backupCat,
+        commonTables, outcome, now)
+      if (nOps <= maxCollectedOps) {
+        val lines = lineFrame.as[String].collect()
+        val dirPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(dirPath, true) // overwrite semantics, like the text sink
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(dirPath, "part-00000"), true)
+        try lines.foreach { l =>
+          out.write(l.getBytes("UTF-8")); out.write('\n')
+        } finally out.close()
+      } else {
+        lineFrame.write.mode("overwrite").text(outDir)
+      }
+      outcome
+    } finally { joined.unpersist(); cleanup() }
+  }
+
   /** The complete script as one globally-ordered single-column frame —
     * executor-rendered statements unioned with the O(tables) driver
     * banner rows under the (sec, tbl, off, row, sub) sort key. Shared by

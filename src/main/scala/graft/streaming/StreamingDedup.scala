@@ -130,11 +130,16 @@ object StreamingDedup {
     * re-running at the same high-water mark only sweeps stale
     * projections; a crash before the marker replays as an overwrite.
     * Only verify-able docs are written (short docs can never pair — the
-    * batch operator's convention), and toks arrays ride each band row
-    * so the probe stays single-pass; the ~`bands`× array duplication is
-    * the storage price of bucket-pruned probes, paid on the COMPACTED
-    * artifact only — raw batch dirs keep the compact one-row-per-doc
-    * form.
+    * batch operator's convention).
+    *
+    * The projection is SPLIT so band rows never carry verify arrays:
+    * `bands/bucket=K` holds (id, sz, band, band_key) — tens of bytes a
+    * row — and `arr/ab=K` (K = pmod(id, buckets)) holds each doc's toks
+    * ONCE. The first cut of this projection rode toks on every band
+    * row; the gate bench measured its probe ~1.5× SLOWER than scanning
+    * the raw dirs it replaced — `bands`× read amplification of exactly
+    * the fat column — so candidates now join light band rows and only
+    * the SURVIVING candidate ids resolve their arrays from arr/.
     */
   def compact(spark: SparkSession, stateDir: String,
       buckets: Int = 64): Unit = {
@@ -162,32 +167,47 @@ object StreamingDedup {
     // never reads below its high-water mark).
     val newDirs = batches.filter(n => last.forall(n > _._1))
       .map(n => s"$stateDir/docs/batch=$n")
-    val newRows = spark.read.schema(docsSchema).parquet(newDirs: _*)
+    val newDocs = spark.read.schema(docsSchema).parquet(newDirs: _*)
       .filter(col("toks").isNotNull && col("sz") > 0)
-      .select(col("id"), col("toks"), col("sz"), explode(col("bk")).as("e"))
-      .select(col("id"), col("toks"), col("sz"),
+    val newBands = newDocs
+      .select(col("id"), col("sz"), explode(col("bk")).as("e"))
+      .select(col("id"), col("sz"),
         col("e.band").as("band"), col("e.band_key").as("band_key"),
         pmod(Portable.hash48(col("e.band_key")), lit(buckets.toLong))
           .as("bucket"))
-    val allRows = last match {
-      case None => newRows
+    val newArr = newDocs.select(col("id"), col("toks"), col("sz"),
+      pmod(col("id"), lit(buckets.toLong)).as("ab"))
+    val (allBands, allArr) = last match {
+      case None => (newBands, newArr)
       case Some((u, b)) =>
-        val prev = spark.read
-          .parquet(s"$stateDir/docs_compacted/upto=$u")
-          .select(col("id"), col("toks"), col("sz"), col("band"),
-            // partition-value inference reads the dir names as int;
-            // the fresh rows carry pmod's long — align before union
-            col("band_key"), col("bucket").cast("long").as("bucket"))
-        val rebucketed =
-          if (b == buckets) prev
-          else prev.drop("bucket").withColumn("bucket",
-            pmod(Portable.hash48(col("band_key")), lit(buckets.toLong)))
-        rebucketed.unionByName(newRows)
+        // partition-value inference reads the dir names as int; the
+        // fresh rows carry pmod's long — align before union
+        val prevBands = spark.read
+          .parquet(s"$stateDir/docs_compacted/upto=$u/bands")
+          .select(col("id"), col("sz"), col("band"), col("band_key"),
+            col("bucket").cast("long").as("bucket"))
+        val prevArr = spark.read
+          .parquet(s"$stateDir/docs_compacted/upto=$u/arr")
+          .select(col("id"), col("toks"), col("sz"),
+            col("ab").cast("long").as("ab"))
+        if (b == buckets) (prevBands.unionByName(newBands),
+          prevArr.unionByName(newArr))
+        else (prevBands.drop("bucket")
+            .withColumn("bucket",
+              pmod(Portable.hash48(col("band_key")), lit(buckets.toLong)))
+            .unionByName(newBands),
+          prevArr.drop("ab")
+            .withColumn("ab", pmod(col("id"), lit(buckets.toLong)))
+            .unionByName(newArr))
     }
-    allRows
+    allBands
       .repartition(col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("bucket")
-      .parquet(s"$stateDir/docs_compacted/upto=$upTo")
+      .parquet(s"$stateDir/docs_compacted/upto=$upTo/bands")
+    allArr
+      .repartition(col("ab"))
+      .write.mode(SaveMode.Overwrite).partitionBy("ab")
+      .parquet(s"$stateDir/docs_compacted/upto=$upTo/arr")
     fs.mkdirs(new HPath(s"$stateDir/_compactions"))
     fs.create(new HPath(s"$stateDir/_compactions/$upTo=$buckets"), true)
       .close()
@@ -342,14 +362,18 @@ object StreamingDedup {
       // the cached fresh frame) ∪ raw dirs newer than the compaction.
       // Explicit schema on the raw read: footer inference would grow
       // with corpus age.
+      // the bands projection is deliberately array-free (tens of bytes
+      // a row), so the compacted corpus side rides NULL toks through
+      // the candidate join; survivors resolve their arrays below
       val compRows = comp.map { case (upTo, b) =>
         val touched = freshB
           .select(pmod(Portable.hash48(col("band_key")), lit(b.toLong))
             .as("bucket"))
           .distinct().collect().map(_.getLong(0)).toSeq
-        spark.read.parquet(s"$stateDir/docs_compacted/upto=$upTo")
+        spark.read.parquet(s"$stateDir/docs_compacted/upto=$upTo/bands")
           .filter(col("bucket").isin(touched: _*))
-          .select("id", "toks", "sz", "band", "band_key")
+          .select(col("id"), lit(null).cast("array<bigint>").as("toks"),
+            col("sz"), col("band"), col("band_key"))
       }
       val rawRows =
         if (corpusDirs.isEmpty) None
@@ -357,7 +381,7 @@ object StreamingDedup {
           spark.read.schema(docsSchema).parquet(corpusDirs: _*)))
       val rightB = (compRows.toSeq ++ rawRows.toSeq)
         .foldLeft(freshB)(_.unionByName(_))
-      try timed("pairsWrite")(rightB.as("b")
+      val candRaw = rightB.as("b")
         .join(broadcast(freshB).as("a"), Seq("band", "band_key"))
         .filter(col("a.id") =!= col("b.id"))
         .select(least(col("a.id"), col("b.id")).as("id_a"),
@@ -371,6 +395,52 @@ object StreamingDedup {
           when(col("a.id") < col("b.id"), col("b.sz"))
             .otherwise(col("a.sz")).as("sz_b"))
         .dropDuplicates("id_a", "id_b")
+      // Resolve the compacted-side survivors' verify arrays from the
+      // arr/ store: candidates are arrival-bounded, so this is ONE
+      // bounded collect (the unresolved ids' ab buckets, ≤ buckets
+      // longs), a pruned scan of those buckets semi-joined against the
+      // broadcast id set, and two broadcast left joins back onto the
+      // candidate frame — toks bytes never enter a shuffle. The first
+      // cut read toks off every compacted band row instead; the gate
+      // bench measured that probe ~1.5× slower than the raw dirs it
+      // replaced (`bands`× amplification of the fat column).
+      val (candidates, candCleanup): (DataFrame, () => Unit) = comp match {
+        case None => (candRaw, () => ())
+        case Some((upTo, b)) =>
+          val cand = candRaw.persist(StorageLevel.MEMORY_ONLY)
+          val needIds = cand.select(explode(array(
+              when(col("ta").isNull, col("id_a")),
+              when(col("tb").isNull, col("id_b")))).as("id"))
+            .filter(col("id").isNotNull).distinct()
+            .persist(StorageLevel.MEMORY_ONLY)
+          val touchedAb = needIds
+            .select(pmod(col("id"), lit(b.toLong)).as("ab"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          if (touchedAb.isEmpty) {
+            needIds.unpersist()
+            (cand, () => { cand.unpersist(); () })
+          } else {
+            val matched = spark.read
+              .parquet(s"$stateDir/docs_compacted/upto=$upTo/arr")
+              .filter(col("ab").isin(touchedAb: _*))
+              .join(broadcast(needIds), "id")
+              .select(col("id"), col("toks"))
+              .persist(StorageLevel.MEMORY_ONLY)
+            val resolved = cand
+              .join(broadcast(matched.select(col("id").as("id_a"),
+                col("toks").as("_rta"))), Seq("id_a"), "left")
+              .join(broadcast(matched.select(col("id").as("id_b"),
+                col("toks").as("_rtb"))), Seq("id_b"), "left")
+              .select(col("id_a"), col("id_b"),
+                coalesce(col("ta"), col("_rta")).as("ta"),
+                coalesce(col("tb"), col("_rtb")).as("tb"),
+                col("sz_a"), col("sz_b"))
+            (resolved, () => {
+              cand.unpersist(); needIds.unpersist(); matched.unpersist(); ()
+            })
+          }
+      }
+      try timed("pairsWrite")(candidates
         // exact-Jaccard verify over the stored per-doc arrays: identical
         // values to the flat (id, shingle) join+count (the arrays ARE
         // the distinct shingle sets)
@@ -387,7 +457,11 @@ object StreamingDedup {
         .coalesce(1)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$stateDir/pairs/batch=$batchId"))
-      finally Await.ready(docsWriteF, Duration.Inf)
+      finally {
+        candCleanup()
+        Await.ready(docsWriteF, Duration.Inf)
+        ()
+      }
       awaitDocs()
       // marker LAST: the batch joins the corpus only once both outputs
       // are complete; a crash before this line replays the whole batch

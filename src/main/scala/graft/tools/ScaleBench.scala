@@ -110,14 +110,25 @@ object ScaleBench {
     if (wanted("sync_dump_diff_distributed")) {
       val (ps, bs) = dumps(smallDir)
       val (pb, bb) = dumps(bigDir)
-      // one reusable output dir per SF (syncDistributed overwrites) —
-      // a fresh temp dir per timed run leaks script copies under /tmp
+      // one reusable output dir per SF (the sinks overwrite) — a fresh
+      // temp dir per timed run leaks script copies under /tmp
       val outs = Map(
         smallDir -> Files.createTempDirectory("graft-scale-sync").toString,
         bigDir -> Files.createTempDirectory("graft-scale-sync").toString)
+      // the deployment entry: size-routed (small diffs collect into one
+      // part file, past-threshold diffs take the distributed text sink)
       entry("sync_dump_diff_distributed", dir => {
         val (p, b) = if (dir == smallDir) (ps, bs) else (pb, bb)
-        new SyncJob(spark).syncDistributed(p, b, outs(dir), "scale")
+        new SyncJob(spark).syncDistributedAuto(p, b, outs(dir), "scale")
+        ()
+      })
+      // the forced 100 TB sink (maxCollectedOps=0): keeps the pure
+      // executor-rendered no-driver-collect path measured at scale even
+      // when the routed entry's tiles both fit the collected route
+      entry("sync_dump_diff_distributed_pure", dir => {
+        val (p, b) = if (dir == smallDir) (ps, bs) else (pb, bb)
+        new SyncJob(spark).syncDistributedAuto(p, b, outs(dir), "scale",
+          maxCollectedOps = 0L)
         ()
       })
     }

@@ -76,10 +76,13 @@ def main():
         for k in skeys:
             lo = min(pa[k], pb[k])
             b = pbase.get(k)
+            # `b is not None`: a 0.00 baseline is a real (fast) baseline,
+            # not a missing one; regression flags only when BOTH runs
+            # exceed the bar (the two-run protocol — one slow run is noise)
             tail = (f" base={b:.2f} ({'+' if lo > b else ''}"
                     f"{100*(lo-b)/b:.0f}%)") if b else ""
-            flag = " <<" if b and lo > 1.5 * b + 0.1 and \
-                min(pa[k], pb[k]) > 1.5 * b + 0.1 else ""
+            flag = " <<" if b is not None and \
+                pa[k] > 1.5 * b + 0.1 and pb[k] > 1.5 * b + 0.1 else ""
             print(f"  {k}: runA={pa[k]:.2f} runB={pb[k]:.2f} "
                   f"min={lo:.2f}{tail}{flag}")
 
