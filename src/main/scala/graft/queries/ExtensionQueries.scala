@@ -385,11 +385,12 @@ object ExtensionQueries {
     graft.PendingRelease.defer(release)
     pairs.orderBy("id_a", "id_b")
   }
+  // fresh-membership mod 1e9: see Frontier2Queries.q232Sql's note
   val q104Sql: String = {
     val tail = "SELECT id_a, id_b, jac FROM jac WHERE jac >= 0.5"
     require(q22Sql.contains(tail), "q104 oracle derives from q22's replay")
     q22Sql.replace(tail,
-      tail + " AND (id_a >= 1000000 OR id_b >= 1000000)")
+      tail + " AND (id_a % 1000000000 >= 1000000 OR id_b % 1000000000 >= 1000000)")
   }
 
   // ---------------------------------------------------------------- q23

@@ -275,12 +275,17 @@ object Frontier2Queries {
     graft.PendingRelease.defer(release)
     pairs.orderBy("id_a", "id_b")
   }
+  // fresh-membership in the oracle is mod 1e9: driver SFs keep ids
+  // below 1e9, and the 10x scale tile shifts replica ids by exact
+  // multiples of 1e9 — a plain `id >= 1e6` test misread replica
+  // corpus ids as fresh there and counted corpus-side pairs the delta
+  // operator rightly excludes (caught by the r14 sf1 oracle check)
   val q232Sql: String = {
     val tail = "FROM j WHERE jac_ppm >= 600000 ORDER BY id_a, id_b"
     require(q204Sql.contains(tail), "q232 oracle derives from q204's replay")
     q204Sql.replace(tail,
       "FROM j WHERE jac_ppm >= 600000" +
-        " AND (id_a >= 1000000 OR id_b >= 1000000) ORDER BY id_a, id_b")
+        " AND (id_a % 1000000000 >= 1000000 OR id_b % 1000000000 >= 1000000) ORDER BY id_a, id_b")
   }
 
   // --------------------------------------------------------------- q233

@@ -66,6 +66,12 @@ def main():
     sf_dir, out_dir = argv[0], argv[1]
     results = {}
     con = duckdb.connect()
+    # heavy oracles at the 10x tile spill; point the spill at /tmp (the
+    # default .tmp lands on whatever small volume cwd is on) and cap
+    # memory so DuckDB spills instead of thrashing the box
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='80GB'")
+    con.execute("SET max_temp_directory_size='60GB'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
