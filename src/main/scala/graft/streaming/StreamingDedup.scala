@@ -407,37 +407,37 @@ object StreamingDedup {
       val (candidates, candCleanup): (DataFrame, () => Unit) = comp match {
         case None => (candRaw, () => ())
         case Some((upTo, b)) =>
+          // one cache, one collect, one broadcast build: cand is the
+          // only persisted frame (two consumers + the collect); needIds
+          // recomputes from the cand cache inside the broadcast (cheap
+          // — the frame is candidate-sized), and the two resolution
+          // joins reference the SAME broadcast subplan, renaming join
+          // keys on the probe side, so ReuseExchange ships the arr
+          // lookup once instead of scanning/building it twice
           val cand = candRaw.persist(StorageLevel.MEMORY_ONLY)
-          val needIds = cand.select(explode(array(
+          def needIds = cand.select(explode(array(
               when(col("ta").isNull, col("id_a")),
               when(col("tb").isNull, col("id_b")))).as("id"))
             .filter(col("id").isNotNull).distinct()
-            .persist(StorageLevel.MEMORY_ONLY)
           val touchedAb = needIds
             .select(pmod(col("id"), lit(b.toLong)).as("ab"))
             .distinct().collect().map(_.getLong(0)).toSeq
           if (touchedAb.isEmpty) {
-            needIds.unpersist()
             (cand, () => { cand.unpersist(); () })
           } else {
-            val matched = spark.read
+            val matched = broadcast(spark.read
               .parquet(s"$stateDir/docs_compacted/upto=$upTo/arr")
               .filter(col("ab").isin(touchedAb: _*))
               .join(broadcast(needIds), "id")
-              .select(col("id"), col("toks"))
-              .persist(StorageLevel.MEMORY_ONLY)
+              .select(col("id").as("_rid"), col("toks").as("_rtoks")))
             val resolved = cand
-              .join(broadcast(matched.select(col("id").as("id_a"),
-                col("toks").as("_rta"))), Seq("id_a"), "left")
-              .join(broadcast(matched.select(col("id").as("id_b"),
-                col("toks").as("_rtb"))), Seq("id_b"), "left")
-              .select(col("id_a"), col("id_b"),
-                coalesce(col("ta"), col("_rta")).as("ta"),
-                coalesce(col("tb"), col("_rtb")).as("tb"),
-                col("sz_a"), col("sz_b"))
-            (resolved, () => {
-              cand.unpersist(); needIds.unpersist(); matched.unpersist(); ()
-            })
+              .join(matched, col("id_a") === col("_rid"), "left")
+              .withColumn("ta", coalesce(col("ta"), col("_rtoks")))
+              .drop("_rid", "_rtoks")
+              .join(matched, col("id_b") === col("_rid"), "left")
+              .withColumn("tb", coalesce(col("tb"), col("_rtoks")))
+              .select("id_a", "id_b", "ta", "tb", "sz_a", "sz_b")
+            (resolved, () => { cand.unpersist(); () })
           }
       }
       try timed("pairsWrite")(candidates
