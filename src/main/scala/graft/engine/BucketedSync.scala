@@ -84,7 +84,7 @@ object BucketedSync {
       SnapshotCatRow(i.toLong, t, m.columns, m.pkCols, m.createStmt,
         m.colTypes, counts.getOrElse(t, 0L),
         info.stmtEnd.get(t), info.firstCreatePos,
-        dumpFingerprint(dumpPath), buckets)
+        dumpFingerprint(spark, dumpPath), buckets)
     }.toDF().coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(catPath(spark, tableName))
@@ -94,12 +94,21 @@ object BucketedSync {
     * test [[ensureSnapshot]] uses to decide whether an existing snapshot
     * can be reused for this dump (re-parsing to find out would cost the
     * very parse the snapshot exists to amortize).
+    *
+    * Stat'd through the Hadoop FileSystem, not java.nio: the dump parse
+    * itself reads through Spark and resolves against the deployment FS
+    * (HDFS, S3A, local), so a java.nio stat would throw on every
+    * non-local dump URI — killing the `--state` gate exactly where the
+    * amortization matters. The path component is the FS-qualified URI,
+    * so the same bytes at file: vs hdfs: fingerprint differently
+    * (correct — they are different sources that can diverge).
     */
-  private def dumpFingerprint(dumpPath: String): String = {
-    val p = java.nio.file.Paths.get(dumpPath).toAbsolutePath
-    val sz = java.nio.file.Files.size(p)
-    val mt = java.nio.file.Files.getLastModifiedTime(p).toMillis
-    s"$p:$sz:$mt"
+  private def dumpFingerprint(spark: SparkSession,
+      dumpPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dumpPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    s"${fs.makeQualified(p)}:${st.getLen}:${st.getModificationTime}"
   }
 
   /** Snapshot `dumpPath` as `tableName` unless an up-to-date snapshot
@@ -125,7 +134,7 @@ object BucketedSync {
           .map(r => (r.getString(0), r.getInt(1)))
       } catch { case _: Exception => None }
     sidecar match {
-      case Some((fp, bk)) if fp == dumpFingerprint(dumpPath) =>
+      case Some((fp, bk)) if fp == dumpFingerprint(spark, dumpPath) =>
         if (!spark.catalog.tableExists(tableName))
           registerExisting(spark, tableName, bk)
         false

@@ -1,7 +1,5 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths}
-
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -364,8 +362,17 @@ class SyncJob(spark: SparkSession) {
         commonTables, outcome, now)
       if (nOps <= maxCollectedOps) {
         val lines = lineFrame.as[String].collect()
-        Files.write(Paths.get(outPath),
-          lines.mkString("\n").getBytes("UTF-8"))
+        // Hadoop FS, not java.nio: outPath resolves against the
+        // deployment FS like every other sink in this file (the
+        // distributed route below and syncDistributedAuto already do).
+        // Raw (checksum-free) create — the final script is a
+        // user-facing file, not internal state; no .crc sidecar.
+        val p = new org.apache.hadoop.fs.Path(outPath)
+        val fs = graft.operators.ContentGate.rawFs(
+          p.getFileSystem(spark.sessionState.newHadoopConf()))
+        val out = fs.create(p, true)
+        try out.write(lines.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
         (outcome, None)
       } else {
         val partsDir = outPath + ".parts"

@@ -38,6 +38,18 @@ object ContentGate {
 
   private def fsFor(p: HPath): FileSystem = p.getFileSystem(hadoopConf())
 
+  /** `fs` without a client-side checksum wrapper: Hadoop's local
+    * `file:` FS is a ChecksumFileSystem that drops a hidden
+    * `.name.crc` sidecar next to every file it creates — fine for a
+    * store's internal control files, wrong for user-facing script /
+    * output paths that external tools glob. HDFS and S3A are not
+    * checksum-wrapped client-side and pass through unchanged.
+    */
+  def rawFs(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   /** The UTF-8 contents of small control file `dir/name`, or None. */
   def readSmall(dir: String, name: String): Option[String] = {
     val p = new HPath(dir, name)
@@ -62,6 +74,27 @@ object ContentGate {
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Write `dir/name` atomically: bytes land at a temp name and
+    * `fs.rename` to the final one, so a READER racing this write can
+    * never observe a half-written file — rename is atomic on HDFS and
+    * a single-object PUT on S3A. Used for the FINGERPRINT commit: the
+    * tag is the store's freshness witness, and a torn tag would read
+    * as permanently stale (rebuild-every-run) or, worse, accidentally
+    * equal a different slice's tag. Writer-vs-writer races remain
+    * governed by [[ensure]]'s single-writer contract.
+    */
+  def writeSmallAtomic(dir: String, name: String, content: String): Unit = {
+    val p = new HPath(dir, name)
+    val tmp = new HPath(dir, s".$name.tmp")
+    val fs = fsFor(p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
   /** Delete control file `dir/name` if present. */
@@ -119,14 +152,17 @@ object ContentGate {
     * is check-then-build without a lock, so two concurrent `ensure`
     * calls on the same stale dir both rebuild and the probes of one can
     * observe the other's half-written data files; serialize ensure
-    * calls per dir if multiple driver processes share a store.
+    * calls per dir if multiple driver processes share a store. The tag
+    * COMMIT, however, is atomic ([[writeSmallAtomic]]): a reader racing
+    * a writer sees either no FINGERPRINT (stale, rebuild) or a complete
+    * one — never a torn tag.
     */
   def ensure(dir: String, tag: String)(build: => Unit): Unit = {
     val fresh = readSmall(dir, "FINGERPRINT").contains(tag)
     if (!fresh) {
       deleteSmall(dir, "FINGERPRINT")
       build
-      writeSmall(dir, "FINGERPRINT", tag)
+      writeSmallAtomic(dir, "FINGERPRINT", tag)
     }
   }
 

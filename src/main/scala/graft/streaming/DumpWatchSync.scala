@@ -267,7 +267,10 @@ object DumpWatchSync {
     val parts = fsys.listStatus(new HPath(partsDir)).toSeq
       .filter(_.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)
-    val out = fsys.create(new HPath(target), true)
+    // raw (checksum-free) create: the scripts dir is a user-facing
+    // output consumed by external glob — no hidden .sql.crc sidecars
+    val out = graft.operators.ContentGate.rawFs(fsys)
+      .create(new HPath(target), true)
     try {
       // drop the text sink's final '\n' for byte parity with assemble()
       var remaining = math.max(0L, parts.map(_.getLen).sum - 1)

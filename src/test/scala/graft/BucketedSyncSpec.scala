@@ -133,6 +133,54 @@ class BucketedSyncSpec extends SparkSuite {
     assert(fast.count() == 0L)
   }
 
+  test("ensureSnapshot + rediff work through file: URI dump paths") {
+    // The --state gate stats the dump to fingerprint it; the stat must
+    // resolve through the Hadoop FS like the parse does, so a
+    // scheme-qualified URI (which java.nio.Paths would reject) works
+    // end to end: snapshot, reuse, change-detect, and the rediff script.
+    val (pf0, bf0) = (tmpFile(prod), tmpFile(backup))
+    val (pf, bf) = ("file:" + pf0, "file:" + bf0)
+    val job = new SyncJob(spark)
+    val now = "URI-TEST"
+    val (_, expected) = job.syncCollected(pf, bf, now)
+
+    assert(BucketedSync.ensureSnapshot(spark, pf, "bsync_uri_prod"))
+    assert(BucketedSync.ensureSnapshot(spark, bf, "bsync_uri_backup"))
+    val (_, s1) = job.syncFromBucketed("bsync_uri_prod", "bsync_uri_backup",
+      pf, now)
+    assert(s1 == expected)
+
+    // unchanged dump at the same URI: snapshot reused, same bytes
+    assert(!BucketedSync.ensureSnapshot(spark, pf, "bsync_uri_prod"))
+    val (_, s2) = job.syncFromBucketed("bsync_uri_prod", "bsync_uri_backup",
+      pf, now)
+    assert(s2 == expected)
+
+    // a changed dump at the same URI re-snapshots
+    Files.write(java.nio.file.Paths.get(pf0), (prod +
+      "INSERT INTO `t` (`id`, `s`) VALUES\n(9, 'added');\n")
+      .getBytes("UTF-8"))
+    assert(BucketedSync.ensureSnapshot(spark, pf, "bsync_uri_prod"))
+    val (_, s3) = job.syncFromBucketed("bsync_uri_prod", "bsync_uri_backup",
+      pf, now)
+    assert(s3 != expected)
+    assert(s3 == job.syncCollected(pf, bf, now)._2)
+  }
+
+  test("syncAuto writes the collected script through a file: URI, no crc sidecar") {
+    val (pf, bf) = (tmpFile(prod), tmpFile(backup))
+    val job = new SyncJob(spark)
+    val now = "URI-AUTO"
+    val (_, expected) = job.syncCollected(pf, bf, now)
+    val outDir = Files.createTempDirectory("bsync-uri")
+    val out = outDir.resolve("script.sql")
+    val (_, parts) = job.syncAuto(pf, bf, "file:" + out, now)
+    assert(parts.isEmpty)
+    assert(new String(Files.readAllBytes(out), "UTF-8") == expected)
+    // user-facing script: raw create, no hidden .script.sql.crc sidecar
+    assert(!Files.exists(outDir.resolve(".script.sql.crc")))
+  }
+
   test("tables present in only one snapshot yield NO row ops (DDL concern)") {
     val extraDdl =
       """CREATE TABLE `w` (
