@@ -50,10 +50,16 @@ import org.apache.spark.storage.StorageLevel
   * (one bounded driver collect, ≤ `buckets` ids) and scans raw per-batch
   * dirs only for batches newer than the compaction — the per-batch
   * protocol is otherwise unchanged. Compaction is itself incremental
-  * (previous projection ∪ newer raw dirs) and sweeps the projection it
-  * supersedes; raw batch dirs at or below the compaction high-water
-  * mark may be vacuumed, after which the projection is authoritative
-  * for the batches it covers.
+  * (previous projection ∪ newer raw dirs) and retains the NEWEST TWO
+  * projections, sweeping older ones: the second-newest is the replay
+  * floor — a batch the engine replays after a crash between its
+  * foreachBatch commit and the stream checkpoint commit needs a
+  * projection strictly OLDER than itself, and an out-of-band compact
+  * must never delete a projection an in-flight probe already selected.
+  * Correspondingly, raw batch dirs at or below the SECOND-NEWEST
+  * committed compaction's high-water mark may be vacuumed (with a
+  * single committed compaction, nothing is) — the newest projection's
+  * raw coverage stays replayable for one more compaction cycle.
   *
   * Each unordered pair is detected exactly once: by the batch that
   * delivers its later member (same-batch pairs via fresh×fresh) — the
@@ -119,18 +125,40 @@ object StreamingDedup {
     * INCREMENTALLY: each run reads the previous projection plus only
     * the raw batch dirs newer than it, so with compactEvery=1 the
     * steady-state raw read is one batch, not the whole corpus, and raw
-    * `docs/batch=n` dirs at or below a committed compaction's
-    * high-water mark are free to vacuum (compact never reads below it;
-    * the projection is then authoritative for those batches — `pairs/`
-    * and `_commits/` are untouched either way). The projection this run
-    * supersedes (and any left by an earlier crash) is deleted after the
-    * new marker commits, so disk holds ~one projection, not one per
-    * compaction. Run between batches (a maintenance job, or every K
-    * micro-batches from the foreachBatch driver). Idempotent:
-    * re-running at the same high-water mark only sweeps stale
-    * projections; a crash before the marker replays as an overwrite.
-    * Only verify-able docs are written (short docs can never pair — the
-    * batch operator's convention).
+    * `docs/batch=n` dirs at or below the SECOND-NEWEST committed
+    * compaction's high-water mark are free to vacuum (compact never
+    * reads below the newest; the probe's replay floor is the
+    * second-newest — see the retention note below; `pairs/` and
+    * `_commits/` are untouched either way).
+    *
+    * Retention: each run start-sweeps down to the newest two
+    * projections, then writes its own — so disk holds at most three
+    * (the keep-two replay window plus the one just written), never one
+    * per compaction. The just-superseded projection is
+    * deliberately NOT swept at commit time, for two reasons. (a) Replay
+    * safety: the stream engine can replay batch N after a crash between
+    * N's foreachBatch commit and the checkpoint commit; N's probe needs
+    * a compaction with upTo < N, which right after a compaction at
+    * upTo=N is exactly the second-newest — sweeping it would strand the
+    * replay on raw dirs the vacuum contract just blessed deleting.
+    * (b) Concurrent maintenance: an out-of-band compact racing an
+    * in-flight processBatch that already selected the then-newest
+    * projection must not delete files that probe reads lazily during
+    * its pairs write. Compact runs must be serialized with EACH OTHER
+    * (one maintenance scheduler — two concurrent compacts race on the
+    * same projection dirs); racing processBatch is safe under keep-two.
+    *
+    * Run between batches (a maintenance job, or every K micro-batches
+    * from the foreachBatch driver). Idempotent: re-running at the same
+    * high-water mark only sweeps stale projections; a crash before the
+    * marker replays as an overwrite. Only verify-able docs are written
+    * (short docs can never pair — the batch operator's convention).
+    *
+    * A pre-round-15 FLAT projection (toks riding every band row, no
+    * bands/+arr/ split) can be neither probed nor incrementally folded:
+    * it is rebuilt from the raw dirs it covers (which the old contract
+    * kept) — if those were vacuumed, compact refuses loudly rather than
+    * present a partial corpus.
     *
     * The projection is SPLIT so band rows never carry verify arrays:
     * `bands/bucket=K` holds (id, sz, band, band_key) — tens of bytes a
@@ -141,6 +169,23 @@ object StreamingDedup {
     * the fat column — so candidates now join light band rows and only
     * the SURVIVING candidate ids resolve their arrays from arr/.
     */
+  /** True iff the projection at `upTo` has the round-15 split layout
+    * (bands/ + arr/ subdirs) — the only layout this version reads.
+    */
+  private def projectionUsable(fs: FileSystem, stateDir: String,
+      upTo: Long): Boolean =
+    fs.exists(new HPath(s"$stateDir/docs_compacted/upto=$upTo/bands")) &&
+      fs.exists(new HPath(s"$stateDir/docs_compacted/upto=$upTo/arr"))
+
+  /** The committed batch ids ≤ `upTo` whose raw docs dir no longer
+    * exists (vacuumed) — empty means the raw corpus below the mark is
+    * still fully readable without the projection.
+    */
+  private def vacuumedBelow(fs: FileSystem, stateDir: String,
+      batches: Seq[Long], upTo: Long): Seq[Long] =
+    batches.filter(_ <= upTo)
+      .filterNot(n => fs.exists(new HPath(s"$stateDir/docs/batch=$n")))
+
   def compact(spark: SparkSession, stateDir: String,
       buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets: $buckets")
@@ -148,13 +193,32 @@ object StreamingDedup {
     val batches = committedBatches(spark, stateDir)
     if (batches.isEmpty) return
     val upTo = batches.max
-    val comps = committedCompactions(spark, stateDir)
-    val last = comps.lastOption // newest (upTo, buckets), if any
-    // Sweep projections superseded by the newest marker FIRST: a crash
-    // between a previous compact's marker commit and its sweep leaves
-    // them behind, and with compactEvery=1 they would otherwise
-    // accumulate one full corpus projection per batch.
-    comps.dropRight(1).foreach { case (u, b) =>
+    val comps0 = committedCompactions(spark, stateDir)
+    // legacy (pre-split) projections: rebuild from the raw dirs they
+    // cover instead of folding a layout this version can't read — and
+    // refuse loudly if those raw dirs were vacuumed under the old
+    // contract (the corpus below the mark would exist only in the
+    // unreadable layout; silently folding without it would present a
+    // partial corpus and lose pairs)
+    val (comps, legacy) =
+      comps0.partition(c => projectionUsable(fs, stateDir, c._1))
+    legacy.foreach { case (u, b) =>
+      val missing = vacuumedBelow(fs, stateDir, batches, u)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"$stateDir holds a legacy-layout compaction upto=$u (no " +
+            "bands/+arr/ split) and raw batch dirs " +
+            s"${missing.mkString(",")} under its high-water mark were " +
+            "vacuumed — the corpus below the mark exists only in a " +
+            "layout this version cannot read. Restore the raw dirs or " +
+            "re-ingest through a fresh stateDir.")
+      fs.delete(new HPath(s"$stateDir/docs_compacted/upto=$u"), true)
+      fs.delete(new HPath(s"$stateDir/_compactions/$u=$b"), false)
+    }
+    val last = comps.lastOption // newest usable (upTo, buckets), if any
+    // Keep-two sweep: reclaim projections older than the newest two
+    // (crash leftovers and generations the replay floor has moved past).
+    comps.dropRight(2).foreach { case (u, b) =>
       fs.delete(new HPath(s"$stateDir/docs_compacted/upto=$u"), true)
       fs.delete(new HPath(s"$stateDir/_compactions/$u=$b"), false)
     }
@@ -211,13 +275,11 @@ object StreamingDedup {
     fs.mkdirs(new HPath(s"$stateDir/_compactions"))
     fs.create(new HPath(s"$stateDir/_compactions/$upTo=$buckets"), true)
       .close()
-    // sweep the projection this one just superseded (marker first, so a
-    // crash here leaves at worst a swept-next-time stale dir)
-    last.foreach { case (u, b) =>
-      fs.delete(new HPath(s"$stateDir/docs_compacted/upto=$u"), true)
-      fs.delete(new HPath(s"$stateDir/_compactions/$u=$b"), false)
-      ()
-    }
+    // NO sweep here: the projection `last` just became second-newest
+    // and is KEPT — it is the replay floor and may be mid-read by a
+    // concurrent probe (see the retention note above). The next run's
+    // keep-two start-sweep reclaims anything older, by which time any
+    // probe that could have selected it has finished its trigger.
   }
 
   private def refuseLegacyLayout(spark: SparkSession, stateDir: String): Unit = {
@@ -241,6 +303,24 @@ object StreamingDedup {
     * pairs, then commit the batch into the index — all outputs keyed by
     * `batchId`, all writes idempotent overwrites.
     */
+  /** Probe auto-policy knob: when the newest compaction covers at most
+    * this many raw batch dirs AND those dirs still exist, the probe
+    * scans them directly and skips the projection. Rationale, measured
+    * (stream_gate_bench.json, both tiles): over a shallow corpus the
+    * raw scan beats the projection by 0.5-1.5 s/batch — the
+    * projection's arr-resolution step is pure overhead when the
+    * arrival's band keys touch most buckets, and at ≥16-row arrivals
+    * they statistically touch ≥50% of 64 buckets, so nothing prunes.
+    * The projection wins once the raw corpus is DEEP (its probe cost is
+    * bucket-pruned and independent of batch count; the raw scan pays
+    * per-dir listing + footer opens that grow linearly and dominate on
+    * object stores) or once the covered dirs are vacuumed (no choice).
+    * The depth signal costs zero Spark jobs — a first cut keyed on
+    * measured bucket coverage spent ~0.3-0.5 s/batch on the deciding
+    * collect itself, wiping out the raw scan's win.
+    */
+  private val CompactedSkipDepth = 16
+
   // dev-only per-stage wall clock (GRAFT_SD_PROF=1): the gate's bench
   // entry is a single per-batch number; this decomposes it
   private val prof = sys.env.contains("GRAFT_SD_PROF")
@@ -331,14 +411,6 @@ object StreamingDedup {
       // the finally-unpersist pulls the cache out from under it
       def awaitDocs(): Unit = Await.result(docsWriteF, Duration.Inf)
       val allPrior = committedBatches(spark, stateDir).filter(_ < batchId)
-      // the newest compaction covering only batches before this one:
-      // its band-bucketed projection replaces the raw dirs it covers,
-      // pruned below to the buckets the fresh band keys touch
-      val comp = committedCompactions(spark, stateDir)
-        .filter(_._1 < batchId).sortBy(_._1).lastOption
-      val compUpTo = comp.map(_._1).getOrElse(-1L)
-      val corpusDirs = allPrior.filter(_ > compUpTo)
-        .map(n => s"$stateDir/docs/batch=$n")
       // docs too short to shingle band via the whole-text fallback but
       // are dropped at verify (batch-operator convention), so they can
       // never yield a pair — exclude them before the candidate join
@@ -357,6 +429,46 @@ object StreamingDedup {
       // and exact-Jaccard verify happen in a single pass with one
       // small exchange (the dropDuplicates).
       val freshB = bandRows(docsF)
+      // --- corpus-source choice: the newest compaction covering only
+      // batches before this one, bucket-pruned to the fresh band keys'
+      // buckets — UNLESS (auto-policy) the compaction covers a SHALLOW
+      // raw corpus that still exists, in which case the plain raw scan
+      // wins (see CompactedSkipDepth). The rawIntact existence sweep is
+      // O(covered dirs) RPCs, paid only at shallow depth — bounded by
+      // the same constant that triggers it.
+      val fsState = fileSystem(spark, stateDir)
+      def rawIntact(upTo: Long): Boolean =
+        vacuumedBelow(fsState, stateDir, allPrior, upTo).isEmpty
+      val comp: Option[(Long, Int, Seq[Long])] =
+        committedCompactions(spark, stateDir)
+          .filter(_._1 < batchId).sortBy(_._1).lastOption
+          .flatMap { case (upTo, b) =>
+            if (!projectionUsable(fsState, stateDir, upTo)) {
+              // legacy (pre-split) projection: probe the raw dirs it
+              // covers if they survive, else fail with the real cause
+              // rather than a bare path-not-found from the lazy read
+              if (rawIntact(upTo)) None
+              else throw new IllegalStateException(
+                s"$stateDir holds a legacy-layout compaction " +
+                  s"upto=$upTo (no bands/+arr/ split) and raw batch " +
+                  "dirs under its high-water mark were vacuumed — the " +
+                  "corpus below the mark exists only in a layout this " +
+                  "version cannot read. Restore the raw dirs or " +
+                  "re-ingest through a fresh stateDir.")
+            } else if (allPrior.count(_ <= upTo) <= CompactedSkipDepth &&
+                rawIntact(upTo)) {
+              None
+            } else {
+              val touched = timed("touched")(freshB
+                .select(pmod(Portable.hash48(col("band_key")),
+                  lit(b.toLong)).as("bucket"))
+                .distinct().collect().map(_.getLong(0)).toSeq)
+              Some((upTo, b, touched))
+            }
+          }
+      val compUpTo = comp.map(_._1).getOrElse(-1L)
+      val corpusDirs = allPrior.filter(_ > compUpTo)
+        .map(n => s"$stateDir/docs/batch=$n")
       // corpus side: compacted projection (bucket-pruned to the fresh
       // band keys' buckets — one bounded collect of ≤ buckets ids from
       // the cached fresh frame) ∪ raw dirs newer than the compaction.
@@ -365,11 +477,7 @@ object StreamingDedup {
       // the bands projection is deliberately array-free (tens of bytes
       // a row), so the compacted corpus side rides NULL toks through
       // the candidate join; survivors resolve their arrays below
-      val compRows = comp.map { case (upTo, b) =>
-        val touched = freshB
-          .select(pmod(Portable.hash48(col("band_key")), lit(b.toLong))
-            .as("bucket"))
-          .distinct().collect().map(_.getLong(0)).toSeq
+      val compRows = comp.map { case (upTo, _, touched) =>
         spark.read.parquet(s"$stateDir/docs_compacted/upto=$upTo/bands")
           .filter(col("bucket").isin(touched: _*))
           .select(col("id"), lit(null).cast("array<bigint>").as("toks"),
@@ -406,7 +514,7 @@ object StreamingDedup {
       // replaced (`bands`× amplification of the fat column).
       val (candidates, candCleanup): (DataFrame, () => Unit) = comp match {
         case None => (candRaw, () => ())
-        case Some((upTo, b)) =>
+        case Some((upTo, b, _)) =>
           // one cache, one collect, one broadcast build: cand is the
           // only persisted frame (two consumers + the collect); needIds
           // recomputes from the cand cache inside the broadcast (cheap

@@ -23,7 +23,11 @@ import graft.Tables
   * a raw (never-compacted) state dir and once with [[compact]] run every
   * `compactEvery` batches — and writes per-batch wall, rows/s, compact
   * wall, and the final-batch compacted-vs-raw probe comparison to
-  * `stream_gate_bench.json`.
+  * `stream_gate_bench.json`. Note the maintained drive goes through the
+  * probe AUTO-POLICY (shallow intact raw corpus → raw scan), so its
+  * numbers measure the auto path; the `small_probe_vacuumed_sec` entry
+  * then vacuums raw dirs to the documented floor and re-probes, forcing
+  * the bucket-pruned projection — the deep-corpus regime.
   *
   * Arrival synthesis: each batch is `copiesPerBatch` salted copies of the
   * documents table — every token gets a copy-unique suffix, so shingles
@@ -145,6 +149,23 @@ object StreamGateBench {
     val probeCompSec = time(graft.streaming.StreamingDedup.processBatch(
       spark, probeDf, compDir, batches.toLong))
 
+    // forced-projection probe: vacuum the compacted drive's raw dirs to
+    // the documented floor (at/below the SECOND-newest compaction mark),
+    // so the auto-policy has no raw fallback for the covered range and
+    // the probe takes the bucket-pruned projection — the deep-corpus /
+    // object-store regime compaction exists for
+    val comps = graft.streaming.StreamingDedup
+      .committedCompactions(spark, compDir).map(_._1)
+    val floor = comps.dropRight(1).lastOption.getOrElse(-1L)
+    val fsys = new org.apache.hadoop.fs.Path(compDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.streaming.StreamingDedup.committedBatches(spark, compDir)
+      .filter(_ <= floor).foreach { n =>
+        fsys.delete(new org.apache.hadoop.fs.Path(s"$compDir/docs/batch=$n"), true)
+      }
+    val probeVacSec = time(graft.streaming.StreamingDedup.processBatch(
+      spark, probeDf, compDir, batches.toLong))
+
     val totalRows = arrivalRows.sum
     def rps(secs: Seq[Double]): Double = totalRows / secs.sum
     // steady-state comparison: the LAST batch probes the deepest corpus
@@ -154,7 +175,7 @@ object StreamGateBench {
     val lastComp = compSecs.last
     def arr(xs: Seq[Double]): String = xs.map(r3).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"stream_gate_rows_per_sec","value":${r3(rps(compSecs))},"unit":"rows/sec","sf":"$sfDir","batches":$batches,"rows_per_batch":${totalRows / batches},"total_rows":$totalRows,"compact_every":$compactEvery,"raw_batch_sec":${arr(rawSecs)},"compacted_batch_sec":${arr(compSecs)},"compact_sec":${arr(compactSecs.toSeq)},"raw_rows_per_sec":${r3(rps(rawSecs))},"compacted_rows_per_sec":${r3(rps(compSecs))},"last_batch_raw_sec":${r3(lastRaw)},"last_batch_compacted_sec":${r3(lastComp)},"small_probe_rows":$probeN,"small_probe_raw_sec":${r3(probeRawSec)},"small_probe_compacted_sec":${r3(probeCompSec)},"pairs":${rawPairs.size}}"""
+      s"""{"metric":"stream_gate_rows_per_sec","value":${r3(rps(compSecs))},"unit":"rows/sec","sf":"$sfDir","batches":$batches,"rows_per_batch":${totalRows / batches},"total_rows":$totalRows,"compact_every":$compactEvery,"raw_batch_sec":${arr(rawSecs)},"compacted_batch_sec":${arr(compSecs)},"compact_sec":${arr(compactSecs.toSeq)},"raw_rows_per_sec":${r3(rps(rawSecs))},"compacted_rows_per_sec":${r3(rps(compSecs))},"last_batch_raw_sec":${r3(lastRaw)},"last_batch_compacted_sec":${r3(lastComp)},"small_probe_rows":$probeN,"small_probe_raw_sec":${r3(probeRawSec)},"small_probe_compacted_sec":${r3(probeCompSec)},"small_probe_vacuumed_sec":${r3(probeVacSec)},"pairs":${rawPairs.size}}"""
     Files.writeString(Paths.get("stream_gate_bench.json"), json)
     spark.stop()
     println(json)

@@ -278,9 +278,10 @@ class StreamingSpec extends SparkSuite {
     SD.processBatch(spark, copies.toDF("doc_id", "text"), sd, 2L)
     // covered raw dirs are gone — the incremental compact reads only
     // the projection + batch 2, never below its high-water mark (the
-    // old full-rebuild re-read from batch 0 and threw here)
+    // old full-rebuild re-read from batch 0 and threw here); keep-two
+    // retention leaves the superseded upto=1 projection in place
     SD.compact(spark, sd, buckets = 8)
-    assert(SD.committedCompactions(spark, sd) == Seq((2L, 8)))
+    assert(SD.committedCompactions(spark, sd) == Seq((1L, 8), (2L, 8)))
     val got = SD.pairs(spark, sd).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got.size == got.toSet.size, "a pair was detected more than once")
@@ -291,7 +292,10 @@ class StreamingSpec extends SparkSuite {
 
   test("streaming LSH gate with auto-compaction accumulates the batch pairs") {
     // end-to-end through start(compactEvery=1): every batch compacts,
-    // so batches 2+ probe corpus ENTIRELY through the projection
+    // and raw dirs are vacuumed to the documented floor (at/below the
+    // SECOND-newest mark) between triggers — so later batches probe the
+    // vacuumed range entirely through the projection (the auto-policy
+    // cannot fall back to raw dirs that no longer exist)
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
       .limit(200)
     val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
@@ -304,31 +308,145 @@ class StreamingSpec extends SparkSuite {
     assert(expected.nonEmpty)
     val all = corpus.as[(Long, String)].collect().toSeq
     val (copies, orig) = all.partition(_._1 >= 100000L)
-    val (b1, b2) = orig.partition(_._1 < 100L)
+    val (b1, rest) = orig.partition(_._1 < 70L)
+    val (b2, b3) = rest.partition(_._1 < 140L)
     val sd = java.nio.file.Files.createTempDirectory("graft-sdauto").toString
+    val fsys = new org.apache.hadoop.fs.Path(sd)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def vacuumToFloor(): Unit = {
+      // the documented contract: raw dirs at/below the SECOND-newest
+      // committed compaction's high-water mark are reclaimable
+      val comps = graft.streaming.StreamingDedup
+        .committedCompactions(spark, sd).map(_._1)
+      comps.dropRight(1).lastOption.foreach { floor =>
+        graft.streaming.StreamingDedup.committedBatches(spark, sd)
+          .filter(_ <= floor).foreach { n =>
+            fsys.delete(
+              new org.apache.hadoop.fs.Path(s"$sd/docs/batch=$n"), true)
+          }
+      }
+    }
     val input = MemoryStream[(Long, String)](spark)
     val q = graft.streaming.StreamingDedup.start(
       input.toDF().toDF("doc_id", "text"), sd,
       compactEvery = Some(1), compactBuckets = 8)
     try {
-      Seq(b1, b2, copies).foreach { b =>
-        input.addData(b: _*); q.processAllAvailable()
+      Seq(b1, b2, b3, copies).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable(); vacuumToFloor()
       }
-      // incremental compaction sweeps the projection it supersedes:
-      // only the newest marker (and only its projection dir) survives
+      // keep-two retention: each run start-sweeps to the newest two
+      // projections then writes its own — after 4 compactions the
+      // oldest (upto=0) is swept, the newest three remain
       assert(graft.streaming.StreamingDedup
-        .committedCompactions(spark, sd).map(_._1) == Seq(2L))
-      val fsys = new org.apache.hadoop.fs.Path(sd)
-        .getFileSystem(spark.sessionState.newHadoopConf())
+        .committedCompactions(spark, sd).map(_._1) == Seq(1L, 2L, 3L))
       val projDirs = fsys
         .listStatus(new org.apache.hadoop.fs.Path(s"$sd/docs_compacted"))
         .map(_.getPath.getName).sorted.toSeq
-      assert(projDirs == Seq("upto=2"), s"stale projections: $projDirs")
+      assert(projDirs == Seq("upto=1", "upto=2", "upto=3"),
+        s"stale projections: $projDirs")
       val got = graft.streaming.StreamingDedup.pairs(spark, sd).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       assert(got.size == got.toSet.size)
       assert(got.toSet == expected)
     } finally q.stop()
+  }
+
+  test("streaming LSH gate: batch replay after compaction+vacuum probes the replay floor") {
+    // Crash model: batch 2's foreachBatch committed AND compacted, raw
+    // dirs at/below the second-newest mark were vacuumed, then the
+    // engine replays batch 2 (the stream checkpoint commit was lost).
+    // The replay's probe needs a compaction with upTo < 2 — keep-two
+    // retention guarantees the upto=1 projection still exists even
+    // though the upto=2 compaction superseded it. (The pre-round-15
+    // commit-time sweep deleted it, crashing exactly this replay.)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .limit(300)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val (expectedDf, cleanup) =
+      graft.operators.Dedup.minhashLshPairsManaged(corpus, "doc_id", "text")
+    val expected = expectedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    cleanup()
+    assert(expected.nonEmpty)
+    val all = corpus.as[(Long, String)].collect().toSeq
+    val (copies, orig) = all.partition(_._1 >= 100000L)
+    val (b1, b2) = orig.partition(_._1 < 150L)
+    val sd = java.nio.file.Files.createTempDirectory("graft-sdreplay").toString
+    val SD = graft.streaming.StreamingDedup
+    SD.processBatch(spark, b1.toDF("doc_id", "text"), sd, 0L)
+    SD.compact(spark, sd, buckets = 8) // markers {0}
+    SD.processBatch(spark, b2.toDF("doc_id", "text"), sd, 1L)
+    SD.compact(spark, sd, buckets = 8) // markers {0,1}
+    SD.processBatch(spark, copies.toDF("doc_id", "text"), sd, 2L)
+    SD.compact(spark, sd, buckets = 8) // markers {0,1,2}
+    // vacuum at/below the second-newest mark (=1): raw dirs 0 and 1
+    val fsys = new org.apache.hadoop.fs.Path(sd)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    (0L to 1L).foreach { n =>
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$sd/docs/batch=$n"), true)
+    }
+    // REPLAY batch 2: its probe must select upto=1 (the replay floor)
+    SD.processBatch(spark, copies.toDF("doc_id", "text"), sd, 2L)
+    val got = SD.pairs(spark, sd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size == got.toSet.size, "replay duplicated a pair")
+    assert(got.toSet == expected,
+      s"missing=${(expected -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- expected).take(3)}")
+  }
+
+  test("legacy flat projection: raw-intact rebuilds, vacuumed refuses loudly") {
+    // a pre-round-15 projection (no bands/+arr/ split) can be neither
+    // probed nor folded: with the covered raw dirs intact the engine
+    // ignores/rebuilds it; with them vacuumed it must fail with the
+    // real cause, not a lazy path-not-found mid-probe
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .limit(150)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val (expectedDf, cleanup) =
+      graft.operators.Dedup.minhashLshPairsManaged(corpus, "doc_id", "text")
+    val expected = expectedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    cleanup()
+    val all = corpus.as[(Long, String)].collect().toSeq
+    val (copies, orig) = all.partition(_._1 >= 100000L)
+    val sd = java.nio.file.Files.createTempDirectory("graft-sdflat").toString
+    val SD = graft.streaming.StreamingDedup
+    SD.processBatch(spark, orig.toDF("doc_id", "text"), sd, 0L)
+    SD.compact(spark, sd, buckets = 8) // markers {0}
+    val fsys = new org.apache.hadoop.fs.Path(sd)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // fake the pre-split layout: strip the bands/ + arr/ subdirs
+    fsys.delete(
+      new org.apache.hadoop.fs.Path(s"$sd/docs_compacted/upto=0/bands"), true)
+    fsys.delete(
+      new org.apache.hadoop.fs.Path(s"$sd/docs_compacted/upto=0/arr"), true)
+    // raw dirs intact: the probe ignores the unreadable projection
+    SD.processBatch(spark, copies.toDF("doc_id", "text"), sd, 1L)
+    assert(SD.pairs(spark, sd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == expected)
+    // compact sweeps the legacy projection and rebuilds from raw dirs
+    SD.compact(spark, sd, buckets = 8)
+    assert(SD.committedCompactions(spark, sd) == Seq((1L, 8)))
+    // now fake legacy AGAIN and vacuum a covered raw dir: both the
+    // probe and compact must refuse with the diagnostic
+    fsys.delete(
+      new org.apache.hadoop.fs.Path(s"$sd/docs_compacted/upto=1/bands"), true)
+    fsys.delete(
+      new org.apache.hadoop.fs.Path(s"$sd/docs_compacted/upto=1/arr"), true)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$sd/docs/batch=0"), true)
+    val e1 = intercept[IllegalStateException] {
+      SD.processBatch(spark,
+        Seq((900000L, "q w e r t y u")).toDF("doc_id", "text"), sd, 2L)
+    }
+    assert(e1.getMessage.contains("legacy-layout"))
+    val e2 = intercept[IllegalStateException] {
+      SD.compact(spark, sd, buckets = 8)
+    }
+    assert(e2.getMessage.contains("legacy-layout"))
   }
 
   test("streaming LSH gate refuses a pre-batchId state layout") {
