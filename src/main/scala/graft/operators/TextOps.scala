@@ -203,9 +203,25 @@ object TextOps {
     * boilerplate detector: every n-gram OCCURRENCE (not distinct per doc)
     * is exploded and counted corpus-wide, keeping n-grams seen at least
     * `minCount` times, with the number of distinct documents alongside.
-    * Explode → one hash aggregate on the n-gram (map-side combining, one
-    * shuffle keyed on the n-gram — never all-pairs, never per-doc state).
     * Output: (ngram, n_docs, n_occurrences).
+    *
+    * Shuffle shape — a MEASURED note on the hash-key alternative: the
+    * dominant shuffle volume behind `countDistinct(id)` is the
+    * corpus-wide distinct (ngram, doc) pair set carrying the raw
+    * ~25-byte gram, and keying the stats aggregate on `xxhash64(ngram)`
+    * (16-byte pair rows) with a second pruned pass to recover the
+    * surviving grams' text was tried and measured SLOWER at the 10×
+    * tile: warm 9-11 s (two-explode recovery; 7 s with the recovery min
+    * hash-aggregated) vs 4 s for this single-pass shape. The
+    * tokenize+shingle explode is the operator's dominant cost (~2-3 s
+    * of the 4 s total), so any text-recovery pass that re-explodes pays
+    * more CPU than the halved shuffle bytes save — and a string-min
+    * recovery aggregate plans as a SortAggregate over the occurrence
+    * stream, worse still. On a real cluster with network shuffle the
+    * trade flips only when shuffle bandwidth, not CPU, is the
+    * bottleneck; revisit there, not here. (Contrast q75_ngram_overlap,
+    * where the gram text never reaches the output — hashing its join
+    * keys needs NO recovery pass and measured ~20% faster.)
     */
   def repeatedNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int, minCount: Long): DataFrame = {

@@ -716,9 +716,15 @@ object PipelineQueries {
     def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(graft.functions.Portable.shingles(
         graft.functions.Portable.tokens(col("text")), 5)).as("g"))
+    // the gram TEXT never reaches the output, so both join sides carry
+    // xxhash64(gram) — 8 bytes a row instead of the raw ~25-byte string
+    // through the train-distinct shuffle and both join exchanges (a
+    // 64-bit collision would count one false hit, p ≈ n²/2⁶⁵ ≈ 10⁻⁶ at
+    // 5M distinct grams)
     val evalG = grams(docs.filter(col("doc_id") % 53 === 0))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
     val trainG = grams(docs.filter(col("doc_id") % 53 =!= 0))
-      .select("g").distinct()
+      .select(xxhash64(col("g")).as("g")).distinct()
     // one pass over the eval grams: a left join with a hit flag feeds
     // both the total and the hit count (a separate semi-join + totals
     // aggregate would tokenize the eval side twice)

@@ -2,21 +2,34 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: print the executed plan of one SparkEntry query. */
+/** Dev helper: run one SparkEntry query and dump its final (AQE-resolved)
+  * executed plan's join/exchange/aggregate/generate skeleton — the fast
+  * way to confirm a broadcast fired or an exchange disappeared without
+  * wading through the full tree.
+  *
+  *   runMain graft.tools.PlanDump q66_repeated_ngrams /root/testdata/sf0.01
+  */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-plandump")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(args(0))(spark,
-      if (args.length > 1) args(1) else "/root/testdata/sf0.001")
-    df.write.format("noop").mode("overwrite").save()
-    val p = df.queryExecution.executedPlan.toString
-    println("=== EXCHANGES ===")
-    p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan ExistingRDD") || l.contains("InMemory")).foreach(l => println(l.take(160)))
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    println("=== plan skeleton ===")
+    plan.linesIterator
+      .filter(l => Seq("Exchange", "Join", "Aggregate", "Generate",
+        "Scan", "Window").exists(l.contains))
+      .foreach(println)
     spark.stop()
   }
 }
