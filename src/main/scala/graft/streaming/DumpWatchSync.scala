@@ -118,9 +118,28 @@ object DumpWatchSync {
     // arrivals (engine.SchemaDiff — added/dropped/retyped columns, PK
     // changes) appended to `stateDir/schema_changes/`. This is the alert
     // channel that surfaces an unreviewed migration the moment it lands.
-    chain.sliding(2).foreach {
-      case Seq(prev, cur) =>
-        val changes = graft.engine.SchemaDiff.diffDumps(spark, cur, prev)
+    // Each ARRIVING dump's catalog is parsed ONCE here (and the newest
+    // one feeds the snapshot path below); the PREVIOUS dump's catalog
+    // comes from the sidecar the last batch wrote — pre-sidecar state
+    // dirs fall back to one re-parse of the previous dump. Before this,
+    // the per-pair diffDumps re-parsed both sides of every pair: ~3
+    // full-text parses per steady-state arrival on this path alone.
+    // the newest dump's statements frame is cached: its catalog job
+    // materializes it and the records build below reads the cache — one
+    // text parse for the whole snapshot path instead of two
+    val lastStmts = DumpSource.statements(spark, dumpPaths.last)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val arrivalCats = dumpPaths.map { p =>
+      if (p == dumpPaths.last) p -> job.catalog(lastStmts)
+      else p -> job.catalog(DumpSource.statements(spark, p))
+    }
+    val prevCat = prevDump.map { p =>
+      p -> readCatalogSidecar(spark, stateDir).getOrElse(
+        job.catalog(DumpSource.statements(spark, p)))
+    }
+    (prevCat.toSeq ++ arrivalCats).sliding(2).foreach {
+      case Seq((_, prev), (cur, curCat)) =>
+        val changes = graft.engine.SchemaDiff.changes(curCat, prev)
         if (changes.nonEmpty) {
           import spark.implicits._
           changes.toDF()
@@ -132,17 +151,24 @@ object DumpWatchSync {
     }
 
     // snapshot / op log / stats: latest-wins — only the newest dump
-    // becomes current state; the diff below carries the burst's net ops
+    // becomes current state; the diff below carries the burst's net ops.
+    // `incoming` is CACHED for the batch: it has up to four consumers
+    // (op diff, stats seed, SCD-2 advance, the snapshot write) and each
+    // would otherwise re-run the full dump parse — measured at ~100 MB
+    // of text per re-read, the entry's dominant cost and its noise
+    // source (page-cache sensitivity × re-parses).
     val dumpPath = dumpPaths.last
-    val stmts = DumpSource.statements(spark, dumpPath)
-    val cat = job.catalog(stmts)
-    val incoming = job.records(DumpSource.statements(spark, dumpPath), cat)
+    val cat = arrivalCats.last._2
+    val incoming = job.records(lastStmts, cat)
       .select("table", "pk", "vals")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
     val prevSnapshot: Option[DataFrame] = readLatest(stateDir)
       .map(v => spark.read.parquet(s"$stateDir/$v"))
 
-    val ops = prevSnapshot match {
+    // ops is cached too: the op-log append and the stats delta both
+    // consume it, and recomputing means re-running the full-outer diff
+    val ops = (prevSnapshot match {
       case Some(prev) =>
         val p = incoming.select(col("table"), col("pk"),
           lit(true).as("p_present"), col("vals").as("p_vals"))
@@ -157,8 +183,9 @@ object DumpWatchSync {
           .select(col("table"), col("pk"), col("op"))
       case None =>
         incoming.select(col("table"), col("pk"), lit(Differ.OP_INSERT).as("op"))
-    }
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
 
+    try {
     ops
       .withColumn("batch_id", lit(batchId))
       .withColumn("source_file", lit(dumpPath))
@@ -219,7 +246,48 @@ object DumpWatchSync {
 
     val newVersion = s"snapshot_v$batchId"
     incoming.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$newVersion")
+    // catalog sidecar: next batch's schema-drift baseline without
+    // re-parsing this dump (written before LATEST so a reader of the
+    // new LATEST always finds its catalog)
+    writeCatalogSidecar(spark, stateDir, newVersion, cat)
     ContentGate.writeSmall(stateDir, "LATEST", newVersion)
+    } finally {
+      ops.unpersist(); incoming.unpersist(); lastStmts.unpersist(); ()
+    }
+  }
+
+  /** The newest snapshot's dump catalog from its sidecar, if the state
+    * dir has one (pre-round-15 state dirs don't — callers fall back to
+    * re-parsing the previous dump).
+    */
+  private def readCatalogSidecar(spark: SparkSession, stateDir: String)
+      : Option[scala.collection.immutable.ListMap[String, graft.model.TableMeta]] =
+    readLatest(stateDir)
+      .filter(v => fileSystem(stateDir)
+        .exists(new HPath(stateDir, s"catalog_$v")))
+      .map { v =>
+        val rows = spark.read.parquet(s"$stateDir/catalog_$v")
+          .orderBy("ord").collect()
+        scala.collection.immutable.ListMap(rows.map { r =>
+          r.getAs[String]("table") -> graft.model.TableMeta(
+            r.getAs[String]("table"),
+            r.getAs[Seq[String]]("columns").toIndexedSeq,
+            r.getAs[Seq[String]]("pkCols").toIndexedSeq,
+            r.getAs[String]("createStmt"),
+            r.getAs[Seq[String]]("colTypes").toIndexedSeq)
+        }: _*)
+      }
+
+  private def writeCatalogSidecar(spark: SparkSession, stateDir: String,
+      version: String,
+      cat: scala.collection.immutable.ListMap[String, graft.model.TableMeta])
+      : Unit = {
+    import spark.implicits._
+    cat.toSeq.zipWithIndex.map { case ((t, m), i) =>
+      (i.toLong, t, m.columns, m.pkCols, m.createStmt, m.colTypes)
+    }.toDF("ord", "table", "columns", "pkCols", "createStmt", "colTypes")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/catalog_$version")
   }
 
   /** Reclaim superseded per-version state. Every arrival writes a full
@@ -246,7 +314,8 @@ object DumpWatchSync {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .flatMap(st => st.getPath.getName.stripPrefix(prefix).toLongOption
         .map(_ -> st.getPath))
-    Seq("snapshot_v", "stats_snapshot_v", "history_open_snapshot_v")
+    Seq("snapshot_v", "stats_snapshot_v", "history_open_snapshot_v",
+      "catalog_snapshot_v")
       .flatMap { prefix =>
         versioned(prefix).sortBy(-_._1).drop(keepLast)
           .filterNot { case (_, p) => latest.contains(p.getName) }

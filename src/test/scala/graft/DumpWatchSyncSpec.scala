@@ -127,6 +127,7 @@ class DumpWatchSyncSpec extends SparkSuite {
 
     val deleted = DumpWatchSync.vacuum(stateDir, keepLast = 1).sorted
     assert(deleted == Seq(
+      "catalog_snapshot_v0", "catalog_snapshot_v1",
       "history_open_snapshot_v0", "history_open_snapshot_v1",
       "snapshot_v0", "snapshot_v1",
       "stats_snapshot_v0", "stats_snapshot_v1"))
