@@ -276,7 +276,8 @@ class SyncJob(spark: SparkSession) {
         .map(s => s.missingCount + s.updatedCount + s.deletedCount).sum
       val lineFrame = scriptLineFrame(joined, prodInfo.metas, backupCat,
         commonTables, outcome, now)
-      if (nOps <= maxCollectedOps) {
+      if (nOps <= maxCollectedOps &&
+          estimateOpBytes(joined) <= SyncJob.MaxCollectedBytes) {
         val lines = lineFrame.as[String].collect()
         val dirPath = new org.apache.hadoop.fs.Path(outDir)
         val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -360,7 +361,8 @@ class SyncJob(spark: SparkSession) {
         .map(s => s.missingCount + s.updatedCount + s.deletedCount).sum
       val lineFrame = scriptLineFrame(joined, prodInfo.metas, backupCat,
         commonTables, outcome, now)
-      if (nOps <= maxCollectedOps) {
+      if (nOps <= maxCollectedOps &&
+          estimateOpBytes(joined) <= SyncJob.MaxCollectedBytes) {
         val lines = lineFrame.as[String].collect()
         // Hadoop FS, not java.nio: outPath resolves against the
         // deployment FS like every other sink in this file (the
@@ -554,6 +556,22 @@ class SyncJob(spark: SparkSession) {
     (joined, prodInfo, backupCat, commonTables, cleanup)
   }
 
+  /** Estimated rendered-script bytes of the changed rows of `joined` —
+    * value text plus per-op syntax overhead. The collected route holds
+    * every rendered line on the driver, so routing must consider BYTES,
+    * not just op count: a million WIDE rows is GBs of driver heap even
+    * though the op count reads "small". One cheap pass over the
+    * already-cached diff frame, computed only when the op count alone
+    * would have picked the collected route.
+    */
+  private[graft] def estimateOpBytes(joined: DataFrame): Long =
+    joined.filter(col("op").isNotNull)
+      .agg(coalesce(sum(aggregate(
+        coalesce(col("p_vals"), col("b_vals")),
+        lit(0L), (acc, x) => acc + coalesce(length(x).cast("long"), lit(4L)))
+        + lit(64L)), lit(0L)).as("b"))
+      .head.getLong(0)
+
   /** Everything in a SyncOutcome except the collected ops: table-set
     * diffs, reference-quirk CREATE sections, and the per-table stats
     * aggregation over the (cached) joined frame.
@@ -662,12 +680,25 @@ class SyncJob(spark: SparkSession) {
 object SyncJob {
   /** Collected-script routing threshold for [[SyncJob.syncAuto]]: above
     * this many classified ops the script goes through the distributed
-    * text sink instead of a driver collect. 1M ops ≈ tens of MB of
-    * script bytes — comfortably a driver string, while anything
-    * larger is the at-scale regime where the single-file contract
-    * stops being the point.
+    * text sink instead of a driver collect. 1M ops of TYPICAL width ≈
+    * tens of MB of script bytes — comfortably a driver string, while
+    * anything larger is the at-scale regime where the single-file
+    * contract stops being the point. The op count alone is NOT a safe
+    * driver-heap bound (a million wide rows renders to GBs), so the
+    * auto routes also gate on [[MaxCollectedBytes]] via an estimated
+    * rendered size; callers raising maxCollectedOps are raising op
+    * COUNT only — the byte ceiling still applies.
     */
   val DefaultMaxCollectedOps: Long = 1000000L
+
+  /** Hard byte ceiling for the collected routes: estimated rendered
+    * script size above this always takes the distributed sink,
+    * whatever the op count. 256 MB collected lines (plus the one
+    * mkString copy on the single-file route) sits safely inside a
+    * modest driver heap; the estimate is value-text length + 64 B/op
+    * syntax overhead.
+    */
+  val MaxCollectedBytes: Long = 256L << 20
 
   /** A [[BucketedSync]] snapshot's sidecar restored for script
     * assembly: DDL-ordered catalog, per-table post-dedup record counts,

@@ -226,4 +226,24 @@ class SyncJobSpec extends SparkSuite {
       new String(Files.readAllBytes(f.toPath), "UTF-8")).mkString
     assert(joined == expected + "\n")
   }
+
+  test("estimateOpBytes = changed rows' value text + 64B/op overhead") {
+    // the auto routes' driver-heap gate: the estimate must track the
+    // rendered volume (value chars dominate wide rows), count ONLY
+    // classified ops, and prefer the production side's values
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    val joined = Seq(
+      // UPDATE: p_vals counted (10 chars)
+      ("t", "1", Some(Seq("abcde", "fghij")), Some(Seq("x", "y")), "UPDATE"),
+      // INSERT: only p_vals present (3 chars)
+      ("t", "2", Some(Seq("abc")), None, "INSERT"),
+      // DELETE: falls back to b_vals (4 chars)
+      ("t", "3", None, Some(Seq("wxyz")), "DELETE"),
+      // unchanged: op null — contributes NOTHING
+      ("t", "4", Some(Seq("ignored")), Some(Seq("ignored")), null)
+    ).toDF("table", "pk", "p_vals", "b_vals", "op")
+    val est = new SyncJob(spark).estimateOpBytes(joined)
+    assert(est == (10 + 64) + (3 + 64) + (4 + 64), s"estimate was $est")
+  }
 }
