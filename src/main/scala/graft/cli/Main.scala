@@ -43,6 +43,11 @@ import graft.report.SummaryReporter
   * the newest `keepLast` (default 1) of each family; the maintained
   * SCD-2 history losslessly encodes every vacuumed version, so time
   * travel still works afterwards.
+  *
+  * `--gate-vacuum <stateDir>` reclaims a streaming dedup gate's raw
+  * batch dirs at/below the SECOND-newest committed compaction mark
+  * (the documented replay floor — [[graft.streaming.StreamingDedup
+  * .vacuum]]); pairs, manifests, and projections are never touched.
   */
 object Main {
 
@@ -60,6 +65,27 @@ object Main {
         (if (deleted.size == 1) "directory" else "directories") +
         s" (kept newest $keep per family):")
       deleted.foreach(d => println(s"  $d"))
+      return
+    }
+    val gvIdx = rawArgs.indexOf("--gate-vacuum")
+    if (gvIdx >= 0) {
+      if (gvIdx + 1 >= rawArgs.length) {
+        System.err.println("❌ Usage: --gate-vacuum <stateDir>")
+        sys.exit(1)
+      }
+      val stateDir = rawArgs(gvIdx + 1)
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-gate-vacuum")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      try {
+        val deleted = graft.streaming.StreamingDedup.vacuum(spark, stateDir)
+        println(s"Vacuumed ${deleted.size} raw batch " +
+          (if (deleted.size == 1) "directory" else "directories") +
+          " at/below the second-newest compaction mark:")
+        deleted.foreach(d => println(s"  $d"))
+      } finally spark.stop()
       return
     }
     val histIdx = rawArgs.indexOf("--history")

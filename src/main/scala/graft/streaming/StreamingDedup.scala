@@ -282,6 +282,34 @@ object StreamingDedup {
     // probe that could have selected it has finished its trigger.
   }
 
+  /** Reclaim the raw `docs/batch=N` dirs the compaction contract
+    * blesses deleting: those at or below the SECOND-NEWEST committed
+    * compaction's high-water mark (the newest projection's raw coverage
+    * stays replayable for one more compaction cycle — see [[compact]]'s
+    * retention note). With fewer than two committed compactions, or a
+    * legacy-layout projection in the keep-two window (its rebuild path
+    * needs the raw dirs), nothing is reclaimed. `pairs/`, `_commits/`,
+    * and the projections are never touched — the gate's output and
+    * manifest survive; only probe inputs the projections supersede are
+    * reclaimed. Returns the deleted dir names. Run from the maintenance
+    * scheduler that runs [[compact]] (same serialization contract).
+    */
+  def vacuum(spark: SparkSession, stateDir: String): Seq[String] = {
+    val fs = fileSystem(spark, stateDir)
+    val comps = committedCompactions(spark, stateDir).map(_._1)
+    val window = comps.takeRight(2)
+    if (window.size < 2 ||
+        !window.forall(u => projectionUsable(fs, stateDir, u))) Seq.empty
+    else {
+      val floor = window.head
+      committedBatches(spark, stateDir).filter(_ <= floor).flatMap { n =>
+        val p = new HPath(s"$stateDir/docs/batch=$n")
+        if (fs.exists(p)) { fs.delete(p, true); Some(s"docs/batch=$n") }
+        else None
+      }
+    }
+  }
+
   private def refuseLegacyLayout(spark: SparkSession, stateDir: String): Unit = {
     val fs = fileSystem(spark, stateDir)
     val legacySplit = fs.exists(new HPath(s"$stateDir/shingles")) ||

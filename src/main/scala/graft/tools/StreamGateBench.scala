@@ -154,15 +154,7 @@ object StreamGateBench {
     // so the auto-policy has no raw fallback for the covered range and
     // the probe takes the bucket-pruned projection — the deep-corpus /
     // object-store regime compaction exists for
-    val comps = graft.streaming.StreamingDedup
-      .committedCompactions(spark, compDir).map(_._1)
-    val floor = comps.dropRight(1).lastOption.getOrElse(-1L)
-    val fsys = new org.apache.hadoop.fs.Path(compDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    graft.streaming.StreamingDedup.committedBatches(spark, compDir)
-      .filter(_ <= floor).foreach { n =>
-        fsys.delete(new org.apache.hadoop.fs.Path(s"$compDir/docs/batch=$n"), true)
-      }
+    graft.streaming.StreamingDedup.vacuum(spark, compDir)
     val probeVacSec = time(graft.streaming.StreamingDedup.processBatch(
       spark, probeDf, compDir, batches.toLong))
 

@@ -313,26 +313,16 @@ class StreamingSpec extends SparkSuite {
     val sd = java.nio.file.Files.createTempDirectory("graft-sdauto").toString
     val fsys = new org.apache.hadoop.fs.Path(sd)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    def vacuumToFloor(): Unit = {
-      // the documented contract: raw dirs at/below the SECOND-newest
-      // committed compaction's high-water mark are reclaimable
-      val comps = graft.streaming.StreamingDedup
-        .committedCompactions(spark, sd).map(_._1)
-      comps.dropRight(1).lastOption.foreach { floor =>
-        graft.streaming.StreamingDedup.committedBatches(spark, sd)
-          .filter(_ <= floor).foreach { n =>
-            fsys.delete(
-              new org.apache.hadoop.fs.Path(s"$sd/docs/batch=$n"), true)
-          }
-      }
-    }
     val input = MemoryStream[(Long, String)](spark)
     val q = graft.streaming.StreamingDedup.start(
       input.toDF().toDF("doc_id", "text"), sd,
       compactEvery = Some(1), compactBuckets = 8)
     try {
+      // vacuum() implements the documented floor: raw dirs at/below
+      // the SECOND-newest committed compaction mark are reclaimable
       Seq(b1, b2, b3, copies).foreach { b =>
-        input.addData(b: _*); q.processAllAvailable(); vacuumToFloor()
+        input.addData(b: _*); q.processAllAvailable()
+        graft.streaming.StreamingDedup.vacuum(spark, sd)
       }
       // keep-two retention: each run start-sweeps to the newest two
       // projections then writes its own — after 4 compactions the
@@ -381,11 +371,8 @@ class StreamingSpec extends SparkSuite {
     SD.processBatch(spark, copies.toDF("doc_id", "text"), sd, 2L)
     SD.compact(spark, sd, buckets = 8) // markers {0,1,2}
     // vacuum at/below the second-newest mark (=1): raw dirs 0 and 1
-    val fsys = new org.apache.hadoop.fs.Path(sd)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    (0L to 1L).foreach { n =>
-      fsys.delete(new org.apache.hadoop.fs.Path(s"$sd/docs/batch=$n"), true)
-    }
+    assert(graft.streaming.StreamingDedup.vacuum(spark, sd).sorted
+      == Seq("docs/batch=0", "docs/batch=1"))
     // REPLAY batch 2: its probe must select upto=1 (the replay floor)
     SD.processBatch(spark, copies.toDF("doc_id", "text"), sd, 2L)
     val got = SD.pairs(spark, sd).collect()
