@@ -129,6 +129,13 @@ object DumpWatchSync {
     // text parse for the whole snapshot path instead of two
     val lastStmts = DumpSource.statements(spark, dumpPaths.last)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // per-batch caches are released even when a stage throws — a batch
+    // API caller catching the failure must not accumulate orphaned
+    // cached frames across retries (`incoming`/`ops` register here as
+    // soon as they persist)
+    val releases = scala.collection.mutable.ArrayBuffer[() => Unit](
+      () => { lastStmts.unpersist(); () })
+    try {
     val arrivalCats = dumpPaths.map { p =>
       if (p == dumpPaths.last) p -> job.catalog(lastStmts)
       else p -> job.catalog(DumpSource.statements(spark, p))
@@ -162,6 +169,7 @@ object DumpWatchSync {
     val incoming = job.records(lastStmts, cat)
       .select("table", "pk", "vals")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    releases += (() => { incoming.unpersist(); () })
 
     val prevSnapshot: Option[DataFrame] = readLatest(stateDir)
       .map(v => spark.read.parquet(s"$stateDir/$v"))
@@ -184,8 +192,8 @@ object DumpWatchSync {
       case None =>
         incoming.select(col("table"), col("pk"), lit(Differ.OP_INSERT).as("op"))
     }).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    releases += (() => { ops.unpersist(); () })
 
-    try {
     ops
       .withColumn("batch_id", lit(batchId))
       .withColumn("source_file", lit(dumpPath))
@@ -251,9 +259,7 @@ object DumpWatchSync {
     // new LATEST always finds its catalog)
     writeCatalogSidecar(spark, stateDir, newVersion, cat)
     ContentGate.writeSmall(stateDir, "LATEST", newVersion)
-    } finally {
-      ops.unpersist(); incoming.unpersist(); lastStmts.unpersist(); ()
-    }
+    } finally releases.foreach(r => r())
   }
 
   /** The newest snapshot's dump catalog from its sidecar, if the state
