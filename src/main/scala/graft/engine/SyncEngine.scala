@@ -44,7 +44,13 @@ final case class TableStats(
     backupCount: Long,
     missingCount: Long,
     updatedCount: Long,
-    deletedCount: Long)
+    deletedCount: Long,
+    /** Estimated rendered-script bytes of this table's ops (value text
+      * + 64 B/op syntax overhead) — rides the stats aggregate for free
+      * and gates the collected script routes' driver collect (see
+      * [[SyncJob.MaxCollectedBytes]]).
+      */
+    opBytes: Long = 0L)
 
 /** Driver-side result of a sync comparison. `ops` holds every classified
   * operation (collected; the script output is ~1000× smaller than the
@@ -276,8 +282,9 @@ class SyncJob(spark: SparkSession) {
         .map(s => s.missingCount + s.updatedCount + s.deletedCount).sum
       val lineFrame = scriptLineFrame(joined, prodInfo.metas, backupCat,
         commonTables, outcome, now)
+      val estBytes = outcome.stats.valuesIterator.map(_.opBytes).sum
       if (nOps <= maxCollectedOps &&
-          estimateOpBytes(joined) <= SyncJob.MaxCollectedBytes) {
+          estBytes <= SyncJob.MaxCollectedBytes) {
         val lines = lineFrame.as[String].collect()
         val dirPath = new org.apache.hadoop.fs.Path(outDir)
         val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -361,8 +368,9 @@ class SyncJob(spark: SparkSession) {
         .map(s => s.missingCount + s.updatedCount + s.deletedCount).sum
       val lineFrame = scriptLineFrame(joined, prodInfo.metas, backupCat,
         commonTables, outcome, now)
+      val estBytes = outcome.stats.valuesIterator.map(_.opBytes).sum
       if (nOps <= maxCollectedOps &&
-          estimateOpBytes(joined) <= SyncJob.MaxCollectedBytes) {
+          estBytes <= SyncJob.MaxCollectedBytes) {
         val lines = lineFrame.as[String].collect()
         // Hadoop FS, not java.nio: outPath resolves against the
         // deployment FS like every other sink in this file (the
@@ -556,21 +564,20 @@ class SyncJob(spark: SparkSession) {
     (joined, prodInfo, backupCat, commonTables, cleanup)
   }
 
-  /** Estimated rendered-script bytes of the changed rows of `joined` —
-    * value text plus per-op syntax overhead. The collected route holds
-    * every rendered line on the driver, so routing must consider BYTES,
-    * not just op count: a million WIDE rows is GBs of driver heap even
-    * though the op count reads "small". One cheap pass over the
-    * already-cached diff frame, computed only when the op count alone
-    * would have picked the collected route.
+  /** Estimated rendered-script bytes of one diff row — value text plus
+    * per-op syntax overhead; 0 for unchanged rows. Summed per table
+    * inside [[summarize]]'s existing stats aggregate (zero extra jobs —
+    * a first cut ran it as its own pass and the bench charged the
+    * collected route ~1 s for it), the total gates the collected
+    * routes' driver collect: a million WIDE rows is GBs of driver heap
+    * even though the op count reads "small".
     */
-  private[graft] def estimateOpBytes(joined: DataFrame): Long =
-    joined.filter(col("op").isNotNull)
-      .agg(coalesce(sum(aggregate(
-        coalesce(col("p_vals"), col("b_vals")),
+  private[graft] def opBytesCol: org.apache.spark.sql.Column =
+    when(col("op").isNotNull,
+      aggregate(coalesce(col("p_vals"), col("b_vals")),
         lit(0L), (acc, x) => acc + coalesce(length(x).cast("long"), lit(4L)))
-        + lit(64L)), lit(0L)).as("b"))
-      .head.getLong(0)
+        + lit(64L))
+      .otherwise(lit(0L))
 
   /** Everything in a SyncOutcome except the collected ops: table-set
     * diffs, reference-quirk CREATE sections, and the per-table stats
@@ -594,7 +601,8 @@ class SyncJob(spark: SparkSession) {
       count(col("b_present")).as("backupCount"),
       count(when(col("op") === Differ.OP_INSERT, 1)).as("missingCount"),
       count(when(col("op") === Differ.OP_UPDATE, 1)).as("updatedCount"),
-      count(when(col("op") === Differ.OP_DELETE, 1)).as("deletedCount"))
+      count(when(col("op") === Differ.OP_DELETE, 1)).as("deletedCount"),
+      coalesce(sum(opBytesCol), lit(0L)).as("opBytes"))
       .as[TableStats].collect()
       .map(s => s.table -> s).toMap
     SyncOutcome(prodCat, backupCat, missingTables, extraTables,

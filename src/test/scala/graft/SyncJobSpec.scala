@@ -227,11 +227,11 @@ class SyncJobSpec extends SparkSuite {
     assert(joined == expected + "\n")
   }
 
-  test("estimateOpBytes = changed rows' value text + 64B/op overhead") {
+  test("opBytesCol = changed rows' value text + 64B/op overhead") {
     // the auto routes' driver-heap gate: the estimate must track the
     // rendered volume (value chars dominate wide rows), count ONLY
     // classified ops, and prefer the production side's values
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.sum
     import spark.implicits._
     val joined = Seq(
       // UPDATE: p_vals counted (10 chars)
@@ -243,7 +243,8 @@ class SyncJobSpec extends SparkSuite {
       // unchanged: op null — contributes NOTHING
       ("t", "4", Some(Seq("ignored")), Some(Seq("ignored")), null)
     ).toDF("table", "pk", "p_vals", "b_vals", "op")
-    val est = new SyncJob(spark).estimateOpBytes(joined)
+    val est = joined.agg(sum(new SyncJob(spark).opBytesCol))
+      .collect().head.getLong(0)
     assert(est == (10 + 64) + (3 + 64) + (4 + 64), s"estimate was $est")
   }
 }
