@@ -587,9 +587,13 @@ object Bench {
     // spuriously fast — so the factor is uncapped (probe_i < probeRef
     // just means a genuinely faster box). This is the cross-round
     // comparable SURVEY §8 quotes; see docs/SCALE.md for the protocol.
+    // Entries whose bracketing probe is non-positive (a sentinel or a
+    // failed probe) fall back to the JVM-start probe_base instead of
+    // the 1e-9 floor — the floor would silently inflate the comparable
+    // by ~1e8× on a single bad probe.
     val totalWarmNormPe = all
       .filter(t => t._3 >= 0)
-      .map(t => t._3 * (probeRef / math.max(t._4, 1e-9)))
+      .map(t => t._3 * (probeRef / (if (t._4 > 0) t._4 else probeBase)))
       .sum
     val probeMedian = median(all.map(_._4).filter(_ > 0))
     // Comparability gate: a run's cross-round number is honest only if
@@ -621,7 +625,13 @@ object Bench {
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(all, _._2)},"warm":${jmap(all, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"total_warm_norm_pe":${r3(totalWarmNormPe)},"probe_median_sec":${r3(probeMedian)},"comparable":$comparable,"probe_ref_sec":${r3(probeRef)},"probe":${jmap(all, _._4)},"io_probe":${jmap(all, _._5)},"probe_base_sec":${r3(probeBase)},"io_probe_base_sec":${r3(ioBase)},"noisy":$noisy,"probe_st_sec":${r3(probeSt)},"probe_mt_sec":${r3(probeMt)},"stream_batches":$nStreamBatches,"stream_state_rows":$stateJson,"stream_per_batch_sec":$perBatchJson,"stream_rows_per_sec":$rowsPerSecJson,"n_entries":${all.size},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_out.json"), full)
+    // Full-output path is overridable so judge/dev targeted runs don't
+    // clobber the committed round artifact in cwd (round-15 housekeeping
+    // note: a judging re-run overwrote the driver's full per-entry map).
+    val fullOut = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("bench_out.json")
+    Files.writeString(Paths.get(fullOut), full)
     // PRINTED line: must parse from the driver's 2000-char stdout tail
     // (BENCH_r06/r07 were parsed:null because the full map blew past it),
     // so it carries totals + the baseline-comparable sync entries + a
@@ -634,7 +644,7 @@ object Bench {
       "q80_pagerank", "q100_star_join", "q117_range_join_keyless")
     val head = all.filter(t => headline.contains(t._1))
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(head, _._2)},"warm":${jmap(head, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"total_warm_norm_pe":${r3(totalWarmNormPe)},"probe_median_sec":${r3(probeMedian)},"comparable":$comparable,"probe_ref_sec":${r3(probeRef)},"probe_base_sec":${r3(probeBase)},"noisy":$noisy,"n_entries":${all.size},"full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(head, _._2)},"warm":${jmap(head, _._3)},"total_warm":${r3(totalWarm)},"total_norm":${r3(totalNorm)},"total_warm_norm":${r3(totalWarmNorm)},"total_warm_norm_pe":${r3(totalWarmNormPe)},"probe_median_sec":${r3(probeMedian)},"comparable":$comparable,"probe_ref_sec":${r3(probeRef)},"probe_base_sec":${r3(probeBase)},"noisy":$noisy,"n_entries":${all.size},"full":"$fullOut","sf":"$sfDir"}"""
     // stop BEFORE printing: shutdown logging can't land between the JSON
     // line and process exit, so the line stays inside any tail capture
     spark.stop()

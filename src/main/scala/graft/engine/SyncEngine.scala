@@ -46,9 +46,10 @@ final case class TableStats(
     updatedCount: Long,
     deletedCount: Long,
     /** Estimated rendered-script bytes of this table's ops (value text
-      * + 64 B/op syntax overhead) — rides the stats aggregate for free
-      * and gates the collected script routes' driver collect (see
-      * [[SyncJob.MaxCollectedBytes]]).
+      * + per-(table, op) syntax skeleton rendered from the catalog —
+      * an upper bound on actual script bytes) — rides the stats
+      * aggregate for free and gates the collected script routes'
+      * driver collect (see [[SyncJob.MaxCollectedBytes]]).
       */
     opBytes: Long = 0L)
 
@@ -565,19 +566,56 @@ class SyncJob(spark: SparkSession) {
   }
 
   /** Estimated rendered-script bytes of one diff row — value text plus
-    * per-op syntax overhead; 0 for unchanged rows. Summed per table
-    * inside [[summarize]]'s existing stats aggregate (zero extra jobs —
-    * a first cut ran it as its own pass and the bench charged the
+    * per-(table, op) syntax overhead; 0 for unchanged rows. Summed per
+    * table inside [[summarize]]'s existing stats aggregate (zero extra
+    * jobs — a first cut ran it as its own pass and the bench charged the
     * collected route ~1 s for it), the total gates the collected
     * routes' driver collect: a million WIDE rows is GBs of driver heap
     * even though the op count reads "small".
+    *
+    * The overhead is an upper bound on the statement's non-value bytes,
+    * computed driver-side by rendering the REAL codegen skeleton with
+    * empty values over the table's full column list (so column names,
+    * backticks, keyword text, and clause separators are charged exactly
+    * as [[graft.codegen.SyncSqlGenerator]] will emit them — a flat
+    * 64 B/op under-charged wide tables with long column names by a
+    * constant factor and let the gate route multi-×-256 MB scripts to
+    * the driver). Each value additionally carries +2 B for its ", "
+    * separator, which also covers rows with MORE values than the
+    * catalog's column list (the reference replays those verbatim).
+    * UPDATE's WHERE clause re-renders the backup PK values, but those
+    * are byte-equal to the production PK values already in the sum
+    * (equal pk join keys ⇒ equal total component text length), so the
+    * value sum covers SET + WHERE without a pk term.
     */
-  private[graft] def opBytesCol: org.apache.spark.sql.Column =
+  private[graft] def opBytesCol(prodCat: scala.collection.Map[String, TableMeta],
+      backupCat: scala.collection.Map[String, TableMeta])
+      : org.apache.spark.sql.Column = {
+    import graft.codegen.SyncSqlGenerator
+    def emptyVals(m: TableMeta) = IndexedSeq.fill(m.columns.length)("")
+    val updOh: Map[String, Long] = prodCat.iterator.map { case (t, m) =>
+      t -> (SyncSqlGenerator.updateStatement(m, emptyVals(m), emptyVals(m))
+        .length + 1L)
+    }.toMap
+    val insOh: Map[String, Long] = prodCat.iterator.map { case (t, m) =>
+      t -> (DumpParser.rawInsert(m.name, Nil).length + 1L)
+    }.toMap
+    val delOh: Map[String, Long] = backupCat.iterator.map { case (t, m) =>
+      t -> (SyncSqlGenerator.deleteStatement(m, emptyVals(m)).length + 1L)
+    }.toMap
+    val oh =
+      when(col("op") === Differ.OP_UPDATE,
+        element_at(typedLit(updOh), col("table")))
+        .when(col("op") === Differ.OP_DELETE,
+          element_at(typedLit(delOh), col("table")))
+        .otherwise(element_at(typedLit(insOh), col("table")))
     when(col("op").isNotNull,
       aggregate(coalesce(col("p_vals"), col("b_vals")),
-        lit(0L), (acc, x) => acc + coalesce(length(x).cast("long"), lit(4L)))
-        + lit(64L))
+        lit(0L),
+        (acc, x) => acc + coalesce(length(x).cast("long"), lit(4L)) + lit(2L))
+        + coalesce(oh, lit(64L)))
       .otherwise(lit(0L))
+  }
 
   /** Everything in a SyncOutcome except the collected ops: table-set
     * diffs, reference-quirk CREATE sections, and the per-table stats
@@ -602,7 +640,7 @@ class SyncJob(spark: SparkSession) {
       count(when(col("op") === Differ.OP_INSERT, 1)).as("missingCount"),
       count(when(col("op") === Differ.OP_UPDATE, 1)).as("updatedCount"),
       count(when(col("op") === Differ.OP_DELETE, 1)).as("deletedCount"),
-      coalesce(sum(opBytesCol), lit(0L)).as("opBytes"))
+      coalesce(sum(opBytesCol(prodCat, backupCat)), lit(0L)).as("opBytes"))
       .as[TableStats].collect()
       .map(s => s.table -> s).toMap
     SyncOutcome(prodCat, backupCat, missingTables, extraTables,

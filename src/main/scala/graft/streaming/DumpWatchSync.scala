@@ -312,6 +312,16 @@ object DumpWatchSync {
   def vacuum(stateDir: String, keepLast: Int = 1): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val latest = readLatest(stateDir) // never delete the live snapshot
+    // Protect by pinned version NUMBER, not directory name: when LATEST
+    // pins a version older than keepLast reaches, a name-only guard kept
+    // `snapshot_vN` but reclaimed its `catalog_snapshot_vN` /
+    // `stats_snapshot_vN` / `history_open_snapshot_vN` siblings — the
+    // catalog sidecar exists precisely to amortize the previous dump's
+    // re-parse, so deleting the pinned version's sidecar is the perf
+    // pothole round 15 flagged (degrades gracefully to a re-parse, but
+    // needlessly).
+    val pinnedVersion: Option[Long] =
+      latest.flatMap(_.stripPrefix("snapshot_v").toLongOption)
     val fsys = fileSystem(stateDir)
     val root = new HPath(stateDir)
     val entries: Seq[org.apache.hadoop.fs.FileStatus] =
@@ -324,7 +334,7 @@ object DumpWatchSync {
       "catalog_snapshot_v")
       .flatMap { prefix =>
         versioned(prefix).sortBy(-_._1).drop(keepLast)
-          .filterNot { case (_, p) => latest.contains(p.getName) }
+          .filterNot { case (v, _) => pinnedVersion.contains(v) }
           .map { case (_, p) => fsys.delete(p, true); p.getName }
       }
   }

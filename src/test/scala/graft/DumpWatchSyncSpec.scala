@@ -150,6 +150,48 @@ class DumpWatchSyncSpec extends SparkSuite {
     assert(DumpWatchSync.vacuum(stateDir, keepLast = 1).isEmpty)
   }
 
+  test("vacuum protects ALL siblings of a LATEST-pinned old version (r15 #2)") {
+    // When LATEST pins a version older than keepLast reaches (an
+    // operator rolled the marker back, or a stale reader holds it), the
+    // round-15 name-only guard kept `snapshot_vN` but reclaimed its
+    // catalog/stats/history siblings — in particular the catalog
+    // sidecar, whose whole point is to skip the previous dump's
+    // re-parse. The guard now derives the protected set from the pinned
+    // version NUMBER.
+    val watchDir = Files.createTempDirectory("graft-watch-pin")
+    val stateDir = Files.createTempDirectory("graft-state-pin").toString
+    def dump(rows: (Int, Int)*): String =
+      ddl + "INSERT INTO `t` (`id`, `v`) VALUES\n" +
+        rows.map { case (id, v) => s"($id, $v)" }.mkString(",\n") + ";\n"
+    val q = DumpWatchSync.start(spark, watchDir.toString, stateDir,
+      emitScripts = false)
+    try {
+      Seq(dump(1 -> 10), dump(1 -> 11), dump(1 -> 12)).zipWithIndex
+        .foreach { case (d, i) =>
+          Files.write(watchDir.resolve(s"d$i.sql"), d.getBytes("UTF-8"))
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+
+    // pin LATEST back to v0 — older than keepLast=1 reaches
+    graft.operators.ContentGate.writeSmall(stateDir, "LATEST", "snapshot_v0")
+    val deleted = DumpWatchSync.vacuum(stateDir, keepLast = 1).sorted
+    // v1's whole family reclaimed; v0 (pinned) and v2 (newest) intact
+    assert(deleted == Seq(
+      "catalog_snapshot_v1", "history_open_snapshot_v1",
+      "snapshot_v1", "stats_snapshot_v1"), s"deleted = $deleted")
+    Seq("snapshot_v0", "catalog_snapshot_v0", "stats_snapshot_v0",
+      "history_open_snapshot_v0", "snapshot_v2", "catalog_snapshot_v2")
+      .foreach { d =>
+        assert(Files.exists(Paths.get(stateDir, d)), s"$d was reclaimed")
+      }
+    // the pinned version's catalog sidecar still loads — the next
+    // arrival diffs against v0 without re-parsing its dump
+    val cat = spark.read.parquet(s"$stateDir/catalog_snapshot_v0")
+      .collect().map(_.getAs[String]("table")).toSet
+    assert(cat == Set("t"))
+  }
+
   test("schema drift between arrivals lands in the schema_changes log") {
     val watchDir = Files.createTempDirectory("graft-watch-drift")
     val stateDir = Files.createTempDirectory("graft-state-drift").toString

@@ -227,24 +227,67 @@ class SyncJobSpec extends SparkSuite {
     assert(joined == expected + "\n")
   }
 
-  test("opBytesCol = changed rows' value text + 64B/op overhead") {
+  test("opBytesCol = value text + per-(table, op) catalog-derived skeleton") {
     // the auto routes' driver-heap gate: the estimate must track the
     // rendered volume (value chars dominate wide rows), count ONLY
-    // classified ops, and prefer the production side's values
+    // classified ops, prefer the production side's values, and charge
+    // the REAL per-table syntax skeleton (column names + keywords +
+    // separators), not a flat constant
     import org.apache.spark.sql.functions.sum
     import spark.implicits._
+    import graft.model.TableMeta
+    val meta = TableMeta("t", IndexedSeq("id", "v"), IndexedSeq("id"), "")
+    val cat = Map("t" -> meta)
     val joined = Seq(
-      // UPDATE: p_vals counted (10 chars)
+      // UPDATE: p_vals counted (10 chars + 2×2 separators)
       ("t", "1", Some(Seq("abcde", "fghij")), Some(Seq("x", "y")), "UPDATE"),
-      // INSERT: only p_vals present (3 chars)
+      // INSERT: only p_vals present (3 chars + 2)
       ("t", "2", Some(Seq("abc")), None, "INSERT"),
-      // DELETE: falls back to b_vals (4 chars)
+      // DELETE: falls back to b_vals (4 chars + 2)
       ("t", "3", None, Some(Seq("wxyz")), "DELETE"),
       // unchanged: op null — contributes NOTHING
       ("t", "4", Some(Seq("ignored")), Some(Seq("ignored")), null)
     ).toDF("table", "pk", "p_vals", "b_vals", "op")
-    val est = joined.agg(sum(new SyncJob(spark).opBytesCol))
+    val est = joined.agg(sum(new SyncJob(spark).opBytesCol(cat, cat)))
       .collect().head.getLong(0)
-    assert(est == (10 + 64) + (3 + 64) + (4 + 64), s"estimate was $est")
+    val updOh = SyncSqlGenerator.updateStatement(
+      meta, IndexedSeq("", ""), IndexedSeq("", "")).length + 1
+    val insOh = graft.parse.DumpParser.rawInsert("t", Nil).length + 1
+    val delOh = SyncSqlGenerator.deleteStatement(meta, IndexedSeq("", "")).length + 1
+    assert(est == (10 + 4 + updOh) + (3 + 2 + insOh) + (4 + 2 + delOh),
+      s"estimate was $est")
+  }
+
+  test("opBytes estimate bounds actual rendered script bytes (wide table, long names)") {
+    // the gate's contract: estimate ≥ rendered bytes, so a diff that
+    // "fits" under MaxCollectedBytes can never collect a multiple of it
+    // onto the driver. Fixture chosen to break the old flat-64 B/op
+    // overhead: 12 columns with 24-char names and 1-char values, so the
+    // rendered UPDATE is ~overhead-dominated (names + backticks +
+    // separators ≈ 400 B vs 12 B of values).
+    val cols = (0 until 12).map(i => f"extremely_long_column_$i%03d")
+    val mkDdl = s"CREATE TABLE `wide` (\n" +
+      cols.map(c => s"  `$c` INT,\n").mkString +
+      s"  PRIMARY KEY (`${cols.head}`)\n) ENGINE=InnoDB;\n"
+    def row(id: Int, v: Int): String =
+      "(" + (id +: Seq.fill(11)(v)).mkString(", ") + ")"
+    val prod = mkDdl + s"INSERT INTO `wide` (${cols.map(c => s"`$c`").mkString(", ")}) VALUES\n" +
+      s"${row(1, 2)},\n${row(2, 3)},\n${row(4, 4)};\n"
+    val backup = mkDdl + s"INSERT INTO `wide` (${cols.map(c => s"`$c`").mkString(", ")}) VALUES\n" +
+      s"${row(1, 2)},\n${row(2, 9)},\n${row(3, 5)};\n"
+    val o = job.run(tmpFile(prod).toString, tmpFile(backup).toString)
+    val est = o.stats.valuesIterator.map(_.opBytes).sum
+    // actual rendered statement bytes (incl. one newline each), from
+    // the same codegen the script routes use
+    val actual = o.ops.map { d =>
+      SyncSqlGenerator.renderOp(o.prodCatalog(d.table),
+        o.backupCatalog(d.table), d).length + 1L
+    }.sum
+    assert(o.ops.size == 3) // one each of INSERT/UPDATE/DELETE
+    assert(est >= actual, s"estimate $est < actual $actual")
+    // ...and the old flat model really would have under-charged: the
+    // per-op overhead here exceeds 64 B several times over
+    assert(actual > o.ops.size * (64 + 12 * 4),
+      s"fixture too narrow to exercise the bound (actual $actual)")
   }
 }
