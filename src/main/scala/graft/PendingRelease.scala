@@ -20,6 +20,16 @@ package graft
   * OutOfMemoryError, interruption — propagate: masking those hides real
   * harness failure). Draining with nothing pending is free, so harnesses
   * drain unconditionally after every entry.
+  *
+  * EMBEDDERS: a long-lived host that materializes engine frames itself
+  * (a service wrapping [[graft.SparkEntry.queries]], a JDBC host) must
+  * call [[drain]] after each materialization, or any deferred cache
+  * accumulates for the life of the JVM. The engine's own streaming
+  * drivers ([[graft.streaming.DumpWatchSync.start]],
+  * [[graft.streaming.StreamingDedup.start]]) drain at the end of every
+  * micro-batch — each batch's outputs are committed by then, so the
+  * batch IS the materialization — and a spec pins the registry at
+  * baseline after each batch (PendingReleaseSpec).
   */
 object PendingRelease {
   private val pending =
@@ -27,6 +37,11 @@ object PendingRelease {
 
   /** Register a cleanup to run at the harness's next [[drain]]. */
   def defer(release: () => Unit): Unit = { pending.add(release); () }
+
+  /** Handles currently awaiting [[drain]] — the leak observable the
+    * per-batch drain specs assert returns to zero.
+    */
+  def pendingCount: Int = pending.size
 
   /** Run and clear all pending releases (registration order). */
   def drain(): Unit = {

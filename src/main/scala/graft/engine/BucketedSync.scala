@@ -102,6 +102,15 @@ object BucketedSync {
     * amortization matters. The path component is the FS-qualified URI,
     * so the same bytes at file: vs hdfs: fingerprint differently
     * (correct — they are different sources that can diverge).
+    *
+    * UPGRADE NOTE (round 15 format change): the fingerprint moved from
+    * java.nio absolute-path + millis to FS-qualified URI + Hadoop
+    * mtime, so every sidecar written by earlier versions reads as
+    * stale and re-snapshots ONCE on first use — a one-time re-parse
+    * per snapshot, after which the new-format sidecar amortizes as
+    * before. Accepted deliberately: silently trusting a legacy local
+    * fingerprint would skip the parse on a dump whose identity the new
+    * scheme can no longer confirm.
     */
   private def dumpFingerprint(spark: SparkSession,
       dumpPath: String): String = {

@@ -78,12 +78,20 @@ object ContentGate {
 
   /** Write `dir/name` atomically: bytes land at a temp name and
     * `fs.rename` to the final one, so a READER racing this write can
-    * never observe a half-written file — rename is atomic on HDFS and
-    * a single-object PUT on S3A. Used for the FINGERPRINT commit: the
-    * tag is the store's freshness witness, and a torn tag would read
-    * as permanently stale (rebuild-every-run) or, worse, accidentally
-    * equal a different slice's tag. Writer-vs-writer races remain
-    * governed by [[ensure]]'s single-writer contract.
+    * never observe a half-written file — rename is atomic on HDFS, and
+    * on S3A it is COPY+DELETE of whole objects (slower, but object
+    * COPY is atomic, so no torn read either). Used for the FINGERPRINT
+    * commit: the tag is the store's freshness witness, and a torn tag
+    * would read as permanently stale (rebuild-every-run) or, worse,
+    * accidentally equal a different slice's tag.
+    *
+    * The delete-before-rename below (FSes where rename won't clobber)
+    * opens a brief NO-file window: a reader racing it sees a missing
+    * FINGERPRINT, reads as stale, and starts a spurious rebuild. The
+    * design tolerates that (rebuilds are idempotent overwrites keyed
+    * by the same tag); it costs work, never correctness.
+    * Writer-vs-writer races remain governed by [[ensure]]'s
+    * single-writer contract.
     */
   def writeSmallAtomic(dir: String, name: String, content: String): Unit = {
     val p = new HPath(dir, name)

@@ -406,6 +406,10 @@ object DumpWatchSync {
           .map(_.getString(0).stripPrefix("file:"))
         processBatch(spark, files.toSeq, stateDir, batchId,
           emitScripts, scriptTs)
+        // the batch's state + scripts are committed — release anything
+        // an operator deferred, so a long-lived watcher never
+        // accumulates caches the host has no other channel to drain
+        graft.PendingRelease.drain()
       }
       .start()
   }

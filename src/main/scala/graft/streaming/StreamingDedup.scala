@@ -291,8 +291,14 @@ object StreamingDedup {
     * needs the raw dirs), nothing is reclaimed. `pairs/`, `_commits/`,
     * and the projections are never touched — the gate's output and
     * manifest survive; only probe inputs the projections supersede are
-    * reclaimed. Returns the deleted dir names. Run from the maintenance
-    * scheduler that runs [[compact]] (same serialization contract).
+    * reclaimed. Returns the deleted dir names. Prefer running it from
+    * the maintenance scheduler that runs [[compact]] (same
+    * serialization contract); an out-of-band run (CLI `--gate-vacuum`
+    * in its own JVM) racing an in-flight probe is TOLERATED — if it
+    * reclaims raw dirs the probe's auto-policy already selected, the
+    * probe's missing-path retry re-runs the trigger through the
+    * projection (see [[processBatch]]'s retry wrapper) instead of
+    * failing the streaming query.
     */
   def vacuum(spark: SparkSession, stateDir: String): Seq[String] = {
     val fs = fileSystem(spark, stateDir)
@@ -348,6 +354,13 @@ object StreamingDedup {
     * collect itself, wiping out the raw scan's win.
     */
   private val CompactedSkipDepth = 16
+
+  /** Deterministic race-injection seam for the vacuum-retry spec: runs
+    * after the corpus-source choice (rawIntact passed) and before the
+    * chosen dirs are read — exactly the window an out-of-band
+    * `--gate-vacuum` JVM can reclaim them in. No-op in production.
+    */
+  private[graft] var onCorpusChosen: () => Unit = () => ()
 
   // dev-only per-stage wall clock (GRAFT_SD_PROF=1): the gate's bench
   // entry is a single per-batch number; this decomposes it
@@ -467,7 +480,8 @@ object StreamingDedup {
       val fsState = fileSystem(spark, stateDir)
       def rawIntact(upTo: Long): Boolean =
         vacuumedBelow(fsState, stateDir, allPrior, upTo).isEmpty
-      val comp: Option[(Long, Int, Seq[Long])] =
+      def corpusChoice(forceProjection: Boolean)
+          : Option[(Long, Int, Seq[Long])] =
         committedCompactions(spark, stateDir)
           .filter(_._1 < batchId).sortBy(_._1).lastOption
           .flatMap { case (upTo, b) =>
@@ -483,7 +497,8 @@ object StreamingDedup {
                   "corpus below the mark exists only in a layout this " +
                   "version cannot read. Restore the raw dirs or " +
                   "re-ingest through a fresh stateDir.")
-            } else if (allPrior.count(_ <= upTo) <= CompactedSkipDepth &&
+            } else if (!forceProjection &&
+                allPrior.count(_ <= upTo) <= CompactedSkipDepth &&
                 rawIntact(upTo)) {
               None
             } else {
@@ -494,107 +509,138 @@ object StreamingDedup {
               Some((upTo, b, touched))
             }
           }
-      val compUpTo = comp.map(_._1).getOrElse(-1L)
-      val corpusDirs = allPrior.filter(_ > compUpTo)
-        .map(n => s"$stateDir/docs/batch=$n")
-      // corpus side: compacted projection (bucket-pruned to the fresh
-      // band keys' buckets — one bounded collect of ≤ buckets ids from
-      // the cached fresh frame) ∪ raw dirs newer than the compaction.
-      // Explicit schema on the raw read: footer inference would grow
-      // with corpus age.
-      // the bands projection is deliberately array-free (tens of bytes
-      // a row), so the compacted corpus side rides NULL toks through
-      // the candidate join; survivors resolve their arrays below
-      val compRows = comp.map { case (upTo, _, touched) =>
-        spark.read.parquet(s"$stateDir/docs_compacted/upto=$upTo/bands")
-          .filter(col("bucket").isin(touched: _*))
-          .select(col("id"), lit(null).cast("array<bigint>").as("toks"),
-            col("sz"), col("band"), col("band_key"))
+      def writePairs(comp: Option[(Long, Int, Seq[Long])]): Unit = {
+        onCorpusChosen()
+        val compUpTo = comp.map(_._1).getOrElse(-1L)
+        val corpusDirs = allPrior.filter(_ > compUpTo)
+          .map(n => s"$stateDir/docs/batch=$n")
+        // corpus side: compacted projection (bucket-pruned to the fresh
+        // band keys' buckets — one bounded collect of ≤ buckets ids from
+        // the cached fresh frame) ∪ raw dirs newer than the compaction.
+        // Explicit schema on the raw read: footer inference would grow
+        // with corpus age.
+        // the bands projection is deliberately array-free (tens of bytes
+        // a row), so the compacted corpus side rides NULL toks through
+        // the candidate join; survivors resolve their arrays below
+        val compRows = comp.map { case (upTo, _, touched) =>
+          spark.read.parquet(s"$stateDir/docs_compacted/upto=$upTo/bands")
+            .filter(col("bucket").isin(touched: _*))
+            .select(col("id"), lit(null).cast("array<bigint>").as("toks"),
+              col("sz"), col("band"), col("band_key"))
+        }
+        val rawRows =
+          if (corpusDirs.isEmpty) None
+          else Some(bandRows(
+            spark.read.schema(docsSchema).parquet(corpusDirs: _*)))
+        val rightB = (compRows.toSeq ++ rawRows.toSeq)
+          .foldLeft(freshB)(_.unionByName(_))
+        val candRaw = rightB.as("b")
+          .join(broadcast(freshB).as("a"), Seq("band", "band_key"))
+          .filter(col("a.id") =!= col("b.id"))
+          .select(least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b"),
+            when(col("a.id") < col("b.id"), col("a.toks"))
+              .otherwise(col("b.toks")).as("ta"),
+            when(col("a.id") < col("b.id"), col("b.toks"))
+              .otherwise(col("a.toks")).as("tb"),
+            when(col("a.id") < col("b.id"), col("a.sz"))
+              .otherwise(col("b.sz")).as("sz_a"),
+            when(col("a.id") < col("b.id"), col("b.sz"))
+              .otherwise(col("a.sz")).as("sz_b"))
+          .dropDuplicates("id_a", "id_b")
+        // Resolve the compacted-side survivors' verify arrays from the
+        // arr/ store: candidates are arrival-bounded, so this is ONE
+        // bounded collect (the unresolved ids' ab buckets, ≤ buckets
+        // longs), a pruned scan of those buckets semi-joined against the
+        // broadcast id set, and two broadcast left joins back onto the
+        // candidate frame — toks bytes never enter a shuffle. The first
+        // cut read toks off every compacted band row instead; the gate
+        // bench measured that probe ~1.5× slower than the raw dirs it
+        // replaced (`bands`× amplification of the fat column).
+        val (candidates, candCleanup): (DataFrame, () => Unit) = comp match {
+          case None => (candRaw, () => ())
+          case Some((upTo, b, _)) =>
+            // one cache, one collect, one broadcast build: cand is the
+            // only persisted frame (two consumers + the collect); needIds
+            // recomputes from the cand cache inside the broadcast (cheap
+            // — the frame is candidate-sized), and the two resolution
+            // joins reference the SAME broadcast subplan, renaming join
+            // keys on the probe side, so ReuseExchange ships the arr
+            // lookup once instead of scanning/building it twice
+            val cand = candRaw.persist(StorageLevel.MEMORY_ONLY)
+            def needIds = cand.select(explode(array(
+                when(col("ta").isNull, col("id_a")),
+                when(col("tb").isNull, col("id_b")))).as("id"))
+              .filter(col("id").isNotNull).distinct()
+            val touchedAb = needIds
+              .select(pmod(col("id"), lit(b.toLong)).as("ab"))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            if (touchedAb.isEmpty) {
+              (cand, () => { cand.unpersist(); () })
+            } else {
+              val matched = broadcast(spark.read
+                .parquet(s"$stateDir/docs_compacted/upto=$upTo/arr")
+                .filter(col("ab").isin(touchedAb: _*))
+                .join(broadcast(needIds), "id")
+                .select(col("id").as("_rid"), col("toks").as("_rtoks")))
+              val resolved = cand
+                .join(matched, col("id_a") === col("_rid"), "left")
+                .withColumn("ta", coalesce(col("ta"), col("_rtoks")))
+                .drop("_rid", "_rtoks")
+                .join(matched, col("id_b") === col("_rid"), "left")
+                .withColumn("tb", coalesce(col("tb"), col("_rtoks")))
+                .select("id_a", "id_b", "ta", "tb", "sz_a", "sz_b")
+              (resolved, () => { cand.unpersist(); () })
+            }
+        }
+        try timed("pairsWrite")(candidates
+          // exact-Jaccard verify over the stored per-doc arrays: identical
+          // values to the flat (id, shingle) join+count (the arrays ARE
+          // the distinct shingle sets)
+          .withColumn("inter",
+            size(array_intersect(col("ta"), col("tb"))).cast("long"))
+          .withColumn("jac", round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")), 4))
+          .filter(col("jac") >= threshold)
+          .select("id_a", "id_b", "jac")
+          // pairs are arrival-sized (a few per batch, bounded by the
+          // fresh side): one part file, not one per shuffle partition —
+          // the commit/file-open overhead is the entry's floor at bench
+          // scale and pure waste at any scale
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/pairs/batch=$batchId"))
+        finally candCleanup()
       }
-      val rawRows =
-        if (corpusDirs.isEmpty) None
-        else Some(bandRows(
-          spark.read.schema(docsSchema).parquet(corpusDirs: _*)))
-      val rightB = (compRows.toSeq ++ rawRows.toSeq)
-        .foldLeft(freshB)(_.unionByName(_))
-      val candRaw = rightB.as("b")
-        .join(broadcast(freshB).as("a"), Seq("band", "band_key"))
-        .filter(col("a.id") =!= col("b.id"))
-        .select(least(col("a.id"), col("b.id")).as("id_a"),
-          greatest(col("a.id"), col("b.id")).as("id_b"),
-          when(col("a.id") < col("b.id"), col("a.toks"))
-            .otherwise(col("b.toks")).as("ta"),
-          when(col("a.id") < col("b.id"), col("b.toks"))
-            .otherwise(col("a.toks")).as("tb"),
-          when(col("a.id") < col("b.id"), col("a.sz"))
-            .otherwise(col("b.sz")).as("sz_a"),
-          when(col("a.id") < col("b.id"), col("b.sz"))
-            .otherwise(col("a.sz")).as("sz_b"))
-        .dropDuplicates("id_a", "id_b")
-      // Resolve the compacted-side survivors' verify arrays from the
-      // arr/ store: candidates are arrival-bounded, so this is ONE
-      // bounded collect (the unresolved ids' ab buckets, ≤ buckets
-      // longs), a pruned scan of those buckets semi-joined against the
-      // broadcast id set, and two broadcast left joins back onto the
-      // candidate frame — toks bytes never enter a shuffle. The first
-      // cut read toks off every compacted band row instead; the gate
-      // bench measured that probe ~1.5× slower than the raw dirs it
-      // replaced (`bands`× amplification of the fat column).
-      val (candidates, candCleanup): (DataFrame, () => Unit) = comp match {
-        case None => (candRaw, () => ())
-        case Some((upTo, b, _)) =>
-          // one cache, one collect, one broadcast build: cand is the
-          // only persisted frame (two consumers + the collect); needIds
-          // recomputes from the cand cache inside the broadcast (cheap
-          // — the frame is candidate-sized), and the two resolution
-          // joins reference the SAME broadcast subplan, renaming join
-          // keys on the probe side, so ReuseExchange ships the arr
-          // lookup once instead of scanning/building it twice
-          val cand = candRaw.persist(StorageLevel.MEMORY_ONLY)
-          def needIds = cand.select(explode(array(
-              when(col("ta").isNull, col("id_a")),
-              when(col("tb").isNull, col("id_b")))).as("id"))
-            .filter(col("id").isNotNull).distinct()
-          val touchedAb = needIds
-            .select(pmod(col("id"), lit(b.toLong)).as("ab"))
-            .distinct().collect().map(_.getLong(0)).toSeq
-          if (touchedAb.isEmpty) {
-            (cand, () => { cand.unpersist(); () })
-          } else {
-            val matched = broadcast(spark.read
-              .parquet(s"$stateDir/docs_compacted/upto=$upTo/arr")
-              .filter(col("ab").isin(touchedAb: _*))
-              .join(broadcast(needIds), "id")
-              .select(col("id").as("_rid"), col("toks").as("_rtoks")))
-            val resolved = cand
-              .join(matched, col("id_a") === col("_rid"), "left")
-              .withColumn("ta", coalesce(col("ta"), col("_rtoks")))
-              .drop("_rid", "_rtoks")
-              .join(matched, col("id_b") === col("_rid"), "left")
-              .withColumn("tb", coalesce(col("tb"), col("_rtoks")))
-              .select("id_a", "id_b", "ta", "tb", "sz_a", "sz_b")
-            (resolved, () => { cand.unpersist(); () })
+      // vacuum() may run from a maintenance scheduler in a SEPARATE
+      // JVM (CLI --gate-vacuum), so the rawIntact probe and the lazy
+      // read of the chosen raw dirs are not atomic: an out-of-band
+      // vacuum can reclaim dirs the auto-policy already selected.
+      // A missing-path failure on the raw route re-runs the whole
+      // choose→read→write path ONCE with the projection forced —
+      // safe because vacuum only reclaims dirs at or below the
+      // SECOND-newest compaction's mark, which the newest usable
+      // projection covers; raw dirs above it are never reclaimed.
+      def missingPathIn(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists {
+            case _: java.io.FileNotFoundException => true
+            case a: org.apache.spark.sql.AnalysisException =>
+              a.getMessage.contains("PATH_NOT_FOUND") ||
+                a.getMessage.contains("Path does not exist")
+            case _ => false
           }
-      }
-      try timed("pairsWrite")(candidates
-        // exact-Jaccard verify over the stored per-doc arrays: identical
-        // values to the flat (id, shingle) join+count (the arrays ARE
-        // the distinct shingle sets)
-        .withColumn("inter",
-          size(array_intersect(col("ta"), col("tb"))).cast("long"))
-        .withColumn("jac", round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 4))
-        .filter(col("jac") >= threshold)
-        .select("id_a", "id_b", "jac")
-        // pairs are arrival-sized (a few per batch, bounded by the
-        // fresh side): one part file, not one per shuffle partition —
-        // the commit/file-open overhead is the entry's floor at bench
-        // scale and pure waste at any scale
-        .coalesce(1)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$stateDir/pairs/batch=$batchId"))
-      finally {
-        candCleanup()
+      try {
+        try writePairs(corpusChoice(forceProjection = false))
+        catch {
+          case e: Throwable if missingPathIn(e) &&
+              committedCompactions(spark, stateDir)
+                .filter(_._1 < batchId).sortBy(_._1).lastOption
+                .exists { case (u, _) =>
+                  projectionUsable(fsState, stateDir, u) } =>
+            writePairs(corpusChoice(forceProjection = true))
+        }
+      } finally {
         Await.ready(docsWriteF, Duration.Inf)
         ()
       }
@@ -635,6 +681,10 @@ object StreamingDedup {
             timed("compact")(
               compact(batch.sparkSession, stateDir, compactBuckets))
         }
+        // the batch's outputs are committed — release anything an
+        // operator deferred, so a long-lived stream never accumulates
+        // caches the host has no other channel to drain
+        graft.PendingRelease.drain()
       }
       .start()
   }

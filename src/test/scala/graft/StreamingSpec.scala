@@ -290,6 +290,55 @@ class StreamingSpec extends SparkSuite {
         s"extra=${(got.toSet -- expected).take(3)}")
   }
 
+  test("streaming LSH gate survives an out-of-band vacuum racing the raw-scan probe") {
+    // The auto-policy's rawIntact existence check and the lazy read of
+    // the chosen docs/batch=N dirs are not atomic; `--gate-vacuum` runs
+    // in its own JVM, so it can reclaim dirs mid-trigger. The seam
+    // injects that deletion deterministically in the exact window; the
+    // probe must retry through the projection instead of killing the
+    // query, and the pairs must still match the batch operator.
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .limit(300)
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val (expectedDf, cleanup) =
+      graft.operators.Dedup.minhashLshPairsManaged(corpus, "doc_id", "text")
+    val expected = expectedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    cleanup()
+    assert(expected.nonEmpty)
+    val all = corpus.as[(Long, String)].collect().toSeq
+    val (copies, orig) = all.partition(_._1 >= 100000L)
+    val (b1, b2) = orig.partition(_._1 < 150L)
+    val sd = java.nio.file.Files.createTempDirectory("graft-sdrace").toString
+    val SD = graft.streaming.StreamingDedup
+    SD.processBatch(spark, b1.toDF("doc_id", "text"), sd, 0L)
+    SD.processBatch(spark, b2.toDF("doc_id", "text"), sd, 1L)
+    SD.compact(spark, sd, buckets = 8)
+    // shallow depth (2 raw dirs ≤ CompactedSkipDepth) and intact dirs:
+    // the auto-policy WILL choose the raw scan; the seam then deletes
+    // the chosen dirs before the read — the race, made deterministic
+    var fired = false
+    SD.onCorpusChosen = () => {
+      if (!fired) {
+        fired = true
+        (0L to 1L).foreach { n =>
+          val p = new org.apache.hadoop.fs.Path(s"$sd/docs/batch=$n")
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        }
+      }
+    }
+    try SD.processBatch(spark, copies.toDF("doc_id", "text"), sd, 2L)
+    finally SD.onCorpusChosen = () => ()
+    assert(fired, "race seam never fired — the spec exercised nothing")
+    val got = SD.pairs(spark, sd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size == got.toSet.size, "a pair was detected more than once")
+    assert(got.toSet == expected,
+      s"missing=${(expected -- got.toSet).take(3)} " +
+        s"extra=${(got.toSet -- expected).take(3)}")
+  }
+
   test("streaming LSH gate with auto-compaction accumulates the batch pairs") {
     // end-to-end through start(compactEvery=1): every batch compacts,
     // and raw dirs are vacuumed to the documented floor (at/below the
