@@ -166,4 +166,102 @@ object AnnIndex {
       .write.mode(SaveMode.Append).partitionBy("cell")
       .parquet(s"$indexDir/encoded")
   }
+
+  /** Per-cell health report of a stored index — the maintenance
+    * observable [[append]] deliberately lacks: ingest-without-refit
+    * keeps codebooks fixed, so drifted arrivals pile into few cells
+    * (every probe touching them scans more codes) and EVERY append
+    * adds one parquet file per touched cell (listing + footer opens
+    * tax every probe, the q108 small-files mode).
+    *
+    * Output (cell, n, share_pm, hot, n_files, action): `n` vectors in
+    * the cell; `share_pm` = per-mille share in integer arithmetic
+    * (n·1000 / total); `hot` = true iff n·nlist > [[HotCellFactor]]·total
+    * (the cell holds over HotCellFactor× its fair share — integer
+    * cross-multiplied, no float drift); `action` = "compact" when the
+    * cell's directory has more than one file (the [[compactCells]]
+    * work list), else "keep". All columns except `n_files`/`action`
+    * are pure corpus+assignment arithmetic, so the DuckDB oracle
+    * replays them from the same frozen-centroid assignment (q234).
+    *
+    * Scale: one groupBy over the code-only scan (never the raw
+    * vectors) plus an O(nlist) driver-side directory listing — nlist
+    * is small by construction (the coarse table is collected on every
+    * probe already).
+    */
+  val HotCellFactor = 2L
+
+  def cellAudit(spark: SparkSession, indexDir: String): DataFrame = {
+    import spark.implicits._
+    val meta = ContentGate.readSmall(indexDir, "META").getOrElse(
+      throw new IllegalArgumentException(
+        s"ANN index $indexDir has no META")).trim.split(",")
+    val nlist = meta(2).toInt
+    val encPath = new org.apache.hadoop.fs.Path(s"$indexDir/encoded")
+    val fs = encPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val filesPerCell: Map[Int, Long] = fs.listStatus(encPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { st =>
+        st.getPath.getName.stripPrefix("cell=").toInt ->
+          fs.listStatus(st.getPath)
+            .count(f => f.getPath.getName.startsWith("part-")).toLong
+      }.toMap
+    // ONE distributed job (the per-cell count over the code-only scan),
+    // then an nlist-bounded collect: the share/hot/action columns are
+    // pure integer arithmetic over ≤ nlist rows, and deriving them
+    // driver-side avoids re-executing the aggregate subplan for the
+    // global total (an agg frame referenced twice re-runs its whole
+    // scan) and any partition-less window
+    val counts: Seq[(Int, Long)] = spark.read.parquet(s"$indexDir/encoded")
+      // one row per (id, mi): count distinct ids per cell without
+      // shuffling the codes — m is constant per index, divide instead
+      .groupBy("cell").agg((count(lit(1)) / meta(0).toInt).cast("long").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val total = counts.map(_._2).sum
+    counts.sortBy(_._1).map { case (cell, n) =>
+      val files = filesPerCell.getOrElse(cell, 0L)
+      (cell, n, n * 1000L / total,
+        if (n * nlist > HotCellFactor * total) 1L else 0L,
+        files, if (files > 1) "compact" else "keep")
+    }.toDF("cell", "n", "share_pm", "hot", "n_files", "action")
+  }
+
+  /** Rewrite every multi-file cell directory back to one file per cell
+    * — the remediation [[cellAudit]] plans. Contents are untouched
+    * (codes and assignments are byte-identical), so a probe before and
+    * after is bit-for-bit the same (the spec pins it); only the
+    * listing/footer overhead appended batches accumulated is paid off.
+    * Cells already at one file are NOT rewritten (their files are not
+    * read or moved): the rewrite reads only the flagged cells and
+    * overwrites only their partitions (dynamic partition overwrite).
+    * Returns the compacted cell ids.
+    */
+  def compactCells(spark: SparkSession, indexDir: String): Seq[Int] = {
+    val flagged = cellAudit(spark, indexDir)
+      .filter(col("action") === "compact")
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    if (flagged.nonEmpty) {
+      // rewrite to a sibling temp dir, then swap per cell dir: Spark
+      // refuses to overwrite a path it is reading, and the swap keeps
+      // every cell readable at all times (a crash mid-swap leaves each
+      // cell whole — some compacted, some not — and a rerun finishes)
+      val tmp = s"$indexDir/encoded_compact_tmp"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      spark.read.parquet(s"$indexDir/encoded")
+        .filter(col("cell").isin(flagged.map(Int.box): _*))
+        .repartition(col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+      flagged.foreach { c =>
+        val dst = new org.apache.hadoop.fs.Path(s"$indexDir/encoded/cell=$c")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/cell=$c")
+        fs.delete(dst, true)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename $src -> $dst failed")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+    flagged
+  }
 }

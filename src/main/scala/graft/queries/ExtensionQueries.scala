@@ -958,6 +958,88 @@ object ExtensionQueries {
         "vec_id", "embedding", idx, k = 5, nprobe = 4)
       .orderBy("query_id", "rank")
   }
+
+  // --------------------------------------------------------------- q234
+  /** Cell-size audit of a skew-appended ANN index
+    * ([[graft.operators.AnnIndex.cellAudit]]): build the q107-shaped
+    * index into its own store dir, then ingest two append waves of 50
+    * copies each of the 5 lowest-id vectors — identical embeddings land
+    * in the SAME coarse cells (frozen centroids), so at most 5 cells
+    * balloon while the rest stay at their build-time share. The audit
+    * reports per-cell counts, per-mille share, and the hot flag
+    * (n·nlist > 2·total, integer cross-multiplied). The oracle replays
+    * the frozen-centroid assignment (q56's coarse chain) and adds
+    * 100 copies per seed cell — a drift in either the append-side
+    * assignment arithmetic or the audit aggregation fails the hash.
+    * Build AND append run under ONE ContentGate.ensure (its own tag, so
+    * this store never collides with q107's): a crash mid-append leaves
+    * no FINGERPRINT and the next run rebuilds from scratch — partial
+    * append state can never serve an audit.
+    */
+  val q234: Q = (s, dir) => {
+    import graft.operators.{AnnIndex, ContentGate}
+    val e = Tables.embeddings(s, dir)
+    val idx = graft.Tables.storeDir("ann_audit", dir)
+    val tag = ContentGate.tag(e, col("vec_id"),
+        concat_ws(",", col("embedding").cast("array<string>")), lit(true)) +
+      ";nlist=16,m=16,ksub=64,it=3,tl=4096" +
+      s";v=${AnnIndex.FormatVersion};audit=1"
+    ContentGate.ensure(idx, tag) {
+      AnnIndex.build(e, "vec_id", "embedding", idx,
+        nlist = 16, m = 16, ksub = 64)
+      val seeds = e.filter(col("vec_id") < 5)
+      (1 to 2).foreach { wave =>
+        val batch = seeds
+          .select(explode(sequence(lit(0L), lit(49L))).as("k"),
+            col("vec_id"), col("embedding"))
+          .select((lit(1000000L) * wave + col("k") * 100L + col("vec_id"))
+            .as("vec_id"), col("embedding"))
+        AnnIndex.append(s, batch, "vec_id", "embedding", idx)
+      }
+    }
+    AnnIndex.cellAudit(s, idx)
+      .select("cell", "n", "share_pm", "hot")
+      .orderBy("cell")
+  }
+  val q234Sql: String = {
+    val (iters, trainLimit, dim) = (3, 4096, 64)
+    val coarseCtes = (1 to iters).map { i =>
+      s"""asg$i AS MATERIALIZED (
+         |  SELECT id, cell FROM (
+         |    SELECT t.id, c.cell,
+         |      row_number() OVER (PARTITION BY t.id ORDER BY list_dot_product(t.q, c.v) DESC, c.cell) AS rn
+         |    FROM train t CROSS JOIN cent${i - 1} c) WHERE rn = 1),
+         |cent$i AS MATERIALIZED (
+         |  SELECT cell, list(s ORDER BY d) AS v FROM (
+         |    SELECT a.cell, dd.d,
+         |      CAST(floor(CAST(sum(t.q[dd.d+1]) AS DOUBLE)/count(*)) AS BIGINT) AS s
+         |    FROM asg$i a JOIN train t USING (id) CROSS JOIN range($dim) dd(d)
+         |    GROUP BY 1, 2) GROUP BY cell
+         |  UNION ALL
+         |  SELECT cell, v FROM cent${i - 1} WHERE cell NOT IN (SELECT cell FROM asg$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${pqVecTrainSql(trainLimit)},
+       |cent0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, q AS v
+       |  FROM (SELECT id, q FROM train ORDER BY id LIMIT 16)),
+       |$coarseCtes,
+       |basg AS MATERIALIZED (
+       |  SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      row_number() OVER (PARTITION BY v.id ORDER BY list_dot_product(v.q, c.v) DESC, c.cell) AS rn
+       |    FROM vec v CROSS JOIN cent$iters c) WHERE rn = 1),
+       |seedcells AS (SELECT cell, count(*) AS c5 FROM basg WHERE id < 5 GROUP BY cell),
+       |aug AS (
+       |  SELECT b.cell,
+       |    count(*) + 100 * coalesce(any_value(s.c5), 0) AS n
+       |  FROM basg b LEFT JOIN seedcells s ON b.cell = s.cell
+       |  GROUP BY b.cell),
+       |tot AS (SELECT sum(n) AS total FROM aug)
+       |SELECT CAST(cell AS INT) AS cell, CAST(n AS BIGINT) AS n,
+       |  CAST(n * 1000 // total AS BIGINT) AS share_pm,
+       |  CAST(CASE WHEN n * 16 > 2 * total THEN 1 ELSE 0 END AS BIGINT) AS hot
+       |FROM aug, tot ORDER BY cell""".stripMargin
+  }
   val q56Sql: String = {
     val (nlist, nprobe, k, iters, trainLimit, dim) = (16, 4, 5, 3, 4096, 64)
     val (m, ksub, dsub) = (16, 64, 4)
@@ -1679,6 +1761,7 @@ object ExtensionQueries {
     "q55_ann_pq" -> q55,
     "q56_ann_ivfpq" -> q56,
     "q107_ann_index" -> q107,
+    "q234_ann_cell_audit" -> q234,
     "q57_image_decode" -> q57,
     "q159_audio_decode" -> q159,
     "q98_image_resize" -> q98,
@@ -1725,6 +1808,7 @@ object ExtensionQueries {
     "q55_ann_pq" -> q55Sql,
     "q56_ann_ivfpq" -> q56Sql,
     "q107_ann_index" -> q56Sql,
+    "q234_ann_cell_audit" -> q234Sql,
     "q57_image_decode" -> q57Sql,
     "q159_audio_decode" -> q159Sql,
     "q98_image_resize" -> q98Sql,

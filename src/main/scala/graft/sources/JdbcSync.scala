@@ -56,8 +56,15 @@ object JdbcSync {
     * line does not split the statement mid-string. (A `''` escape split
     * exactly across a line boundary is not representable in SQL text and
     * is not handled.)
+    *
+    * `backslashEscapes = true` additionally honors MySQL's default
+    * string-literal escaping (the reference's native dialect, where
+    * `\'` does NOT close the literal): a backslash inside a string
+    * consumes the next character, including the newline when the
+    * backslash ends a line.
     */
-  def statements(script: String): Seq[String] = {
+  def statements(script: String,
+      backslashEscapes: Boolean = false): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inString = false
@@ -71,7 +78,12 @@ object JdbcSync {
         while (i < line.length) {
           val c = line.charAt(i)
           if (inString) {
-            if (c == '\'') {
+            if (backslashEscapes && c == '\\') {
+              // consumes the next char; when the backslash ends the
+              // line, the escaped char is the newline the split already
+              // removed — scanning just resumes on the next line
+              i += 1
+            } else if (c == '\'') {
               if (i + 1 < line.length && line.charAt(i + 1) == '\'') i += 1
               else inString = false
             }
@@ -89,9 +101,10 @@ object JdbcSync {
     * *outside* single-quoted string literals become `quote`. Values in
     * the script are raw SQL literals and may legitimately contain
     * backticks, so the scan is quote-aware (`''` escapes stay inside the
-    * literal).
+    * literal; with `backslashEscapes`, MySQL's `\'` does too).
     */
-  def requoteIdentifiers(stmt: String, quote: String): String = {
+  def requoteIdentifiers(stmt: String, quote: String,
+      backslashEscapes: Boolean = false): String = {
     if (quote == "`") stmt
     else {
       val sb = new StringBuilder(stmt.length)
@@ -101,7 +114,9 @@ object JdbcSync {
         val c = stmt.charAt(i)
         if (inString) {
           sb.append(c)
-          if (c == '\'')
+          if (backslashEscapes && c == '\\') {
+            if (i + 1 < stmt.length) { sb.append(stmt.charAt(i + 1)); i += 1 }
+          } else if (c == '\'')
             // '' escape: consume the second quote and stay in-string
             if (i + 1 < stmt.length && stmt.charAt(i + 1) == '\'') {
               sb.append('\''); i += 1
@@ -117,11 +132,73 @@ object JdbcSync {
     }
   }
 
+  /** Rewrite MySQL-escaped string literals to ANSI form, leaving
+    * everything outside literals untouched — the step that makes a
+    * script generated from a MySQL dump executable on an ANSI engine
+    * (Derby, Postgres with standard_conforming_strings) whose only
+    * in-string escape is `''`.
+    *
+    * The documented MySQL escape table (default sql_mode, i.e.
+    * NO_BACKSLASH_ESCAPES off):
+    *   `\'` → `''`    (quote, re-escaped the ANSI way)
+    *   `\"` → `"`     (double quote, no escape needed in a '…' literal)
+    *   `\\` → `\`     (literal backslash)
+    *   `\0` `\b` `\n` `\r` `\t` `\Z` → the raw control character
+    *     (NUL, backspace, LF, CR, TAB, SUB) — ANSI literals carry raw
+    *     control characters directly
+    *   `\%` `\_` → kept VERBATIM (two characters): MySQL evaluates
+    *     them to `\%`/`\_` so pattern-match contexts can escape
+    *     wildcards; re-emitting them preserves those bytes
+    *   `\x` (anything else) → `x` (MySQL drops the backslash)
+    * A bare `''` escape inside the literal is already ANSI and passes
+    * through unchanged.
+    */
+  def translateLiteralsToAnsi(stmt: String): String = {
+    val sb = new StringBuilder(stmt.length)
+    var inString = false
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (inString) {
+        if (c == '\\' && i + 1 < stmt.length) {
+          stmt.charAt(i + 1) match {
+            case '\'' => sb.append("''")
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '0' => sb.append('\u0000')
+            case 'b' => sb.append('\b')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'Z' => sb.append('\u001A')
+            case w @ ('%' | '_') => sb.append('\\').append(w)
+            case other => sb.append(other)
+          }
+          i += 1
+        } else {
+          sb.append(c)
+          if (c == '\'')
+            if (i + 1 < stmt.length && stmt.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 1
+            } else inString = false
+        }
+      } else {
+        sb.append(c)
+        if (c == '\'') inString = true
+      }
+      i += 1
+    }
+    sb.result()
+  }
+
   /** Apply a generated sync script over one JDBC connection in script
     * order (order is correctness-relevant: DROP → CREATE → DELETE →
     * UPDATE → INSERT), executeBatch-ed in chunks. `identifierQuote`
-    * rewrites backtick identifiers for non-MySQL targets. Returns the
-    * number of statements executed.
+    * rewrites backtick identifiers for non-MySQL targets;
+    * `mysqlEscapes = true` declares the script's string literals use
+    * MySQL backslash escaping and (for ANSI targets) rewrites them via
+    * [[translateLiteralsToAnsi]] so the applied values match the
+    * production bytes. Returns the number of statements executed.
     *
     * Atomicity caveat: the single transaction holds only on engines
     * without implicit DDL commits. On MySQL — the reference's stated
@@ -141,7 +218,8 @@ object JdbcSync {
     */
   def applyScript(url: String, script: String,
       props: Map[String, String] = Map.empty,
-      identifierQuote: String = "`", batchSize: Int = 1000): Int = {
+      identifierQuote: String = "`", batchSize: Int = 1000,
+      mysqlEscapes: Boolean = false): Int = {
     val p = new Properties()
     props.foreach { case (k, v) => p.setProperty(k, v) }
     val conn = DriverManager.getConnection(url, p)
@@ -151,8 +229,18 @@ object JdbcSync {
       try {
         var n = 0
         var inBatch = 0
-        statements(script).foreach { raw =>
-          st.addBatch(requoteIdentifiers(raw.trim.stripSuffix(";"), identifierQuote))
+        // mysqlEscapes: the script's string literals use MySQL backslash
+        // escaping (the reference's native dump dialect) — scan them
+        // backslash-aware, and when the TARGET is ANSI (non-backtick
+        // quote) also rewrite the literals to ANSI form so `\'`-bearing
+        // values survive the dialect hop byte-for-byte
+        statements(script, mysqlEscapes).foreach { raw =>
+          val requoted = requoteIdentifiers(raw.trim.stripSuffix(";"),
+            identifierQuote, mysqlEscapes)
+          st.addBatch(
+            if (mysqlEscapes && identifierQuote != "`")
+              translateLiteralsToAnsi(requoted)
+            else requoted)
           n += 1; inBatch += 1
           if (inBatch >= batchSize) { st.executeBatch(); inBatch = 0 }
         }

@@ -40,6 +40,59 @@ class ExtensionOpsSpec extends SparkSuite {
       s"appended duplicate missing from query 5's top-5: $after")
   }
 
+  test("AnnIndex cellAudit flags skewed appends; compactCells probes identically") {
+    import graft.operators.AnnIndex
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft-annaudit").toString
+    AnnIndex.build(e, "vec_id", "embedding", idx)
+    val clean = AnnIndex.cellAudit(spark, idx).collect()
+    // a fresh build writes one file per cell — nothing to compact
+    assert(clean.forall(_.getAs[String]("action") == "keep"),
+      "fresh build already flagged for compaction")
+
+    // skewed ingest: 3 waves × 60 copies of vector 0 — one cell
+    // balloons (hot) and its directory accumulates one file per wave
+    val seed = e.filter($"vec_id" === 0L).select("embedding")
+    (1 to 3).foreach { wave =>
+      val batch = seed
+        .select(explode(sequence(lit(0L), lit(59L))).as("k"), col("embedding"))
+        .select((lit(10000L) * wave + col("k")).as("vec_id"), col("embedding"))
+      AnnIndex.append(spark, batch, "vec_id", "embedding", idx)
+    }
+    val audit = AnnIndex.cellAudit(spark, idx).collect()
+    val hot = audit.filter(_.getAs[Long]("hot") == 1L)
+    assert(hot.length == 1, s"expected exactly one hot cell, got ${hot.length}")
+    assert(hot.head.getAs[Long]("n_files") == 4L, // build + 3 waves
+      s"hot cell file count: ${hot.head.getAs[Long]("n_files")}")
+    assert(hot.head.getAs[String]("action") == "compact")
+    // untouched cells keep their single build-time file
+    assert(audit.filter(_.getAs[Long]("hot") == 0L)
+      .forall(r => r.getAs[Long]("n_files") == 1L &&
+        r.getAs[String]("action") == "keep"))
+
+    // compaction rewrites ONLY the flagged cells' layout; the probe is
+    // bit-for-bit invariant (contents untouched) and the audit goes
+    // all-keep with counts preserved
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank", "adc")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val before = rows(AnnIndex.probe(spark, q, "vec_id", "embedding", idx, k = 5))
+    val compacted = AnnIndex.compactCells(spark, idx)
+    assert(compacted == Seq(hot.head.getAs[Int]("cell")),
+      s"compacted $compacted, expected the hot cell only")
+    val after = rows(AnnIndex.probe(spark, q, "vec_id", "embedding", idx, k = 5))
+    assert(after == before, "probe changed across compactCells")
+    val audit2 = AnnIndex.cellAudit(spark, idx).collect()
+    assert(audit2.forall(r => r.getAs[Long]("n_files") == 1L &&
+      r.getAs[String]("action") == "keep"), "compaction left multi-file cells")
+    assert(audit2.map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n"))).sorted.toSeq
+      == audit.map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n"))).sorted.toSeq,
+      "compaction changed per-cell contents")
+    // idempotent: nothing left to compact
+    assert(AnnIndex.compactCells(spark, idx).isEmpty)
+  }
+
   test("AnnIndex.ensureBuild fires once per content tag; param change rebuilds") {
     import graft.operators.AnnIndex
     val e = Tables.embeddings(spark, dir)

@@ -70,6 +70,68 @@ class JdbcSyncSpec extends SparkSuite {
     assert(state == Seq((1, 150, "al'ice`s"), (2, 200, "bob"), (4, 400, "dave")))
   }
 
+  test("MySQL escape table translates to ANSI; scanners honor backslash escapes") {
+    // the documented MySQL string-literal escape table (default
+    // sql_mode): each row is (mysql literal body, ANSI literal body)
+    val table = Seq(
+      ("O\\'Brien", "O''Brien"),          // \' → ''
+      ("say \\\"hi\\\"", "say \"hi\""),   // \" → "
+      ("a\\\\b", "a\\b"),                 // \\ → \
+      ("tab\\there", "tab\there"),        // \t → TAB
+      ("line\\nbreak", "line\nbreak"),    // \n → LF
+      ("cr\\rhere", "cr\rhere"),          // \r → CR
+      ("bell\\bback", "bell\bback"),      // \b → BS
+      ("nul\\0end", "nul\u0000end"),      // \0 → NUL
+      ("sub\\Zend", "sub\u001Aend"),      // \Z → SUB
+      ("100\\%", "100\\%"),               // \% kept verbatim
+      ("a\\_b", "a\\_b"),                 // \_ kept verbatim
+      ("w\\xy", "wxy"),                   // unknown: backslash dropped
+      ("it''s", "it''s"))                 // '' passes through
+    table.foreach { case (mysql, ansi) =>
+      assert(JdbcSync.translateLiteralsToAnsi(s"X = '$mysql'") == s"X = '$ansi'",
+        s"escape row '$mysql'")
+    }
+    // a \' inside a literal must neither end the string for the
+    // splitter (the ; and ` inside are literal bytes) nor get requoted
+    val stmt = "UPDATE `t` SET `v` = 'a\\'; `fake`' WHERE `id` = 1;"
+    assert(JdbcSync.statements(stmt, backslashEscapes = true) == Seq(stmt))
+    assert(JdbcSync.requoteIdentifiers(stmt.stripSuffix(";"), "\"",
+      backslashEscapes = true) ==
+      "UPDATE \"t\" SET \"v\" = 'a\\'; `fake`' WHERE \"id\" = 1")
+    // ...whereas the old ''-only scan would have split/requoted wrongly
+    assert(JdbcSync.statements(stmt).size != 1 ||
+      JdbcSync.requoteIdentifiers(stmt, "\"").contains("\"fake\""))
+  }
+
+  test("applyScript round-trips MySQL-escaped values onto an ANSI target") {
+    // the reference's native dialect writes values with backslash
+    // escapes; applying such a script to Derby must land the same BYTES
+    // a MySQL apply would — the full quote/backslash/control-char
+    // gauntlet rides UPDATE and INSERT through the dialect hop
+    exec("CREATE TABLE people (id INT PRIMARY KEY, name VARCHAR(60))",
+      "INSERT INTO people VALUES (1, 'placeholder')",
+      "INSERT INTO people VALUES (2, 'bob')")
+    val script =
+      """-- SQL Sync Script - Full CRUD Support
+        |
+        |-- UPDATE Records
+        |UPDATE `PEOPLE` SET `NAME` = 'O\'Brien; `x` \\ ''done''' WHERE `ID` = 1;
+        |
+        |-- INSERT Missing Records
+        |INSERT INTO `PEOPLE` (`ID`, `NAME`) VALUES (3, 'tab\there 100\% a\_b');
+        |INSERT INTO `PEOPLE` (`ID`, `NAME`) VALUES (4, 'line\nbreak \Zsub');""".stripMargin
+    val n = JdbcSync.applyScript(url, script, identifierQuote = "\"",
+      mysqlEscapes = true)
+    assert(n == 3)
+    val state = JdbcSync.load(spark, url, "people")
+      .as[(Int, String)].collect().sortBy(_._1).toSeq
+    assert(state == Seq(
+      (1, "O'Brien; `x` \\ 'done'"),
+      (2, "bob"),
+      (3, "tab\there 100\\% a\\_b"),
+      (4, "line\nbreak \u001Asub")))
+  }
+
   test("partitioned jdbc read pushes filters and prunes columns to the source") {
     exec("CREATE TABLE events_j (id INT PRIMARY KEY, kind VARCHAR(20), v INT)")
     exec((1 to 50).map(i =>
