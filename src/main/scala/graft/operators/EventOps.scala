@@ -358,26 +358,32 @@ object EventOps {
         expr("(t1 - t0) div 1000000").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    counts.count() // materialize before the two descents race
+    counts.count() // materialize before the descent's broadcasts race
     val n = counts.groupBy("g").agg(sum("c").as("n_conv"))
     // latency seconds fit 32 bits a-priori: (t1−t0)/1e6 is bounded by
-    // the corpus time span, and a >68-year gap is not a latency
-    val (med, rel1) = Stats.rankSelect(counts, Seq("g"), "c",
-      nn => ((nn + 1) / 2).cast("long"), "median_s",
-      persistInput = false, domainBits = 32)
-    val (p90, rel2) = Stats.rankSelect(counts, Seq("g"), "c",
-      nn => ((nn * 9 + 9) / 10).cast("long"), "p90_s",
-      persistInput = false, domainBits = 32)
-    val out = n.join(broadcast(med), Seq("g"))
-      .join(broadcast(p90), Seq("g"))
+    // the corpus time span, and a >68-year gap is not a latency.
+    // Both quantiles from ONE radix hierarchy (rankSelectMulti, r16):
+    // the two rankSelect calls each rebuilt the level chain over the
+    // same counts frame.
+    val (qs, rel1) = Stats.rankSelectMulti(counts, Seq("g"), "c",
+      Seq(50L -> ((nn: Column) => ((nn + 1) / 2).cast("long")),
+        90L -> ((nn: Column) => ((nn * 9 + 9) / 10).cast("long"))),
+      "__t", "qv", persistInput = false, domainBits = 32)
+    // fold the labeled rows into columns with one tiny aggregate — the
+    // single consumer that lets the lazy descent run overlapped inside
+    // the final action (see rankSelectMulti)
+    val quants = qs.groupBy("g")
+      .agg(min(when(col("__t") === 50L, col("qv"))).as("median_s"),
+        min(when(col("__t") === 90L, col("qv"))).as("p90_s"))
+    val out = n.join(broadcast(quants), Seq("g"))
       .select(col("g"), col("n_conv").cast("long").as("n_conv"),
         col("median_s"), col("p90_s"))
     // eager: the caches (counts + rankSelect internals) release only
-    // after both descents have executed
+    // after the descent has executed
     val res = out.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     res.count()
-    rel1(); rel2(); counts.unpersist()
+    rel1(); counts.unpersist()
     res
   }
 
@@ -433,18 +439,24 @@ object EventOps {
     val counts = lat.groupBy(col("g"), col("lat_s").as("v"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    counts.count() // materialize before the two descents race
+    counts.count() // materialize before the descent's broadcasts race
     val agg = counts.groupBy("g").agg(sum("c").as("n_events"),
       coalesce(sum(when(col("v") > 0L, col("c"))), lit(0L)).as("n_late"),
       max("v").as("max_s"))
-    val (med, rel1) = Stats.rankSelect(counts, Seq("g"), "c",
-      nn => ((nn + 1) / 2).cast("long"), "median_s",
-      persistInput = false, domainBits = 32)
-    val (p99, rel2) = Stats.rankSelect(counts, Seq("g"), "c",
-      nn => ((nn * 99 + 99) / 100).cast("long"), "p99_s",
-      persistInput = false, domainBits = 32)
-    val out = agg.join(broadcast(med), Seq("g"))
-      .join(broadcast(p99), Seq("g"))
+    // both quantiles from ONE radix hierarchy (rankSelectMulti, r16):
+    // the two rankSelect calls each rebuilt the level chain over the
+    // same counts frame
+    val (qs, rel1) = Stats.rankSelectMulti(counts, Seq("g"), "c",
+      Seq(50L -> ((nn: Column) => ((nn + 1) / 2).cast("long")),
+        99L -> ((nn: Column) => ((nn * 99 + 99) / 100).cast("long"))),
+      "__t", "qv", persistInput = false, domainBits = 32)
+    // fold the labeled rows into columns with one tiny aggregate — the
+    // single consumer that lets the lazy descent run overlapped inside
+    // the final action (see rankSelectMulti)
+    val quants = qs.groupBy("g")
+      .agg(min(when(col("__t") === 50L, col("qv"))).as("median_s"),
+        min(when(col("__t") === 99L, col("qv"))).as("p99_s"))
+    val out = agg.join(broadcast(quants), Seq("g"))
       .select(col("g"), col("n_events").cast("long").as("n_events"),
         expr("(cast(n_late as decimal(38,0)) * 1000000) div n_events")
           .cast("long").as("late_ppm"),
@@ -452,7 +464,7 @@ object EventOps {
     val res = out.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     res.count()
-    rel1(); rel2(); counts.unpersist()
+    rel1(); counts.unpersist()
     res
   }
 

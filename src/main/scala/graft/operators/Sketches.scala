@@ -668,17 +668,24 @@ object Sketches {
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(sum(col("c")).as("cnt"))
     val est = logHistQuantiles(sk, groupCols, ps)
-    val exact = ps.map { p =>
-      // integral `div`, not float `/` + cast: double rounding keeps
-      // ceil(n·p/100) exact only while n·p+99 < ~2⁵³; past that the
-      // truncation can come out off by one and silently shift the
-      // 'exact' quantile this audit compares against
-      Stats.rankSelect(counts, groupCols, "c",
-        n => call_function("div", n * p + lit(99L), lit(100L)), "exact",
-        persistInput = false, domainBits = domainBits)._1
-        .select(groupCols.map(col) :+ lit(p.toLong).as("p") :+
-          col("exact"): _*)
-    }.reduce(_.unionByName(_))
+    // integral `div`, not float `/` + cast: double rounding keeps
+    // ceil(n·p/100) exact only while n·p+99 < ~2⁵³; past that the
+    // truncation can come out off by one and silently shift the
+    // 'exact' quantile this audit compares against.
+    // ALL percentiles descend ONE shared radix hierarchy
+    // (rankSelectMulti, r16): the per-p rankSelect calls each rebuilt
+    // and re-persisted the level chain over the same counts frame —
+    // |ps| hierarchy builds and |ps| scans of every level for the same
+    // point lookups. Deferring the release also closes the pre-r16 leak
+    // of the per-call t1 caches (the rankSelect release thunks were
+    // dropped here) and of the counts cache itself.
+    val (exactMulti, relExact) = Stats.rankSelectMulti(counts, groupCols,
+      "c", ps.map(p => (p.toLong, (n: Column) =>
+        call_function("div", n * p + lit(99L), lit(100L)))),
+      "p", "exact", persistInput = false, domainBits = domainBits)
+    val exact = exactMulti
+      .select(groupCols.map(col) :+ col("p") :+ col("exact"): _*)
+    graft.PendingRelease.defer(() => { relExact(); counts.unpersist(); () })
     est.join(exact, groupCols :+ "p")
       .select(groupCols.map(col) ++ Seq(col("p"), col("est"), col("exact"),
         expr("((exact - est) * 1000000) div exact").as("err_ppm"),

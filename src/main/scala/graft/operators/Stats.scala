@@ -215,6 +215,101 @@ object Stats {
     (res, () => { if (persistInput) l0.unpersist(); t1.unpersist(); () })
   }
 
+  /** Multi-target [[rankSelect]]: the value at EACH of several per-group
+    * target ranks from ONE shared radix hierarchy (r16 optimization,
+    * guide §2.4 "remove shuffles outright"). [[rankSelect]] rebuilds —
+    * and re-persists, re-counts, re-scans — the whole level chain per
+    * call, so k percentile lookups over the same counts frame paid k
+    * hierarchy builds and k scans of every level; every multi-percentile
+    * operator (p50/p90/p99 audits, trim boundaries, tertiles) was
+    * calling it 2-3 times on one counts frame. Here the chain is built
+    * once and the k descent states ride the same per-level scan: the
+    * broadcast state frame carries a target label, so a level's join
+    * fans each scanned bucket out only to the targets whose chosen
+    * parent bucket covers it (exactly 1 state row per (group, label)).
+    * Arithmetic per target is IDENTICAL to [[rankSelect]]'s — same
+    * exclusive prefix, same first-crossing min(struct) — so results are
+    * bit-equal (RankSelectMultiSpec pins this against rankSelect).
+    *
+    * The O(|groups|·k) result is persisted and eagerly materialized
+    * here, because every caller consumes it at least twice (one filter
+    * or join per label) and each lazy consumer would otherwise re-run
+    * the full descent; release via the returned thunk.
+    *
+    * `targets`: (label, targetOf) pairs — label lands in `labelCol`
+    * (Long; callers map it back to their percentile/boundary names).
+    * targetOf must be >= 1 and <= n, as in [[rankSelect]].
+    * Output: (groups..., labelCol, out, n).
+    */
+  private[graft] def rankSelectMulti(counts0: DataFrame, gCols: Seq[String],
+      cCol: String, targets: Seq[(Long, Column => Column)],
+      labelCol: String, out: String,
+      persistInput: Boolean = true, domainBits: Int = 64)
+      : (DataFrame, () => Unit) = {
+    require(targets.nonEmpty, "rankSelectMulti: no targets")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "rankSelectMulti: duplicate target labels")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (in0, gNames) = injectG(counts0, gCols)
+    val g = gNames.map(col)
+    val l0p = in0.select(g :+ col("v").cast("long").as("b") :+
+        col(cCol).cast("long").as("c"): _*)
+    val l0 = if (persistInput) l0p.persist(lvl) else l0p
+    val t1 = up(l0, gNames).persist(lvl)
+    t1.count() // one parallel build before concurrent broadcasts race
+    val ts = Iterator.iterate(t1)(up(_, gNames)).take(nLevels(domainBits))
+      .toList
+    val root = ts.last
+    // (groups, label, n, t): one target rank per (group, label); built
+    // from the tiny root totals, so the k-way union is k scans of an
+    // O(groups)-row frame, not of the data
+    val tot = root.groupBy(g: _*).agg(sum(col("c")).as("n"))
+    val tgt = targets.map { case (lab, f) =>
+        tot.select(g :+ lit(lab).as("__rsLab") :+ col("n") :+
+          f(col("n")).as("t"): _*)
+      }.reduce(_.unionByName(_))
+    val sRoot = exPrefix(root.join(broadcast(tgt), gNames),
+        gNames :+ "__rsLab")
+      .filter(col("p") + col("c") >= col("t"))
+      .groupBy((gNames :+ "__rsLab").map(col): _*)
+      .agg(min(struct(col("b"), col("p").as("h"), col("n"), col("t")))
+        .as("s"))
+      .select(g :+ col("__rsLab") :+ col("s.b").as("bp") :+
+        col("s.h").as("h") :+ col("s.n").as("n") :+ col("s.t").as("t"): _*)
+    def step(tk: DataFrame, st: DataFrame): DataFrame =
+      exPrefix(
+        tk.withColumn("bp", shiftright(col("b"), 16))
+          .join(broadcast(st), gNames :+ "bp"),
+        // bp is a FUNCTION of (group, label) — st holds exactly one row
+        // per (group, label) — so partitioning the prefix by label keeps
+        // every window <= 2^16 rows exactly as the single-target descent
+        gNames :+ "__rsLab")
+      .filter(col("h") + col("p") + col("c") >= col("t"))
+      .groupBy((gNames :+ "__rsLab").map(col): _*)
+      .agg(min(struct(col("b"), (col("h") + col("p")).as("h"), col("n"),
+        col("t"))).as("s"))
+      .select(g :+ col("__rsLab") :+ col("s.b").as("bp") :+
+        col("s.h").as("h") :+ col("s.n").as("n") :+ col("s.t").as("t"): _*)
+    val s0 = step(l0, ts.init.reverse.foldLeft(sRoot)((st, tk) =>
+      step(tk, st)))
+    // the label travels under an internal name through the descent:
+    // exPrefix/struct columns (p, h, n, t, b, bp) must never collide
+    // with the caller's labelCol (q172 passes labelCol = "p", which
+    // exPrefix would otherwise overwrite mid-descent)
+    val res = s0.select(g :+ col("__rsLab").as(labelCol) :+
+        col("bp").as(out) :+ col("n"): _*)
+      .drop((if (gCols.isEmpty) Seq("_g") else Nil): _*)
+    // deliberately LAZY and unpersisted: callers consume the result
+    // exactly once (a conditional aggregation folding the labels into
+    // columns), so the whole descent materializes as one broadcast
+    // subjob INSIDE the caller's final action, overlapped with its main
+    // scan. An eager persist+count here was measured to serialize the
+    // descent behind an extra AQE-barrier chain and LOSE ~0.5-1 s per
+    // query vs the overlapped two-descent form it replaced — a caller
+    // that must consume the result twice persists it itself.
+    (res, () => { if (persistInput) l0.unpersist(); t1.unpersist(); () })
+  }
+
 
   /** Equi-depth histogram of an integer-valued column: `k` buckets with
     * (as near as ties allow) equal row counts. Rule: every distinct
@@ -914,15 +1009,23 @@ object Stats {
     val counts = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
       .persist(lvl)
-    counts.count() // materialize before the two descents race
-    val (lo, rel1) = rankSelect(counts, Seq("g"), "c",
-      nn => ((nn * alphaPct + 99) / 100).cast("long"), "lo",
-      persistInput = false, domainBits = domainBits)
-    val (hi, rel2) = rankSelect(counts, Seq("g"), "c",
-      nn => ((nn * (100 - alphaPct) + 99) / 100).cast("long"), "hi",
-      persistInput = false, domainBits = domainBits)
+    counts.count() // materialize before the descent's broadcasts race
+    // both trim boundaries from ONE radix hierarchy (rankSelectMulti):
+    // the two single-target descents each rebuilt the level chain over
+    // the same counts frame — same lookups, half the hierarchy work
+    val (boundRows, rel1) = rankSelectMulti(counts, Seq("g"), "c",
+      Seq(0L -> ((nn: Column) => ((nn * alphaPct + 99) / 100).cast("long")),
+        1L -> ((nn: Column) =>
+          ((nn * (100 - alphaPct) + 99) / 100).cast("long"))),
+      "__t", "bv", persistInput = false, domainBits = domainBits)
+    // fold the two labeled rows per group into (lo, hi) COLUMNS with one
+    // tiny aggregate — the single consumer the lazy multi-descent needs,
+    // so it runs as one overlapped broadcast subjob of the final action
+    val bounds = boundRows.groupBy("g")
+      .agg(min(when(col("__t") === 0L, col("bv"))).as("lo"),
+        min(when(col("__t") === 1L, col("bv"))).as("hi"))
     val out = counts
-      .join(broadcast(lo), Seq("g")).join(broadcast(hi), Seq("g"))
+      .join(broadcast(bounds), Seq("g"))
       .groupBy("g", "lo", "hi")
       .agg(sum("c").as("n"),
         coalesce(sum(when(col("v") >= col("lo") && col("v") <= col("hi"),
@@ -937,7 +1040,7 @@ object Stats {
           .stripMargin).as("trimmed_mean_6dp"))
     val res = out.persist(lvl)
     res.count()
-    rel1(); rel2(); counts.unpersist()
+    rel1(); counts.unpersist()
     res
   }
 

@@ -1208,15 +1208,24 @@ object TextOps {
     val counts = scored.select(col("avg_millibits").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
       .persist(lvl)
-    val (t1, _) = Stats.rankSelect(counts, Nil, "c",
-      n => ((n + 2) / 3).cast("long"), "tert1",
-      persistInput = false, domainBits = 16)
-    val (t2, _) = Stats.rankSelect(counts, Nil, "c",
-      n => ((n * 2 + 2) / 3).cast("long"), "tert2",
-      persistInput = false, domainBits = 16)
+    // both tertile thresholds from ONE radix hierarchy
+    // (rankSelectMulti, r16): the two rankSelect calls each rebuilt the
+    // level chain over the same counts frame. The labeled rows fold
+    // into one 1-row (tert1, tert2) frame — the single consumer that
+    // lets the lazy descent run as one overlapped broadcast subjob of
+    // the final action — and ONE crossJoin replaces two. Release is
+    // deferred so the leaked t1-cache pair of the pre-r16 form goes
+    // away too.
+    val (terts, relTerts) = Stats.rankSelectMulti(counts, Nil, "c",
+      Seq(1L -> ((n: Column) => ((n + 2) / 3).cast("long")),
+        2L -> ((n: Column) => ((n * 2 + 2) / 3).cast("long"))),
+      "__t", "tv", persistInput = false, domainBits = 16)
+    graft.PendingRelease.defer(relTerts)
+    val bounds = terts.agg(
+      min(when(col("__t") === 1L, col("tv"))).as("tert1"),
+      min(when(col("__t") === 2L, col("tv"))).as("tert2"))
     scored
-      .crossJoin(broadcast(t1.select("tert1")))
-      .crossJoin(broadcast(t2.select("tert2")))
+      .crossJoin(broadcast(bounds))
       .select(col("id"), col("n_bigrams"), col("doc_bits"),
         col("avg_millibits"),
         when(col("avg_millibits") <= col("tert1"), "head")

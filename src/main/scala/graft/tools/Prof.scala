@@ -280,6 +280,87 @@ object Prof {
         })
         time("full q232 (recompute)")(mat(
           graft.SparkEntry.queries("q232_prefix_delta_join")(spark, sfDir)))
+      case "q179" =>
+        // r16: stage budget for the curation DAG — where do the 5 s go?
+        import org.apache.spark.storage.StorageLevel
+        import org.apache.spark.sql.expressions.Window
+        val lvl = StorageLevel.MEMORY_AND_DISK
+        val docs = graft.Tables.documents(spark, sfDir)
+          .select("doc_id", "text", "source")
+        (1 to 2).foreach { pass =>
+          spark.catalog.clearCache()
+          val gated = docs
+            .select(col("doc_id"), col("text"), col("source"),
+              graft.operators.TextOps.gopherRules(col("text")).last)
+            .filter(col("gopher_score") >= 4).drop("gopher_score")
+            .persist(lvl)
+          time(s"p$pass 1 gate count")(gated.count())
+          val exact = gated
+            .withColumn("keeper", min(col("doc_id"))
+              .over(Window.partitionBy(md5(col("text").cast("binary")))))
+            .filter(col("doc_id") === col("keeper")).drop("keeper")
+            .persist(lvl)
+          time(s"p$pass 2 exact count")(exact.count())
+          val pairs = graft.operators.Dedup.minhashLshPairs(exact,
+              "doc_id", "text", 3, 16, 4, 0.5)
+            .select("id_a", "id_b").persist(lvl)
+          time(s"p$pass 3 lsh count")(pairs.count())
+          val split = graft.operators.Curate.leakageAwareSplit(exact,
+              col("doc_id"), pairs,
+              Seq(("train", 80), ("val", 10), ("test", 10))).persist(lvl)
+          time(s"p$pass 4 split count")(split.count())
+          val train = split.filter(col("split") === "train")
+            .select("doc_id", "text", "source")
+          val mixed = graft.operators.Curate.mixToBudget(train, "source",
+              col("doc_id"), Seq("src0" -> 1L, "src1" -> 1L, "src2" -> 8L),
+              100L, 64).persist(lvl)
+          time(s"p$pass 5 mix count")(mixed.count())
+          val stream = mixed
+            .join(train.select(col("doc_id"),
+              size(graft.functions.Portable.tokens(col("text"))).as("n_tok")),
+              Seq("doc_id"))
+            .withColumn("copy", explode(sequence(lit(1L), col("copies"))))
+            .select((col("doc_id") * 1000L + col("copy")).as("mid"),
+              col("n_tok"))
+          val report = graft.operators.Curate.packingReport(
+            graft.operators.Curate.packSequences(stream, "mid",
+              col("n_tok"), 2048L, 8), 2048L)
+          time(s"p$pass 6 packing mat")(mat(report))
+          time(s"p$pass 7 stats union")(
+            mat(graft.queries.PipelineQueries.q179(spark, sfDir)))
+          Seq(gated, exact, pairs, split, mixed).foreach(_.unpersist())
+        }
+      case "rsm" =>
+        // r16: 2x rankSelect vs 1x rankSelectMulti on the q226 counts
+        // shape — where does the multi-descent time go?
+        import org.apache.spark.storage.StorageLevel
+        import org.apache.spark.sql.Column
+        val li = graft.Tables.lineitem(spark, sfDir)
+        val counts = li.select(col("l_returnflag").as("g"),
+            round(col("l_extendedprice") * 100).cast("long").as("v"))
+          .groupBy("g", "v").agg(count(lit(1)).as("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        time("counts mat")(println("counts=" + counts.count()))
+        val tLo = (nn: Column) => ((nn * 5 + 99) / 100).cast("long")
+        val tHi = (nn: Column) => ((nn * 95 + 99) / 100).cast("long")
+        (1 to 3).foreach { i =>
+          time(s"single x2 #$i") {
+            val (lo, r1) = graft.operators.Stats.rankSelect(counts,
+              Seq("g"), "c", tLo, "lo", persistInput = false, domainBits = 40)
+            val (hi, r2) = graft.operators.Stats.rankSelect(counts,
+              Seq("g"), "c", tHi, "hi", persistInput = false, domainBits = 40)
+            println(lo.join(hi, Seq("g")).collect().length)
+            r1(); r2()
+          }
+          time(s"multi    #$i") {
+            val (b, r) = graft.operators.Stats.rankSelectMulti(counts,
+              Seq("g"), "c", Seq(0L -> tLo, 1L -> tHi), "__t", "bv",
+              persistInput = false, domainBits = 40)
+            println(b.collect().length)
+            r()
+          }
+        }
+        counts.unpersist()
       case "q180" =>
         // stage budget for the capped LSH: shingles, bands, hot agg,
         // capped anti-join, candidates, verify
