@@ -328,6 +328,21 @@ object Prof {
           time(s"p$pass 6 packing mat")(mat(report))
           time(s"p$pass 7 stats union")(
             mat(graft.queries.PipelineQueries.q179(spark, sfDir)))
+          // decompose the stats union on WARM caches: which branch costs?
+          def stat(stage: String, k: String,
+              v: org.apache.spark.sql.Column,
+              from: org.apache.spark.sql.DataFrame) =
+            from.agg(v.cast("long").as("v"))
+              .select(lit(stage).as("stage"), lit(k).as("k"), col("v"))
+          time(s"p$pass 7a gate stat")(mat(stat("1", "n", count(lit(1)), gated)))
+          time(s"p$pass 7b exact stat")(mat(stat("2", "n", count(lit(1)), exact)))
+          time(s"p$pass 7c pairs stat")(mat(stat("3", "n", count(lit(1)), pairs)))
+          time(s"p$pass 7d split stat")(mat(
+            split.groupBy("split").agg(count(lit(1)).cast("long").as("v"))))
+          time(s"p$pass 7e mix stats")(mat(
+            stat("5", "n", count(lit(1)), mixed)
+              .unionByName(stat("5", "c", sum(col("copies")), mixed))))
+          time(s"p$pass 7f report branch")(mat(report))
           Seq(gated, exact, pairs, split, mixed).foreach(_.unpersist())
         }
       case "rsm" =>
