@@ -417,7 +417,13 @@ object Similarity {
     val planes = planeMatrix(k, dim)
     val projections = array(planes.map(pl =>
       Portable.dotQ(q, typedLit(pl.map(_.toLong).toSeq))): _*)
-    df.select(col(idCol), posexplode(projections).as(Seq("p", "proj")))
+    // Spread BEFORE the k×dim dot products (r16, guide §2.5 input
+    // skew): embeddings ship as ONE single-row-group file, so without
+    // this the whole quantize+project compute runs in the scan's single
+    // task while every other core idles — the exchange it adds is one
+    // pass over the raw vectors, and the id key spreads evenly.
+    Spread.ensure(df.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol), posexplode(projections).as(Seq("p", "proj")))
       .select(col(idCol), col("p").cast("long").as("p"), col("proj"))
   }
 
